@@ -1,0 +1,454 @@
+"""Entity linking + canonicalization + node/edge materialization.
+
+Replaces the reference's sequential DB lookup-or-create dedup
+(reference: src/services/ingestion_service.py:105-129,
+src/db/repository.py:115-130) with pure data-parallel operations:
+
+1. content-hash node ids make same-key entities collide by construction;
+2. an *alias + embedding* linking stage emits coreference edges between
+   entities that exact keys miss ("3DGS" vs "3D Gaussian Splatting"):
+   exact alias-table hits plus pairs sharing an LSH band with label-embedding
+   cosine ≥ τ — a deterministic near-dup semantic both the engine and the
+   sequential oracle compute independently;
+3. connected-component union-find merges coreferent ids (canonical = min id);
+   driver-side union-find when the alias graph is provably small (≪ corpus),
+   distributed min-label propagation otherwise;
+4. nodes/edges materialize via groupby-aggregate with per-batch partial
+   aggregation before the shuffle (exact triple dedup mirrors the reference's
+   ``UNIQUE(from,to,type)`` constraint, sql/schema.sql:36).
+
+Order-independence: the reference's first-writer-wins (ingestion order) is
+replaced by deterministic min-tiebreaks (min doc_id provenance, lexicographic
+min display label) — the emitted *triple set* is identical because triples
+depend only on content-hash ids (SURVEY.md §7.5).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min
+
+from ..functions.ids import node_id as make_node_id
+from ..functions.normalize import label_key, normalize_label
+from ..schemas import EDGES_SCHEMA, NODES_SCHEMA
+from .embed import DEFAULT_DIM, embed_texts, lsh_band_keys, lsh_planes
+
+# Default alias table (surface form key -> canonical form key, per type).
+# In production this is a curated KB table broadcast to every worker.
+DEFAULT_COSINE_TAU = 0.92
+CC_DRIVER_LIMIT = 1_000_000  # alias graphs above this use distributed propagation
+
+
+def build_alias_key_map(aliases: dict[str, str], entity_type: str = "method") -> dict:
+    """{(type, alias_label_key): (type, canon_label_key)} from a surface-alias map."""
+    out = {}
+    for alias, canon in aliases.items():
+        out[(entity_type, label_key(normalize_label(alias)))] = (
+            entity_type,
+            label_key(normalize_label(canon)),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Coreference edge generation (deterministic semantic, shared with the oracle)
+# ---------------------------------------------------------------------------
+
+
+def alias_exact_edges(
+    entities: Iterable[tuple[str, str, str]], alias_key_map: dict
+) -> list[tuple[str, str]]:
+    """Exact alias-table hits: (node_id, node_id_of_canonical_key) pairs.
+
+    ``entities`` yields (node_id, node_type, normalized_label).
+    """
+    edges = []
+    for nid, ntype, label in entities:
+        tgt = alias_key_map.get((ntype, label_key(label)))
+        if tgt is not None:
+            edges.append((nid, make_node_id(tgt[0], tgt[1])))
+    return edges
+
+
+def lsh_cosine_pairs_semantics(
+    ids: list[str],
+    types: list[str],
+    labels: list[str],
+    tau: float = DEFAULT_COSINE_TAU,
+    dim: int = DEFAULT_DIM,
+) -> set[tuple[str, str]]:
+    """The near-dup-label semantic: same type, shared LSH band, cosine ≥ τ.
+
+    Pure/sequential — used by the oracle AND as the per-bucket kernel of the
+    distributed path (both produce exactly this set).
+    """
+    planes = lsh_planes(dim)
+    vecs = embed_texts([f"{t}:{l.lower()}" for t, l in zip(types, labels)], dim)
+    bands = lsh_band_keys(vecs, planes)
+    buckets: dict[tuple, list[int]] = {}
+    for i, (t, ks) in enumerate(zip(types, bands)):
+        for k in ks:
+            buckets.setdefault((t, k), []).append(i)
+    pairs: set[tuple[str, str]] = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        vs = vecs[members]
+        sims = vs @ vs.T
+        for a in range(len(members)):
+            for b in range(a + 1, len(members)):
+                ia, ib = members[a], members[b]
+                if ids[ia] == ids[ib]:
+                    continue
+                if sims[a, b] >= tau:
+                    x, y = sorted((ids[ia], ids[ib]))
+                    pairs.add((x, y))
+    return pairs
+
+
+def distinct_entities_ds(validated: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Distinct (node_id, node_type, label) over both endpoints of all records.
+
+    Paper nodes are excluded: linking operates on *extracted entity* labels
+    only (doc-id labels are near-identical strings and must never merge)."""
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "node_id": np.concatenate(
+                    [batch["subj_id"].to_numpy(zero_copy_only=False),
+                     batch["obj_id"].to_numpy(zero_copy_only=False)]
+                ),
+                "node_type": np.concatenate(
+                    [batch["subj_type"].to_numpy(zero_copy_only=False),
+                     batch["obj_type"].to_numpy(zero_copy_only=False)]
+                ),
+                "label": np.concatenate(
+                    [batch["subj_norm"].to_numpy(zero_copy_only=False),
+                     batch["obj_norm"].to_numpy(zero_copy_only=False)]
+                ),
+            }
+        )
+        df = df[df["node_type"] != "paper"]
+        return df.drop_duplicates(subset=["node_id"])  # per-batch partial distinct
+
+    exploded = validated.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return exploded.groupby("node_id").aggregate(
+        Min("node_type", alias_name="node_type"), Min("label", alias_name="label")
+    )
+
+
+class LshBucketEmitter:
+    """map_batches stage: entity rows → (bucket, node_id, node_type, label) rows."""
+
+    def __init__(self, dim: int = DEFAULT_DIM):
+        self.dim = dim
+        self.planes = lsh_planes(dim)
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        ids = batch["node_id"].to_pylist()
+        types = batch["node_type"].to_pylist()
+        labels = batch["label"].to_pylist()
+        vecs = embed_texts([f"{t}:{l.lower()}" for t, l in zip(types, labels)], self.dim)
+        bands = lsh_band_keys(vecs, self.planes)
+        rows = {"bucket": [], "node_id": [], "node_type": [], "label": []}
+        for i, ks in enumerate(bands):
+            for k in ks:
+                rows["bucket"].append(f"{types[i]}|{k}")
+                rows["node_id"].append(ids[i])
+                rows["node_type"].append(types[i])
+                rows["label"].append(labels[i])
+        return pd.DataFrame(rows)
+
+
+def coref_edges_ds(
+    entities: "ray.data.Dataset",
+    alias_key_map: dict,
+    tau: float = DEFAULT_COSINE_TAU,
+    dim: int = DEFAULT_DIM,
+) -> "ray.data.Dataset":
+    """Distributed coreference-edge generation.
+
+    Alias-table hits are a broadcast lookup inside map_batches (no shuffle);
+    LSH pairs shuffle only the small distinct-entity table by bucket.
+    """
+    alias_ref = ray.put(alias_key_map)
+
+    def alias_stage(batch: pa.Table) -> pd.DataFrame:
+        amap = ray.get(alias_ref)
+        rows = alias_exact_edges(
+            zip(batch["node_id"].to_pylist(), batch["node_type"].to_pylist(),
+                batch["label"].to_pylist()),
+            amap,
+        )
+        return pd.DataFrame({"a": [r[0] for r in rows], "b": [r[1] for r in rows]})
+
+    alias_edges = entities.map_batches(alias_stage, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        sub = group.drop_duplicates(subset=["node_id"])
+        pairs = lsh_cosine_pairs_semantics(
+            sub["node_id"].tolist(), sub["node_type"].tolist(), sub["label"].tolist(),
+            tau=tau, dim=dim,
+        )
+        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+    lsh_edges = (
+        entities.map_batches(LshBucketEmitter, batch_format="pyarrow", concurrency=2)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return alias_edges.union(lsh_edges)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (union-find)
+# ---------------------------------------------------------------------------
+
+
+def connected_components_driver(edges: Iterable[tuple[str, str]]) -> dict[str, str]:
+    """Union-find over the (small) alias graph; canonical = min id in component.
+
+    Returns only non-identity mappings. Valid because the coreference graph is
+    vocabulary-bound (≪ corpus size) — documented partitioning assumption.
+    """
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent) if find(x) != x}
+
+
+def connected_components_distributed(
+    edges_ds: "ray.data.Dataset", max_iters: int = 8
+) -> dict[str, str]:
+    """Min-label propagation over an edge Dataset (scale path).
+
+    Each iteration: label(x) ← min(label(x), min over neighbors' labels),
+    via groupby-min over the symmetrized edge list joined with current labels.
+    Converges in O(component diameter) rounds; alias chains are short.
+    Returns the non-identity mapping (collected — the *mapping* is small even
+    when the edge list required distribution).
+    """
+
+    def symmetrize(batch: pa.Table) -> pd.DataFrame:
+        a = batch["a"].to_numpy(zero_copy_only=False)
+        b = batch["b"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({"x": np.concatenate([a, b]), "y": np.concatenate([b, a])})
+
+    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    # label(x) starts as x itself; propagate via broadcast of the (small) label
+    # delta dict — neighbors' labels looked up per batch, then groupby-min.
+    labels: dict[str, str] = {}
+    for _ in range(max_iters):
+        ref = ray.put(labels)
+
+        def relabel(batch: pa.Table) -> pd.DataFrame:
+            cur = ray.get(ref)
+            x = batch["x"].to_numpy(zero_copy_only=False)
+            y = batch["y"].to_numpy(zero_copy_only=False)
+            ylab = np.array([cur.get(v, v) for v in y], dtype=object)
+            return pd.DataFrame({"x": x, "cand": ylab})
+
+        mins = (
+            sym.map_batches(relabel, batch_format="pyarrow")
+            .groupby("x")
+            .aggregate(Min("cand", alias_name="cand"))
+            .to_pandas()
+        )
+        new_labels = dict(labels)
+        changed = False
+        for x, cand in zip(mins["x"], mins["cand"]):
+            cur = new_labels.get(x, x)
+            if cand < cur:
+                new_labels[x] = cand
+                changed = True
+        labels = new_labels
+        if not changed:
+            break
+    # path-compress via driver union-find for exact minimal representatives
+    return connected_components_driver([(x, y) for x, y in labels.items()])
+
+
+def compute_canonical_mapping(
+    entities: "ray.data.Dataset",
+    alias_key_map: dict,
+    tau: float = DEFAULT_COSINE_TAU,
+    dim: int = DEFAULT_DIM,
+    driver_limit: int = CC_DRIVER_LIMIT,
+) -> dict[str, str]:
+    """Coreference edges → union-find → {node_id: canonical_node_id}."""
+    edges = coref_edges_ds(entities, alias_key_map, tau=tau, dim=dim).materialize()
+    if edges.count() <= driver_limit:
+        pdf = edges.to_pandas()
+        return connected_components_driver(zip(pdf["a"], pdf["b"]))
+    return connected_components_distributed(edges)
+
+
+def apply_canonical_mapping(
+    validated: "ray.data.Dataset", mapping: dict[str, str]
+) -> "ray.data.Dataset":
+    """Rewrite subj_id/obj_id through the canonical mapping (broadcast lookup)."""
+    if not mapping:
+        return validated
+    ref = ray.put(mapping)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+
+        def map_col(col):
+            vals = np.asarray(col.to_pylist(), dtype=object)
+            uniq, inv = np.unique(vals, return_inverse=True)
+            mapped = np.array([m.get(u, u) for u in uniq], dtype=object)
+            return pa.array(list(mapped[inv]), type=pa.string())
+
+        batch = batch.set_column(
+            batch.schema.get_field_index("subj_id"), "subj_id", map_col(batch["subj_id"]))
+        batch = batch.set_column(
+            batch.schema.get_field_index("obj_id"), "obj_id", map_col(batch["obj_id"]))
+        return batch
+
+    return validated.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Node / edge materialization (groupby-aggregate with per-batch partials)
+# ---------------------------------------------------------------------------
+
+_PAD = 24
+_SEP = "\x1f"
+
+
+def _pack_provenance(doc_id, rationale, evidence) -> np.ndarray:
+    """Sortable packed string: min() of it = the min-doc_id record (argmin trick
+    → fully vectorized aggregate instead of per-group Python)."""
+    return np.array(
+        [f"{d.rjust(_PAD)}{_SEP}{r}{_SEP}{e}" for d, r, e in zip(doc_id, rationale, evidence)],
+        dtype=object,
+    )
+
+
+def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
+    """NODES_SCHEMA table: per canonical node — type, min display label, n_docs."""
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "node_id": np.concatenate(
+                    [batch["subj_id"].to_numpy(zero_copy_only=False),
+                     batch["obj_id"].to_numpy(zero_copy_only=False)]
+                ),
+                "node_type": np.concatenate(
+                    [batch["subj_type"].to_numpy(zero_copy_only=False),
+                     batch["obj_type"].to_numpy(zero_copy_only=False)]
+                ),
+                "label": np.concatenate(
+                    [batch["subj_norm"].to_numpy(zero_copy_only=False),
+                     batch["obj_norm"].to_numpy(zero_copy_only=False)]
+                ),
+                "doc_id": np.concatenate(
+                    [batch["doc_id"].to_numpy(zero_copy_only=False)] * 2
+                ),
+            }
+        )
+        return df.drop_duplicates(subset=["node_id", "doc_id"])
+
+    exploded = validated.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    per_doc = exploded.groupby(["node_id", "doc_id"]).aggregate(
+        Min("node_type", alias_name="node_type"), Min("label", alias_name="label")
+    )
+    agg = per_doc.groupby("node_id").aggregate(
+        Min("node_type", alias_name="node_type"),
+        Min("label", alias_name="label"),
+        Count(alias_name="n_docs"),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.Table.from_arrays(
+            [
+                batch["node_id"].cast(pa.string()).combine_chunks(),
+                batch["node_type"].cast(pa.string()).combine_chunks(),
+                batch["label"].cast(pa.string()).combine_chunks(),
+                pa.array([""] * n, type=pa.string()),
+                pa.array(["{}"] * n, type=pa.string()),
+                batch["n_docs"].cast(pa.int64()).combine_chunks(),
+            ],
+            schema=NODES_SCHEMA,
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def build_edges(validated: "ray.data.Dataset") -> "ray.data.Dataset":
+    """EDGES_SCHEMA table: exact triple dedup on (src, dst, type).
+
+    Confidence = max over duplicates; provenance (doc_id, rationale, evidence)
+    from the minimal doc_id — deterministic stand-in for the reference's
+    first-insert-wins UNIQUE constraint (sql/schema.sql:36).
+    """
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "src_id": batch["subj_id"].to_numpy(zero_copy_only=False),
+                "dst_id": batch["obj_id"].to_numpy(zero_copy_only=False),
+                "edge_type": batch["pred"].to_numpy(zero_copy_only=False),
+                "confidence": batch["confidence"].to_numpy(zero_copy_only=False),
+                "packed": _pack_provenance(
+                    batch["doc_id"].to_numpy(zero_copy_only=False),
+                    batch["rationale"].to_numpy(zero_copy_only=False),
+                    batch["evidence_span"].to_numpy(zero_copy_only=False),
+                ),
+            }
+        )
+        return (
+            df.groupby(["src_id", "dst_id", "edge_type"], as_index=False)
+            .agg(confidence=("confidence", "max"), packed=("packed", "min"))
+        )
+
+    partials = validated.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["src_id", "dst_id", "edge_type"]).aggregate(
+        Max("confidence", alias_name="confidence"), Min("packed", alias_name="packed")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        packed = batch["packed"].to_pylist()
+        doc_id, rationale, evidence = [], [], []
+        for p in packed:
+            d, r, e = p.split(_SEP, 2)
+            doc_id.append(d.lstrip())
+            rationale.append(r)
+            evidence.append(e)
+        return pa.Table.from_arrays(
+            [
+                batch["src_id"].cast(pa.string()).combine_chunks(),
+                batch["dst_id"].cast(pa.string()).combine_chunks(),
+                batch["edge_type"].cast(pa.string()).combine_chunks(),
+                batch["confidence"].cast(pa.float32()).combine_chunks(),
+                pa.array(rationale, type=pa.string()),
+                pa.array(evidence, type=pa.string()),
+                pa.array(doc_id, type=pa.string()),
+            ],
+            schema=EDGES_SCHEMA,
+        )
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
