@@ -1,16 +1,7 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +11,33 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001.
+
+    Lifts the flat documents table into the interleaved-span input shape and
+    runs the full knowledge-graph construction pipeline (extraction actor pool
+    → validation → canonicalization → cross-doc linking), returning the edges
+    Dataset.
+    """
+    from research_knowledge_graph_ray.pipelines.construct import build_graph
+    from research_knowledge_graph_ray.pipelines.kgflat import KG_FLAT_VOCAB
+    from research_knowledge_graph_ray.sources.adapter import read_flat_documents_as_spans
+
+    docs = read_flat_documents_as_spans("/root/testdata/sf0.001")
+    res = build_graph(docs, vocab=KG_FLAT_VOCAB, aliases={}, entity_linking=False, link=True)
+    return res.edges
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline (SURVEY.md §2 + dedup/
+    similarity/text-analysis additions)."""
+    from research_knowledge_graph_ray.pipelines.registry import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-checkable equivalents (same column names/types); non-SQL-
+    expressible operators are omitted → rows-only driver check."""
+    from research_knowledge_graph_ray.pipelines.registry import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

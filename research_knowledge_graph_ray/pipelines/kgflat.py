@@ -1,0 +1,230 @@
+"""KG construction over the driver's flat ``documents`` table, SQL-checkable.
+
+The testdata ``documents(doc_id:int64, text, ...)`` corpus is word-salad text
+over a small closed vocabulary; using that vocabulary as the entity list, the
+*same* engine pipeline (adapter → extraction → validation → canonicalization →
+blocking/linking) runs over it, and every step is expressible in ANSI SQL for
+the DuckDB oracle gate. The regex semantics are shared verbatim between the
+Ray side (RE2 via pyarrow/python) and the SQL side (RE2 via DuckDB).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from ..functions.ids import md5_np, paper_node_id
+from ..sources.adapter import read_flat_documents_as_spans
+
+# Closed term vocabulary present in the synthetic documents corpus.
+TERMS = [
+    "spark", "join", "hash", "sort", "merge", "filter",
+    "window", "stream", "scan", "group", "batch", "vector",
+]
+TERM_PATTERN = r"\b(" + "|".join(TERMS) + r")\b"
+_TERM_RE = re.compile(TERM_PATTERN)
+
+# vocabulary handed to the span pipeline: every term is a "concept" entity
+KG_FLAT_VOCAB = {"concept": TERMS}
+
+
+def _read_docs(sf_dir: str, max_doc_id: int | None = None) -> "ray.data.Dataset":
+    import pyarrow.compute as pc
+
+    kwargs = {"columns": ["doc_id", "text"]}
+    if max_doc_id is not None:
+        kwargs["filter"] = pc.field("doc_id") < max_doc_id  # row-group pushdown
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", **kwargs)
+
+
+def doc_mentions(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, term, n) — per-document vocabulary-term occurrence counts.
+
+    One vectorized pass; output is already per-doc aggregated → no shuffle.
+    """
+
+    def count_terms(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_doc, out_term, out_n = [], [], []
+        for did, text in zip(doc_ids, texts):
+            for term, n in sorted(Counter(_TERM_RE.findall(text.lower())).items()):
+                out_doc.append(did)
+                out_term.append(term)
+                out_n.append(n)
+        return pd.DataFrame(
+            {"doc_id": np.asarray(out_doc, dtype=np.int64),
+             "term": out_term,
+             "n": np.asarray(out_n, dtype=np.int64)}
+        )
+
+    return _read_docs(sf_dir).map_batches(count_terms, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+def nodes_flat(sf_dir: str) -> "ray.data.Dataset":
+    """(node_id, label, n_docs) — canonical term entities with doc counts."""
+    partial = doc_mentions(sf_dir).map_batches(
+        lambda df: df.groupby("term", as_index=False).agg(n_docs=("doc_id", "nunique")),
+        batch_format="pandas",
+    )
+    agg = partial.groupby("term").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node_id": md5_np(np.array(["term:" + t for t in df["term"]], dtype=object)),
+                "label": df["term"],
+                "n_docs": df["n_docs"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+def edges_flat(sf_dir: str) -> "ray.data.Dataset":
+    """(src_id, dst_id, edge_type, doc_id, term) — doc→term MENTIONS edges."""
+
+    def to_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_id": md5_np(np.array([f"doc:{d}" for d in df["doc_id"]], dtype=object)),
+                "dst_id": md5_np(np.array([f"term:{t}" for t in df["term"]], dtype=object)),
+                "edge_type": "MENTIONS",
+                "doc_id": df["doc_id"].astype(np.int64),
+                "term": df["term"],
+            }
+        )
+
+    return doc_mentions(sf_dir).map_batches(to_edges, batch_format="pandas")
+
+
+def cooccurrence(sf_dir: str) -> "ray.data.Dataset":
+    """(term_a, term_b, n_docs) — unordered term pairs co-occurring in a doc.
+
+    Pair emission is per-doc local (≤ C(|TERMS|,2) pairs/doc) with per-batch
+    partial counting before the global groupby — the blocking/pair-generation
+    pattern at its smallest."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        c: Counter = Counter()
+        for _, g in df.groupby("doc_id"):
+            ts = sorted(set(g["term"]))
+            for i in range(len(ts)):
+                for j in range(i + 1, len(ts)):
+                    c[(ts[i], ts[j])] += 1
+        return pd.DataFrame(
+            {"term_a": [k[0] for k in c], "term_b": [k[1] for k in c],
+             "n_docs": np.asarray(list(c.values()), dtype=np.int64)}
+        )
+
+    partial = doc_mentions(sf_dir).map_batches(pairs, batch_format="pandas")
+    return partial.groupby(["term_a", "term_b"]).aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+def top_entities(sf_dir: str, k: int = 10) -> "ray.data.Dataset":
+    """Top-k terms by document count (deterministic tiebreak on label)."""
+    return nodes_flat(sf_dir).select_columns(["label", "n_docs"]).sort(
+        ["n_docs", "label"], descending=[True, False]
+    ).limit(k)
+
+
+def entity_degree(sf_dir: str) -> "ray.data.Dataset":
+    """(term, degree) — number of distinct co-occurrence partners per term."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"term": pd.concat([df["term_a"], df["term_b"]], ignore_index=True)}
+        )
+
+    both = cooccurrence(sf_dir).map_batches(explode, batch_format="pandas")
+    return both.groupby("term").aggregate(Count(alias_name="degree"))
+
+
+# ---------------------------------------------------------------------------
+# Full-engine variants: the actual span pipeline over the flat corpus
+# ---------------------------------------------------------------------------
+
+
+def graph_nodes(sf_dir: str) -> "ray.data.Dataset":
+    """build_graph() nodes projected to (node_type, label, n_docs) — runs the
+    real adapter → extractor → validate → canonicalize chain."""
+    from .construct import build_graph
+
+    res = build_graph(
+        read_flat_documents_as_spans(sf_dir),
+        vocab=KG_FLAT_VOCAB, aliases={}, entity_linking=False, link=False,
+    )
+    return res.nodes.select_columns(["node_type", "label", "n_docs"])
+
+
+def graph_edges(sf_dir: str) -> "ray.data.Dataset":
+    """build_graph() edges projected to (src_label, dst_label, edge_type, doc_id).
+
+    Node-id → label resolution uses a broadcast of the (small) nodes table —
+    the small-side-lookup join pattern, not a shuffle join."""
+    import ray
+
+    from .construct import build_graph
+
+    res = build_graph(
+        read_flat_documents_as_spans(sf_dir),
+        vocab=KG_FLAT_VOCAB, aliases={}, entity_linking=False, link=False,
+    )
+    label_map = dict(zip(*[res.nodes.to_pandas()[c] for c in ("node_id", "label")]))
+    ref = ray.put(label_map)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        return pd.DataFrame(
+            {
+                "src_label": df["src_id"].map(m),
+                "dst_label": df["dst_id"].map(m),
+                "edge_type": df["edge_type"],
+                "doc_id": df["doc_id"],
+            }
+        )
+
+    return res.edges.map_batches(project, batch_format="pandas")
+
+
+def cross_doc_edges(sf_dir: str, max_doc_id: int = 150) -> "ray.data.Dataset":
+    """Cross-document SIMILAR_TO edges over a bounded doc subset, uncapped —
+    exercises blocking → pair aggregation → judge with exact SQL parity.
+
+    (The production path caps pairs per hot entity; the cap is disabled here
+    because capping is deliberately not SQL-expressible.)"""
+    from ..sources.adapter import flat_batch_to_spans
+    from .construct import build_graph
+
+    docs = _read_docs(sf_dir, max_doc_id=max_doc_id).map_batches(
+        flat_batch_to_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+    res = build_graph(
+        docs, vocab=KG_FLAT_VOCAB, aliases={}, entity_linking=False, link=True,
+        max_docs_per_entity=10**9,
+    )
+    pid_to_doc = {paper_node_id(str(d)): str(d) for d in range(max_doc_id)}
+    import ray
+
+    ref = ray.put(pid_to_doc)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = df[df["edge_type"].isin(["SIMILAR_TO", "COMPARES_TO", "EXTENDS"])]
+        return pd.DataFrame(
+            {
+                "src_doc": df["src_id"].map(m),
+                "dst_doc": df["dst_id"].map(m),
+                "edge_type": df["edge_type"],
+            }
+        )
+
+    return res.edges.map_batches(project, batch_format="pandas")

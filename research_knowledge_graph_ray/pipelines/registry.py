@@ -1,0 +1,163 @@
+"""Query registry: every implemented operator exposed as (callable, oracle SQL).
+
+Consumed by /root/repo/__ray_entry__.py. Each callable takes ``sf_dir`` and
+returns a Dataset / DataFrame / Arrow table; the SQL string (when present) is
+the exact DuckDB-checkable equivalent with matching column names and types.
+``None`` SQL → rows-only driver check (non-SQL-expressible operator), with
+correctness pinned by pytest instead.
+"""
+
+from __future__ import annotations
+
+from ..stages import dedup, similarity, textops
+from . import kgflat, relational
+from .kgflat import TERM_PATTERN
+
+_UNNEST = (
+    "SELECT doc_id, unnest(regexp_extract_all(lower(text), '"
+    + TERM_PATTERN.replace("\\b", "\\b")
+    + "')) AS term FROM documents"
+)
+
+KG_DOC_MENTIONS_SQL = f"""
+SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+FROM ({_UNNEST}) GROUP BY doc_id, term
+"""
+
+KG_NODES_SQL = f"""
+SELECT md5(concat('term:', term)) AS node_id, term AS label,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ({_UNNEST}) GROUP BY term
+"""
+
+KG_EDGES_SQL = f"""
+SELECT md5(concat('doc:', CAST(doc_id AS VARCHAR))) AS src_id,
+       md5(concat('term:', term)) AS dst_id,
+       'MENTIONS' AS edge_type, doc_id, term
+FROM (SELECT DISTINCT doc_id, term FROM ({_UNNEST}))
+"""
+
+KG_COOCCURRENCE_SQL = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST}))
+SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2
+"""
+
+KG_TOP_ENTITIES_SQL = f"""
+SELECT term AS label, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM ({_UNNEST}) GROUP BY term
+ORDER BY n_docs DESC, label LIMIT 10
+"""
+
+KG_ENTITY_DEGREE_SQL = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
+co AS (SELECT a.term ta, b.term tb FROM dt a JOIN dt b
+       ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT ta AS term, tb AS partner FROM co
+      UNION ALL SELECT tb, ta FROM co)
+GROUP BY term
+"""
+
+KG_GRAPH_NODES_SQL = f"""
+WITH dt AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS vdoc, term FROM ({_UNNEST}))
+SELECT 'paper' AS node_type, vdoc AS label, CAST(1 AS BIGINT) AS n_docs
+FROM (SELECT DISTINCT vdoc FROM dt)
+UNION ALL
+SELECT 'concept', concat(upper(substr(term, 1, 1)), substr(term, 2)),
+       CAST(COUNT(*) AS BIGINT)
+FROM dt GROUP BY term
+"""
+
+KG_GRAPH_EDGES_SQL = f"""
+SELECT CAST(doc_id AS VARCHAR) AS src_label,
+       concat(upper(substr(term, 1, 1)), substr(term, 2)) AS dst_label,
+       'INTRODUCES' AS edge_type,
+       CAST(doc_id AS VARCHAR) AS doc_id
+FROM (SELECT DISTINCT doc_id, term FROM ({_UNNEST}))
+"""
+
+KG_CROSS_DOC_EDGES_SQL = f"""
+WITH dt AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS vdoc, term
+            FROM ({_UNNEST}) WHERE doc_id < 150),
+pairs AS (SELECT a.vdoc AS da, b.vdoc AS db, COUNT(*) AS n
+          FROM dt a JOIN dt b ON a.term = b.term AND a.vdoc < b.vdoc
+          GROUP BY 1, 2)
+SELECT da AS src_doc, db AS dst_doc, 'SIMILAR_TO' AS edge_type
+FROM pairs WHERE n >= 2
+"""
+
+TEXT_STATS_SQL = """
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
+FROM documents
+"""
+
+TEXT_QUALITY_SQL = r"""
+SELECT doc_id, n_tokens, n_stopwords,
+       CAST(n_stopwords * 10000 // GREATEST(n_tokens, 1) AS BIGINT) AS stop_ratio_bp
+FROM (
+  SELECT doc_id,
+    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens,
+    CAST(COALESCE(array_length(regexp_extract_all(lower(text), '\b(the|a)\b')), 0) AS BIGINT)
+        AS n_stopwords
+  FROM documents)
+"""
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id, md5(text) AS fp FROM documents
+"""
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+KNN_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id,
+         CAST(ROUND(list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) * 1000000)
+              AS BIGINT) AS sim_e6
+  FROM embeddings WHERE vec_id <> 0)
+SELECT vec_id, sim_e6 FROM scored ORDER BY sim_e6 DESC, vec_id LIMIT 10
+"""
+
+
+# name -> (callable(sf_dir) -> result, oracle_sql | None)
+QUERIES: dict = {
+    # knowledge-graph construction over the flat documents corpus
+    "kg_doc_mentions": (kgflat.doc_mentions, KG_DOC_MENTIONS_SQL),
+    "kg_nodes": (kgflat.nodes_flat, KG_NODES_SQL),
+    "kg_edges": (kgflat.edges_flat, KG_EDGES_SQL),
+    "kg_cooccurrence": (kgflat.cooccurrence, KG_COOCCURRENCE_SQL),
+    "kg_top_entities": (kgflat.top_entities, KG_TOP_ENTITIES_SQL),
+    "kg_entity_degree": (kgflat.entity_degree, KG_ENTITY_DEGREE_SQL),
+    # full span-pipeline variants (adapter → extract → validate → canonicalize)
+    "kg_graph_nodes": (kgflat.graph_nodes, KG_GRAPH_NODES_SQL),
+    "kg_graph_edges": (kgflat.graph_edges, KG_GRAPH_EDGES_SQL),
+    "kg_cross_doc_edges": (kgflat.cross_doc_edges, KG_CROSS_DOC_EDGES_SQL),
+    # text analysis
+    "text_stats": (textops.text_stats, TEXT_STATS_SQL),
+    "text_quality": (textops.text_quality, TEXT_QUALITY_SQL),
+    "doc_fingerprint": (textops.doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "lang_id": (textops.lang_id, None),  # heuristic — rows-only
+    # dedup family
+    "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
+    "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, None),
+    "dedup_simhash_pairs": (dedup.simhash_pairs, None),
+    # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,
+    # so the threshold is lowered to exercise the operator end-to-end
+    "dedup_embedding_pairs": (lambda sf: dedup.embedding_near_dups(sf, tau=0.25), None),
+    # similarity search
+    "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
+    "knn_topk_ivf": (similarity.knn_topk_ivf, None),  # approximate — rows-only
+    # relational / aggregate coverage
+    "q1_pricing_summary": (relational.q1_pricing_summary, relational.Q1_SQL),
+    "revenue_by_nation": (relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),
+    "top10_orders": (relational.top10_orders, relational.TOP10_ORDERS_SQL),
+    "events_by_type": (relational.events_by_type, relational.EVENTS_BY_TYPE_SQL),
+    "orders_by_month": (relational.orders_by_month, relational.ORDERS_BY_MONTH_SQL),
+}

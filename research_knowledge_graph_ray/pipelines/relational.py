@@ -1,0 +1,198 @@
+"""Generic relational operators over the TPC-H-ish testdata tables.
+
+These exercise the engine's groupby/join/sort/filter building blocks with
+exact DuckDB oracles. All float aggregation uses scaled-integer math
+(cents / basis points) so Ray and DuckDB sums compare bit-exactly — raw
+double summation order differs between engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+Q1_CUTOFF = "1998-09-01"
+
+
+def _cents(col) -> pa.Array:
+    return pc.round(pc.multiply(col, 100)).cast(pa.int64())
+
+
+def q1_pricing_summary(sf_dir: str) -> "ray.data.Dataset":
+    """TPC-H Q1-style pricing summary with integer-exact money math."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(np.datetime64(Q1_CUTOFF, "us"))))
+        cents = _cents(batch["l_extendedprice"])
+        disc_bp = pc.round(pc.multiply(batch["l_discount"], 10000)).cast(pa.int64())
+        disc_price = pc.multiply(cents, pc.subtract(pa.scalar(10000, type=pa.int64()), disc_bp))
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_numpy(zero_copy_only=False),
+                "l_linestatus": batch["l_linestatus"].to_numpy(zero_copy_only=False),
+                "qty": pc.round(batch["l_quantity"]).cast(pa.int64()).to_numpy(),
+                "base": cents.to_numpy(),
+                "disc": disc_price.to_numpy(),
+            }
+        )
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_price_cents=("base", "sum"),
+            sum_disc_price=("disc", "sum"), count_order=("qty", "size"),
+        )
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("count_order", alias_name="count_order"),
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+           * (10000 - CAST(ROUND(l_discount*10000) AS BIGINT))) AS BIGINT) AS sum_disc_price,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF} 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def revenue_by_nation(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer ⋈ nation, grouped by nation.
+
+    The dimension side (customer→nation name) is tiny → broadcast once with
+    ray.put and looked up per batch; only orders stream."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk_to_name = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_to_nation = {
+        c: nk_to_name[nk]
+        for c, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cust_to_nation)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = pd.DataFrame(
+            {
+                "n_name": [m[c] for c in batch["o_custkey"].to_pylist()],
+                "cents": _cents(batch["o_totalprice"]).to_numpy(),
+            }
+        )
+        return df.groupby("n_name", as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum")
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "n_name"
+    ).aggregate(
+        Sum("n_orders", alias_name="n_orders"), Sum("revenue_cents", alias_name="revenue_cents")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def top10_orders(sf_dir: str) -> "ray.data.Dataset":
+    """Global top-10 by price (distributed sort + limit, deterministic tiebreak)."""
+    return ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+TOP10_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def events_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per event type: count, exact distinct users, integer-exact value sum."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+                "cents": _cents(batch["value"]).to_numpy(),
+            }
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            n_events=("cents", "size"), sum_value_cents=("cents", "sum")
+        )
+
+    base = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "event_type"
+    ).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_value_cents", alias_name="sum_value_cents")
+    ).to_pandas()
+
+    # exact COUNT(DISTINCT user_id): distinct pairs first, then count per type
+    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    users = pairs.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
+    out = base.merge(users[["event_type", "n_users"]], on="event_type")
+    out = out[["event_type", "n_events", "n_users", "sum_value_cents"]]
+    for c in ("n_events", "n_users", "sum_value_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+EVENTS_BY_TYPE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY event_type
+"""
+
+
+def orders_by_month(sf_dir: str) -> "ray.data.Dataset":
+    """(ym, n_orders) — orders per calendar month (ym = year*100+month)."""
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        ym = (s.dt.year * 100 + s.dt.month).astype(np.int64)
+        g = ym.value_counts().sort_index()
+        return pd.DataFrame({"ym": g.index.to_numpy(np.int64), "n_orders": g.to_numpy(np.int64)})
+
+    return orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "ym"
+    ).aggregate(Sum("n_orders", alias_name="n_orders"))
+
+
+ORDERS_BY_MONTH_SQL = """
+SELECT CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY 1
+"""

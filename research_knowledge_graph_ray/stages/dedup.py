@@ -1,0 +1,273 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, embedding-cosine.
+
+Training-data-pipeline primitives over the documents/embeddings tables.
+Exact dedup is SQL-checkable; the near-dup families are deterministic
+(seeded hash permutations) and validated against brute-force oracles in
+pytest. All follow the sketch pattern: vectorized per-batch sketching →
+explode to (bucket, doc) rows → groupby bucket → candidate pairs → verify.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from .embed import lsh_band_keys, lsh_planes
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """(fp, keep_doc_id, n_dupes) — group by content hash, keep min doc_id.
+
+    The hash-partition + per-group-first pattern: content hash computed
+    vectorized per batch, survivors chosen by groupby aggregate (no sort)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        return pd.DataFrame(
+            {
+                "fp": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True).groupby(
+        "fp"
+    ).aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_dupes"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int = 13):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def word_shingles(text: str, k: int = 3) -> set[int]:
+    """Hashed k-word shingles (crc32 → int32 space)."""
+    words = text.lower().split()
+    return {
+        zlib.crc32(" ".join(words[i : i + k]).encode("utf-8"))
+        for i in range(max(0, len(words) - k + 1))
+    }
+
+
+def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """n_perm-wide MinHash signature (uint64)."""
+    if not shingles:
+        return np.full(len(a), _MERSENNE, dtype=np.uint64)
+    h = np.fromiter(shingles, dtype=np.int64, count=len(shingles))
+    # (n_perm, n_shingles) universal hashing mod Mersenne prime
+    vals = (a[:, None].astype(object) * h[None, :] + b[:, None]) % _MERSENNE
+    return np.min(np.asarray(vals, dtype=np.uint64), axis=1)
+
+
+class MinHashSketcher:
+    """Actor-pool stage: documents batch → (band, band_hash, doc_id, sig) rows."""
+
+    def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3):
+        self.a, self.b = _perm_params(n_perm)
+        self.n_bands = n_bands
+        self.rows_per_band = n_perm // n_bands
+        self.shingle_k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        band_col, hash_col, doc_col, sig_col = [], [], [], []
+        for did, text in zip(doc_ids, texts):
+            sig = minhash_signature(word_shingles(text, self.shingle_k), self.a, self.b)
+            sig_bytes = sig.tobytes()
+            for band in range(self.n_bands):
+                chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
+                band_col.append(band)
+                hash_col.append(hashlib.md5(chunk.tobytes()).hexdigest())
+                doc_col.append(did)
+                sig_col.append(sig_bytes)
+        return pd.DataFrame(
+            {"band": np.asarray(band_col, dtype=np.int64), "band_hash": hash_col,
+             "doc_id": np.asarray(doc_col, dtype=np.int64), "sig": sig_col}
+        )
+
+
+def minhash_candidate_pairs(
+    sf_dir: str, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3,
+    est_threshold: float = 0.5,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, est_jaccard_bp) — near-dup candidates via banded LSH,
+    scored by signature agreement (basis points). Deterministic."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    sketches = ds.map_batches(
+        MinHashSketcher,
+        fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k},
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=2,
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        sub = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        if len(sub) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64),
+                                 "est_jaccard_bp": pd.Series(dtype=np.int64)})
+        docs = sub["doc_id"].to_numpy()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]]
+        rows = {"doc_a": [], "doc_b": [], "est_jaccard_bp": []}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                est = float(np.mean(sigs[i] == sigs[j]))
+                if est >= est_threshold:
+                    rows["doc_a"].append(docs[i])
+                    rows["doc_b"].append(docs[j])
+                    rows["est_jaccard_bp"].append(int(est * 10000))
+        return pd.DataFrame(
+            {k: np.asarray(v, dtype=np.int64) for k, v in rows.items()}
+        )
+
+    pairs = sketches.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # same pair can surface from several bands → dedup
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("est_jaccard_bp", alias_name="est_jaccard_bp")
+    )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
+    """Brute-force k-word-shingle Jaccard (test oracle for MinHash)."""
+    sa, sb = word_shingles(text_a, k), word_shingles(text_b, k)
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (crc32-salted)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for w in text.lower().split():
+        h = np.uint64(
+            (zlib.crc32(w.encode("utf-8")) << 32) | zlib.crc32(("x" + w).encode("utf-8"))
+        )
+        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
+    """(doc_a, doc_b, hamming) — pairs within Hamming ≤ max_hamming, found via
+    4×16-bit band blocking (any pair with distance ≤ 3 shares ≥ 1 exact band)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        rows = {"band": [], "band_val": [], "doc_id": [], "sim": []}
+        for did, text in zip(doc_ids, texts):
+            sh = simhash64(text)
+            for band in range(4):
+                rows["band"].append(band)
+                rows["band_val"].append((sh >> (band * 16)) & 0xFFFF)
+                rows["doc_id"].append(did)
+                rows["sim"].append(sh)
+        return pd.DataFrame(
+            {"band": np.asarray(rows["band"], dtype=np.int64),
+             "band_val": np.asarray(rows["band_val"], dtype=np.int64),
+             "doc_id": np.asarray(rows["doc_id"], dtype=np.int64),
+             "sim": np.asarray(rows["sim"], dtype=np.uint64)}
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        sub = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
+        rows = {"doc_a": [], "doc_b": [], "hamming": []}
+        docs = sub["doc_id"].to_numpy()
+        sims = sub["sim"].to_numpy()
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                d = int(bin(int(sims[i]) ^ int(sims[j])).count("1"))
+                if d <= max_hamming:
+                    rows["doc_a"].append(docs[i])
+                    rows["doc_b"].append(docs[j])
+                    rows["hamming"].append(d)
+        return pd.DataFrame({k: np.asarray(v, dtype=np.int64) for k, v in rows.items()})
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> "ray.data.Dataset":
+    """(vec_a, vec_b, sim_e6) — embedding pairs with cosine ≥ τ, via the same
+    sign-LSH banding used by entity linking (shared semantic)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        planes = lsh_planes(dim=unit.shape[1], n_bits=32)
+        bands = lsh_band_keys(unit.astype(np.float32), planes, n_bands=8)
+        rows = {"bucket": [], "vec_id": [], "vec": []}
+        for i, ks in enumerate(bands):
+            for k in ks:
+                rows["bucket"].append(k)
+                rows["vec_id"].append(ids[i])
+                rows["vec"].append(unit[i].astype(np.float64).tobytes())
+        return pd.DataFrame(rows)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        sub = group.drop_duplicates(subset=["vec_id"]).sort_values("vec_id")
+        rows = {"vec_a": [], "vec_b": [], "sim_e6": []}
+        ids = sub["vec_id"].to_numpy()
+        vecs = np.stack([np.frombuffer(v, dtype=np.float64) for v in sub["vec"]])
+        sims = vecs @ vecs.T
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= tau:
+                    rows["vec_a"].append(ids[i])
+                    rows["vec_b"].append(ids[j])
+                    rows["sim_e6"].append(int(round(sims[i, j] * 1e6)))
+        return pd.DataFrame({k: np.asarray(v, dtype=np.int64) for k, v in rows.items()})
+
+    pairs = (
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("sim_e6", alias_name="sim_e6"))

@@ -1,0 +1,129 @@
+"""Text-analysis operators over the documents table.
+
+Large-scale training-data pipeline primitives: token counting, quality
+scoring, language ID, document fingerprinting. All vectorized (pyarrow
+compute / RE2 kernels); integer outputs so the DuckDB oracles compare exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+STOPWORD_PATTERN = r"\b(the|a)\b"
+
+
+def _read_docs(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def text_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_chars, n_tokens) — whitespace token count.
+
+    ``n_tokens = len(text) - len(text without spaces) + 1`` — the formula is
+    the semantic (mirrored verbatim in the SQL oracle)."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(text, pattern=" ", replacement=""))
+        n_tokens = pc.add(pc.subtract(n_chars, no_space.cast(pa.int64())), 1)
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "n_chars": n_chars,
+             "n_tokens": n_tokens}
+        )
+
+    return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def text_quality(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_stopwords, stop_ratio_bp) — stopword-ratio quality
+    score in basis points (integer math → exact oracle comparison)."""
+
+    def quality(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(text, pattern=" ", replacement=""))
+        n_tokens = pc.add(pc.subtract(n_chars, no_space.cast(pa.int64())), 1)
+        stops = pc.count_substring_regex(pc.utf8_lower(text), pattern=STOPWORD_PATTERN).cast(
+            pa.int64()
+        )
+        ratio = pc.divide(pc.multiply(stops, 10000), pc.max_element_wise(n_tokens, 1))
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "n_tokens": n_tokens,
+             "n_stopwords": stops, "stop_ratio_bp": ratio}
+        )
+
+    return _read_docs(sf_dir).map_batches(quality, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, fp) — md5 content fingerprint per document."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "fp": pa.array(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Per-language stopword profiles for the n-gram/stopword language-ID heuristic.
+LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is"},
+    "fr": {"le", "la", "et", "de", "un", "une", "est"},
+    "de": {"der", "die", "das", "und", "ist", "ein"},
+    "es": {"el", "la", "y", "de", "un", "una", "es"},
+    "zh": set(),  # no-latin-stopword fallback bucket
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage (heuristic stopword/charset scorer).
+
+    Stateful setup (profile tables, compiled tokenizer) happens once per actor.
+    Not SQL-expressible → registered as a rows-only query.
+    """
+
+    def __init__(self):
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.profiles = {k: v for k, v in LANG_PROFILES.items() if v}
+
+    def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        preds = []
+        for t in texts:
+            toks = set(w.lower() for w in self.word.findall(t))
+            if not toks:
+                preds.append("zh")
+                continue
+            best, best_score = "en", -1
+            for lang, stops in self.profiles.items():
+                score = len(toks & stops)
+                if score > best_score:
+                    best, best_score = lang, score
+            preds.append(best)
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+             "pred_lang": preds}
+        )
+
+
+def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    return _read_docs(sf_dir).map_batches(
+        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
