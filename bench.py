@@ -1,0 +1,133 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": ..., "value": <headline sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Headline: full knowledge-graph construction (extraction → validation → entity
+linking → canonicalization → cross-doc linking → node/edge materialization)
+over a deterministic synthetic interleaved-span corpus (GRAFT_KG_DOCS docs,
+default 20000; generated in parallel once and cached in /tmp), plus a
+representative query suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+``--scaling`` runs the plain bench twice in fresh processes at num_cpus=8 and
+num_cpus=32 on identical input and reports throughput scaling efficiency
+(sandbox stand-in for the N vs 4N node criterion — see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "20000"))
+CORPUS_DIR = f"/tmp/rkg_bench_corpus_{KG_DOCS}"
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import ray.data
+
+    from research_knowledge_graph_ray.pipelines import kgflat, relational
+    from research_knowledge_graph_ray.pipelines.construct import build_graph
+    from research_knowledge_graph_ray.sources.corpus import write_corpus_parallel
+    from research_knowledge_graph_ray.stages import dedup, similarity, textops
+
+    # --- corpus: generate once (untimed), then warm the page cache ---------
+    if not os.path.isdir(CORPUS_DIR) or not os.listdir(CORPUS_DIR):
+        write_corpus_parallel(CORPUS_DIR, KG_DOCS, seed=42)
+    ray.data.read_parquet(CORPUS_DIR).count()  # warm read (untimed)
+
+    timings: dict[str, float] = {}
+
+    # --- headline: flagship KG construction over the span corpus ----------
+    t0 = time.perf_counter()
+    docs = ray.data.read_parquet(CORPUS_DIR)
+    res = build_graph(docs, entity_linking=True, link=True)
+    n_edges = res.edges.count()
+    n_nodes = res.nodes.count()
+    headline = time.perf_counter() - t0
+    timings["kg_construct"] = round(headline, 3)
+
+    # --- query suite over the sf tables ------------------------------------
+    def timed(name, fn):
+        t = time.perf_counter()
+        out = fn(SF_DIR)
+        # consume: Datasets are lazy
+        if hasattr(out, "count"):
+            out.count()
+        timings[name] = round(time.perf_counter() - t, 3)
+
+    timed("kg_graph_edges", kgflat.graph_edges)
+    timed("kg_cooccurrence", kgflat.cooccurrence)
+    timed("q1_pricing_summary", relational.q1_pricing_summary)
+    timed("revenue_by_nation", relational.revenue_by_nation)
+    timed("top10_orders", relational.top10_orders)
+    timed("text_quality", textops.text_quality)
+    timed("dedup_minhash_pairs", dedup.minhash_candidate_pairs)
+    timed("knn_topk", similarity.knn_topk)
+
+    result = {
+        "metric": "kg_construct_wall_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "kg_docs": KG_DOCS,
+        "kg_nodes": n_nodes,
+        "kg_edges": n_edges,
+        "docs_per_sec": round(KG_DOCS / headline, 2),
+        "triples_per_sec": round(n_edges / headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run_at(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run_at(8), run_at(32)
+    tput_lo = lo["docs_per_sec"]
+    tput_hi = hi["docs_per_sec"]
+    eff = (tput_hi / tput_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "docs_per_sec_8": tput_lo,
+        "docs_per_sec_32": tput_hi,
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "kg_docs": lo["kg_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

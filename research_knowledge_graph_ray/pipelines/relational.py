@@ -158,9 +158,17 @@ def events_by_type(sf_dir: str) -> pd.DataFrame:
         Sum("n_events", alias_name="n_events"), Sum("sum_value_cents", alias_name="sum_value_cents")
     ).to_pandas()
 
-    # exact COUNT(DISTINCT user_id): distinct pairs first, then count per type
-    pairs = ev.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
-    users = pairs.groupby("event_type").aggregate(Count(alias_name="n_users")).to_pandas()
+    # exact COUNT(DISTINCT user_id): distinct pairs per batch, then a single
+    # bucketed shuffle on event_type with nunique per bucket
+    from ..stages.shuffle import bucketed_group_apply
+
+    users = bucketed_group_apply(
+        ev,
+        ["event_type"],
+        lambda df: df[["event_type", "user_id"]].drop_duplicates(),
+        lambda df: df.groupby("event_type", as_index=False).agg(n_users=("user_id", "nunique")),
+        n_buckets=8,
+    ).to_pandas()
     out = base.merge(users[["event_type", "n_users"]], on="event_type")
     out = out[["event_type", "n_events", "n_users", "sum_value_cents"]]
     for c in ("n_events", "n_users", "sum_value_cents"):

@@ -125,20 +125,17 @@ def _method_mention(rng: np.random.Generator, label: str) -> str:
     return _mention(rng, label)
 
 
-def generate_documents(
-    n_docs: int,
+def generate_doc(
+    i: int,
     seed: int = 42,
     media_prob: float = 0.5,
     ctrl_char_prob: float = 0.05,
-) -> pa.Table:
-    """Build an interleaved-span corpus table of ``n_docs`` rows."""
-    doc_ids: list[str] = []
-    all_spans: list[list[dict]] = []
-
-    for i in range(n_docs):
-        rng = np.random.default_rng((seed << 20) + i)  # per-doc stream → order-free
-        doc_id = f"doc-{i:06d}"
-
+) -> tuple[str, list[dict]]:
+    """Generate document ``i`` (independent per-doc RNG stream → any subset of
+    the corpus can be generated on any worker, order-free)."""
+    rng = np.random.default_rng((seed << 20) + i)
+    doc_id = f"doc-{i:06d}"
+    if True:
         n_methods = int(rng.integers(1, 4))
         methods = list(rng.choice(METHODS, size=n_methods, replace=False))
         if HOT_METHOD not in methods and rng.random() < 0.30:
@@ -198,13 +195,25 @@ def generate_documents(
                 media_i += 1
         add_span("text", "Authored by " + ", ".join(authors) + ".")
 
+    return doc_id, spans
+
+
+def generate_documents_for_ids(ids, seed: int = 42) -> pa.Table:
+    """Span-corpus table for an explicit id list (worker-side generation)."""
+    doc_ids, all_spans = [], []
+    for i in ids:
+        doc_id, spans = generate_doc(int(i), seed=seed)
         doc_ids.append(doc_id)
         all_spans.append(spans)
-
     spans_arr = pa.array(all_spans, type=pa.list_(SPAN_STRUCT))
     return pa.Table.from_arrays(
         [pa.array(doc_ids, type=pa.string()), spans_arr], schema=DOCS_SCHEMA
     )
+
+
+def generate_documents(n_docs: int, seed: int = 42, start: int = 0) -> pa.Table:
+    """Build an interleaved-span corpus table of ``n_docs`` rows."""
+    return generate_documents_for_ids(range(start, start + n_docs), seed=seed)
 
 
 def write_corpus(path: str, n_docs: int, seed: int = 42) -> str:
@@ -214,3 +223,17 @@ def write_corpus(path: str, n_docs: int, seed: int = 42) -> str:
     table = generate_documents(n_docs, seed=seed)
     pq.write_table(table, path)
     return path
+
+
+def write_corpus_parallel(out_dir: str, n_docs: int, seed: int = 42) -> str:
+    """Generate the corpus in parallel with Ray Data and write partitioned
+    parquet (one file set per block) — the benchmark-scale path."""
+    import ray.data
+
+    ds = ray.data.range(n_docs, override_num_blocks=max(8, n_docs // 2000))
+    out = ds.map_batches(
+        lambda b: generate_documents_for_ids(b["id"], seed=seed),
+        batch_format="numpy",
+    )
+    out.write_parquet(out_dir)
+    return out_dir

@@ -33,12 +33,13 @@ import pyarrow as pa
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min
+from ray.data.aggregate import Min
 
 from ..functions.ids import node_id as make_node_id
 from ..functions.normalize import label_key, normalize_label
 from ..schemas import EDGES_SCHEMA, NODES_SCHEMA
 from .embed import DEFAULT_DIM, embed_texts, lsh_band_keys, lsh_planes
+from .shuffle import bucketed_group_apply
 
 # Default alias table (surface form key -> canonical form key, per type).
 # In production this is a curated KB table broadcast to every worker.
@@ -113,36 +114,32 @@ def lsh_cosine_pairs_semantics(
     return pairs
 
 
+def _explode_endpoints(df: pd.DataFrame, with_doc: bool = False) -> pd.DataFrame:
+    out = {
+        "node_id": pd.concat([df["subj_id"], df["obj_id"]], ignore_index=True),
+        "node_type": pd.concat([df["subj_type"], df["obj_type"]], ignore_index=True),
+        "label": pd.concat([df["subj_norm"], df["obj_norm"]], ignore_index=True),
+    }
+    if with_doc:
+        out["doc_id"] = pd.concat([df["doc_id"], df["doc_id"]], ignore_index=True)
+    return pd.DataFrame(out)
+
+
 def distinct_entities_ds(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     """Distinct (node_id, node_type, label) over both endpoints of all records.
 
     Paper nodes are excluded: linking operates on *extracted entity* labels
     only (doc-id labels are near-identical strings and must never merge)."""
 
-    def explode(batch: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "node_id": np.concatenate(
-                    [batch["subj_id"].to_numpy(zero_copy_only=False),
-                     batch["obj_id"].to_numpy(zero_copy_only=False)]
-                ),
-                "node_type": np.concatenate(
-                    [batch["subj_type"].to_numpy(zero_copy_only=False),
-                     batch["obj_type"].to_numpy(zero_copy_only=False)]
-                ),
-                "label": np.concatenate(
-                    [batch["subj_norm"].to_numpy(zero_copy_only=False),
-                     batch["obj_norm"].to_numpy(zero_copy_only=False)]
-                ),
-            }
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "subj_id" in df.columns:  # first (partial) pass sees validated rows
+            df = _explode_endpoints(df)
+            df = df[df["node_type"] != "paper"]
+        return df.groupby("node_id", as_index=False).agg(
+            node_type=("node_type", "min"), label=("label", "min")
         )
-        df = df[df["node_type"] != "paper"]
-        return df.drop_duplicates(subset=["node_id"])  # per-batch partial distinct
 
-    exploded = validated.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    return exploded.groupby("node_id").aggregate(
-        Min("node_type", alias_name="node_type"), Min("label", alias_name="label")
-    )
+    return bucketed_group_apply(validated, ["node_id"], agg, agg)
 
 
 class LshBucketEmitter:
@@ -347,55 +344,41 @@ def _pack_provenance(doc_id, rationale, evidence) -> np.ndarray:
 
 
 def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
-    """NODES_SCHEMA table: per canonical node — type, min display label, n_docs."""
+    """NODES_SCHEMA table: per canonical node — type, min display label, n_docs.
 
-    def explode(batch: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "node_id": np.concatenate(
-                    [batch["subj_id"].to_numpy(zero_copy_only=False),
-                     batch["obj_id"].to_numpy(zero_copy_only=False)]
-                ),
-                "node_type": np.concatenate(
-                    [batch["subj_type"].to_numpy(zero_copy_only=False),
-                     batch["obj_type"].to_numpy(zero_copy_only=False)]
-                ),
-                "label": np.concatenate(
-                    [batch["subj_norm"].to_numpy(zero_copy_only=False),
-                     batch["obj_norm"].to_numpy(zero_copy_only=False)]
-                ),
-                "doc_id": np.concatenate(
-                    [batch["doc_id"].to_numpy(zero_copy_only=False)] * 2
-                ),
-            }
+    Single bucketed shuffle on node_id: batches pre-shrink to distinct
+    (node_id, doc_id) with per-pair min label/type; the final per-bucket pass
+    counts distinct docs exactly (all rows of a node share its bucket)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ex = _explode_endpoints(df, with_doc=True)
+        return ex.groupby(["node_id", "doc_id"], as_index=False).agg(
+            node_type=("node_type", "min"), label=("label", "min")
         )
-        return df.drop_duplicates(subset=["node_id", "doc_id"])
 
-    exploded = validated.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    per_doc = exploded.groupby(["node_id", "doc_id"]).aggregate(
-        Min("node_type", alias_name="node_type"), Min("label", alias_name="label")
-    )
-    agg = per_doc.groupby("node_id").aggregate(
-        Min("node_type", alias_name="node_type"),
-        Min("label", alias_name="label"),
-        Count(alias_name="n_docs"),
-    )
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node_id", as_index=False).agg(
+            node_type=("node_type", "min"), label=("label", "min"),
+            n_docs=("doc_id", "nunique"),
+        )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+    agg = bucketed_group_apply(validated, ["node_id"], partial, final)
+
+    def finalize(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
         return pa.Table.from_arrays(
             [
-                batch["node_id"].cast(pa.string()).combine_chunks(),
-                batch["node_type"].cast(pa.string()).combine_chunks(),
-                batch["label"].cast(pa.string()).combine_chunks(),
+                pa.array(df["node_id"].tolist(), type=pa.string()),
+                pa.array(df["node_type"].tolist(), type=pa.string()),
+                pa.array(df["label"].tolist(), type=pa.string()),
                 pa.array([""] * n, type=pa.string()),
                 pa.array(["{}"] * n, type=pa.string()),
-                batch["n_docs"].cast(pa.int64()).combine_chunks(),
+                pa.array(df["n_docs"].astype(np.int64).tolist(), type=pa.int64()),
             ],
             schema=NODES_SCHEMA,
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return agg.map_batches(finalize, batch_format="pandas")
 
 
 def build_edges(validated: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -406,44 +389,41 @@ def build_edges(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     first-insert-wins UNIQUE constraint (sql/schema.sql:36).
     """
 
-    def partial(batch: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame(
-            {
-                "src_id": batch["subj_id"].to_numpy(zero_copy_only=False),
-                "dst_id": batch["obj_id"].to_numpy(zero_copy_only=False),
-                "edge_type": batch["pred"].to_numpy(zero_copy_only=False),
-                "confidence": batch["confidence"].to_numpy(zero_copy_only=False),
-                "packed": _pack_provenance(
-                    batch["doc_id"].to_numpy(zero_copy_only=False),
-                    batch["rationale"].to_numpy(zero_copy_only=False),
-                    batch["evidence_span"].to_numpy(zero_copy_only=False),
-                ),
-            }
-        )
-        return (
-            df.groupby(["src_id", "dst_id", "edge_type"], as_index=False)
-            .agg(confidence=("confidence", "max"), packed=("packed", "min"))
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "subj_id" in df.columns:  # first (partial) pass sees validated rows
+            df = pd.DataFrame(
+                {
+                    "src_id": df["subj_id"],
+                    "dst_id": df["obj_id"],
+                    "edge_type": df["pred"],
+                    "confidence": df["confidence"],
+                    "packed": _pack_provenance(
+                        df["doc_id"].to_numpy(), df["rationale"].to_numpy(),
+                        df["evidence_span"].to_numpy(),
+                    ),
+                }
+            )
+        return df.groupby(["src_id", "dst_id", "edge_type"], as_index=False).agg(
+            confidence=("confidence", "max"), packed=("packed", "min")
         )
 
-    partials = validated.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = partials.groupby(["src_id", "dst_id", "edge_type"]).aggregate(
-        Max("confidence", alias_name="confidence"), Min("packed", alias_name="packed")
-    )
+    # bucket on src_id alone: all duplicates of a triple share src_id, and the
+    # shuffle key stays short
+    deduped = bucketed_group_apply(validated, ["src_id"], agg, agg)
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        packed = batch["packed"].to_pylist()
+    def finalize(df: pd.DataFrame) -> pa.Table:
         doc_id, rationale, evidence = [], [], []
-        for p in packed:
+        for p in df["packed"]:
             d, r, e = p.split(_SEP, 2)
             doc_id.append(d.lstrip())
             rationale.append(r)
             evidence.append(e)
         return pa.Table.from_arrays(
             [
-                batch["src_id"].cast(pa.string()).combine_chunks(),
-                batch["dst_id"].cast(pa.string()).combine_chunks(),
-                batch["edge_type"].cast(pa.string()).combine_chunks(),
-                batch["confidence"].cast(pa.float32()).combine_chunks(),
+                pa.array(df["src_id"].tolist(), type=pa.string()),
+                pa.array(df["dst_id"].tolist(), type=pa.string()),
+                pa.array(df["edge_type"].tolist(), type=pa.string()),
+                pa.array(df["confidence"].astype(np.float32).tolist(), type=pa.float32()),
                 pa.array(rationale, type=pa.string()),
                 pa.array(evidence, type=pa.string()),
                 pa.array(doc_id, type=pa.string()),
@@ -451,4 +431,4 @@ def build_edges(validated: "ray.data.Dataset") -> "ray.data.Dataset":
             schema=EDGES_SCHEMA,
         )
 
-    return agg.map_batches(finalize, batch_format="pyarrow")
+    return deduped.map_batches(finalize, batch_format="pandas")

@@ -20,6 +20,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from .embed import lsh_band_keys, lsh_planes
+from .shuffle import grouped_aggregate
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -51,7 +52,8 @@ def exact_dedup(sf_dir: str) -> "ray.data.Dataset":
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
+# 31-bit Mersenne prime: a*h + b stays within int64 → fully vectorized
+_MERSENNE = (1 << 31) - 1
 
 
 def _perm_params(n_perm: int, seed: int = 13):
@@ -74,10 +76,10 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
     """n_perm-wide MinHash signature (uint64)."""
     if not shingles:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    h = np.fromiter(shingles, dtype=np.int64, count=len(shingles))
-    # (n_perm, n_shingles) universal hashing mod Mersenne prime
-    vals = (a[:, None].astype(object) * h[None, :] + b[:, None]) % _MERSENNE
-    return np.min(np.asarray(vals, dtype=np.uint64), axis=1)
+    h = np.fromiter(shingles, dtype=np.int64, count=len(shingles)) % _MERSENNE
+    # (n_perm, n_shingles) universal hashing mod Mersenne prime; int64-safe
+    vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+    return np.min(vals, axis=1).astype(np.uint64)
 
 
 class MinHashSketcher:
@@ -144,10 +146,13 @@ def minhash_candidate_pairs(
     pairs = sketches.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # same pair can surface from several bands → dedup
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("est_jaccard_bp", alias_name="est_jaccard_bp")
-    )
+    # same pair can surface from several bands → dedup (bucketed shuffle)
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            est_jaccard_bp=("est_jaccard_bp", "min")
+        )
+
+    return grouped_aggregate(pairs, ["doc_a", "doc_b"], agg)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -222,7 +227,11 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
         .groupby(["band", "band_val"])
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(hamming=("hamming", "min"))
+
+    return grouped_aggregate(pairs, ["doc_a", "doc_b"], agg)
 
 
 # ---------------------------------------------------------------------------
@@ -270,4 +279,8 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> "ray.data.Dataset":
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Min("sim_e6", alias_name="sim_e6"))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["vec_a", "vec_b"], as_index=False).agg(sim_e6=("sim_e6", "min"))
+
+    return grouped_aggregate(pairs, ["vec_a", "vec_b"], agg)

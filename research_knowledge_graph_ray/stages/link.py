@@ -23,79 +23,92 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Max, Min, Sum
 
 from ..functions.ids import paper_node_id
 from ..schemas import EDGES_SCHEMA
+from .shuffle import bucketed_group_apply
 
 BLOCKING_TYPES = ("method", "dataset", "concept")  # reference: graph_service.py:237-241
 DEFAULT_MAX_DOCS_PER_ENTITY = 128
 
 
-def blocking_entities(validated: "ray.data.Dataset") -> "ray.data.Dataset":
-    """Distinct (entity_id, doc_id, entity_type, label) for blocking-eligible types."""
+_EMPTY_PAIRS = {
+    "doc_a": pd.Series(dtype=object), "doc_b": pd.Series(dtype=object),
+    "is_method": pd.Series(dtype=np.int64), "is_dataset": pd.Series(dtype=np.int64),
+    "is_concept": pd.Series(dtype=np.int64), "label": pd.Series(dtype=object),
+    "n_dropped_docs": pd.Series(dtype=np.int64),
+}
 
-    def project(batch: pa.Table) -> pd.DataFrame:
+
+def candidate_pair_rows(
+    validated: "ray.data.Dataset",
+    max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
+) -> "ray.data.Dataset":
+    """One bucketed shuffle on entity_id: batches pre-shrink to distinct
+    (entity_id, doc_id), the per-bucket pass builds each entity's sorted,
+    capped doc list and emits its (doc_a < doc_b) pairs."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["pred"] == "INTRODUCES") & df["obj_type"].isin(BLOCKING_TYPES)]
         df = pd.DataFrame(
-            {
-                "entity_id": batch["obj_id"].to_numpy(zero_copy_only=False),
-                "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
-                "entity_type": batch["obj_type"].to_numpy(zero_copy_only=False),
-                "label": batch["obj_norm"].to_numpy(zero_copy_only=False),
-                "pred": batch["pred"].to_numpy(zero_copy_only=False),
-            }
+            {"entity_id": df["obj_id"], "doc_id": df["doc_id"],
+             "entity_type": df["obj_type"], "label": df["obj_norm"]}
         )
-        df = df[(df["pred"] == "INTRODUCES") & df["entity_type"].isin(BLOCKING_TYPES)]
-        return df.drop(columns=["pred"]).drop_duplicates(subset=["entity_id", "doc_id"])
+        return df.groupby(["entity_id", "doc_id"], as_index=False).agg(
+            entity_type=("entity_type", "min"), label=("label", "min")
+        )
 
-    projected = validated.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    return projected.groupby(["entity_id", "doc_id"]).aggregate(
-        Min("entity_type", alias_name="entity_type"), Min("label", alias_name="label")
-    )
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for eid, g in df.groupby("entity_id"):
+            docs = sorted(g["doc_id"].unique().tolist())
+            dropped = max(0, len(docs) - max_docs_per_entity)
+            docs = docs[:max_docs_per_entity]
+            k = len(docs)
+            if k < 2:
+                continue
+            etype = g["entity_type"].iloc[0]
+            ia, ib = np.triu_indices(k, 1)
+            docs_arr = np.array(docs, dtype=object)
+            out.append(pd.DataFrame(
+                {
+                    "doc_a": docs_arr[ia],
+                    "doc_b": docs_arr[ib],
+                    "is_method": np.int64(1 if etype == "method" else 0),
+                    "is_dataset": np.int64(1 if etype == "dataset" else 0),
+                    "is_concept": np.int64(1 if etype == "concept" else 0),
+                    "label": g["label"].min(),
+                    "n_dropped_docs": np.int64(dropped),
+                }
+            ))
+        if not out:
+            return pd.DataFrame(_EMPTY_PAIRS)
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(validated, ["entity_id"], partial, final)
 
 
 def candidate_pairs(
-    blocking: "ray.data.Dataset",
-    max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
+    pair_rows: "ray.data.Dataset",
 ) -> "ray.data.Dataset":
-    """Per-entity pair emission (doc_a < doc_b) with hot-entity capping,
-    then pair-level aggregation of shared-entity counts per type."""
+    """Aggregate per-entity pair rows into per-pair shared-entity counts
+    (the ``seen_pairs`` dedup as a bucketed shuffle on doc_a)."""
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        docs = sorted(group["doc_id"].unique().tolist())
-        dropped = max(0, len(docs) - max_docs_per_entity)
-        docs = docs[:max_docs_per_entity]
-        k = len(docs)
-        if k < 2:
-            return pd.DataFrame(
-                columns=["doc_a", "doc_b", "is_method", "is_dataset", "is_concept",
-                         "label", "n_dropped_docs"]
-            ).astype({"is_method": "int64", "is_dataset": "int64",
-                      "is_concept": "int64", "n_dropped_docs": "int64"})
-        etype = group["entity_type"].iloc[0]
-        label = group["label"].min()
-        ia, ib = np.triu_indices(k, 1)
-        docs_arr = np.array(docs, dtype=object)
-        return pd.DataFrame(
-            {
-                "doc_a": docs_arr[ia],
-                "doc_b": docs_arr[ib],
-                "is_method": np.int64(1 if etype == "method" else 0),
-                "is_dataset": np.int64(1 if etype == "dataset" else 0),
-                "is_concept": np.int64(1 if etype == "concept" else 0),
-                "label": label,
-                "n_dropped_docs": np.int64(dropped),
-            }
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "is_method" in df.columns:
+            df = df.rename(columns={
+                "is_method": "n_shared_methods", "is_dataset": "n_shared_datasets",
+                "is_concept": "n_shared_concepts", "label": "evidence_label",
+            })
+        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_shared_methods=("n_shared_methods", "sum"),
+            n_shared_datasets=("n_shared_datasets", "sum"),
+            n_shared_concepts=("n_shared_concepts", "sum"),
+            evidence_label=("evidence_label", "min"),
+            n_dropped_docs=("n_dropped_docs", "max"),
         )
 
-    pair_rows = blocking.groupby("entity_id").map_groups(emit_pairs, batch_format="pandas")
-    return pair_rows.groupby(["doc_a", "doc_b"]).aggregate(
-        Sum("is_method", alias_name="n_shared_methods"),
-        Sum("is_dataset", alias_name="n_shared_datasets"),
-        Sum("is_concept", alias_name="n_shared_concepts"),
-        Min("label", alias_name="evidence_label"),
-        Max("n_dropped_docs", alias_name="n_dropped_docs"),
-    )
+    return bucketed_group_apply(pair_rows, ["doc_a"], agg, agg)
 
 
 def judge_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -158,4 +171,4 @@ def link_cross_documents(
     max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
 ) -> "ray.data.Dataset":
     """Full linking pass: blocking → capped pairs → judge → cross-doc edges."""
-    return judge_pairs(candidate_pairs(blocking_entities(validated), max_docs_per_entity))
+    return judge_pairs(candidate_pairs(candidate_pair_rows(validated, max_docs_per_entity)))
