@@ -1,0 +1,110 @@
+"""Dedup family vs brute-force oracles (planted near-dups), KNN exactness,
+IVF recall."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from research_knowledge_graph_ray.stages import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(tmp_path_factory):
+    """Corpus with planted exact + near duplicates of testdata documents."""
+    d = tmp_path_factory.mktemp("dups")
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet").to_pandas()
+    base = base[["doc_id", "text"]].head(100)
+    rows = [base]
+    # exact dups: docs 1000+i duplicate doc i (i < 10)
+    exact = base.head(10).copy()
+    exact["doc_id"] = exact["doc_id"] + 1000
+    rows.append(exact)
+    # near dups: docs 2000+i = doc i with one word appended
+    near = base.head(10).copy()
+    near["doc_id"] = near["doc_id"] + 2000
+    near["text"] = near["text"] + " tail"
+    rows.append(near)
+    df = pd.concat(rows, ignore_index=True)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(d / "documents.parquet"))
+    return str(d), df
+
+
+def test_exact_dedup_finds_planted(dup_corpus):
+    d, df = dup_corpus
+    out = dedup.exact_dedup(d).to_pandas()
+    dupes = out[out["n_dupes"] > 1]
+    assert len(dupes) == 10
+    assert set(dupes["keep_doc_id"]) == set(range(10))
+    assert (dupes["n_dupes"] == 2).all()
+
+
+def test_minhash_finds_near_dups_and_matches_jaccard(dup_corpus):
+    d, df = dup_corpus
+    pairs = dedup.minhash_candidate_pairs(d, est_threshold=0.5).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # every planted pair (i, 1000+i) has jaccard 1.0; (i, 2000+i) near 1.0
+    for i in range(10):
+        assert (i, 1000 + i) in found, f"exact pair {i} missed"
+        assert (i, 2000 + i) in found, f"near pair {i} missed"
+    # estimated jaccard within 0.2 of brute force for the found pairs
+    texts = dict(zip(df["doc_id"], df["text"]))
+    for _, row in pairs.iterrows():
+        true_j = dedup.jaccard(texts[row["doc_a"]], texts[row["doc_b"]])
+        assert abs(row["est_jaccard_bp"] / 10000 - true_j) < 0.2
+
+
+def test_simhash_finds_near_dups(dup_corpus):
+    d, df = dup_corpus
+    pairs = dedup.simhash_pairs(d, max_hamming=3).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    for i in range(10):
+        assert (i, 1000 + i) in found  # identical text → hamming 0
+    zero = pairs[pairs["hamming"] == 0]
+    assert len(zero) >= 10
+
+
+def test_knn_topk_matches_brute_force(sf_dir):
+    out = similarity.knn_topk(sf_dir, query_vec_id=0, k=10).to_pandas()
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    q = vecs[ids == 0][0]
+    q = q / np.linalg.norm(q)
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ q) / norms
+    mask = ids != 0
+    order = sorted(zip(-sims[mask], ids[mask]))[:10]
+    expected = [int(i) for _, i in order]
+    assert out["vec_id"].tolist() == expected
+
+
+def test_knn_ivf_recall(sf_dir):
+    exact = set(similarity.knn_topk(sf_dir, query_vec_id=0, k=10).to_pandas()["vec_id"])
+    approx = set(
+        similarity.knn_topk_ivf(sf_dir, query_vec_id=0, k=10, n_centroids=8, nprobe=4)
+        .to_pandas()["vec_id"]
+    )
+    # nprobe=4 of 8 buckets → expect at least half of the true top-k
+    assert len(exact & approx) >= 5
+
+
+def test_embedding_near_dups_against_brute(sf_dir):
+    out = dedup.embedding_near_dups(sf_dir, tau=0.30).to_pandas()
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    sims = vecs @ vecs.T
+    brute = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if sims[i, j] >= 0.30
+    }
+    found = set(zip(out["vec_a"], out["vec_b"]))
+    # LSH banding may miss pairs (approximate); everything found must be real
+    assert found.issubset(brute)
+    if brute:
+        assert len(found) / len(brute) >= 0.5  # recall sanity at this τ
