@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "20000"))
+KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "50000"))
 CORPUS_DIR = f"/tmp/rkg_bench_corpus_{KG_DOCS}"
 
 
@@ -72,14 +72,15 @@ def run_bench() -> dict:
             out.count()
         timings[name] = round(time.perf_counter() - t, 3)
 
-    timed("kg_graph_edges", kgflat.graph_edges)
-    timed("kg_cooccurrence", kgflat.cooccurrence)
-    timed("q1_pricing_summary", relational.q1_pricing_summary)
-    timed("revenue_by_nation", relational.revenue_by_nation)
-    timed("top10_orders", relational.top10_orders)
-    timed("text_quality", textops.text_quality)
-    timed("dedup_minhash_pairs", dedup.minhash_candidate_pairs)
-    timed("knn_topk", similarity.knn_topk)
+    if os.environ.get("GRAFT_BENCH_SUITE", "1") == "1":
+        timed("kg_graph_edges", kgflat.graph_edges)
+        timed("kg_cooccurrence", kgflat.cooccurrence)
+        timed("q1_pricing_summary", relational.q1_pricing_summary)
+        timed("revenue_by_nation", relational.revenue_by_nation)
+        timed("top10_orders", relational.top10_orders)
+        timed("text_quality", textops.text_quality)
+        timed("dedup_minhash_pairs", dedup.minhash_candidate_pairs)
+        timed("knn_topk", similarity.knn_topk)
 
     result = {
         "metric": "kg_construct_wall_sec",
@@ -100,7 +101,7 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run_at(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SUITE="0")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
             capture_output=True, text=True, check=True,

@@ -30,6 +30,7 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -39,7 +40,7 @@ from ..functions.ids import node_id as make_node_id
 from ..functions.normalize import label_key, normalize_label
 from ..schemas import EDGES_SCHEMA, NODES_SCHEMA
 from .embed import DEFAULT_DIM, embed_texts, lsh_band_keys, lsh_planes
-from .shuffle import bucketed_group_apply
+from .shuffle import arrow_group_agg, hash_exchange_apply
 
 # Default alias table (surface form key -> canonical form key, per type).
 # In production this is a curated KB table broadcast to every worker.
@@ -114,15 +115,16 @@ def lsh_cosine_pairs_semantics(
     return pairs
 
 
-def _explode_endpoints(df: pd.DataFrame, with_doc: bool = False) -> pd.DataFrame:
-    out = {
-        "node_id": pd.concat([df["subj_id"], df["obj_id"]], ignore_index=True),
-        "node_type": pd.concat([df["subj_type"], df["obj_type"]], ignore_index=True),
-        "label": pd.concat([df["subj_norm"], df["obj_norm"]], ignore_index=True),
-    }
+def _explode_endpoints(t: pa.Table, with_doc: bool = False) -> pa.Table:
+    names = ["node_id", "node_type", "label"] + (["doc_id"] if with_doc else [])
+    subj_cols = [t["subj_id"], t["subj_type"], t["subj_norm"]]
+    obj_cols = [t["obj_id"], t["obj_type"], t["obj_norm"]]
     if with_doc:
-        out["doc_id"] = pd.concat([df["doc_id"], df["doc_id"]], ignore_index=True)
-    return pd.DataFrame(out)
+        subj_cols.append(t["doc_id"])
+        obj_cols.append(t["doc_id"])
+    return pa.concat_tables(
+        [pa.table(dict(zip(names, subj_cols))), pa.table(dict(zip(names, obj_cols)))]
+    )
 
 
 def distinct_entities_ds(validated: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -131,15 +133,13 @@ def distinct_entities_ds(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     Paper nodes are excluded: linking operates on *extracted entity* labels
     only (doc-id labels are near-identical strings and must never merge)."""
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        if "subj_id" in df.columns:  # first (partial) pass sees validated rows
-            df = _explode_endpoints(df)
-            df = df[df["node_type"] != "paper"]
-        return df.groupby("node_id", as_index=False).agg(
-            node_type=("node_type", "min"), label=("label", "min")
-        )
+    def agg(t: pa.Table) -> pa.Table:
+        if "subj_id" in t.column_names:  # first (partial) pass sees validated rows
+            t = _explode_endpoints(t)
+            t = t.filter(pc.invert(pc.equal(t["node_type"], "paper")))
+        return arrow_group_agg(t, ["node_id"], [("node_type", "min"), ("label", "min")])
 
-    return bucketed_group_apply(validated, ["node_id"], agg, agg)
+    return hash_exchange_apply(validated, ["node_id"], agg, agg)
 
 
 class LshBucketEmitter:
@@ -292,12 +292,20 @@ def compute_canonical_mapping(
     dim: int = DEFAULT_DIM,
     driver_limit: int = CC_DRIVER_LIMIT,
 ) -> dict[str, str]:
-    """Coreference edges → union-find → {node_id: canonical_node_id}."""
+    """Coreference edges → union-find → {node_id: canonical_node_id}.
+
+    The distinct-entity table is materialized once (it feeds both the alias
+    and the LSH stage) and the edge list is pulled with ``to_pandas(limit)``
+    in a single execution — the coreference graph is vocabulary-bound, so the
+    driver union-find path is the norm; the distributed label-propagation
+    path engages only past ``driver_limit`` edges."""
+    entities = entities.materialize()
     edges = coref_edges_ds(entities, alias_key_map, tau=tau, dim=dim).materialize()
-    if edges.count() <= driver_limit:
-        pdf = edges.to_pandas()
-        return connected_components_driver(zip(pdf["a"], pdf["b"]))
-    return connected_components_distributed(edges)
+    try:
+        pdf = edges.to_pandas(limit=driver_limit)
+    except ValueError:
+        return connected_components_distributed(edges)
+    return connected_components_driver(zip(pdf["a"], pdf["b"]))
 
 
 def apply_canonical_mapping(
@@ -350,35 +358,44 @@ def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     (node_id, doc_id) with per-pair min label/type; the final per-bucket pass
     counts distinct docs exactly (all rows of a node share its bucket)."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ex = _explode_endpoints(df, with_doc=True)
-        return ex.groupby(["node_id", "doc_id"], as_index=False).agg(
-            node_type=("node_type", "min"), label=("label", "min")
+    def partial(t: pa.Table) -> pa.Table:
+        ex = _explode_endpoints(t, with_doc=True)
+        return arrow_group_agg(
+            ex, ["node_id", "doc_id"], [("node_type", "min"), ("label", "min")]
         )
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("node_id", as_index=False).agg(
-            node_type=("node_type", "min"), label=("label", "min"),
-            n_docs=("doc_id", "nunique"),
+    def final(t: pa.Table) -> pa.Table:
+        per_doc = arrow_group_agg(
+            t, ["node_id", "doc_id"], [("node_type", "min"), ("label", "min")]
+        )
+        agg = arrow_group_agg(
+            per_doc, ["node_id"],
+            [("node_type", "min"), ("label", "min"), ("doc_id", "count")],
+        )
+        return agg.rename_columns(
+            ["node_id", "node_type", "label", "n_docs"]
         )
 
-    agg = bucketed_group_apply(validated, ["node_id"], partial, final)
+    agg = hash_exchange_apply(validated, ["node_id"], partial, final)
 
-    def finalize(df: pd.DataFrame) -> pa.Table:
-        n = len(df)
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        def col(name):
+            c = batch[name].cast(pa.string())
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         return pa.Table.from_arrays(
             [
-                pa.array(df["node_id"].tolist(), type=pa.string()),
-                pa.array(df["node_type"].tolist(), type=pa.string()),
-                pa.array(df["label"].tolist(), type=pa.string()),
+                col("node_id"), col("node_type"), col("label"),
                 pa.array([""] * n, type=pa.string()),
                 pa.array(["{}"] * n, type=pa.string()),
-                pa.array(df["n_docs"].astype(np.int64).tolist(), type=pa.int64()),
+                (batch["n_docs"].cast(pa.int64()).combine_chunks()
+                 if isinstance(batch["n_docs"], pa.ChunkedArray)
+                 else batch["n_docs"].cast(pa.int64())),
             ],
             schema=NODES_SCHEMA,
         )
 
-    return agg.map_batches(finalize, batch_format="pandas")
+    return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def build_edges(validated: "ray.data.Dataset") -> "ray.data.Dataset":
@@ -389,46 +406,48 @@ def build_edges(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     first-insert-wins UNIQUE constraint (sql/schema.sql:36).
     """
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        if "subj_id" in df.columns:  # first (partial) pass sees validated rows
-            df = pd.DataFrame(
+    def agg(t: pa.Table) -> pa.Table:
+        if "subj_id" in t.column_names:  # first (partial) pass sees validated rows
+            packed = pc.binary_join_element_wise(
+                pc.utf8_lpad(t["doc_id"], _PAD, padding=" "),
+                t["rationale"], t["evidence_span"], _SEP,
+            )
+            t = pa.table(
                 {
-                    "src_id": df["subj_id"],
-                    "dst_id": df["obj_id"],
-                    "edge_type": df["pred"],
-                    "confidence": df["confidence"],
-                    "packed": _pack_provenance(
-                        df["doc_id"].to_numpy(), df["rationale"].to_numpy(),
-                        df["evidence_span"].to_numpy(),
-                    ),
+                    "src_id": t["subj_id"], "dst_id": t["obj_id"],
+                    "edge_type": t["pred"], "confidence": t["confidence"],
+                    "packed": packed,
                 }
             )
-        return df.groupby(["src_id", "dst_id", "edge_type"], as_index=False).agg(
-            confidence=("confidence", "max"), packed=("packed", "min")
+        return arrow_group_agg(
+            t, ["src_id", "dst_id", "edge_type"],
+            [("confidence", "max"), ("packed", "min")],
         )
 
     # bucket on src_id alone: all duplicates of a triple share src_id, and the
     # shuffle key stays short
-    deduped = bucketed_group_apply(validated, ["src_id"], agg, agg)
+    deduped = hash_exchange_apply(validated, ["src_id"], agg, agg)
 
-    def finalize(df: pd.DataFrame) -> pa.Table:
-        doc_id, rationale, evidence = [], [], []
-        for p in df["packed"]:
-            d, r, e = p.split(_SEP, 2)
-            doc_id.append(d.lstrip())
-            rationale.append(r)
-            evidence.append(e)
+    def finalize(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["packed"], _SEP, max_splits=2)
+        flat = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        doc_id = pc.utf8_ltrim_whitespace(pc.list_element(flat, 0))
+        rationale = pc.list_element(flat, 1)
+        evidence = pc.list_element(flat, 2)
+        def col(name, typ):
+            c = batch[name].cast(typ)
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        def arr(a, typ):
+            a = a.cast(typ)
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
         return pa.Table.from_arrays(
             [
-                pa.array(df["src_id"].tolist(), type=pa.string()),
-                pa.array(df["dst_id"].tolist(), type=pa.string()),
-                pa.array(df["edge_type"].tolist(), type=pa.string()),
-                pa.array(df["confidence"].astype(np.float32).tolist(), type=pa.float32()),
-                pa.array(rationale, type=pa.string()),
-                pa.array(evidence, type=pa.string()),
-                pa.array(doc_id, type=pa.string()),
+                col("src_id", pa.string()), col("dst_id", pa.string()),
+                col("edge_type", pa.string()), col("confidence", pa.float32()),
+                arr(rationale, pa.string()), arr(evidence, pa.string()),
+                arr(doc_id, pa.string()),
             ],
             schema=EDGES_SCHEMA,
         )
 
-    return deduped.map_batches(finalize, batch_format="pandas")
+    return deduped.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)

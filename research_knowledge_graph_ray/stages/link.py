@@ -21,12 +21,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from ..functions.ids import paper_node_id
 from ..schemas import EDGES_SCHEMA
-from .shuffle import bucketed_group_apply
+from .shuffle import arrow_group_agg, hash_exchange_apply
 
 BLOCKING_TYPES = ("method", "dataset", "concept")  # reference: graph_service.py:237-241
 DEFAULT_MAX_DOCS_PER_ENTITY = 128
@@ -48,17 +49,22 @@ def candidate_pair_rows(
     (entity_id, doc_id), the per-bucket pass builds each entity's sorted,
     capped doc list and emits its (doc_a < doc_b) pairs."""
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["pred"] == "INTRODUCES") & df["obj_type"].isin(BLOCKING_TYPES)]
-        df = pd.DataFrame(
-            {"entity_id": df["obj_id"], "doc_id": df["doc_id"],
-             "entity_type": df["obj_type"], "label": df["obj_norm"]}
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t["pred"], "INTRODUCES"),
+            pc.is_in(t["obj_type"], value_set=pa.array(list(BLOCKING_TYPES))),
         )
-        return df.groupby(["entity_id", "doc_id"], as_index=False).agg(
-            entity_type=("entity_type", "min"), label=("label", "min")
+        t = t.filter(mask)
+        t = pa.table(
+            {"entity_id": t["obj_id"], "doc_id": t["doc_id"],
+             "entity_type": t["obj_type"], "label": t["obj_norm"]}
+        )
+        return arrow_group_agg(
+            t, ["entity_id", "doc_id"], [("entity_type", "min"), ("label", "min")]
         )
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
+    def final(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
         out = []
         for eid, g in df.groupby("entity_id"):
             docs = sorted(g["doc_id"].unique().tolist())
@@ -82,10 +88,10 @@ def candidate_pair_rows(
                 }
             ))
         if not out:
-            return pd.DataFrame(_EMPTY_PAIRS)
-        return pd.concat(out, ignore_index=True)
+            return pa.Table.from_pandas(pd.DataFrame(_EMPTY_PAIRS), preserve_index=False)
+        return pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False)
 
-    return bucketed_group_apply(validated, ["entity_id"], partial, final)
+    return hash_exchange_apply(validated, ["entity_id"], partial, final)
 
 
 def candidate_pairs(
@@ -94,21 +100,21 @@ def candidate_pairs(
     """Aggregate per-entity pair rows into per-pair shared-entity counts
     (the ``seen_pairs`` dedup as a bucketed shuffle on doc_a)."""
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        if "is_method" in df.columns:
-            df = df.rename(columns={
-                "is_method": "n_shared_methods", "is_dataset": "n_shared_datasets",
-                "is_concept": "n_shared_concepts", "label": "evidence_label",
-            })
-        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            n_shared_methods=("n_shared_methods", "sum"),
-            n_shared_datasets=("n_shared_datasets", "sum"),
-            n_shared_concepts=("n_shared_concepts", "sum"),
-            evidence_label=("evidence_label", "min"),
-            n_dropped_docs=("n_dropped_docs", "max"),
+    def agg(t: pa.Table) -> pa.Table:
+        if "is_method" in t.column_names:
+            t = t.rename_columns([
+                {"is_method": "n_shared_methods", "is_dataset": "n_shared_datasets",
+                 "is_concept": "n_shared_concepts", "label": "evidence_label"}.get(c, c)
+                for c in t.column_names
+            ])
+        return arrow_group_agg(
+            t, ["doc_a", "doc_b"],
+            [("n_shared_methods", "sum"), ("n_shared_datasets", "sum"),
+             ("n_shared_concepts", "sum"), ("evidence_label", "min"),
+             ("n_dropped_docs", "max")],
         )
 
-    return bucketed_group_apply(pair_rows, ["doc_a"], agg, agg)
+    return hash_exchange_apply(pair_rows, ["doc_a"], agg, agg)
 
 
 def judge_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
