@@ -30,8 +30,7 @@ from ..stages.canonicalize import (
     build_alias_key_map,
     build_edges,
     build_nodes,
-    compute_canonical_mapping,
-    distinct_entities_ds,
+    compute_canonical_mapping_from_validated,
 )
 from ..stages.extract import TripleExtractor
 from ..stages.link import DEFAULT_MAX_DOCS_PER_ENTITY, link_cross_documents
@@ -48,25 +47,52 @@ class GraphResult:
 def extract_validated(
     docs: "ray.data.Dataset",
     vocab: dict | None = None,
-    batch_size: int = 64,
+    batch_size: int = 256,
     concurrency=None,
+    use_actor_pool: bool = False,
 ) -> "ray.data.Dataset":
-    """Extraction actor pool + validation, as one streamed sub-pipeline."""
-    if concurrency is None:
-        # actor-pool size: leave headroom for read/shuffle stages
-        import ray
+    """Extraction + validation, as one streamed sub-pipeline.
 
-        n_cpus = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, (3 * n_cpus) // 4)
-    records = docs.map_batches(
-        TripleExtractor,
-        fn_constructor_kwargs={"vocab": vocab},
-        batch_format="pyarrow",
-        batch_size=batch_size,
+    Two execution modes for the extraction stage:
+
+    - ``use_actor_pool=False`` (default for the deterministic backend): a
+      stateless task with a per-worker compiled-pattern cache, fused with
+      validation into one map stage — runs on Ray's pre-started workers with
+      zero actor cold-start.
+    - ``use_actor_pool=True``: the :class:`TripleExtractor` callable-class
+      actor pool — the mode a heavy-state (LLM/model) backend uses; state
+      builds once per actor in ``__init__``.
+    """
+    if use_actor_pool:
+        if concurrency is None:
+            # actor-pool size: leave headroom for read/shuffle stages
+            import ray
+
+            n_cpus = int(ray.cluster_resources().get("CPU", 4))
+            concurrency = max(2, (3 * n_cpus) // 4)
+        records = docs.map_batches(
+            TripleExtractor,
+            fn_constructor_kwargs={"vocab": vocab},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+        return records.map_batches(
+            validate_records, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    from ..stages.extract import extract_batch
+
+    vocab_key = "default" if vocab is None else str(sorted(vocab))
+
+    def extract_and_validate(batch):
+        return validate_records(extract_batch(batch, vocab_key, vocab))
+
+    return docs.map_batches(
+        extract_and_validate, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
-    return records.map_batches(validate_records, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def build_graph(
@@ -78,8 +104,9 @@ def build_graph(
     link: bool = True,
     tau: float = DEFAULT_COSINE_TAU,
     max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
-    extract_batch_size: int = 64,
+    extract_batch_size: int = 256,
     extract_concurrency=None,
+    extract_actor_pool: bool = False,
     checkpoint_dir: str | None = None,
 ) -> GraphResult:
     """Run the full construction pipeline over a span-document Dataset.
@@ -90,7 +117,8 @@ def build_graph(
     the reference's ``--no-link`` toggle (src/main.py:70-71,138-141).
     """
     validated = extract_validated(
-        docs, vocab=vocab, batch_size=extract_batch_size, concurrency=extract_concurrency
+        docs, vocab=vocab, batch_size=extract_batch_size,
+        concurrency=extract_concurrency, use_actor_pool=extract_actor_pool,
     )
 
     if checkpoint_dir is not None:
@@ -103,12 +131,26 @@ def build_graph(
     mapping: dict = {}
     if entity_linking:
         alias_key_map = build_alias_key_map(ALIASES if aliases is None else aliases)
-        entities = distinct_entities_ds(validated)
-        mapping = compute_canonical_mapping(entities, alias_key_map, tau=tau)
-        validated = apply_canonical_mapping(validated, mapping).materialize()
+        mapping = compute_canonical_mapping_from_validated(validated, alias_key_map, tau=tau)
+        # applied lazily: the remap is a cheap broadcast lookup, so each
+        # consumer re-derives it from the single materialized record stream
+        # instead of pinning a second full copy in the object store
+        validated = apply_canonical_mapping(validated, mapping)
 
-    nodes = build_nodes(validated)
-    edges = build_edges(validated)
-    if link:
-        edges = edges.union(link_cross_documents(validated, max_docs_per_entity))
+    # The three downstream exchanges are independent consumers of the single
+    # materialized record stream; their map/shuffle phases overlap via
+    # threads so fixed per-execution costs don't serialize.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_nodes = pool.submit(build_nodes, validated)
+        f_edges = pool.submit(build_edges, validated)
+        f_cross = (
+            pool.submit(link_cross_documents, validated, max_docs_per_entity)
+            if link else None
+        )
+        nodes = f_nodes.result()
+        edges = f_edges.result()
+        if f_cross is not None:
+            edges = edges.union(f_cross.result())
     return GraphResult(nodes=nodes, edges=edges, canonical_mapping=mapping)

@@ -1,0 +1,95 @@
+"""File-based corpus loaders (reference S1-S3) as Ray Data readers.
+
+- JSON paper dicts → span documents (reference: src/main.py:86-119)
+- plain text files → span documents (reference: src/utils/pdf.py:39-60)
+- PDF extraction is gated behind an import-try (no PDF library in this
+  container; reference: src/utils/pdf.py:13-36) — the reader raises a clear
+  NotImplementedError rather than silently skipping.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.text import spans_from_text
+from ..schemas import DOCS_SCHEMA, SPAN_STRUCT
+
+
+def _docs_table(doc_ids: list[str], span_lists: list[list[dict]]) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids, type=pa.string()),
+            pa.array(span_lists, type=pa.list_(SPAN_STRUCT)),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+
+
+def read_json_corpus(path: str, chunk_size: int = 2000, overlap: int = 200) -> "ray.data.Dataset":
+    """Directory/file of JSON paper dicts → span documents.
+
+    Each record needs ``text`` (or title+abstract fallback, mirroring
+    ``ingest_from_dict``, reference: src/agents/paper_ingestion_agent.py:59-101)
+    and optionally ``title``/``abstract``; doc_id comes from ``arxiv_id``,
+    ``doi`` or the row index."""
+    ds = ray.data.read_json(path)
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        doc_ids, span_lists = [], []
+        for i, row in enumerate(rows):
+            doc_id = str(row.get("arxiv_id") or row.get("doi") or row.get("id") or f"json-{i}")
+            text = row.get("text") or " ".join(
+                filter(None, [row.get("title"), row.get("abstract")])
+            )
+            spans, offset = [], 0
+            for kind in ("title", "abstract"):
+                v = row.get(kind)
+                if v:
+                    spans.append({"kind": kind, "text": v, "media_ref": "", "offset": offset})
+                    offset += max(len(v), 1)
+            for s in spans_from_text(doc_id, text or "", chunk_size, overlap):
+                s["offset"] = offset
+                offset += max(len(s["text"]), 1)
+                spans.append(s)
+            doc_ids.append(doc_id)
+            span_lists.append(spans)
+        return _docs_table(doc_ids, span_lists)
+
+    return ds.map_batches(to_spans, batch_format="pyarrow")
+
+
+def read_text_corpus(paths, chunk_size: int = 2000, overlap: int = 200) -> "ray.data.Dataset":
+    """Plain-text files → span documents (doc_id = file path)."""
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        doc_ids, span_lists = [], []
+        for row in batch.to_pylist():
+            path, payload = row["path"], row["bytes"]
+            if path.lower().endswith(".pdf"):
+                text = extract_text_from_pdf(payload)
+            else:
+                text = payload.decode("utf-8", errors="replace")
+            doc_ids.append(path)
+            span_lists.append(spans_from_text(path, text, chunk_size, overlap))
+        return _docs_table(doc_ids, span_lists)
+
+    return ds.map_batches(to_spans, batch_format="pyarrow")
+
+
+def extract_text_from_pdf(payload: bytes) -> str:
+    """PDF → concatenated page text. Gated on an optional dependency."""
+    try:
+        import pypdf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "PDF extraction requires a PDF library (pypdf) that is not "
+            "installed in this environment"
+        ) from e
+    import io
+
+    reader = pypdf.PdfReader(io.BytesIO(payload))
+    return "\n".join(page.extract_text() or "" for page in reader.pages)

@@ -285,6 +285,50 @@ def connected_components_distributed(
     return connected_components_driver([(x, y) for x, y in labels.items()])
 
 
+def compute_canonical_mapping_from_validated(
+    validated: "ray.data.Dataset",
+    alias_key_map: dict,
+    tau: float = DEFAULT_COSINE_TAU,
+    dim: int = DEFAULT_DIM,
+    small_entity_limit: int = 200_000,
+) -> dict[str, str]:
+    """Entity linking in ONE dataset execution for the common case.
+
+    Per-block distinct entities are tiny (vocabulary-bound — the documented
+    partitioning assumption), so they are pulled to the driver and the alias +
+    LSH + union-find chain runs locally with the exact same pure semantic
+    functions the distributed path uses. Past ``small_entity_limit`` distinct
+    rows the full distributed path (exchange + bucketed LSH + label
+    propagation) takes over."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _explode_endpoints(t)
+        t = t.filter(pc.invert(pc.equal(t["node_type"], "paper")))
+        return arrow_group_agg(t, ["node_id"], [("node_type", "min"), ("label", "min")])
+
+    partial_ds = validated.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    try:
+        pdf = partial_ds.to_pandas(limit=small_entity_limit)
+    except ValueError:
+        return compute_canonical_mapping(distinct_entities_ds(validated), alias_key_map,
+                                         tau=tau, dim=dim)
+    ents = pdf.groupby("node_id", as_index=False).agg(
+        node_type=("node_type", "min"), label=("label", "min")
+    )
+    edges = alias_exact_edges(
+        zip(ents["node_id"], ents["node_type"], ents["label"]), alias_key_map
+    )
+    edges += list(
+        lsh_cosine_pairs_semantics(
+            ents["node_id"].tolist(), ents["node_type"].tolist(),
+            ents["label"].tolist(), tau=tau, dim=dim,
+        )
+    )
+    return connected_components_driver(edges)
+
+
 def compute_canonical_mapping(
     entities: "ray.data.Dataset",
     alias_key_map: dict,
@@ -314,16 +358,17 @@ def apply_canonical_mapping(
     """Rewrite subj_id/obj_id through the canonical mapping (broadcast lookup)."""
     if not mapping:
         return validated
-    ref = ray.put(mapping)
+    olds = pa.array(list(mapping.keys()), type=pa.string())
+    news = pa.array(list(mapping.values()), type=pa.string())
+    ref = ray.put((olds, news))
 
     def remap(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        o, n = ray.get(ref)
 
         def map_col(col):
-            vals = np.asarray(col.to_pylist(), dtype=object)
-            uniq, inv = np.unique(vals, return_inverse=True)
-            mapped = np.array([m.get(u, u) for u in uniq], dtype=object)
-            return pa.array(list(mapped[inv]), type=pa.string())
+            # vectorized dictionary substitution: index_in → take → coalesce
+            idx = pc.index_in(col, value_set=o)
+            return pc.coalesce(pc.take(n, idx), col)
 
         batch = batch.set_column(
             batch.schema.get_field_index("subj_id"), "subj_id", map_col(batch["subj_id"]))
@@ -338,17 +383,11 @@ def apply_canonical_mapping(
 # Node / edge materialization (groupby-aggregate with per-batch partials)
 # ---------------------------------------------------------------------------
 
+# provenance packing: "{doc_id rjust _PAD}\x1f{rationale}\x1f{evidence}" —
+# lexicographic min() of the packed string selects the min-doc_id record
+# (argmin trick → fully vectorized aggregate instead of per-group Python)
 _PAD = 24
 _SEP = "\x1f"
-
-
-def _pack_provenance(doc_id, rationale, evidence) -> np.ndarray:
-    """Sortable packed string: min() of it = the min-doc_id record (argmin trick
-    → fully vectorized aggregate instead of per-group Python)."""
-    return np.array(
-        [f"{d.rjust(_PAD)}{_SEP}{r}{_SEP}{e}" for d, r, e in zip(doc_id, rationale, evidence)],
-        dtype=object,
-    )
 
 
 def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":

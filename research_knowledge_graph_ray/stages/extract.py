@@ -177,6 +177,11 @@ class TripleExtractor:
     batch_size=..., concurrency=...)``. State (compiled patterns; in
     production: the LLM/prompt client, reference ST1 at src/utils/llm.py:15-51)
     is built once per actor here, not per batch.
+
+    For the *deterministic* backend the state is only compiled regexes, so the
+    pipeline defaults to the stateless-task form (:func:`extract_batch`) which
+    runs on Ray's pre-started worker pool with a per-process pattern cache —
+    no actor cold-start. The actor pool is for genuinely heavy state.
     """
 
     def __init__(self, vocab: dict[str, list[str]] | None = None):
@@ -190,3 +195,20 @@ class TripleExtractor:
                 extract_doc_records(doc_id, text, self.mention_res, self.triple_res)
             )
         return records_to_table(records)
+
+
+_PATTERN_CACHE: dict = {}
+
+
+def extract_batch(batch: pa.Table, vocab_key: str = "default",
+                  vocab: dict[str, list[str]] | None = None) -> pa.Table:
+    """Stateless-task twin of :class:`TripleExtractor` (per-process pattern
+    cache keyed by ``vocab_key``)."""
+    if vocab_key not in _PATTERN_CACHE:
+        _PATTERN_CACHE[vocab_key] = compile_patterns(vocab)
+    mention_res, triple_res = _PATTERN_CACHE[vocab_key]
+    doc_ids, texts = _doc_texts_from_batch(batch)
+    records: list[tuple] = []
+    for doc_id, text in zip(doc_ids, texts):
+        records.extend(extract_doc_records(doc_id, text, mention_res, triple_res))
+    return records_to_table(records)

@@ -28,7 +28,6 @@ Partitioning assumptions (documented per the north rule):
 
 from __future__ import annotations
 
-import zlib
 from typing import Callable
 
 import numpy as np
@@ -39,16 +38,38 @@ import ray
 import ray.data
 
 
+_HASH_TAIL = 8  # bytes of each key's suffix fed into the vectorized hash
+
+
+def _col_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized content hash of a string column.
+
+    Operates directly on the Arrow offsets/data buffers (no Python per row):
+    a polynomial hash of each value's last ``_HASH_TAIL`` bytes plus its
+    length. Keys here are content hashes (sha1/md5 hex) or id strings with
+    varying suffixes, so the suffix is the high-entropy end — hashing the
+    *prefix* would collapse common-prefix ids like ``doc-00001``/``doc-00002``
+    into one bucket."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = col.cast(pa.large_string())  # int64 keys stringify; offsets become int64
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    h = (ends - starts).astype(np.uint64) * np.uint64(1000003)
+    if data.size == 0:
+        return h
+    for k in range(1, _HASH_TAIL + 1):
+        pos = np.minimum(np.maximum(ends - k, starts), data.size - 1)
+        h = h * np.uint64(16777619) + data[pos].astype(np.uint64) * np.uint64(k)
+    return h
+
+
 def _bucket_ids(table: pa.Table, keys: list[str], n_buckets: int) -> np.ndarray:
-    cols = [table[k].to_pylist() for k in keys]
-    if len(cols) == 1:
-        it = (str(v) for v in cols[0])
-    else:
-        it = ("\x00".join(str(v) for v in row) for row in zip(*cols))
-    return np.fromiter(
-        (zlib.crc32(s.encode("utf-8")) % n_buckets for s in it),
-        dtype=np.int64, count=table.num_rows,
-    )
+    h = _col_hash(table[keys[0]])
+    for k in keys[1:]:
+        h = h * np.uint64(1099511628211) + _col_hash(table[k])
+    return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
 def _split_by_bucket(table: pa.Table, keys: list[str], n_buckets: int) -> list[pa.Table]:
@@ -74,14 +95,15 @@ def _from_fmt(obj, fmt: str) -> pa.Table:
     return obj
 
 
-def _map_stage(block: pa.Table, keys, partial_fn, n_buckets: int, fmt: str):
-    out = _from_fmt(partial_fn(_to_fmt(block, fmt)), fmt)
-    pieces = _split_by_bucket(out, keys, n_buckets)
+@ray.remote
+def _map_stage(keys, n_buckets: int, *blocks: pa.Table):
+    merged = pa.concat_tables(blocks, promote_options="default") if len(blocks) > 1 else blocks[0]
+    pieces = _split_by_bucket(merged, keys, n_buckets)
     return tuple(pieces) if n_buckets > 1 else pieces[0]
 
 
+@ray.remote
 def _reduce_stage(final_fn, fmt: str, *pieces: pa.Table) -> pa.Table:
-    pieces = [p for p in pieces if p is not None and p.num_rows >= 0]
     merged = pa.concat_tables([p for p in pieces if p.num_rows > 0] or pieces[:1],
                               promote_options="default")
     return _from_fmt(final_fn(_to_fmt(merged, fmt)), fmt)
@@ -92,26 +114,43 @@ def hash_exchange_apply(
     keys: list[str],
     partial_fn: Callable,
     final_fn: Callable,
-    n_buckets: int = 64,
+    n_buckets: int = 32,
     fmt: str = "pyarrow",
 ) -> "ray.data.Dataset":
     """partial per block → hash-split by ``keys`` → final per bucket.
 
     ``partial_fn``/``final_fn`` take and return a ``pa.Table`` (fmt="pyarrow")
     or a ``pandas.DataFrame`` (fmt="pandas"); the partial output must contain
-    ``keys``."""
-    refs = ds.to_arrow_refs()
+    ``keys``.
+
+    The partial combine runs as a streamed ``map_batches`` stage (whole-block
+    batches), so only the *shrunk* partial outputs are pinned in the object
+    store for the exchange — the exchange never duplicates its full input."""
+
+    def partial(batch):
+        return partial_fn(batch)
+
+    shrunk = ds.map_batches(
+        partial, batch_format=fmt, batch_size=None, zero_copy_batch=True
+    )
+    refs = shrunk.to_arrow_refs()
     if not refs:
         return ds
-    map_task = ray.remote(num_returns=n_buckets)(_map_stage)
-    reduce_task = ray.remote(_reduce_stage)
+
+    # bound the scatter width: coalesce partial blocks so the exchange moves
+    # ~n_map × n_buckets pieces with n_map ≈ cluster cores
+    n_map = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    chunk = max(1, -(-len(refs) // n_map))
+    groups = [refs[i : i + chunk] for i in range(0, len(refs), chunk)]
+
     piece_refs = [
-        map_task.remote(r, keys, partial_fn, n_buckets, fmt) for r in refs
+        _map_stage.options(num_returns=n_buckets).remote(keys, n_buckets, *g)
+        for g in groups
     ]
     if n_buckets == 1:
         piece_refs = [[r] for r in piece_refs]
     out_refs = [
-        reduce_task.remote(final_fn, fmt, *[p[b] for p in piece_refs])
+        _reduce_stage.remote(final_fn, fmt, *[p[b] for p in piece_refs])
         for b in range(n_buckets)
     ]
     return ray.data.from_arrow_refs(out_refs)
@@ -122,7 +161,7 @@ def bucketed_group_apply(
     bucket_keys: list[str],
     partial_fn: Callable[[pd.DataFrame], pd.DataFrame],
     final_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    n_buckets: int = 64,
+    n_buckets: int = 32,
 ) -> "ray.data.Dataset":
     """pandas-kernel convenience wrapper over :func:`hash_exchange_apply`."""
     return hash_exchange_apply(ds, bucket_keys, partial_fn, final_fn, n_buckets, fmt="pandas")
@@ -132,7 +171,7 @@ def grouped_aggregate(
     ds: "ray.data.Dataset",
     keys: list[str],
     agg_fn: Callable[[pd.DataFrame], pd.DataFrame],
-    n_buckets: int = 64,
+    n_buckets: int = 32,
 ) -> "ray.data.Dataset":
     """Shortcut when one associative ``agg_fn`` serves as both partial and
     final combine."""

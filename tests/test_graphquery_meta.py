@@ -1,0 +1,131 @@
+"""Query/traversal layer, metadata extraction, chunker, viz sink, loaders."""
+
+import json
+import os
+
+import pytest
+import ray.data
+
+from research_knowledge_graph_ray.functions.ids import node_id, paper_node_id
+from research_knowledge_graph_ray.functions.text import chunk_text
+from research_knowledge_graph_ray.pipelines import graphquery as gq
+from research_knowledge_graph_ray.pipelines.construct import build_graph
+from research_knowledge_graph_ray.sources.corpus import generate_documents
+
+
+@pytest.fixture(scope="module")
+def graph():
+    table = generate_documents(60, seed=42)
+    res = build_graph(ray.data.from_arrow(table), entity_linking=True, link=True)
+    return table, res, res.edges.materialize(), res.nodes.materialize()
+
+
+def test_chunk_text_reference_semantics():
+    assert chunk_text("short") == ["short"]
+    text = ("a" * 1500 + ". ") + ("b" * 1500 + ". ") + "c" * 800
+    chunks = chunk_text(text, chunk_size=2000, overlap=200)
+    assert len(chunks) >= 2
+    # sentence snap: first chunk ends at the '.' past 70% of 2000
+    assert chunks[0].endswith(".")
+    # overlap: next chunk starts 200 chars before the previous end
+    joined = "".join(chunks)
+    assert len(joined) >= len(text) - 400  # stripped, overlapping coverage
+
+
+def test_doc_neighbors_and_improvements(graph):
+    table, res, edges, nodes = graph
+    # pick a doc with known content
+    doc_id = table["doc_id"][0].as_py()
+    datasets = gq.doc_neighbors_of_type(edges, nodes, doc_id, "dataset")
+    text = "\n".join(s["text"] for s in table["spans"][0].as_py())
+    for label in datasets["label"]:
+        assert label.split()[0].lower() in text.lower()
+
+    # incoming improvements of a method node: engine emitted IMPROVES_ON
+    imp = edges.to_pandas().query("edge_type == 'IMPROVES_ON'")
+    if len(imp):
+        chain = gq.improvement_chain(edges, imp["src_id"].iloc[0])
+        assert len(chain) >= 2
+
+
+def test_similar_docs_and_bfs(graph):
+    table, res, edges, nodes = graph
+    e = edges.to_pandas()
+    sim = e[e["edge_type"] == "SIMILAR_TO"]
+    if len(sim):
+        src = sim["src_id"].iloc[0]
+        paper_map = {paper_node_id(d.as_py()): d.as_py() for d in table["doc_id"]}
+        doc = paper_map[src]
+        out = gq.similar_docs(edges, doc)
+        assert sim["dst_id"].iloc[0] in out
+    sub = gq.bfs_subgraph(edges, paper_node_id(table["doc_id"][0].as_py()), max_depth=2)
+    assert len(sub) > 0
+    assert not sub.duplicated(subset=["src_id", "dst_id", "edge_type"]).any()
+
+
+def test_semantic_top_doc(graph):
+    table, *_ = graph
+    docs = ray.data.from_arrow(table)
+    top = gq.semantic_top_doc(docs, "3D Gaussian Splatting novel view synthesis")
+    assert len(top) == 1 and top["doc_id"].iloc[0].startswith("doc-")
+
+
+def test_metadata_extractor(graph):
+    from research_knowledge_graph_ray.stages.metadata import extract_doc_meta
+
+    table, *_ = graph
+    meta = extract_doc_meta(ray.data.from_arrow(table)).to_pandas()
+    assert len(meta) == len(table)
+    row = meta.sort_values("doc_id").iloc[0]
+    spans = table["spans"][0].as_py()
+    assert row["title"] == next(s["text"] for s in spans if s["kind"] == "title")
+    assert row["n_spans"] == len(spans)
+    assert len(row["authors"]) >= 2
+
+
+def test_viz_sink(graph, tmp_path):
+    from research_knowledge_graph_ray.pipelines.viz import graph_to_html
+
+    _, res, edges, nodes = graph
+    path = graph_to_html(
+        nodes.to_pandas().to_dict("records"),
+        edges.to_pandas().to_dict("records"),
+        str(tmp_path / "g.html"),
+    )
+    html = open(path).read()
+    assert "canvas" in html and '"nodes"' in html
+    payload = html.split("const DATA = ", 1)[1].split(";\n", 1)[0]
+    data = json.loads(payload)
+    assert len(data["nodes"]) > 0 and len(data["edges"]) > 0
+
+
+def test_json_and_text_loaders(tmp_path):
+    from research_knowledge_graph_ray.sources.files import read_json_corpus, read_text_corpus
+
+    papers = [
+        {"arxiv_id": "2301.0001", "title": "NeRF Study", "abstract": "We study NeRF.",
+         "text": "NeRF is evaluated on DTU. NeRF achieves strong PSNR."},
+        {"title": "No id paper", "text": "Plenoxels uses DTU."},
+    ]
+    jp = tmp_path / "papers.json"
+    jp.write_text("\n".join(json.dumps(p) for p in papers))
+    ds = read_json_corpus(str(jp))
+    rows = ds.to_pandas()
+    assert len(rows) == 2
+    first = rows.sort_values("doc_id").iloc[0]
+    kinds = [s["kind"] for s in first["spans"]]
+    assert kinds[0] == "title" and "text" in kinds
+
+    tp = tmp_path / "a.txt"
+    tp.write_text("Scaffold GS improves on NeRF.")
+    tds = read_text_corpus([str(tp)])
+    trows = tds.to_pandas()
+    assert len(trows) == 1
+    assert trows.iloc[0]["spans"][0]["text"].startswith("Scaffold GS")
+
+
+def test_pdf_loader_is_gated():
+    from research_knowledge_graph_ray.sources.files import extract_text_from_pdf
+
+    with pytest.raises(NotImplementedError):
+        extract_text_from_pdf(b"%PDF-1.4 fake")
