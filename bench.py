@@ -60,12 +60,42 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    # --- headline: flagship KG construction over the span corpus ----------
+    # untimed warm-up: run the pipeline over a small slice first so Ray's
+    # worker processes exist and have imported their modules — the timed run
+    # then measures steady-state throughput (the quantity that matters for a
+    # long-running 100 TB job), not one-time process spawning
+    from research_knowledge_graph_ray.sources.corpus import generate_documents
+
+    warm = build_graph(
+        ray.data.from_arrow(generate_documents(2000, seed=7)),
+        entity_linking=True, link=True, embed_docs=True,
+    )
+    warm.edges.count(); warm.nodes.count(); warm.embeddings.count()
+
+    # --- headline: the full training-data KG pipeline over the span corpus:
+    #     near-dup scan (MinHash bands) → KG construction (extraction,
+    #     linking, canonicalization, cross-doc) ∥ per-doc embeddings --------
+    import pandas as pd
+
+    from research_knowledge_graph_ray.stages.dedup import minhash_dedup_clusters
+    from research_knowledge_graph_ray.stages.extract import _doc_texts_from_batch
+
+    def flat_view(batch):
+        ids, texts = _doc_texts_from_batch(batch)
+        return pd.DataFrame(
+            {"doc_id": [int(i.rsplit("-", 1)[1]) for i in ids], "text": texts}
+        )
+
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(CORPUS_DIR)
-    res = build_graph(docs, entity_linking=True, link=True)
+    clusters = minhash_dedup_clusters(
+        docs.map_batches(flat_view, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_dup_docs = int(len(clusters))
+    res = build_graph(docs, entity_linking=True, link=True, embed_docs=True)
     n_edges = res.edges.count()
     n_nodes = res.nodes.count()
+    n_emb = res.embeddings.count()
     headline = time.perf_counter() - t0
     timings["kg_construct"] = round(headline, 3)
 
@@ -98,6 +128,8 @@ def run_bench() -> dict:
         "kg_docs": KG_DOCS,
         "kg_nodes": n_nodes,
         "kg_edges": n_edges,
+        "kg_embeddings": n_emb,
+        "neardup_docs": n_dup_docs,
         "docs_per_sec": round(KG_DOCS / headline, 2),
         "triples_per_sec": round(n_edges / headline, 2),
     }
@@ -106,9 +138,10 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    """Best-of-two per level (run-to-run variance on this host is ~±15%);
-    identical input at both levels. Corpus size defaults to 600k docs for the
-    scaling measurement so scalable compute dominates fixed per-job overhead."""
+    """Identical input at both levels; corpus size defaults to 800k docs for
+    the scaling measurement so scalable compute dominates fixed per-job
+    overhead (the OS page cache is warmed with a real byte read first, which
+    removes most run-to-run variance)."""
 
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SUITE="0")
@@ -121,11 +154,10 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     def run_at(ncpu: int) -> dict:
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["docs_per_sec"] >= b["docs_per_sec"] else b
+        return run_once(ncpu)
 
-    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
-    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     lo, hi = run_at(n_lo), run_at(n_hi)
     tput_lo = lo["docs_per_sec"]
     tput_hi = hi["docs_per_sec"]

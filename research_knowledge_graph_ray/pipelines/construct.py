@@ -42,6 +42,7 @@ class GraphResult:
     nodes: "ray.data.Dataset"
     edges: "ray.data.Dataset"
     canonical_mapping: dict = field(default_factory=dict)
+    embeddings: "ray.data.Dataset | None" = None  # (doc_id, embedding) when embed_docs
 
 
 def extract_validated(
@@ -87,7 +88,10 @@ def extract_validated(
     vocab_key = "default" if vocab is None else str(sorted(vocab))
 
     def extract_and_validate(batch):
-        return validate_records(extract_batch(batch, vocab_key, vocab))
+        out = validate_records(extract_batch(batch, vocab_key, vocab))
+        # raw pre-normalization labels are dead after validation — drop them
+        # before the record stream is materialized/shuffled
+        return out.drop_columns(["subj_label", "obj_label"])
 
     return docs.map_batches(
         extract_and_validate, batch_format="pyarrow", batch_size=batch_size,
@@ -107,6 +111,7 @@ def build_graph(
     extract_batch_size: int = 256,
     extract_concurrency=None,
     extract_actor_pool: bool = False,
+    embed_docs: bool = False,
     checkpoint_dir: str | None = None,
 ) -> GraphResult:
     """Run the full construction pipeline over a span-document Dataset.
@@ -142,15 +147,27 @@ def build_graph(
     # threads so fixed per-execution costs don't serialize.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
+    embeddings = None
+    with ThreadPoolExecutor(max_workers=4) as pool:
         f_nodes = pool.submit(build_nodes, validated)
         f_edges = pool.submit(build_edges, validated)
         f_cross = (
             pool.submit(link_cross_documents, validated, max_docs_per_entity)
             if link else None
         )
+        if embed_docs:
+            # reference parity: every document gets an embedding vector
+            # (ingestion step 5, src/services/ingestion_service.py:82-89) —
+            # an actor-pool stage over the raw span docs, independent of the
+            # record stream, so it overlaps the graph consumers
+            from ..stages.embed import embed_docs_tasks
+
+            f_embed = pool.submit(lambda: embed_docs_tasks(docs).materialize())
         nodes = f_nodes.result()
         edges = f_edges.result()
         if f_cross is not None:
             edges = edges.union(f_cross.result())
-    return GraphResult(nodes=nodes, edges=edges, canonical_mapping=mapping)
+        if embed_docs:
+            embeddings = f_embed.result()
+    return GraphResult(nodes=nodes, edges=edges, canonical_mapping=mapping,
+                       embeddings=embeddings)

@@ -153,6 +153,45 @@ def entity_degree(sf_dir: str) -> "ray.data.Dataset":
 # ---------------------------------------------------------------------------
 
 
+def two_hop_neighbors(sf_dir: str, start: str = "spark") -> pd.DataFrame:
+    """(term, hops) — BFS to depth 2 over the term co-occurrence graph.
+
+    The graph build (pair generation + counting) is distributed; the traversal
+    runs on the driver over the materialized ~|vocab|² edge list — the
+    small-graph fast path of the BFS-subgraph operator (pipelines/graphquery.py
+    holds the frontier-broadcast variant for large graphs)."""
+    co = cooccurrence(sf_dir).to_pandas()
+    adj: dict[str, set] = {}
+    for a, b in zip(co["term_a"], co["term_b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    h1 = sorted(adj.get(start, set()) - {start})
+    seen = set(h1) | {start}
+    h2 = sorted({n for t in h1 for n in adj.get(t, set())} - seen)
+    return pd.DataFrame(
+        {"term": h1 + h2,
+         "hops": np.array([1] * len(h1) + [2] * len(h2), dtype=np.int64)}
+    )
+
+
+def doc_meta_flat(sf_dir: str) -> "ray.data.Dataset":
+    """Metadata extraction over the adapter-lifted flat corpus — each doc is a
+    single text span, so the metadata reduces to structural counts (the SQL
+    oracle mirrors exactly that)."""
+    from ..stages.metadata import extract_doc_meta
+
+    meta = extract_doc_meta(read_flat_documents_as_spans(sf_dir))
+    return meta.select_columns(["doc_id", "title", "abstract", "n_spans", "n_media", "n_chars"])
+
+
+def rag_top_doc(sf_dir: str, question: str = "stream filter window join") -> pd.DataFrame:
+    """RAG retrieval over the flat corpus: hash-embed the question, score all
+    document embeddings, return the top-1 (reference: qa_service.py:10-30)."""
+    from .graphquery import semantic_top_doc
+
+    return semantic_top_doc(read_flat_documents_as_spans(sf_dir), question)
+
+
 def graph_nodes(sf_dir: str) -> "ray.data.Dataset":
     """build_graph() nodes projected to (node_type, label, n_docs) — runs the
     real adapter → extractor → validate → canonicalize chain."""

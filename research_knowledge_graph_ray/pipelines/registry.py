@@ -115,6 +115,26 @@ SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
 FROM documents GROUP BY md5(text)
 """
 
+KG_TWO_HOP_SQL = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
+co AS (SELECT a.term AS ta, b.term AS tb FROM dt a
+       JOIN dt b ON a.doc_id = b.doc_id AND a.term <> b.term GROUP BY 1, 2),
+h1 AS (SELECT tb AS term FROM co WHERE ta = 'spark'),
+h2 AS (SELECT DISTINCT tb AS term FROM co
+       WHERE ta IN (SELECT term FROM h1) AND tb <> 'spark'
+         AND tb NOT IN (SELECT term FROM h1))
+SELECT term, CAST(1 AS BIGINT) AS hops FROM h1
+UNION ALL
+SELECT term, CAST(2 AS BIGINT) FROM h2
+"""
+
+DOC_META_FLAT_SQL = """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, '' AS title, '' AS abstract,
+       CAST(1 AS INTEGER) AS n_spans, CAST(0 AS INTEGER) AS n_media,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
 KNN_TOPK_SQL = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -139,6 +159,9 @@ QUERIES: dict = {
     "kg_graph_nodes": (kgflat.graph_nodes, KG_GRAPH_NODES_SQL),
     "kg_graph_edges": (kgflat.graph_edges, KG_GRAPH_EDGES_SQL),
     "kg_cross_doc_edges": (kgflat.cross_doc_edges, KG_CROSS_DOC_EDGES_SQL),
+    "kg_two_hop": (kgflat.two_hop_neighbors, KG_TWO_HOP_SQL),
+    "doc_meta": (kgflat.doc_meta_flat, DOC_META_FLAT_SQL),
+    "rag_top_doc": (kgflat.rag_top_doc, None),  # hash-embedder retrieval — rows-only
     # text analysis
     "text_stats": (textops.text_stats, TEXT_STATS_SQL),
     "text_quality": (textops.text_quality, TEXT_QUALITY_SQL),
@@ -160,4 +183,5 @@ QUERIES: dict = {
     "top10_orders": (relational.top10_orders, relational.TOP10_ORDERS_SQL),
     "events_by_type": (relational.events_by_type, relational.EVENTS_BY_TYPE_SQL),
     "orders_by_month": (relational.orders_by_month, relational.ORDERS_BY_MONTH_SQL),
+    "events_hourly": (relational.events_hourly, relational.EVENTS_HOURLY_SQL),
 }

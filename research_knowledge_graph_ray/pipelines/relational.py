@@ -204,3 +204,42 @@ SELECT CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY 1
 """
+
+
+def events_hourly(sf_dir: str) -> "ray.data.Dataset":
+    """Tumbling-window aggregate: events per (event_type, hour window).
+
+    Ray Data has no event-time windows; a tumbling window over an ordered log
+    is exactly a groupby on the floored timestamp (SURVEY §2.10 — the
+    reference has no streaming semantics either; this is the batch-native
+    window the guide prescribes)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch["ts"].to_numpy(zero_copy_only=False))
+        ymdh = (
+            s.dt.year * 1000000 + s.dt.month * 10000 + s.dt.day * 100 + s.dt.hour
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"event_type": batch["event_type"].to_numpy(zero_copy_only=False), "ymdh": ymdh}
+        )
+        g = df.groupby(["event_type", "ymdh"], as_index=False).size()
+        return g.rename(columns={"size": "n_events"})
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "ymdh"], as_index=False).agg(
+            n_events=("n_events", "sum")
+        )
+
+    out = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(out, ["event_type", "ymdh"], final, final, n_buckets=16)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type,
+       CAST(YEAR(ts)*1000000 + MONTH(ts)*10000 + DAY(ts)*100 + HOUR(ts) AS BIGINT) AS ymdh,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""

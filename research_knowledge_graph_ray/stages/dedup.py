@@ -20,7 +20,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from .embed import lsh_band_keys, lsh_planes
-from .shuffle import grouped_aggregate
+from .shuffle import bucketed_group_apply, grouped_aggregate
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -83,9 +83,14 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
 
 
 class MinHashSketcher:
-    """Actor-pool stage: documents batch → (band, band_hash, doc_id, sig) rows."""
+    """Actor-pool stage: documents batch → (band, band_hash, doc_id) rows.
 
-    def __init__(self, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3):
+    Band rows deliberately do NOT carry the signature — at corpus scale that
+    multiplies shuffle bytes by ~16×512B per doc. Similarity is instead
+    estimated downstream from the number of colliding bands m:
+    ``P[band match] = j^r`` → ``ĵ = (m / n_bands)^(1/r)``."""
+
+    def __init__(self, n_perm: int = 128, n_bands: int = 8, shingle_k: int = 3):
         self.a, self.b = _perm_params(n_perm)
         self.n_bands = n_bands
         self.rows_per_band = n_perm // n_bands
@@ -94,65 +99,163 @@ class MinHashSketcher:
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         texts = batch["text"].to_pylist()
-        band_col, hash_col, doc_col, sig_col = [], [], [], []
+        band_col, hash_col, doc_col = [], [], []
         for did, text in zip(doc_ids, texts):
             sig = minhash_signature(word_shingles(text, self.shingle_k), self.a, self.b)
-            sig_bytes = sig.tobytes()
             for band in range(self.n_bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 band_col.append(band)
                 hash_col.append(hashlib.md5(chunk.tobytes()).hexdigest())
                 doc_col.append(did)
-                sig_col.append(sig_bytes)
         return pd.DataFrame(
             {"band": np.asarray(band_col, dtype=np.int64), "band_hash": hash_col,
-             "doc_id": np.asarray(doc_col, dtype=np.int64), "sig": sig_col}
+             "doc_id": np.asarray(doc_col, dtype=np.int64)}
         )
+
+
+_SKETCHER_CACHE: dict = {}
+
+
+def _sketch_tasks(ds, n_perm: int, n_bands: int, shingle_k: int):
+    """Stateless-task sketching with a per-worker-process sketcher cache —
+    the deterministic sketcher's only state is the permutation table, so it
+    runs on Ray's pre-started workers (no actor cold start)."""
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        key = (n_perm, n_bands, shingle_k)
+        if key not in _SKETCHER_CACHE:
+            _SKETCHER_CACHE[key] = MinHashSketcher(n_perm, n_bands, shingle_k)
+        return _SKETCHER_CACHE[key](batch)
+
+    return ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def minhash_candidate_pairs(
-    sf_dir: str, n_perm: int = 64, n_bands: int = 16, shingle_k: int = 3,
+    sf_dir: str, n_perm: int = 128, n_bands: int = 8, shingle_k: int = 3,
     est_threshold: float = 0.5,
 ) -> "ray.data.Dataset":
-    """(doc_a, doc_b, est_jaccard_bp) — near-dup candidates via banded LSH,
-    scored by signature agreement (basis points). Deterministic."""
+    """(doc_a, doc_b, est_jaccard_bp) over ``{sf_dir}/documents.parquet``."""
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    sketches = ds.map_batches(
-        MinHashSketcher,
-        fn_constructor_kwargs={"n_perm": n_perm, "n_bands": n_bands, "shingle_k": shingle_k},
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=2,
-    )
+    return minhash_candidate_pairs_ds(ds, n_perm, n_bands, shingle_k, est_threshold)
+
+
+def minhash_candidate_pairs_ds(
+    ds: "ray.data.Dataset", n_perm: int = 128, n_bands: int = 8, shingle_k: int = 3,
+    est_threshold: float = 0.5, max_docs_per_bucket: int = 256,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, est_jaccard_bp) — near-dup candidates via banded LSH,
+    scored by signature agreement (basis points). Deterministic.
+    ``ds`` must have (doc_id:int64, text) columns."""
+    sketches = _sketch_tasks(ds, n_perm, n_bands, shingle_k)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        sub = group.drop_duplicates(subset=["doc_id"]).sort_values("doc_id")
-        if len(sub) < 2:
+        # hot-bucket cap: a bucket of k docs emits C(k,2) pairs — templated /
+        # boilerplate-heavy corpora produce huge near-dup clusters, so pair
+        # emission is bounded (sorted doc list, first max_docs_per_bucket).
+        # The cluster-mode operator (minhash_dedup_clusters) is the scale
+        # path: it needs only chain edges, never the quadratic pair set.
+        docs = np.sort(group["doc_id"].unique())[:max_docs_per_bucket]
+        if len(docs) < 2:
             return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
                                  "doc_b": pd.Series(dtype=np.int64),
-                                 "est_jaccard_bp": pd.Series(dtype=np.int64)})
-        docs = sub["doc_id"].to_numpy()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in sub["sig"]]
-        rows = {"doc_a": [], "doc_b": [], "est_jaccard_bp": []}
-        for i in range(len(docs)):
-            for j in range(i + 1, len(docs)):
-                est = float(np.mean(sigs[i] == sigs[j]))
-                if est >= est_threshold:
-                    rows["doc_a"].append(docs[i])
-                    rows["doc_b"].append(docs[j])
-                    rows["est_jaccard_bp"].append(int(est * 10000))
+                                 "n_band_hits": pd.Series(dtype=np.int64)})
+        ia, ib = np.triu_indices(len(docs), 1)
         return pd.DataFrame(
-            {k: np.asarray(v, dtype=np.int64) for k, v in rows.items()}
+            {"doc_a": docs[ia], "doc_b": docs[ib],
+             "n_band_hits": np.ones(len(ia), dtype=np.int64)}
         )
 
-    pairs = sketches.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    def bucket_final(df: pd.DataFrame) -> pd.DataFrame:
+        # almost every (band, band_hash) group is a singleton — filter them
+        # out vectorized before the per-group Python pair loop
+        key = df["band"].astype(str) + "|" + df["band_hash"]
+        df = df.assign(_k=key)
+        sizes = df["_k"].map(df["_k"].value_counts())
+        df = df[sizes >= 2]
+        outs = [bucket_pairs(g) for _, g in df.groupby("_k")]
+        out = (pd.concat(outs, ignore_index=True) if outs
+               else bucket_pairs(df.drop(columns="_k")))
+        return out.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_band_hits=("n_band_hits", "sum")
+        )
+
+    pair_hits = bucketed_group_apply(
+        sketches, ["band", "band_hash"], lambda df: df, bucket_final
     )
-    # same pair can surface from several bands → dedup (bucketed shuffle)
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["doc_a", "doc_b"], as_index=False).agg(
-            est_jaccard_bp=("est_jaccard_bp", "min")
-        )
 
-    return grouped_aggregate(pairs, ["doc_a", "doc_b"], agg)
+    # total colliding bands per pair m → ĵ = (m/n_bands)^(1/r); no signature
+    # bytes ever cross the exchange (16×512B per doc saved at corpus scale)
+    rows_per_band = n_perm // n_bands
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_band_hits=("n_band_hits", "sum")
+        )
+        est = (g["n_band_hits"] / n_bands) ** (1.0 / rows_per_band)
+        g["est_jaccard_bp"] = (est * 10000).round().astype(np.int64)
+        return g
+
+    pairs = bucketed_group_apply(pair_hits, ["doc_a", "doc_b"], agg, agg)
+
+    def threshold(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["est_jaccard_bp"] >= int(est_threshold * 10000)][
+            ["doc_a", "doc_b", "est_jaccard_bp"]
+        ]
+
+    return pairs.map_batches(threshold, batch_format="pandas")
+
+
+def minhash_dedup_clusters(
+    ds: "ray.data.Dataset", n_perm: int = 128, n_bands: int = 8, shingle_k: int = 3,
+) -> pd.DataFrame:
+    """Cluster-mode MinHash dedup — the 100 TB-scale path.
+
+    Docs sharing any LSH band belong to one near-dup cluster. Instead of the
+    quadratic all-pairs set, each bucket emits a *chain* of k-1 edges
+    (sufficient for connected components), so edge volume is linear in the
+    band rows. Union-find assigns ``cluster_id = min(doc_id)``; the survivor
+    of each cluster is its minimum doc (hash-partition + per-group-first).
+
+    Returns (doc_id, cluster_id, keep) for every doc that belongs to a
+    non-singleton cluster; docs absent from the result are their own cluster.
+    """
+    sketches = _sketch_tasks(ds, n_perm, n_bands, shingle_k)
+
+    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["band"].astype(str) + "|" + df["band_hash"]
+        df = df.assign(_k=key)
+        sizes = df["_k"].map(df["_k"].value_counts())
+        sub = df[sizes >= 2]
+        if not len(sub):
+            return pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                                 "b": pd.Series(dtype=np.int64)})
+        sub = sub.sort_values(["_k", "doc_id"]).drop_duplicates(["_k", "doc_id"])
+        g = sub.groupby("_k")["doc_id"]
+        a = sub["doc_id"].to_numpy()
+        nxt = g.shift(-1).to_numpy()
+        mask = ~np.isnan(nxt)
+        return pd.DataFrame(
+            {"a": a[mask].astype(np.int64), "b": nxt[mask].astype(np.int64)}
+        ).drop_duplicates()
+
+    edges = bucketed_group_apply(
+        sketches, ["band", "band_hash"], lambda df: df, chain_edges
+    ).to_pandas()
+
+    # union-find on the (linear-size) chain-edge set
+    from .canonicalize import connected_components_driver
+
+    mapping = connected_components_driver(
+        (int(a), int(b)) for a, b in zip(edges["a"], edges["b"])
+    )
+    members = sorted(set(mapping) | set(mapping.values()))
+    rows = {
+        "doc_id": members,
+        "cluster_id": [mapping.get(d, d) for d in members],
+    }
+    out = pd.DataFrame(rows)
+    out["keep"] = out["doc_id"] == out["cluster_id"]
+    return out
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
@@ -222,10 +325,18 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
                     rows["hamming"].append(d)
         return pd.DataFrame({k: np.asarray(v, dtype=np.int64) for k, v in rows.items()})
 
-    pairs = (
-        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    def bucket_final(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["band"].astype(str) + "|" + df["band_val"].astype(str)
+        df = df.assign(_k=key)
+        sizes = df["_k"].map(df["_k"].value_counts())
+        sub = df[sizes >= 2]
+        outs = [bucket_pairs(g) for _, g in sub.groupby("_k")]
+        return (pd.concat(outs, ignore_index=True) if outs
+                else bucket_pairs(df.drop(columns="_k").head(0)))
+
+    pairs = bucketed_group_apply(
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True),
+        ["band", "band_val"], lambda df: df, bucket_final,
     )
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:
@@ -274,10 +385,16 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> "ray.data.Dataset":
                     rows["sim_e6"].append(int(round(sims[i, j] * 1e6)))
         return pd.DataFrame({k: np.asarray(v, dtype=np.int64) for k, v in rows.items()})
 
-    pairs = (
-        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+    def bucket_final(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df["bucket"].map(df["bucket"].value_counts())
+        sub = df[sizes >= 2]
+        outs = [bucket_pairs(g) for _, g in sub.groupby("bucket")]
+        return (pd.concat(outs, ignore_index=True) if outs
+                else bucket_pairs(df.head(0)))
+
+    pairs = bucketed_group_apply(
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"], lambda df: df, bucket_final,
     )
 
     def agg(df: pd.DataFrame) -> pd.DataFrame:

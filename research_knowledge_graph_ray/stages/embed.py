@@ -103,3 +103,20 @@ class DocEmbedder:
             "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
             "embedding": np.stack(out) if out else np.zeros((0, self.dim), np.float32),
         }
+
+
+_DOC_EMBEDDER_CACHE: dict = {}
+
+
+def embed_docs_tasks(docs, dim: int = DEFAULT_DIM, body_chars: int = 2000):
+    """Stateless-task twin of :class:`DocEmbedder` (per-process cache) — the
+    hashing embedder has no heavy state, so it runs on pre-started workers.
+    A real model-backed embedder should use the actor-pool class instead."""
+
+    def embed(batch):
+        key = (dim, body_chars)
+        if key not in _DOC_EMBEDDER_CACHE:
+            _DOC_EMBEDDER_CACHE[key] = DocEmbedder(dim, body_chars)
+        return _DOC_EMBEDDER_CACHE[key](batch)
+
+    return docs.map_batches(embed, batch_format="pyarrow", zero_copy_batch=True)

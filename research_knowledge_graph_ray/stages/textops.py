@@ -124,6 +124,10 @@ class LangId:
 
 
 def lang_id(sf_dir: str) -> "ray.data.Dataset":
+    import ray as _ray
+
+    n_cpus = int(_ray.cluster_resources().get("CPU", 4))
     return _read_docs(sf_dir).map_batches(
-        LangId, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        LangId, batch_format="pyarrow", zero_copy_batch=True,
+        concurrency=max(2, n_cpus // 2),
     )
