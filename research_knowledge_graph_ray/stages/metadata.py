@@ -76,8 +76,21 @@ class MetadataExtractor:
         )
 
 
-def extract_doc_meta(docs: "ray.data.Dataset", concurrency: int = 4) -> "ray.data.Dataset":
-    return docs.map_batches(
-        MetadataExtractor, batch_format="pyarrow", zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+_EXTRACTOR_CACHE: list = []
+
+
+def extract_doc_meta(docs: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Stateless-task metadata extraction (per-process extractor cache).
+
+    The deterministic extractor's only state is one compiled regex; an actor
+    pool would also risk starving the upstream read on small clusters when
+    the pool reserves every CPU. A model-backed extractor should use
+    ``map_batches(MetadataExtractor, concurrency=...)`` with a pool sized
+    below the cluster CPU count."""
+
+    def extract(batch: pa.Table) -> pa.Table:
+        if not _EXTRACTOR_CACHE:
+            _EXTRACTOR_CACHE.append(MetadataExtractor())
+        return _EXTRACTOR_CACHE[0](batch)
+
+    return docs.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
