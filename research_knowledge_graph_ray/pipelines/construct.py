@@ -113,6 +113,8 @@ def build_graph(
     extract_actor_pool: bool = False,
     embed_docs: bool = False,
     checkpoint_dir: str | None = None,
+    checkpoint_partitions: int = 8,
+    checkpoint_fingerprint: str = "",
 ) -> GraphResult:
     """Run the full construction pipeline over a span-document Dataset.
 
@@ -121,17 +123,26 @@ def build_graph(
     expressible in ANSI SQL. ``link=False`` skips cross-doc linking, mirroring
     the reference's ``--no-link`` toggle (src/main.py:70-71,138-141).
     """
-    validated = extract_validated(
-        docs, vocab=vocab, batch_size=extract_batch_size,
-        concurrency=extract_concurrency, use_actor_pool=extract_actor_pool,
-    )
-
     if checkpoint_dir is not None:
-        from ..state.checkpoint import checkpoint_dataset
+        # partition-level resumable extraction: completed partitions are
+        # never re-extracted (state/checkpoint.py)
+        from ..state.checkpoint import partitioned_stage_checkpoint
 
-        validated = checkpoint_dataset(validated, f"{checkpoint_dir}/validated")
+        validated = partitioned_stage_checkpoint(
+            docs,
+            lambda d: extract_validated(
+                d, vocab=vocab, batch_size=extract_batch_size,
+                concurrency=extract_concurrency, use_actor_pool=extract_actor_pool,
+            ),
+            f"{checkpoint_dir}/validated",
+            n_partitions=checkpoint_partitions,
+            fingerprint=checkpoint_fingerprint,
+        )
     else:
-        validated = validated.materialize()
+        validated = extract_validated(
+            docs, vocab=vocab, batch_size=extract_batch_size,
+            concurrency=extract_concurrency, use_actor_pool=extract_actor_pool,
+        ).materialize()
 
     mapping: dict = {}
     if entity_linking:

@@ -390,32 +390,51 @@ _PAD = 24
 _SEP = "\x1f"
 
 
+N_DOC_SALTS = 16
+
+
 def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     """NODES_SCHEMA table: per canonical node — type, min display label, n_docs.
 
-    Single bucketed shuffle on node_id: batches pre-shrink to distinct
-    (node_id, doc_id) with per-pair min label/type; the final per-bucket pass
-    counts distinct docs exactly (all rows of a node share its bucket)."""
+    Salted two-phase aggregation (explicit hot-key handling): a domain-hot
+    entity is mentioned by a large fraction of all docs, and its distinct
+    (node_id, doc_id) rows cannot be combined below one-row-per-doc — a
+    single-key exchange would funnel them all into one reduce bucket.
+    Phase 1 exchanges on (node_id, salt=hash(doc_id)%S): the doc space is
+    partitioned by the salt, so per-salt distinct-doc counts are disjoint and
+    sum exactly. Phase 2 exchanges the ~|nodes|×S partials on node_id alone.
+    """
 
-    def partial(t: pa.Table) -> pa.Table:
+    def partial1(t: pa.Table) -> pa.Table:
+        from .shuffle import _col_hash
+
         ex = _explode_endpoints(t, with_doc=True)
+        salt_np = (_col_hash(ex["doc_id"]) % np.uint64(N_DOC_SALTS)).astype(np.int64)
+        ex = ex.append_column("salt", pa.array(salt_np, type=pa.int64()))
         return arrow_group_agg(
-            ex, ["node_id", "doc_id"], [("node_type", "min"), ("label", "min")]
+            ex, ["node_id", "doc_id", "salt"], [("node_type", "min"), ("label", "min")]
         )
 
-    def final(t: pa.Table) -> pa.Table:
+    def final1(t: pa.Table) -> pa.Table:
         per_doc = arrow_group_agg(
-            t, ["node_id", "doc_id"], [("node_type", "min"), ("label", "min")]
+            t, ["node_id", "doc_id", "salt"], [("node_type", "min"), ("label", "min")]
         )
         agg = arrow_group_agg(
-            per_doc, ["node_id"],
+            per_doc, ["node_id", "salt"],
             [("node_type", "min"), ("label", "min"), ("doc_id", "count")],
         )
-        return agg.rename_columns(
-            ["node_id", "node_type", "label", "n_docs"]
-        )
+        return agg.rename_columns(["node_id", "salt", "node_type", "label", "n_docs"])
 
-    agg = hash_exchange_apply(validated, ["node_id"], partial, final)
+    per_salt = hash_exchange_apply(validated, ["node_id", "salt"], partial1, final1)
+
+    def combine(t: pa.Table) -> pa.Table:
+        agg = arrow_group_agg(
+            t, ["node_id"],
+            [("node_type", "min"), ("label", "min"), ("n_docs", "sum")],
+        )
+        return agg.rename_columns(["node_id", "node_type", "label", "n_docs"])
+
+    agg = hash_exchange_apply(per_salt, ["node_id"], combine, combine)
 
     def finalize(batch: pa.Table) -> pa.Table:
         n = batch.num_rows

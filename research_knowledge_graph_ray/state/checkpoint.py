@@ -21,6 +21,7 @@ import os
 import shutil
 
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray.data
 
@@ -78,8 +79,6 @@ def checkpoint_dataset(
 
     # per-partition lineage: rows per partition directory
     partitions: dict[str, int] = {}
-    import pyarrow.parquet as pq
-
     for root, _dirs, files in os.walk(tmp):
         for fn in files:
             if fn.endswith(".parquet"):
@@ -107,3 +106,90 @@ def checkpoint_dataset(
 def completed_partitions(ckpt_dir: str) -> set[str]:
     man = load_manifest(ckpt_dir)
     return set((man or {}).get("partitions", {}))
+
+
+# ---------------------------------------------------------------------------
+# Partition-level resumable stage execution
+# ---------------------------------------------------------------------------
+
+PART_MANIFEST = "_PART.json"
+
+
+def _part_dir(ckpt_dir: str, k: int) -> str:
+    return os.path.join(ckpt_dir, f"part={k}")
+
+
+def _doc_partition_filter(batch: pa.Table, k: int, n_partitions: int,
+                          key: str = "doc_id") -> pa.Table:
+    import zlib
+
+    keep = [
+        zlib.crc32(str(v).encode("utf-8")) % n_partitions == k
+        for v in batch[key].to_pylist()
+    ]
+    return batch.filter(pa.array(keep))
+
+
+def partitioned_stage_checkpoint(
+    docs: "ray.data.Dataset",
+    stage_fn,
+    ckpt_dir: str,
+    n_partitions: int = 8,
+    fingerprint: str = "",
+) -> "ray.data.Dataset":
+    """Run ``stage_fn`` (Dataset → Dataset) per input-hash partition with
+    per-partition atomic checkpoints — the mid-pipeline resume story.
+
+    Each partition k filters the input to ``hash(doc_id) % n == k``, runs the
+    stage, and lands its output in ``part=k`` via write-to-tmp + rename with a
+    ``_PART.json`` lineage record (fingerprint, rows). A resumed run SKIPS
+    completed partitions entirely — the expensive stage (at production scale:
+    LLM extraction) is never re-paid for finished work, mirroring but
+    strengthening the reference's idempotent-upsert resume
+    (reference: src/db/repository.py:36-43 — which re-pays every LLM call).
+
+    Granularity tradeoff: each partition is its own execution (scheduling
+    overhead × n_partitions) and re-scans the input (reads are cheap relative
+    to the stage at scale).
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    for k in range(n_partitions):
+        pdir = _part_dir(ckpt_dir, k)
+        pman = os.path.join(pdir, PART_MANIFEST)
+        if os.path.exists(pman):
+            try:
+                with open(pman) as f:
+                    if json.load(f).get("fingerprint") == fingerprint:
+                        continue  # completed — skip without recompute
+            except (OSError, json.JSONDecodeError):
+                pass
+            shutil.rmtree(pdir, ignore_errors=True)
+
+        sub = docs.map_batches(
+            lambda b, k=k: _doc_partition_filter(b, k, n_partitions),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        out = stage_fn(sub)
+        tmp = pdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out.write_parquet(tmp)
+        rows = sum(
+            pq.ParquetFile(os.path.join(tmp, fn)).metadata.num_rows
+            for fn in os.listdir(tmp) if fn.endswith(".parquet")
+        )
+        os.replace(tmp, pdir)
+        with open(os.path.join(pdir, PART_MANIFEST), "w") as f:
+            json.dump({"fingerprint": fingerprint, "rows": rows, "partition": k}, f)
+
+    with open(manifest_path(ckpt_dir), "w") as f:
+        parts = {}
+        for k in range(n_partitions):
+            with open(os.path.join(_part_dir(ckpt_dir, k), PART_MANIFEST)) as pf:
+                parts[str(k)] = json.load(pf)["rows"]
+        json.dump(
+            {"fingerprint": fingerprint, "complete": True,
+             "n_partitions": n_partitions, "partitions": parts,
+             "total_rows": sum(parts.values())},
+            f, indent=1,
+        )
+    return ray.data.read_parquet(ckpt_dir, file_extensions=["parquet"])
