@@ -18,7 +18,7 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Sum
 
 from ..functions.ids import md5_np, paper_node_id
 from ..sources.adapter import read_flat_documents_as_spans

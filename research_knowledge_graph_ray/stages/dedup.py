@@ -144,8 +144,8 @@ def minhash_candidate_pairs_ds(
     est_threshold: float = 0.5, max_docs_per_bucket: int = 256,
 ) -> "ray.data.Dataset":
     """(doc_a, doc_b, est_jaccard_bp) — near-dup candidates via banded LSH,
-    scored by signature agreement (basis points). Deterministic.
-    ``ds`` must have (doc_id:int64, text) columns."""
+    similarity estimated from band-collision counts (ĵ = (m/b)^(1/r), basis
+    points). Deterministic. ``ds`` must have (doc_id:int64, text) columns."""
     sketches = _sketch_tasks(ds, n_perm, n_bands, shingle_k)
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:

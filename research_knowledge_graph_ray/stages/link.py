@@ -23,7 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-import ray.data
+import ray.data  # noqa: F401 — Dataset type in signatures
 
 from ..functions.ids import paper_node_id
 from ..schemas import EDGES_SCHEMA

@@ -18,8 +18,7 @@ import ray.data
 
 
 def _load_query_vec(sf_dir: str, query_vec_id: int) -> np.ndarray:
-    import pyarrow.compute as pc
-
+    
     t = pq.read_table(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
         filters=[("vec_id", "=", query_vec_id)],
