@@ -6,8 +6,16 @@ calls ``ray.init()`` / ``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# the package lives beside this file; make it importable regardless of the
+# driver's working directory (Ray propagates sys.path to workers)
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def entry() -> Any:
