@@ -185,3 +185,14 @@ QUERIES: dict = {
     "orders_by_month": (relational.orders_by_month, relational.ORDERS_BY_MONTH_SQL),
     "events_hourly": (relational.events_hourly, relational.EVENTS_HOURLY_SQL),
 }
+
+# windowed / join operators (registered after module init to avoid cycles)
+from . import windows  # noqa: E402
+
+QUERIES.update(
+    {
+        "events_sessions": (windows.events_sessions, windows.EVENTS_SESSIONS_SQL),
+        "events_latest_order": (windows.events_latest_order, windows.EVENTS_LATEST_ORDER_SQL),
+        "customer_order_totals": (windows.customer_order_totals, windows.CUSTOMER_ORDER_TOTALS_SQL),
+    }
+)

@@ -1,0 +1,170 @@
+"""Windowed / ordered-log operators over the events table.
+
+Ray Data has no event-time windows; window semantics are expressed as
+partition-by-key + sort-within-partition, per the guide: tumbling windows are
+a floored-timestamp groupby (relational.events_hourly), session windows are a
+per-key cumulative-gap scan, and as-of enrichment is a partitioned merge_asof
+(stages/join.py). Each has an exact DuckDB oracle (window functions /
+ASOF JOIN)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..stages.join import asof_join, hash_join
+from ..stages.shuffle import bucketed_group_apply
+
+SESSION_GAP_MIN = 60
+
+
+def events_sessions(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> "ray.data.Dataset":
+    """Session windows per user: a new session starts when the gap to the
+    previous event exceeds ``gap_minutes``. Output one row per session:
+    (user_id, session_id, n_events, start_us, end_us).
+
+    Ordering assumption: events sort by (ts, event_id) within each user —
+    stated per the guide; the DuckDB oracle uses the same window order."""
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+    gap = np.timedelta64(gap_minutes, "m")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for uid, g in df.groupby("user_id"):
+            g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
+            sid = brk.cumsum().astype(np.int64)
+            agg = g.assign(session_id=sid).groupby("session_id").agg(
+                n_events=("event_id", "size"), start=("ts", "min"), end=("ts", "max")
+            ).reset_index()
+            agg.insert(0, "user_id", np.int64(uid))
+            out.append(agg)
+        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+            columns=["user_id", "session_id", "n_events", "start", "end"])
+        return pd.DataFrame(
+            {
+                "user_id": res["user_id"].astype(np.int64),
+                "session_id": res["session_id"].astype(np.int64),
+                "n_events": res["n_events"].astype(np.int64),
+                "start_us": res["start"].astype("datetime64[us]").astype(np.int64),
+                "end_us": res["end"].astype("datetime64[us]").astype(np.int64),
+            }
+        )
+
+    # identity partial: the session scan needs every row of a user together
+    return bucketed_group_apply(ev, ["user_id"], lambda df: df, final, n_buckets=8)
+
+
+EVENTS_SESSIONS_SQL = f"""
+WITH x AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTES
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM x)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+FROM s GROUP BY user_id, sid
+"""
+
+
+def events_latest_order(sf_dir: str) -> "ray.data.Dataset":
+    """As-of enrichment: each event joined to the user's most recent order at
+    or before the event time (inner). Exercises the partitioned merge_asof."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    # determinism: one order per (custkey, date) — keep max orderkey
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["o_custkey", "o_orderdate"], as_index=False).agg(
+            o_orderkey=("o_orderkey", "max"))
+
+    orders_u = bucketed_group_apply(orders, ["o_custkey"], dedup, dedup, n_buckets=8)
+
+    out = asof_join(
+        ev, orders_u,
+        by_left="user_id", by_right="o_custkey",
+        ts_left="ts", ts_right="o_orderdate",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["o_custkey", "o_orderdate", "o_orderkey"],
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype(np.int64),
+                "user_id": df["user_id"].astype(np.int64),
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+EVENTS_LATEST_ORDER_SQL = """
+WITH o AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, o.o_orderkey
+FROM events e
+ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def customer_order_totals(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer as a two-sided partitioned hash join (no broadcast),
+    then per-customer totals — the both-sides-large join pattern."""
+    import pyarrow.compute as pc
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
+             .cast(pa.int64()).to_numpy()}
+        )
+
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_name"])
+    joined = hash_join(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        customers,
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_custkey", "cents"], right_cols=["c_custkey", "c_name"],
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" in df.columns:  # partial pass over joined rows
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("cents", "size"), total_cents=("cents", "sum"))
+        else:  # final combine over partials
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+        for c in ("c_custkey", "n_orders", "total_cents"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(joined, ["c_custkey"], agg, agg, n_buckets=8)
+
+
+CUSTOMER_ORDER_TOTALS_SQL = """
+SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+"""
