@@ -10,8 +10,6 @@ as its groupby (per-row Python accumulation).
 
 from __future__ import annotations
 
-from typing import Callable
-
 import pandas as pd
 
 import ray.data
