@@ -12,6 +12,16 @@ engine/oracle match validates the Ray plumbing.
 
 Triple P/R vs this oracle is the gate (BASELINE.json: P/R ≥ 0.95; exact match
 expected for the deterministic extractor).
+
+Documented deviations from reference quirks (applied consistently in BOTH the
+engine and this oracle, so the emitted triple set is unaffected):
+- ``task`` entities are normalized like every other type. The reference's
+  validation pass accidentally omits tasks (src/agents/validation_agent.py:47-54
+  rebuilds the result without them), so raw task labels reach the DB and
+  case-variants create distinct nodes there. Normalizing them is the
+  order-free, strictly-more-deduplicated behavior (SURVEY.md §7.5 item 7).
+- first-writer-wins merges (ingestion-order dependent) are replaced by
+  deterministic min-tiebreaks; see stages/canonicalize.py.
 """
 
 from __future__ import annotations
