@@ -124,3 +124,22 @@ MENTIONS_SCHEMA = pa.schema(
         ("node_id", pa.string()),
     ]
 )
+
+
+def flatten_spans(batch):
+    """(doc-count, flat span fields, rebased offsets) for a span batch.
+
+    Handles chunked and plain/sliced list arrays: ``ListArray.offsets`` are
+    *physical* (not rebased) on sliced arrays while ``flatten()`` returns only
+    the referenced values, so offsets are rebased to the flattened values.
+    """
+    import pyarrow as _pa
+
+    spans = batch["spans"]
+    if isinstance(spans, _pa.ChunkedArray):
+        spans = spans.combine_chunks()
+    flat = spans.flatten()
+    offs = spans.offsets.to_pylist()
+    base = offs[0]
+    offs = [o - base for o in offs]
+    return flat, offs

@@ -314,6 +314,8 @@ def compute_canonical_mapping_from_validated(
     except ValueError:
         return compute_canonical_mapping(distinct_entities_ds(validated), alias_key_map,
                                          tau=tau, dim=dim)
+    if len(pdf) == 0:
+        return {}
     ents = pdf.groupby("node_id", as_index=False).agg(
         node_type=("node_type", "min"), label=("label", "min")
     )

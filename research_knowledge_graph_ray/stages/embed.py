@@ -80,13 +80,11 @@ class DocEmbedder:
         self.body_chars = body_chars
 
     def __call__(self, batch: pa.Table) -> dict:
-        spans = batch["spans"]
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = spans.flatten()
+        from ..schemas import flatten_spans
+
+        flat, offsets = flatten_spans(batch)
         kinds = flat.field("kind").to_pylist()
         texts = flat.field("text").to_pylist()
-        offsets = spans.offsets.to_pylist()
         out = []
         for i in range(batch.num_rows):
             title, abstract, body = [], [], []

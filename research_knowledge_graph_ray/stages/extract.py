@@ -148,13 +148,11 @@ def _doc_texts_from_batch(batch: pa.Table) -> tuple[list[str], list[str]]:
     Works directly on Arrow buffers (no pandas — nested lists must not round-trip
     through object dtype). Span order is the list order, which is preserved.
     """
+    from ..schemas import flatten_spans
+
     doc_ids = batch["doc_id"].to_pylist()
-    spans = batch["spans"]
-    if isinstance(spans, pa.ChunkedArray):
-        spans = spans.combine_chunks()
-    flat = spans.flatten()  # StructArray of all spans in row order
+    flat, offsets = flatten_spans(batch)
     texts = flat.field("text").to_pylist()
-    offsets = spans.offsets.to_pylist()
     joined = [
         "\n".join(texts[offsets[i] : offsets[i + 1]]) for i in range(len(doc_ids))
     ]

@@ -36,14 +36,12 @@ class MetadataExtractor:
         self.byline = re.compile(r"Authored by ([^.]+)\.")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        spans = batch["spans"]
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = spans.flatten()
+        from ..schemas import flatten_spans
+
+        flat, offsets = flatten_spans(batch)
         kinds = flat.field("kind").to_pylist()
         texts = flat.field("text").to_pylist()
         refs = flat.field("media_ref").to_pylist()
-        offsets = spans.offsets.to_pylist()
         out = {k: [] for k in ("doc_id", "title", "abstract", "authors",
                                "n_spans", "n_media", "n_chars")}
         for i, doc_id in enumerate(batch["doc_id"].to_pylist()):

@@ -40,14 +40,12 @@ def media_inventory(docs: "ray.data.Dataset") -> "ray.data.Dataset":
     via map_batches returning more rows than input)."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        spans = batch["spans"]
-        if isinstance(spans, pa.ChunkedArray):
-            spans = spans.combine_chunks()
-        flat = spans.flatten()
+        from ..schemas import flatten_spans
+
+        flat, offsets = flatten_spans(batch)
         kinds = flat.field("kind").to_pylist()
         texts = flat.field("text").to_pylist()
         refs = flat.field("media_ref").to_pylist()
-        offsets = spans.offsets.to_pylist()
         doc_ids = batch["doc_id"].to_pylist()
         rows = {k: [] for k in ("doc_id", "media_ref", "kind", "span_index", "caption")}
         for i, did in enumerate(doc_ids):
