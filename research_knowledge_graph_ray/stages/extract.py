@@ -168,6 +168,25 @@ def records_to_table(records: list[tuple]) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=RECORDS_SCHEMA)
 
 
+def _extract_degrading(doc_ids, texts, mention_res, triple_res) -> list[tuple]:
+    """Per-doc extraction with the reference's degrade-don't-die semantics:
+    a document whose extraction raises yields a single status record
+    (``pred='EXTRACTION_FAILED'``) instead of killing the batch/pipeline
+    (reference: per-paper try/except continue at src/main.py:132-134, empty
+    result on LLM failure at src/agents/entity_extraction_agent.py:179-182).
+    Failure rows survive validation, so they are queryable provenance."""
+    records: list[tuple] = []
+    for doc_id, text in zip(doc_ids, texts):
+        try:
+            records.extend(extract_doc_records(doc_id, text, mention_res, triple_res))
+        except Exception as exc:  # noqa: BLE001 — mirror reference tolerance
+            records.append(
+                (doc_id, "paper", doc_id, "EXTRACTION_FAILED", "status",
+                 type(exc).__name__, 0.0, "extractor-error", str(exc)[:200])
+            )
+    return records
+
+
 class TripleExtractor:
     """Actor-pool extraction stage: span docs batch → RECORDS_SCHEMA batch.
 
@@ -187,12 +206,9 @@ class TripleExtractor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids, texts = _doc_texts_from_batch(batch)
-        records: list[tuple] = []
-        for doc_id, text in zip(doc_ids, texts):
-            records.extend(
-                extract_doc_records(doc_id, text, self.mention_res, self.triple_res)
-            )
-        return records_to_table(records)
+        return records_to_table(
+            _extract_degrading(doc_ids, texts, self.mention_res, self.triple_res)
+        )
 
 
 _PATTERN_CACHE: dict = {}
@@ -206,7 +222,4 @@ def extract_batch(batch: pa.Table, vocab_key: str = "default",
         _PATTERN_CACHE[vocab_key] = compile_patterns(vocab)
     mention_res, triple_res = _PATTERN_CACHE[vocab_key]
     doc_ids, texts = _doc_texts_from_batch(batch)
-    records: list[tuple] = []
-    for doc_id, text in zip(doc_ids, texts):
-        records.extend(extract_doc_records(doc_id, text, mention_res, triple_res))
-    return records_to_table(records)
+    return records_to_table(_extract_degrading(doc_ids, texts, mention_res, triple_res))

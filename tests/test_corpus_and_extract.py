@@ -113,3 +113,21 @@ def test_spans_roundtrip_through_ray(tmp_path):
         sa = [(s["kind"], s["text"], s["media_ref"]) for s in a["spans"]]
         sb = [(s["kind"], s["text"], s["media_ref"]) for s in b["spans"]]
         assert sa == sb
+
+
+def test_extraction_degrades_per_doc_not_per_batch():
+    """A poisoned document yields a status record; the rest of the batch
+    extracts normally (reference degrade-don't-die semantics)."""
+    from research_knowledge_graph_ray.stages.extract import (
+        _extract_degrading,
+        compile_patterns,
+    )
+
+    mres, tres = compile_patterns()
+    ids = ["ok-1", "bad", "ok-2"]
+    texts = ["NeRF uses DTU.", None, "Plenoxels achieves strong PSNR."]  # None → TypeError
+    records = _extract_degrading(ids, texts, mres, tres)
+    failed = [r for r in records if r[3] == "EXTRACTION_FAILED"]
+    assert len(failed) == 1 and failed[0][0] == "bad"
+    ok_docs = {r[0] for r in records if r[3] != "EXTRACTION_FAILED"}
+    assert ok_docs == {"ok-1", "ok-2"}
