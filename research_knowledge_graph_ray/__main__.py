@@ -1,0 +1,177 @@
+"""CLI mirroring the reference's entry points (src/main.py: ingest/query/visualize).
+
+Usage:
+    python -m research_knowledge_graph_ray ingest <input> --out DIR [--no-link]
+        [--no-entity-linking] [--embed] [--checkpoint DIR] [--json|--text|--synthetic N]
+    python -m research_knowledge_graph_ray query <out_dir> <kind> [--doc DOC_ID] [--k K]
+        kinds: nodes | edges | improvements | concepts | datasets | metrics |
+               similar | subgraph | top-entities | ask "<question>"
+    python -m research_knowledge_graph_ray visualize <out_dir> --html PATH [--limit N]
+
+The CLI owns its Ray session (scripts only — library code never calls
+ray.init, per the driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0") or 0) or None,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_ingest(args) -> int:
+    _init_ray()
+    import ray.data
+
+    from .pipelines.construct import build_graph
+    from .sources.adapter import read_flat_documents_as_spans
+    from .sources.corpus import generate_documents
+    from .sources.files import read_json_corpus, read_text_corpus
+
+    if args.synthetic:
+        docs = ray.data.from_arrow(generate_documents(args.synthetic, seed=42))
+    elif args.json:
+        docs = read_json_corpus(args.input)
+    elif args.text:
+        docs = read_text_corpus([args.input])
+    elif os.path.isdir(args.input) or args.input.endswith(".parquet"):
+        # parquet span table, or a flat documents table lifted via the adapter
+        ds = ray.data.read_parquet(args.input)
+        if "spans" in [f for f in ds.schema().names]:
+            docs = ds
+        else:
+            docs = read_flat_documents_as_spans(os.path.dirname(args.input) or ".")
+    else:
+        print(f"unrecognized input: {args.input}", file=sys.stderr)
+        return 2
+
+    res = build_graph(
+        docs,
+        link=not args.no_link,
+        entity_linking=not args.no_entity_linking,
+        embed_docs=args.embed,
+        checkpoint_dir=args.checkpoint,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    res.nodes.write_parquet(os.path.join(args.out, "nodes"))
+    res.edges.write_parquet(os.path.join(args.out, "edges"))
+    n_nodes = res.nodes.count()
+    n_edges = res.edges.count()
+    if res.embeddings is not None:
+        print(f"embeddings: {res.embeddings.count()}")
+    print(f"ingested: {n_nodes} nodes, {n_edges} edges -> {args.out}")
+    return 0
+
+
+def _load_graph(out_dir: str):
+    import ray.data
+
+    return (ray.data.read_parquet(os.path.join(out_dir, "nodes")),
+            ray.data.read_parquet(os.path.join(out_dir, "edges")))
+
+
+def cmd_query(args) -> int:
+    _init_ray()
+    from .pipelines import graphquery as gq
+
+    nodes, edges = _load_graph(args.out_dir)
+    kind = args.kind
+    if kind == "nodes":
+        print(nodes.to_pandas().head(args.k).to_string())
+    elif kind == "edges":
+        print(edges.to_pandas().head(args.k).to_string())
+    elif kind == "top-entities":
+        df = nodes.to_pandas().sort_values(["n_docs", "label"], ascending=[False, True])
+        print(df[df["node_type"] != "paper"].head(args.k).to_string())
+    elif kind in ("concepts", "datasets", "metrics"):
+        if not args.doc:
+            print("--doc required", file=sys.stderr)
+            return 2
+        print(gq.doc_neighbors_of_type(edges, nodes, args.doc, kind[:-1]).to_string())
+    elif kind == "improvements":
+        print(gq.doc_improvements(edges, args.doc).to_string())
+    elif kind == "similar":
+        print(sorted(gq.similar_docs(edges, args.doc)))
+    elif kind == "subgraph":
+        from .functions.ids import paper_node_id
+
+        print(gq.bfs_subgraph(edges, paper_node_id(args.doc), max_depth=2).to_string())
+    elif kind == "ask":
+        import ray.data
+
+        # retrieval over the original corpus is needed; fall back to nodes labels
+        print("top labels matching:",
+              [l for l in nodes.to_pandas()["label"] if args.doc and args.doc.lower() in l.lower()][:10])
+    else:
+        print(f"unknown query kind: {kind}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_visualize(args) -> int:
+    _init_ray()
+    from .pipelines.viz import graph_to_html
+
+    nodes, edges = _load_graph(args.out_dir)
+    path = graph_to_html(
+        nodes.to_pandas().to_dict("records"),
+        edges.to_pandas().to_dict("records"),
+        args.html, max_nodes=args.limit,
+    )
+    print(f"wrote {path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="research_knowledge_graph_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest")
+    pi.add_argument("input", nargs="?", default="")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--no-link", action="store_true")
+    pi.add_argument("--no-entity-linking", action="store_true")
+    pi.add_argument("--embed", action="store_true")
+    pi.add_argument("--checkpoint", default=None)
+    pi.add_argument("--json", action="store_true", help="input is JSON paper dicts")
+    pi.add_argument("--text", action="store_true", help="input is a text file")
+    pi.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs")
+    pi.set_defaults(fn=cmd_ingest)
+
+    pq = sub.add_parser("query")
+    pq.add_argument("out_dir")
+    pq.add_argument("kind")
+    pq.add_argument("--doc", default="")
+    pq.add_argument("--k", type=int, default=20)
+    pq.set_defaults(fn=cmd_query)
+
+    pv = sub.add_parser("visualize")
+    pv.add_argument("out_dir")
+    pv.add_argument("--html", required=True)
+    pv.add_argument("--limit", type=int, default=300)
+    pv.set_defaults(fn=cmd_visualize)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
