@@ -91,7 +91,7 @@ def run_bench() -> dict:
     clusters = minhash_dedup_clusters(
         docs.map_batches(flat_view, batch_format="pyarrow", zero_copy_batch=True)
     )
-    n_dup_docs = int(len(clusters))
+    n_dup_docs = int(clusters.count())
     res = build_graph(docs, entity_linking=True, link=True, embed_docs=True)
     n_edges = res.edges.count()
     n_nodes = res.nodes.count()

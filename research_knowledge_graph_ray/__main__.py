@@ -58,12 +58,21 @@ def cmd_ingest(args) -> int:
         print(f"unrecognized input: {args.input}", file=sys.stderr)
         return 2
 
+    # checkpoint fingerprint identifies the INPUT: a re-run against the same
+    # checkpoint dir with different input must invalidate, not silently skip
+    fingerprint = ""
+    if args.checkpoint:
+        mode = ("synthetic" if args.synthetic else "json" if args.json
+                else "text" if args.text else "parquet")
+        fingerprint = f"{mode}:{args.input or args.synthetic}:{docs.count()}"
+
     res = build_graph(
         docs,
         link=not args.no_link,
         entity_linking=not args.no_entity_linking,
         embed_docs=args.embed,
         checkpoint_dir=args.checkpoint,
+        checkpoint_fingerprint=fingerprint,
     )
     os.makedirs(args.out, exist_ok=True)
     res.nodes.write_parquet(os.path.join(args.out, "nodes"))

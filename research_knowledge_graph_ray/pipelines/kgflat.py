@@ -16,6 +16,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Sum
@@ -217,14 +218,18 @@ def graph_edges(sf_dir: str) -> "ray.data.Dataset":
         read_flat_documents_as_spans(sf_dir),
         vocab=KG_FLAT_VOCAB, aliases={}, entity_linking=False, link=False,
     )
-    label_map = dict(zip(*[res.nodes.to_pandas()[c] for c in ("node_id", "label")]))
+    # broadcast ONLY entity labels (vocabulary-bound, O(|vocab|)); the nodes
+    # table also holds one paper node per document — O(corpus) — whose label
+    # is the doc_id by construction, so paper src labels derive from the
+    # edge's own doc_id column instead of shipping a corpus-sized dict
+    label_map = entity_label_map(res.nodes)
     ref = ray.put(label_map)
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
         return pd.DataFrame(
             {
-                "src_label": df["src_id"].map(m),
+                "src_label": df["doc_id"].astype(str),
                 "dst_label": df["dst_id"].map(m),
                 "edge_type": df["edge_type"],
                 "doc_id": df["doc_id"],
@@ -232,6 +237,16 @@ def graph_edges(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return res.edges.map_batches(project, batch_format="pandas")
+
+
+def entity_label_map(nodes: "ray.data.Dataset") -> dict:
+    """{node_id: label} for NON-paper nodes only (the broadcastable side)."""
+    pdf = nodes.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t["node_type"], "paper"))).select(
+            ["node_id", "label"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).to_pandas()
+    return dict(zip(pdf["node_id"], pdf["label"]))
 
 
 def cross_doc_edges(sf_dir: str, max_doc_id: int = 150) -> "ray.data.Dataset":

@@ -34,25 +34,33 @@ def events_sessions(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN) -> "ray.dat
     gap = np.timedelta64(gap_minutes, "m")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for uid, g in df.groupby("user_id"):
-            g = g.sort_values(["ts", "event_id"]).reset_index(drop=True)
-            brk = (g["ts"].diff() > gap) | g["ts"].diff().isna()
-            sid = brk.cumsum().astype(np.int64)
-            agg = g.assign(session_id=sid).groupby("session_id").agg(
-                n_events=("event_id", "size"), start=("ts", "min"), end=("ts", "max")
-            ).reset_index()
-            agg.insert(0, "user_id", np.int64(uid))
-            out.append(agg)
-        res = pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-            columns=["user_id", "session_id", "n_events", "start", "end"])
+        # fully vectorized sessionization: one sort of the whole bucket, then
+        # diff + user-change mask + cumsum — no per-user Python loop
+        if not len(df):
+            return pd.DataFrame(
+                {"user_id": pd.Series(dtype=np.int64),
+                 "session_id": pd.Series(dtype=np.int64),
+                 "n_events": pd.Series(dtype=np.int64),
+                 "start_us": pd.Series(dtype=np.int64),
+                 "end_us": pd.Series(dtype=np.int64)}
+            )
+        df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        brk = new_user | (df["ts"].diff() > gap)
+        sid = brk.groupby(df["user_id"].to_numpy()).cumsum().astype(np.int64)
+        agg = (
+            df.assign(_g=brk.cumsum(), session_id=sid)
+            .groupby("_g", sort=False)
+            .agg(user_id=("user_id", "first"), session_id=("session_id", "first"),
+                 n_events=("event_id", "size"), start=("ts", "min"), end=("ts", "max"))
+        )
         return pd.DataFrame(
             {
-                "user_id": res["user_id"].astype(np.int64),
-                "session_id": res["session_id"].astype(np.int64),
-                "n_events": res["n_events"].astype(np.int64),
-                "start_us": res["start"].astype("datetime64[us]").astype(np.int64),
-                "end_us": res["end"].astype("datetime64[us]").astype(np.int64),
+                "user_id": agg["user_id"].to_numpy().astype(np.int64),
+                "session_id": agg["session_id"].to_numpy(),
+                "n_events": agg["n_events"].to_numpy().astype(np.int64),
+                "start_us": agg["start"].astype("datetime64[us]").astype(np.int64).to_numpy(),
+                "end_us": agg["end"].astype("datetime64[us]").astype(np.int64).to_numpy(),
             }
         )
 

@@ -165,6 +165,9 @@ class LshBucketEmitter:
         return pd.DataFrame(rows)
 
 
+_LSH_EMITTER_CACHE: dict = {}
+
+
 def coref_edges_ds(
     entities: "ray.data.Dataset",
     alias_key_map: dict,
@@ -197,8 +200,16 @@ def coref_edges_ds(
         )
         return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
 
+    # trivial-state stage (plane matrix only) → stateless task with a
+    # per-worker-process cache, like the other deterministic stages; a fixed
+    # actor-pool size would throttle a pure-CPU stage on big machines
+    def emit_buckets(batch: pa.Table) -> pd.DataFrame:
+        if dim not in _LSH_EMITTER_CACHE:
+            _LSH_EMITTER_CACHE[dim] = LshBucketEmitter(dim)
+        return _LSH_EMITTER_CACHE[dim](batch)
+
     lsh_edges = (
-        entities.map_batches(LshBucketEmitter, batch_format="pyarrow", concurrency=2)
+        entities.map_batches(emit_buckets, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
@@ -234,55 +245,124 @@ def connected_components_driver(edges: Iterable[tuple[str, str]]) -> dict[str, s
     return {x: find(x) for x in list(parent) if find(x) != x}
 
 
+def connected_components_ds(
+    edges_ds: "ray.data.Dataset", max_iters: int = 16
+) -> "ray.data.Dataset":
+    """Fully distributed connected components: ``(node, label)`` Dataset with
+    ``label = min node id of the component`` — the 100 TB-scale path.
+
+    Neither the edge set nor the label table ever lands on the driver: each
+    min-label-propagation round is two hash-partitioned exchanges —
+    (1) labels join onto the symmetrized edges keyed on the label-owner
+    endpoint, emitting ``(x, label(y))`` candidates; (2) groupby-min on x
+    merges candidates with current labels. Convergence is detected by a
+    driver-side *scalar* checksum aggregate (sum of row hashes), never by
+    materializing labels. Works for string or integer node ids.
+
+    Partitioning assumption: converges in O(component diameter) rounds —
+    upstream edge generation should emit *star* topologies per bucket
+    (see :func:`~..stages.dedup.minhash_dedup_clusters`), keeping diameters
+    at O(#overlapping buckets), not O(cluster size).
+    """
+    from .shuffle import bucketed_group_apply
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"x": pd.concat([df["a"], df["b"]], ignore_index=True),
+             "y": pd.concat([df["b"], df["a"]], ignore_index=True)}
+        ).drop_duplicates()
+
+    sym = edges_ds.map_batches(symmetrize, batch_format="pandas").materialize()
+
+    # initial labels: label(x) = min(x, min neighbor) in one exchange
+    def min_nb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("x", as_index=False).agg(y=("y", "min"))
+
+    labels = bucketed_group_apply(sym, ["x"], min_nb, min_nb).map_batches(
+        lambda df: pd.DataFrame({"node": df["x"], "label": df[["x", "y"]].min(axis=1)}),
+        batch_format="pandas",
+    ).materialize()
+
+    def checksum(ds: "ray.data.Dataset") -> int:
+        import zlib
+
+        def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+            s = (df["node"].astype(str) + ":" + df["label"].astype(str)).map(
+                lambda v: zlib.crc32(v.encode())
+            )
+            return pd.DataFrame({"h": [np.int64(s.sum() & 0x7FFFFFFFFFFF)]})
+
+        return int(ds.map_batches(hash_rows, batch_format="pandas").sum("h") or 0)
+
+    prev_sum = checksum(labels)
+    for _ in range(max_iters):
+        # one exchange keyed on the label OWNER: edge rows (k=y, x=x) meet
+        # label rows (k=node, label); each bucket joins locally and emits
+        # (x, label(y)) candidates. Side is tagged explicitly; the unused
+        # column is filled with k-valued dummies so dtypes stay native
+        # (a NaN marker would coerce int64 node ids to float64).
+        edge_rows = sym.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["y"], "x": df["x"], "label": df["y"], "__side": "e"}),
+            batch_format="pandas",
+        )
+        label_rows = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["node"], "x": df["node"], "label": df["label"],
+                 "__side": "l"}),
+            batch_format="pandas",
+        )
+
+        def premerge(df: pd.DataFrame) -> pd.DataFrame:
+            labs = df[df["__side"] == "l"].groupby("k", as_index=False).agg(
+                x=("x", "min"), label=("label", "min"))
+            labs["__side"] = "l"
+            edges = df[df["__side"] == "e"].drop_duplicates(["k", "x"])
+            return pd.concat([labs, edges], ignore_index=True)
+
+        def propagate(df: pd.DataFrame) -> pd.DataFrame:
+            labs = df[df["__side"] == "l"].groupby("k", as_index=False).agg(
+                label=("label", "min"))
+            edges = df[df["__side"] == "e"][["k", "x"]]
+            m = edges.merge(labs, on="k")[["x", "label"]]
+            own = labs.rename(columns={"k": "x"})
+            out = pd.concat([m, own], ignore_index=True)
+            return out.groupby("x", as_index=False).agg(label=("label", "min"))
+
+        cand = bucketed_group_apply(
+            edge_rows.union(label_rows), ["k"], premerge, propagate
+        ).map_batches(
+            lambda df: df.rename(columns={"x": "node"}), batch_format="pandas"
+        )
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", as_index=False).agg(label=("label", "min"))
+
+        labels = bucketed_group_apply(
+            cand.union(labels), ["node"], combine, combine
+        ).materialize()
+
+        cur_sum = checksum(labels)
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
 def connected_components_distributed(
     edges_ds: "ray.data.Dataset", max_iters: int = 8
 ) -> dict[str, str]:
-    """Min-label propagation over an edge Dataset (scale path).
+    """Min-label propagation over an edge Dataset (scale path for the
+    *vocabulary-bound* coreference mapping).
 
-    Each iteration: label(x) ← min(label(x), min over neighbors' labels),
-    via groupby-min over the symmetrized edge list joined with current labels.
-    Converges in O(component diameter) rounds; alias chains are short.
-    Returns the non-identity mapping (collected — the *mapping* is small even
-    when the edge list required distribution).
-    """
-
-    def symmetrize(batch: pa.Table) -> pd.DataFrame:
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        return pd.DataFrame({"x": np.concatenate([a, b]), "y": np.concatenate([b, a])})
-
-    sym = edges_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
-    # label(x) starts as x itself; propagate via broadcast of the (small) label
-    # delta dict — neighbors' labels looked up per batch, then groupby-min.
-    labels: dict[str, str] = {}
-    for _ in range(max_iters):
-        ref = ray.put(labels)
-
-        def relabel(batch: pa.Table) -> pd.DataFrame:
-            cur = ray.get(ref)
-            x = batch["x"].to_numpy(zero_copy_only=False)
-            y = batch["y"].to_numpy(zero_copy_only=False)
-            ylab = np.array([cur.get(v, v) for v in y], dtype=object)
-            return pd.DataFrame({"x": x, "cand": ylab})
-
-        mins = (
-            sym.map_batches(relabel, batch_format="pyarrow")
-            .groupby("x")
-            .aggregate(Min("cand", alias_name="cand"))
-            .to_pandas()
-        )
-        new_labels = dict(labels)
-        changed = False
-        for x, cand in zip(mins["x"], mins["cand"]):
-            cur = new_labels.get(x, x)
-            if cand < cur:
-                new_labels[x] = cand
-                changed = True
-        labels = new_labels
-        if not changed:
-            break
-    # path-compress via driver union-find for exact minimal representatives
-    return connected_components_driver([(x, y) for x, y in labels.items()])
+    Runs :func:`connected_components_ds` (no driver edge set) and collects only
+    the non-identity rows — the mapping is small even when the edge list
+    required distribution — then path-compresses with driver union-find."""
+    labels = connected_components_ds(edges_ds, max_iters=max_iters)
+    pdf = labels.map_batches(
+        lambda df: df[df["node"] != df["label"]], batch_format="pandas"
+    ).to_pandas()
+    return connected_components_driver(zip(pdf["node"], pdf["label"]))
 
 
 def compute_canonical_mapping_from_validated(

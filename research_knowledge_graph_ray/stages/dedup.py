@@ -207,21 +207,26 @@ def minhash_candidate_pairs_ds(
 
 def minhash_dedup_clusters(
     ds: "ray.data.Dataset", n_perm: int = 128, n_bands: int = 8, shingle_k: int = 3,
-) -> pd.DataFrame:
-    """Cluster-mode MinHash dedup — the 100 TB-scale path.
+    max_cc_iters: int = 16,
+) -> "ray.data.Dataset":
+    """Cluster-mode MinHash dedup — the 100 TB-scale path, end-to-end
+    distributed (neither the edge set nor the labels ever land on the driver).
 
     Docs sharing any LSH band belong to one near-dup cluster. Instead of the
-    quadratic all-pairs set, each bucket emits a *chain* of k-1 edges
-    (sufficient for connected components), so edge volume is linear in the
-    band rows. Union-find assigns ``cluster_id = min(doc_id)``; the survivor
-    of each cluster is its minimum doc (hash-partition + per-group-first).
+    quadratic all-pairs set, each bucket emits a *star* of k-1 edges
+    (min_doc → other) — sufficient for connected components, linear in the
+    band rows, and star topology keeps component diameters at
+    O(#overlapping buckets) so the distributed min-label propagation
+    (:func:`~.canonicalize.connected_components_ds`) converges in a few
+    rounds even for boilerplate mega-clusters with millions of members.
 
-    Returns (doc_id, cluster_id, keep) for every doc that belongs to a
-    non-singleton cluster; docs absent from the result are their own cluster.
+    Returns a Dataset (doc_id, cluster_id, keep) for every doc belonging to a
+    non-singleton cluster (cluster_id = min doc_id = the survivor); docs
+    absent from the result are their own cluster.
     """
     sketches = _sketch_tasks(ds, n_perm, n_bands, shingle_k)
 
-    def chain_edges(df: pd.DataFrame) -> pd.DataFrame:
+    def star_edges(df: pd.DataFrame) -> pd.DataFrame:
         key = df["band"].astype(str) + "|" + df["band_hash"]
         df = df.assign(_k=key)
         sizes = df["_k"].map(df["_k"].value_counts())
@@ -229,33 +234,32 @@ def minhash_dedup_clusters(
         if not len(sub):
             return pd.DataFrame({"a": pd.Series(dtype=np.int64),
                                  "b": pd.Series(dtype=np.int64)})
-        sub = sub.sort_values(["_k", "doc_id"]).drop_duplicates(["_k", "doc_id"])
-        g = sub.groupby("_k")["doc_id"]
-        a = sub["doc_id"].to_numpy()
-        nxt = g.shift(-1).to_numpy()
-        mask = ~np.isnan(nxt)
+        sub = sub.drop_duplicates(["_k", "doc_id"])
+        hub = sub.groupby("_k")["doc_id"].transform("min")
+        mask = (sub["doc_id"] != hub).to_numpy()
         return pd.DataFrame(
-            {"a": a[mask].astype(np.int64), "b": nxt[mask].astype(np.int64)}
+            {"a": hub.to_numpy()[mask].astype(np.int64),
+             "b": sub["doc_id"].to_numpy()[mask].astype(np.int64)}
         ).drop_duplicates()
 
     edges = bucketed_group_apply(
-        sketches, ["band", "band_hash"], lambda df: df, chain_edges
-    ).to_pandas()
-
-    # union-find on the (linear-size) chain-edge set
-    from .canonicalize import connected_components_driver
-
-    mapping = connected_components_driver(
-        (int(a), int(b)) for a, b in zip(edges["a"], edges["b"])
+        sketches, ["band", "band_hash"], lambda df: df, star_edges
     )
-    members = sorted(set(mapping) | set(mapping.values()))
-    rows = {
-        "doc_id": members,
-        "cluster_id": [mapping.get(d, d) for d in members],
-    }
-    out = pd.DataFrame(rows)
-    out["keep"] = out["doc_id"] == out["cluster_id"]
-    return out
+
+    from .canonicalize import connected_components_ds
+
+    labels = connected_components_ds(edges, max_iters=max_cc_iters)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].astype(np.int64),
+                "cluster_id": df["label"].astype(np.int64),
+                "keep": (df["node"] == df["label"]).to_numpy(),
+            }
+        )
+
+    return labels.map_batches(finalize, batch_format="pandas")
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:

@@ -52,13 +52,13 @@ def hash_join(
     both = l.union(r)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        lt = df[df[_TAG] == "l"].drop(columns=[_TAG])
-        rt = df[df[_TAG] == "r"].drop(columns=[_TAG])
-        if not len(lt) or not len(rt):
-            cols = [c for c in df.columns if c not in (_TAG, "__key")]
-            return pd.DataFrame(columns=cols)
-        lt = lt.dropna(axis=1, how="all")
-        rt = rt.dropna(axis=1, how="all")
+        # select each side's known columns explicitly — inferring sides by
+        # dropping all-null columns would silently lose a legitimately
+        # all-null column within a bucket
+        # reindex, not select: a bucket fed only by one side's blocks lacks
+        # the other side's columns entirely (inner join correctly yields 0 rows)
+        lt = df[df[_TAG] == "l"].reindex(columns=left_cols + ["__key"])
+        rt = df[df[_TAG] == "r"].reindex(columns=right_cols + ["__key"])
         out = lt.merge(rt, on="__key")
         return out.drop(columns=["__key"])
 
@@ -93,13 +93,11 @@ def asof_join(
     both = l.union(r)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
-        lt = df[df[_TAG] == "l"].drop(columns=[_TAG])
-        rt = df[df[_TAG] == "r"].drop(columns=[_TAG])
+        lt = df[df[_TAG] == "l"].reindex(columns=left_cols + ["__key"])
+        rt = df[df[_TAG] == "r"].reindex(columns=right_cols + ["__key"])
         out_cols = [c for c in left_cols + right_cols if c not in (by_right,)]
         if not len(lt) or not len(rt):
             return pd.DataFrame(columns=out_cols)
-        lt = lt.dropna(axis=1, how="all")
-        rt = rt.dropna(axis=1, how="all")
         lt = lt.sort_values([ts_left]).reset_index(drop=True)
         rt = rt.sort_values([ts_right]).reset_index(drop=True)
         out = pd.merge_asof(

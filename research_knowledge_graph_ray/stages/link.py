@@ -156,10 +156,13 @@ def judge_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
         rationale = [
             f"shared: methods={nm[i]}, datasets={nd[i]}, concepts={nc[i]}" for i in idx
         ]
+        # docs repeat across many pairs — hash each unique doc once per batch
+        pid = {d: paper_node_id(d) for d in
+               set(src_doc[idx]).union(dst_doc[idx])}
         return pa.Table.from_arrays(
             [
-                pa.array([paper_node_id(src_doc[i]) for i in idx], type=pa.string()),
-                pa.array([paper_node_id(dst_doc[i]) for i in idx], type=pa.string()),
+                pa.array([pid[src_doc[i]] for i in idx], type=pa.string()),
+                pa.array([pid[dst_doc[i]] for i in idx], type=pa.string()),
                 pa.array(list(edge_type[idx]), type=pa.string()),
                 pa.array(list(conf[idx]), type=pa.float32()),
                 pa.array(rationale, type=pa.string()),

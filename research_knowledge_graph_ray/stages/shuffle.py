@@ -60,8 +60,14 @@ def _col_hash(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     if data.size == 0:
         return h
     for k in range(1, _HASH_TAIL + 1):
-        pos = np.minimum(np.maximum(ends - k, starts), data.size - 1)
-        h = h * np.uint64(16777619) + data[pos].astype(np.uint64) * np.uint64(k)
+        pos = ends - k
+        # a position before the value's own start (short/empty key) must not
+        # read a neighbor's bytes — equal keys would hash to different buckets
+        # across blocks, breaking the all-rows-of-a-key-in-one-bucket guarantee
+        valid = pos >= starts
+        safe = np.minimum(np.where(valid, pos, 0), data.size - 1)
+        byte = np.where(valid, data[safe], 0).astype(np.uint64)
+        h = h * np.uint64(16777619) + byte * np.uint64(k)
     return h
 
 
@@ -97,14 +103,22 @@ def _from_fmt(obj, fmt: str) -> pa.Table:
 
 @ray.remote
 def _map_stage(keys, n_buckets: int, *blocks: pa.Table):
+    blocks = tuple(b for b in blocks if b.num_columns > 0) or blocks[:1]
     merged = pa.concat_tables(blocks, promote_options="default") if len(blocks) > 1 else blocks[0]
+    if merged.num_columns == 0:
+        return tuple([merged] * n_buckets) if n_buckets > 1 else merged
     pieces = _split_by_bucket(merged, keys, n_buckets)
     return tuple(pieces) if n_buckets > 1 else pieces[0]
 
 
 @ray.remote
 def _reduce_stage(final_fn, fmt: str, *pieces: pa.Table) -> pa.Table:
-    merged = pa.concat_tables([p for p in pieces if p.num_rows > 0] or pieces[:1],
+    # Ray Data can emit schema-less empty blocks; drop them so final_fn never
+    # sees a columnless frame (and skip final_fn when nothing has a schema)
+    valid = [p for p in pieces if p.num_columns > 0]
+    if not valid:
+        return pieces[0]
+    merged = pa.concat_tables([p for p in valid if p.num_rows > 0] or valid[:1],
                               promote_options="default")
     return _from_fmt(final_fn(_to_fmt(merged, fmt)), fmt)
 

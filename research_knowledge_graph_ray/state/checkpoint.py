@@ -156,14 +156,18 @@ def partitioned_stage_checkpoint(
     for k in range(n_partitions):
         pdir = _part_dir(ckpt_dir, k)
         pman = os.path.join(pdir, PART_MANIFEST)
+        done = False
         if os.path.exists(pman):
             try:
                 with open(pman) as f:
-                    if json.load(f).get("fingerprint") == fingerprint:
-                        continue  # completed — skip without recompute
+                    done = json.load(f).get("fingerprint") == fingerprint
             except (OSError, json.JSONDecodeError):
                 pass
-            shutil.rmtree(pdir, ignore_errors=True)
+        if done:
+            continue  # completed — skip without recompute
+        # a pdir without a valid manifest is a crashed/stale partial — remove
+        # unconditionally so the os.replace below can't fail with ENOTEMPTY
+        shutil.rmtree(pdir, ignore_errors=True)
 
         sub = docs.map_batches(
             lambda b, k=k: _doc_partition_filter(b, k, n_partitions),
@@ -177,9 +181,12 @@ def partitioned_stage_checkpoint(
             pq.ParquetFile(os.path.join(tmp, fn)).metadata.num_rows
             for fn in os.listdir(tmp) if fn.endswith(".parquet")
         )
-        os.replace(tmp, pdir)
-        with open(os.path.join(pdir, PART_MANIFEST), "w") as f:
+        # manifest lands inside tmp BEFORE the rename: os.replace is the
+        # atomic commit point — a crash anywhere leaves either no pdir or a
+        # complete pdir-with-manifest, never a wedged manifest-less directory
+        with open(os.path.join(tmp, PART_MANIFEST), "w") as f:
             json.dump({"fingerprint": fingerprint, "rows": rows, "partition": k}, f)
+        os.replace(tmp, pdir)
 
     with open(manifest_path(ckpt_dir), "w") as f:
         parts = {}
