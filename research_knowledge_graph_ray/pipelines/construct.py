@@ -112,6 +112,7 @@ def build_graph(
     extract_concurrency=None,
     extract_actor_pool: bool = False,
     embed_docs: bool = False,
+    paper_node_attrs: bool = True,
     checkpoint_dir: str | None = None,
     checkpoint_partitions: int = 8,
     checkpoint_fingerprint: str = "",
@@ -158,9 +159,19 @@ def build_graph(
     # threads so fixed per-execution costs don't serialize.
     from concurrent.futures import ThreadPoolExecutor
 
+    # paper-node description/properties (title/abstract/year/venue/authors —
+    # reference ingestion_service.py:176-222): metadata rows flow through the
+    # same node_id-keyed exchange as the record-derived attrs, no broadcast
+    attrs = None
+    if paper_node_attrs:
+        from ..stages.canonicalize import paper_attr_rows
+        from ..stages.metadata import extract_doc_meta
+
+        attrs = paper_attr_rows(extract_doc_meta(docs))
+
     embeddings = None
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_nodes = pool.submit(build_nodes, validated)
+        f_nodes = pool.submit(build_nodes, validated, attrs)
         f_edges = pool.submit(build_edges, validated)
         f_cross = (
             pool.submit(link_cross_documents, validated, max_docs_per_entity)

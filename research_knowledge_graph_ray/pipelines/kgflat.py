@@ -249,6 +249,59 @@ def entity_label_map(nodes: "ray.data.Dataset") -> dict:
     return dict(zip(pdf["node_id"], pdf["label"]))
 
 
+def node_properties(sf_dir: str) -> "ray.data.Dataset":
+    """build_graph() nodes projected to (node_type, label, description,
+    properties) — exercises the min-doc description/properties merge (M7/A2
+    full semantics) and the paper-attr exchange through the real pipeline."""
+    from .construct import build_graph
+
+    res = build_graph(
+        read_flat_documents_as_spans(sf_dir),
+        vocab=KG_FLAT_VOCAB, aliases={}, entity_linking=False, link=False,
+    )
+    return res.nodes.select_columns(["node_type", "label", "description", "properties"])
+
+
+def papers_by_year(sf_dir: str) -> "ray.data.Dataset":
+    """papers ⋈ mention-counts ordered by year DESC — the reference's
+    ``get_all_papers`` (src/db/repository.py:259-270: papers JOIN nodes
+    ORDER BY year DESC). The flat corpus carries no publication line, so the
+    deterministic year stand-in is ``1990 + n_chars % 30`` (computed
+    identically by the SQL oracle); both-sides-large hash join, no broadcast."""
+    from ray.data.aggregate import Count
+
+    from ..stages.join import hash_join
+
+    per_doc = doc_mentions(sf_dir).groupby("doc_id").aggregate(
+        Count(alias_name="n_terms"))
+
+    def derive_year(batch: pa.Table) -> pd.DataFrame:
+        n_chars = pc.utf8_length(batch["text"]).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"ykey": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+             "year": (1990 + n_chars % 30).astype(np.int64)}
+        )
+
+    years = _read_docs(sf_dir).map_batches(derive_year, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    joined = hash_join(
+        per_doc, years, "doc_id", "ykey",
+        left_cols=["doc_id", "n_terms"], right_cols=["ykey", "year"],
+        n_buckets=8,
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "year": df["year"].astype(np.int64),
+             "n_terms": df["n_terms"].astype(np.int64)}
+        )
+
+    return joined.map_batches(project, batch_format="pandas").sort(
+        ["year", "doc_id"], descending=[True, False]
+    )
+
+
 def cross_doc_edges(sf_dir: str, max_doc_id: int = 150) -> "ray.data.Dataset":
     """Cross-document SIMILAR_TO edges over a bounded doc subset, uncapped —
     exercises blocking → pair aggregation → judge with exact SQL parity.

@@ -60,9 +60,18 @@ def oracle_build_graph(
 
     # --- extraction + validation, one doc at a time -----------------------
     validated = []  # dicts with doc_id, subj/obj type+raw+norm+id, pred, conf, rationale, evidence
+    paper_meta: dict[str, dict] = {}  # doc_id -> metadata (paper-node attrs)
     for row in docs_table.to_pylist():
+        from ..stages.metadata import doc_meta_from_spans
+
+        spans = row["spans"]
+        paper_meta[row["doc_id"]] = doc_meta_from_spans(
+            row["doc_id"],
+            [s["kind"] for s in spans], [s["text"] for s in spans],
+            [s["media_ref"] for s in spans],
+        )
         text = "\n".join(s["text"] for s in row["spans"])
-        for (doc_id, st, sl, pred, ot, ol, conf, rat, ev) in extract_doc_records(
+        for (doc_id, st, sl, pred, ot, ol, conf, rat, ev, odesc, oprops) in extract_doc_records(
             row["doc_id"], text, mention_res, triple_res
         ):
             if st == "paper":
@@ -79,7 +88,8 @@ def oracle_build_graph(
             validated.append(
                 dict(doc_id=doc_id, subj_type=st, subj_norm=s_norm, subj_id=s_id,
                      pred=pred, obj_type=ot, obj_norm=o_norm, obj_id=o_id,
-                     confidence=conf, rationale=rat, evidence_span=ev)
+                     confidence=conf, rationale=rat, evidence_span=ev,
+                     obj_desc=odesc, obj_props=oprops)
             )
 
     # --- entity linking: alias + LSH edges → BFS components ---------------
@@ -127,10 +137,16 @@ def oracle_build_graph(
             r["subj_id"] = mapping.get(r["subj_id"], r["subj_id"])
             r["obj_id"] = mapping.get(r["obj_id"], r["obj_id"])
 
-    # --- nodes: per canonical id — min type, min label, n distinct docs ---
+    # --- nodes: per canonical id — min type, min label, n distinct docs,
+    #     description/properties from the minimal (doc_id, value) record
+    #     carrying one (cross-doc first-writer-wins, deterministically) ------
+    import json as _json
+
     node_docs: dict[str, set] = defaultdict(set)
     node_label: dict[str, str] = {}
     node_type: dict[str, str] = {}
+    node_dpack: dict[str, tuple] = {}
+    node_ppack: dict[str, tuple] = {}
     for r in validated:
         for side in ("subj", "obj"):
             nid, ntype, lbl = r[f"{side}_id"], r[f"{side}_type"], r[f"{side}_norm"]
@@ -139,9 +155,39 @@ def oracle_build_graph(
                 node_label[nid] = lbl
             if nid not in node_type or ntype < node_type[nid]:
                 node_type[nid] = ntype
+            desc = r["obj_desc"] if side == "obj" else ""
+            props = r["obj_props"] if side == "obj" else "{}"
+            if desc:
+                k = (r["doc_id"].rjust(_PAD), desc)
+                if nid not in node_dpack or k < node_dpack[nid]:
+                    node_dpack[nid] = k
+            if props != "{}":
+                k = (r["doc_id"].rjust(_PAD), props)
+                if nid not in node_ppack or k < node_ppack[nid]:
+                    node_ppack[nid] = k
+    # paper-node attrs: description = title, properties = metadata JSON
+    for doc_id, meta in paper_meta.items():
+        pid = paper_node_id(doc_id)
+        node_docs.setdefault(pid, set())
+        node_label.setdefault(pid, doc_id)
+        node_type.setdefault(pid, "paper")
+        if meta["title"]:
+            k = (doc_id.rjust(_PAD), meta["title"])
+            if pid not in node_dpack or k < node_dpack[pid]:
+                node_dpack[pid] = k
+        props = _json.dumps(
+            {"abstract": meta["abstract"], "year": meta["year"],
+             "venue": meta["venue"], "authors": list(meta["authors"])}
+        )
+        if props != "{}":
+            k = (doc_id.rjust(_PAD), props)
+            if pid not in node_ppack or k < node_ppack[pid]:
+                node_ppack[pid] = k
     nodes = [
         dict(node_id=nid, node_type=node_type[nid], label=node_label[nid],
-             description="", properties="{}", n_docs=len(node_docs[nid]))
+             description=node_dpack.get(nid, ("", ""))[1],
+             properties=node_ppack.get(nid, ("", "{}"))[1],
+             n_docs=len(node_docs[nid]))
         for nid in node_docs
     ]
 

@@ -88,6 +88,48 @@ SELECT da AS src_doc, db AS dst_doc, 'SIMILAR_TO' AS edge_type
 FROM pairs WHERE n >= 2
 """
 
+KG_NODE_PROPERTIES_SQL = f"""
+WITH dt AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS vdoc, term FROM ({_UNNEST}))
+SELECT 'paper' AS node_type, vdoc AS label, '' AS description,
+       '{{"abstract": "", "year": null, "venue": "", "authors": []}}' AS properties
+FROM (SELECT DISTINCT vdoc FROM dt)
+UNION ALL
+SELECT 'concept', concat(upper(substr(term, 1, 1)), substr(term, 2)),
+       concat('concept mentioned as ''', term, ''''),
+       concat('{{"etype": "concept", "surface": "', term, '"}}')
+FROM (SELECT DISTINCT term FROM dt)
+"""
+
+PAPERS_BY_YEAR_SQL = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
+m AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms FROM dt GROUP BY doc_id)
+SELECT m.doc_id, CAST(1990 + LENGTH(d.text) % 30 AS BIGINT) AS year, m.n_terms
+FROM m JOIN documents d ON m.doc_id = d.doc_id
+ORDER BY year DESC, m.doc_id
+"""
+
+# exact SQL restatement of stages/textops.py LangId: distinct [a-zA-Z]+ tokens,
+# per-language stopword-overlap score, argmax with first-wins tie order
+# en > fr > de > es; empty token set -> 'zh'
+LANG_ID_SQL = """
+WITH t AS (SELECT doc_id,
+             list_distinct(regexp_extract_all(lower(text), '[a-z]+')) AS toks
+           FROM documents),
+s AS (SELECT doc_id, len(toks) AS n,
+        len(list_intersect(toks, ['the','and','of','to','a','in','is'])) AS en,
+        len(list_intersect(toks, ['le','la','et','de','un','une','est'])) AS fr,
+        len(list_intersect(toks, ['der','die','das','und','ist','ein'])) AS de,
+        len(list_intersect(toks, ['el','la','y','de','un','una','es'])) AS es
+      FROM t)
+SELECT doc_id,
+  CASE WHEN n = 0 THEN 'zh'
+       WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+       WHEN fr >= de AND fr >= es THEN 'fr'
+       WHEN de >= es THEN 'de'
+       ELSE 'es' END AS pred_lang
+FROM s
+"""
+
 TEXT_STATS_SQL = """
 SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars,
        CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_tokens
@@ -159,6 +201,8 @@ QUERIES: dict = {
     "kg_graph_nodes": (kgflat.graph_nodes, KG_GRAPH_NODES_SQL),
     "kg_graph_edges": (kgflat.graph_edges, KG_GRAPH_EDGES_SQL),
     "kg_cross_doc_edges": (kgflat.cross_doc_edges, KG_CROSS_DOC_EDGES_SQL),
+    "kg_node_properties": (kgflat.node_properties, KG_NODE_PROPERTIES_SQL),
+    "papers_by_year": (kgflat.papers_by_year, PAPERS_BY_YEAR_SQL),
     "kg_two_hop": (kgflat.two_hop_neighbors, KG_TWO_HOP_SQL),
     "doc_meta": (kgflat.doc_meta_flat, DOC_META_FLAT_SQL),
     "rag_top_doc": (kgflat.rag_top_doc, None),  # hash-embedder retrieval — rows-only
@@ -166,7 +210,7 @@ QUERIES: dict = {
     "text_stats": (textops.text_stats, TEXT_STATS_SQL),
     "text_quality": (textops.text_quality, TEXT_QUALITY_SQL),
     "doc_fingerprint": (textops.doc_fingerprint, DOC_FINGERPRINT_SQL),
-    "lang_id": (textops.lang_id, None),  # heuristic — rows-only
+    "lang_id": (textops.lang_id, LANG_ID_SQL),
     # dedup family
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, None),

@@ -62,6 +62,14 @@ RECORDS_SCHEMA = pa.schema(
         ("confidence", pa.float32()),
         ("rationale", pa.string()),
         ("evidence_span", pa.string()),
+        # entity description + JSON properties for the OBJECT entity (set on
+        # mention records; ""/"{}" on relational triples). Carried through
+        # canonicalization into the nodes table, mirroring the reference's
+        # entity description/properties (src/agents/validation_agent.py:73-91,
+        # src/services/ingestion_service.py:105-129: cross-paper the first
+        # writer wins — deterministically restated as min-doc-wins).
+        ("obj_desc", pa.string()),
+        ("obj_props", pa.string()),
     ]
 )
 

@@ -86,6 +86,11 @@ TASKS = [
     "Relighting",
 ]
 
+# Publication metadata ground truth (reference papers table fields:
+# src/graph/models.py:57-67 — year/venue; parsed by stages/metadata.py)
+VENUES = ["CVPR", "ICCV", "ECCV", "SIGGRAPH", "NeurIPS"]
+YEAR_RANGE = (2015, 2025)
+
 # alias surface form -> canonical vocabulary label (entity-linking ground truth)
 ALIASES = {
     "3DGS": "3D Gaussian Splatting",
@@ -180,6 +185,9 @@ def generate_doc(
             "abstract",
             f"We present {_method_mention(rng, primary)}, evaluated on {_mention(rng, datasets[0])}.",
         )
+        venue = str(rng.choice(VENUES))
+        year = int(rng.integers(YEAR_RANGE[0], YEAR_RANGE[1]))
+        add_span("text", f"Published at {venue} ({year}).")
         # interleave body sentences with media spans
         per_span = max(1, len(sentences) // 3)
         media_i = 0

@@ -115,13 +115,23 @@ def lsh_cosine_pairs_semantics(
     return pairs
 
 
-def _explode_endpoints(t: pa.Table, with_doc: bool = False) -> pa.Table:
+def _explode_endpoints(
+    t: pa.Table, with_doc: bool = False, with_attrs: bool = False
+) -> pa.Table:
     names = ["node_id", "node_type", "label"] + (["doc_id"] if with_doc else [])
     subj_cols = [t["subj_id"], t["subj_type"], t["subj_norm"]]
     obj_cols = [t["obj_id"], t["obj_type"], t["obj_norm"]]
     if with_doc:
         subj_cols.append(t["doc_id"])
         obj_cols.append(t["doc_id"])
+    if with_attrs:
+        # desc/props describe the OBJECT entity of mention records; the
+        # subject (paper) side carries empties — paper attrs arrive separately
+        names += ["desc", "props"]
+        n = t.num_rows
+        subj_cols += [pa.array([""] * n, type=pa.string()),
+                      pa.array(["{}"] * n, type=pa.string())]
+        obj_cols += [t["obj_desc"], t["obj_props"]]
     return pa.concat_tables(
         [pa.table(dict(zip(names, subj_cols))), pa.table(dict(zip(names, obj_cols)))]
     )
@@ -475,8 +485,76 @@ _SEP = "\x1f"
 N_DOC_SALTS = 16
 
 
-def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
-    """NODES_SCHEMA table: per canonical node — type, min display label, n_docs.
+def _pack_attr(doc_id: pa.ChunkedArray | pa.Array, value, empty: str):
+    """``"{doc_id rjust _PAD}\\x1f{value}"`` — null when value == empty.
+
+    Lexicographic min of the packed string selects the value from the minimal
+    doc_id that carries one: the deterministic restatement of the reference's
+    cross-paper first-writer-wins node create
+    (src/services/ingestion_service.py:105-129)."""
+    packed = pc.binary_join_element_wise(
+        pc.utf8_lpad(doc_id, _PAD, padding=" "), value, _SEP
+    )
+    return pc.if_else(pc.equal(value, empty), pa.scalar(None, type=pa.string()), packed)
+
+
+def _unpack_attr(col, empty: str):
+    parts = pc.split_pattern(col, _SEP, max_splits=1)
+    return pc.fill_null(pc.list_element(parts, 1), empty)
+
+
+def paper_attr_rows(meta: "ray.data.Dataset") -> "ray.data.Dataset":
+    """DOC_META rows → node-attr rows for paper nodes (description = title,
+    properties = abstract/year/venue/authors JSON), shaped to union into
+    :func:`build_nodes`' per-salt stream. Mirrors the reference's paper-node
+    properties (src/services/ingestion_service.py:176-222) minus full_text."""
+    import json
+
+    from ..functions.ids import paper_node_id
+
+    def to_rows(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        titles = t["title"].to_pylist()
+        abstracts = t["abstract"].to_pylist()
+        years = t["year"].to_pylist()
+        venues = t["venue"].to_pylist()
+        authors = t["authors"].to_pylist()
+        props = [
+            json.dumps({"abstract": a, "year": y, "venue": v, "authors": list(au or [])})
+            for a, y, v, au in zip(abstracts, years, venues, authors)
+        ]
+        n = len(doc_ids)
+        out = pa.table(
+            {
+                "node_id": pa.array([paper_node_id(d) for d in doc_ids], type=pa.string()),
+                "salt": pa.array([0] * n, type=pa.int64()),
+                "node_type": pa.array(["paper"] * n, type=pa.string()),
+                "label": pa.array([str(d) for d in doc_ids], type=pa.string()),
+                "doc_str": pa.array([str(d) for d in doc_ids], type=pa.string()),
+                "title": pa.array([t_ or "" for t_ in titles], type=pa.string()),
+                "props": pa.array(props, type=pa.string()),
+                "n_docs": pa.array([0] * n, type=pa.int64()),
+            }
+        )
+        return pa.table(
+            {
+                "node_id": out["node_id"], "salt": out["salt"],
+                "node_type": out["node_type"], "label": out["label"],
+                "dpack": _pack_attr(out["doc_str"], out["title"], ""),
+                "ppack": _pack_attr(out["doc_str"], out["props"], "{}"),
+                "n_docs": out["n_docs"],
+            }
+        )
+
+    return meta.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_nodes(
+    validated: "ray.data.Dataset",
+    paper_attrs: "ray.data.Dataset | None" = None,
+) -> "ray.data.Dataset":
+    """NODES_SCHEMA table: per canonical node — type, min display label,
+    min-doc description/properties, n_docs.
 
     Salted two-phase aggregation (explicit hot-key handling): a domain-hot
     entity is mentioned by a large fraction of all docs, and its distinct
@@ -485,49 +563,69 @@ def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     Phase 1 exchanges on (node_id, salt=hash(doc_id)%S): the doc space is
     partitioned by the salt, so per-salt distinct-doc counts are disjoint and
     sum exactly. Phase 2 exchanges the ~|nodes|×S partials on node_id alone.
+
+    Description/properties merge (reference M7/A2 semantics,
+    src/agents/validation_agent.py:73-91 within-doc + first-writer-wins
+    cross-doc): the min-(doc_id, value) packed record wins — carried through
+    both phases as nullable packed strings so null (absent) never beats a
+    real value. ``paper_attrs`` (from :func:`paper_attr_rows`) flows through
+    the SAME node_id-keyed exchange — no corpus-sized broadcast.
     """
 
     def partial1(t: pa.Table) -> pa.Table:
         from .shuffle import _col_hash
 
-        ex = _explode_endpoints(t, with_doc=True)
+        ex = _explode_endpoints(t, with_doc=True, with_attrs=True)
         salt_np = (_col_hash(ex["doc_id"]) % np.uint64(N_DOC_SALTS)).astype(np.int64)
         ex = ex.append_column("salt", pa.array(salt_np, type=pa.int64()))
+        ex = ex.append_column("dpack", _pack_attr(ex["doc_id"], ex["desc"], ""))
+        ex = ex.append_column("ppack", _pack_attr(ex["doc_id"], ex["props"], "{}"))
         return arrow_group_agg(
-            ex, ["node_id", "doc_id", "salt"], [("node_type", "min"), ("label", "min")]
+            ex, ["node_id", "doc_id", "salt"],
+            [("node_type", "min"), ("label", "min"),
+             ("dpack", "min"), ("ppack", "min")],
         )
 
     def final1(t: pa.Table) -> pa.Table:
         per_doc = arrow_group_agg(
-            t, ["node_id", "doc_id", "salt"], [("node_type", "min"), ("label", "min")]
+            t, ["node_id", "doc_id", "salt"],
+            [("node_type", "min"), ("label", "min"),
+             ("dpack", "min"), ("ppack", "min")],
         )
         agg = arrow_group_agg(
             per_doc, ["node_id", "salt"],
-            [("node_type", "min"), ("label", "min"), ("doc_id", "count")],
+            [("node_type", "min"), ("label", "min"),
+             ("dpack", "min"), ("ppack", "min"), ("doc_id", "count")],
         )
-        return agg.rename_columns(["node_id", "salt", "node_type", "label", "n_docs"])
+        return agg.rename_columns(
+            ["node_id", "salt", "node_type", "label", "dpack", "ppack", "n_docs"])
 
     per_salt = hash_exchange_apply(validated, ["node_id", "salt"], partial1, final1)
+    if paper_attrs is not None:
+        per_salt = per_salt.union(paper_attrs)
 
     def combine(t: pa.Table) -> pa.Table:
         agg = arrow_group_agg(
             t, ["node_id"],
-            [("node_type", "min"), ("label", "min"), ("n_docs", "sum")],
+            [("node_type", "min"), ("label", "min"),
+             ("dpack", "min"), ("ppack", "min"), ("n_docs", "sum")],
         )
-        return agg.rename_columns(["node_id", "node_type", "label", "n_docs"])
+        return agg.rename_columns(
+            ["node_id", "node_type", "label", "dpack", "ppack", "n_docs"])
 
     agg = hash_exchange_apply(per_salt, ["node_id"], combine, combine)
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
         def col(name):
             c = batch[name].cast(pa.string())
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        def arr(a):
+            return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
         return pa.Table.from_arrays(
             [
                 col("node_id"), col("node_type"), col("label"),
-                pa.array([""] * n, type=pa.string()),
-                pa.array(["{}"] * n, type=pa.string()),
+                arr(_unpack_attr(batch["dpack"], "")),
+                arr(_unpack_attr(batch["ppack"], "{}")),
                 (batch["n_docs"].cast(pa.int64()).combine_chunks()
                  if isinstance(batch["n_docs"], pa.ChunkedArray)
                  else batch["n_docs"].cast(pa.int64())),

@@ -28,12 +28,13 @@ dedup is case-insensitive first-wins on the normalized label
 
 from __future__ import annotations
 
+import json
 import re
 from typing import Iterable
 
 import pyarrow as pa
 
-from ..functions.normalize import normalize_label, label_key
+from ..functions.normalize import normalize_label, label_key, sanitize_string
 from ..schemas import RECORDS_SCHEMA
 from ..sources.corpus import VOCAB
 
@@ -117,9 +118,16 @@ def extract_doc_records(
                 continue
             seen.add(k)
             pred = "AUTHORED_BY" if etype == "author" else "INTRODUCES"
+            # entity description/properties from the first (surviving) surface
+            # form — the reference's per-entity description + properties, with
+            # strings sanitized before they enter the record stream
+            # (reference: src/agents/validation_agent.py:79-86)
+            surface = sanitize_string(raw)
+            desc = f"{etype} mentioned as '{surface}'"
+            props = json.dumps({"etype": etype, "surface": surface})
             records.append(
                 (doc_id, "paper", doc_id, pred, etype, raw, 1.0,
-                 f"mention:{etype}", raw)
+                 f"mention:{etype}", raw, desc, props)
             )
 
     # 2. relational triples from surface patterns; endpoints are necessarily
@@ -137,7 +145,7 @@ def extract_doc_records(
             triple_seen.add(k)
             records.append(
                 (doc_id, stype, s_raw, pred, otype, o_raw, conf,
-                 f"pattern:{pred}", match.group(0))
+                 f"pattern:{pred}", match.group(0), "", "{}")
             )
     return records
 
@@ -182,7 +190,8 @@ def _extract_degrading(doc_ids, texts, mention_res, triple_res) -> list[tuple]:
         except Exception as exc:  # noqa: BLE001 — mirror reference tolerance
             records.append(
                 (doc_id, "paper", doc_id, "EXTRACTION_FAILED", "status",
-                 type(exc).__name__, 0.0, "extractor-error", str(exc)[:200])
+                 type(exc).__name__, 0.0, "extractor-error", str(exc)[:200],
+                 "", "{}")
             )
     return records
 
