@@ -119,11 +119,21 @@ def cmd_query(args) -> int:
 
         print(gq.bfs_subgraph(edges, paper_node_id(args.doc), max_depth=2).to_string())
     elif kind == "ask":
+        # full RAG loop (reference qa_service.py): retrieval over the corpus
+        # + deterministic answer synthesis; needs the original corpus
+        if not args.corpus:
+            print("ask requires --corpus <documents parquet>", file=sys.stderr)
+            return 2
         import ray.data
 
-        # retrieval over the original corpus is needed; fall back to nodes labels
-        print("top labels matching:",
-              [l for l in nodes.to_pandas()["label"] if args.doc and args.doc.lower() in l.lower()][:10])
+        from .sources.adapter import flat_batch_to_spans
+
+        ds = ray.data.read_parquet(args.corpus)
+        if "spans" not in ds.schema().names:
+            ds = ds.map_batches(flat_batch_to_spans, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        res = gq.answer_question(ds, args.doc or "", k=min(args.k, 5))
+        print(res["answer"])
     else:
         print(f"unknown query kind: {kind}", file=sys.stderr)
         return 2
@@ -165,6 +175,7 @@ def main(argv=None) -> int:
     pq.add_argument("kind")
     pq.add_argument("--doc", default="")
     pq.add_argument("--k", type=int, default=20)
+    pq.add_argument("--corpus", default="", help="corpus parquet for 'ask'")
     pq.set_defaults(fn=cmd_query)
 
     pv = sub.add_parser("visualize")

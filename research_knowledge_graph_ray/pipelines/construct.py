@@ -33,7 +33,11 @@ from ..stages.canonicalize import (
     compute_canonical_mapping_from_validated,
 )
 from ..stages.extract import TripleExtractor
-from ..stages.link import DEFAULT_MAX_DOCS_PER_ENTITY, link_cross_documents
+from ..stages.link import (
+    DEFAULT_MAX_DOCS_PER_ENTITY,
+    link_cross_documents,
+    link_cross_documents_semantic,
+)
 from ..stages.validate import validate_records
 
 
@@ -106,6 +110,8 @@ def build_graph(
     aliases: dict | None = None,
     entity_linking: bool = True,
     link: bool = True,
+    link_mode: str = "entity",  # "entity" (shared-entity blocking) | "semantic"
+    link_k_neighbors: int = 10,
     tau: float = DEFAULT_COSINE_TAU,
     max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
     extract_batch_size: int = 256,
@@ -173,10 +179,17 @@ def build_graph(
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_nodes = pool.submit(build_nodes, validated, attrs)
         f_edges = pool.submit(build_edges, validated)
-        f_cross = (
-            pool.submit(link_cross_documents, validated, max_docs_per_entity)
-            if link else None
-        )
+        if not link:
+            f_cross = None
+        elif link_mode == "semantic":
+            # the reference's v1 pruned linker: embedding top-k blocking +
+            # shared-dataset filter (graph_service.py:70-165)
+            f_cross = pool.submit(
+                link_cross_documents_semantic, validated, docs,
+                link_k_neighbors, max_docs_per_entity,
+            )
+        else:
+            f_cross = pool.submit(link_cross_documents, validated, max_docs_per_entity)
         if embed_docs:
             # reference parity: every document gets an embedding vector
             # (ingestion step 5, src/services/ingestion_service.py:82-89) —

@@ -172,3 +172,80 @@ def semantic_top_doc(docs: "ray.data.Dataset", question: str,
         .head(1)
         .reset_index(drop=True)
     )
+
+
+def semantic_top_docs(docs: "ray.data.Dataset", question: str, k: int = 3,
+                      dim: int = DEFAULT_DIM) -> pd.DataFrame:
+    """Top-k generalization of :func:`semantic_top_doc` (per-batch partial
+    top-k, tiny driver-side final sort)."""
+    from ..stages.embed import embed_docs_tasks
+
+    q = embed_text(question, dim).astype(np.float64)
+    q_ref = ray.put(q)
+
+    def score(batch: dict) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        vecs = np.asarray(batch["embedding"], dtype=np.float64)
+        sims = vecs @ qv
+        top = np.argsort(-sims, kind="stable")[:k]
+        return pd.DataFrame(
+            {"doc_id": np.asarray(batch["doc_id"])[top],
+             "sim_e6": np.round(sims[top] * 1e6).astype(np.int64)}
+        )
+
+    return (
+        embed_docs_tasks(docs, dim=dim)
+        .map_batches(score, batch_format="numpy")
+        .to_pandas()
+        .sort_values(["sim_e6", "doc_id"], ascending=[False, True])
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+class DeterministicAnswerer:
+    """The answer-synthesis slot of the RAG loop
+    (reference: src/services/qa_service.py:10-30 — LLM completion over the
+    retrieved papers' title/year/abstract context). This deterministic
+    template backend holds the same interface an LLM-client actor would:
+    constructed once (state in ``__init__``), ``answer()`` per question."""
+
+    def answer(self, question: str, contexts: list[dict]) -> str:
+        lines = [
+            f"- {c.get('title') or c['doc_id']} ({c.get('year')}): {c.get('abstract', '')}"
+            for c in contexts
+        ]
+        return (
+            f"Answering from {len(contexts)} retrieved paper(s):\n"
+            + "\n".join(lines)
+            + f"\nThe most relevant work for '{question}' is "
+            + f"{contexts[0].get('title') or contexts[0]['doc_id']}."
+            if contexts else f"No relevant papers found for '{question}'."
+        )
+
+
+def answer_question(docs: "ray.data.Dataset", question: str, k: int = 1,
+                    answerer=None, dim: int = DEFAULT_DIM) -> dict:
+    """Full QA loop: retrieval (distributed top-k) → metadata fetch for the
+    hits only → pluggable answerer. Returns {"answer", "contexts"}."""
+    from ..stages.metadata import extract_doc_meta
+
+    hits = semantic_top_docs(docs, question, k=k, dim=dim)
+    hit_ids = set(hits["doc_id"].astype(str))
+    ref = ray.put(hit_ids)
+
+    def only_hits(batch):
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        ids = ray.get(ref)
+        return batch.filter(_pc.is_in(batch["doc_id"], value_set=_pa.array(list(ids))))
+
+    meta = extract_doc_meta(
+        docs.map_batches(only_hits, batch_format="pyarrow", zero_copy_batch=True)
+    ).to_pandas()
+    order = {d: i for i, d in enumerate(hits["doc_id"].astype(str))}
+    meta = meta.sort_values("doc_id", key=lambda s: s.map(lambda d: order.get(str(d), 99)))
+    contexts = meta.to_dict("records")
+    answerer = answerer or DeterministicAnswerer()
+    return {"answer": answerer.answer(question, contexts), "contexts": contexts}

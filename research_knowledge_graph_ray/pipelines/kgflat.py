@@ -325,7 +325,8 @@ def cross_doc_edges(sf_dir: str, max_doc_id: int = 150) -> "ray.data.Dataset":
 
     def project(df: pd.DataFrame) -> pd.DataFrame:
         m = ray.get(ref)
-        df = df[df["edge_type"].isin(["SIMILAR_TO", "COMPARES_TO", "EXTENDS"])]
+        df = df[df["edge_type"].isin(
+            ["SIMILAR_TO", "COMPARES_TO", "EXTENDS", "IMPROVES_ON", "REFINES_CONCEPT"])]
         return pd.DataFrame(
             {
                 "src_doc": df["src_id"].map(m),

@@ -231,10 +231,16 @@ def oracle_build_graph(
                         agg["label"] = label
         for (da, db), agg in pair_counts.items():
             nm, nd, nc = agg["method"], agg["dataset"], agg["concept"]
-            if nm >= 2:
+            # full cross-doc vocabulary; IMPROVES_ON/EXTENDS/REFINES_CONCEPT
+            # inverted (reference: relationship_linking_agent.py:82-97,144-154)
+            if nm >= 3:
+                et, conf, src, dst = "IMPROVES_ON", 0.90, db, da
+            elif nm == 2:
                 et, conf, src, dst = "EXTENDS", 0.85, db, da
             elif nm >= 1 and nd >= 1:
                 et, conf, src, dst = "COMPARES_TO", 0.80, da, db
+            elif nc >= 2:
+                et, conf, src, dst = "REFINES_CONCEPT", 0.78, db, da
             elif nm + nd + nc >= 2:
                 et, conf, src, dst = "SIMILAR_TO", 0.75, da, db
             else:

@@ -78,13 +78,17 @@ SELECT CAST(doc_id AS VARCHAR) AS src_label,
 FROM (SELECT DISTINCT doc_id, term FROM ({_UNNEST}))
 """
 
+# The flat corpus's entities are all concepts, so every shared-entity pair
+# with >= 2 shared concepts takes the REFINES_CONCEPT rule, which is
+# direction-INVERTED (doc_b -> doc_a) per the reference
+# (src/agents/relationship_linking_agent.py:144-154).
 KG_CROSS_DOC_EDGES_SQL = f"""
 WITH dt AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS vdoc, term
             FROM ({_UNNEST}) WHERE doc_id < 150),
 pairs AS (SELECT a.vdoc AS da, b.vdoc AS db, COUNT(*) AS n
           FROM dt a JOIN dt b ON a.term = b.term AND a.vdoc < b.vdoc
           GROUP BY 1, 2)
-SELECT da AS src_doc, db AS dst_doc, 'SIMILAR_TO' AS edge_type
+SELECT db AS src_doc, da AS dst_doc, 'REFINES_CONCEPT' AS edge_type
 FROM pairs WHERE n >= 2
 """
 

@@ -27,7 +27,7 @@ import ray.data  # noqa: F401 — Dataset type in signatures
 
 from ..functions.ids import paper_node_id
 from ..schemas import EDGES_SCHEMA
-from .shuffle import arrow_group_agg, hash_exchange_apply
+from .shuffle import arrow_group_agg, bucketed_group_apply, hash_exchange_apply
 
 BLOCKING_TYPES = ("method", "dataset", "concept")  # reference: graph_service.py:237-241
 DEFAULT_MAX_DOCS_PER_ENTITY = 128
@@ -120,16 +120,22 @@ def candidate_pairs(
 def judge_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
     """Deterministic pair judge → cross-doc EDGES_SCHEMA rows.
 
-    Rules (the deterministic stand-in for the per-pair LLM judge; the pipeline
-    slot, inputs and outputs are identical to what an LLM actor pool needs):
+    Emits the reference's FULL cross-doc vocabulary
+    (src/agents/relationship_linking_agent.py:82-97) with disjoint
+    deterministic rules (the stand-in for the per-pair LLM judge; the
+    pipeline slot, inputs and outputs are identical to what an LLM actor
+    pool needs). First matching rule wins:
 
-    - ``n_shared_methods ≥ 2``                       → EXTENDS, 0.85 (b → a)
-    - elif ``n_shared_methods ≥ 1 and n_shared_datasets ≥ 1`` → COMPARES_TO, 0.80 (a → b)
-    - elif total shared ≥ 2                          → SIMILAR_TO, 0.75 (a → b)
+    - ``n_shared_methods ≥ 3``                → IMPROVES_ON,     0.90 (b → a)
+    - elif ``n_shared_methods == 2``          → EXTENDS,         0.85 (b → a)
+    - elif ``n_shared_methods ≥ 1 and n_shared_datasets ≥ 1``
+                                              → COMPARES_TO,     0.80 (a → b)
+    - elif ``n_shared_concepts ≥ 2``          → REFINES_CONCEPT, 0.78 (b → a)
+    - elif total shared ≥ 2                   → SIMILAR_TO,      0.75 (a → b)
     - else no edge.
 
-    EXTENDS is direction-inverted per the reference rule
-    (src/agents/relationship_linking_agent.py:144-154).
+    IMPROVES_ON / EXTENDS / REFINES_CONCEPT are direction-inverted per the
+    reference rule (src/agents/relationship_linking_agent.py:144-154).
     """
 
     def judge(batch: pa.Table) -> pa.Table:
@@ -141,16 +147,26 @@ def judge_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
         ev = np.asarray(batch["evidence_label"].to_pylist(), dtype=object)
         total = nm + nd + nc
 
-        extends = nm >= 2
-        compares = (~extends) & (nm >= 1) & (nd >= 1)
-        similar = (~extends) & (~compares) & (total >= 2)
-        keep = extends | compares | similar
+        improves = nm >= 3
+        extends = (~improves) & (nm == 2)
+        compares = (~improves) & (~extends) & (nm >= 1) & (nd >= 1)
+        refines = (~improves) & (~extends) & (~compares) & (nc >= 2)
+        similar = (~improves) & (~extends) & (~compares) & (~refines) & (total >= 2)
+        keep = improves | extends | compares | refines | similar
 
-        edge_type = np.where(extends, "EXTENDS", np.where(compares, "COMPARES_TO", "SIMILAR_TO"))
-        conf = np.where(extends, 0.85, np.where(compares, 0.80, 0.75)).astype(np.float32)
+        edge_type = np.select(
+            [improves, extends, compares, refines],
+            ["IMPROVES_ON", "EXTENDS", "COMPARES_TO", "REFINES_CONCEPT"],
+            default="SIMILAR_TO",
+        )
+        conf = np.select(
+            [improves, extends, compares, refines],
+            [0.90, 0.85, 0.80, 0.78], default=0.75
+        ).astype(np.float32)
         # direction: inverted types point doc_b -> doc_a
-        src_doc = np.where(extends, doc_b, doc_a)
-        dst_doc = np.where(extends, doc_a, doc_b)
+        inverted = improves | extends | refines
+        src_doc = np.where(inverted, doc_b, doc_a)
+        dst_doc = np.where(inverted, doc_a, doc_b)
 
         idx = np.nonzero(keep)[0]
         rationale = [
@@ -181,3 +197,159 @@ def link_cross_documents(
 ) -> "ray.data.Dataset":
     """Full linking pass: blocking → capped pairs → judge → cross-doc edges."""
     return judge_pairs(candidate_pairs(candidate_pair_rows(validated, max_docs_per_entity)))
+
+
+# ---------------------------------------------------------------------------
+# Semantic (KNN) blocking — the reference's v1 pruned linker
+# (src/services/graph_service.py:70-165: per-paper embedding top-k neighbors
+# + shared-dataset filter, THEN the pair judge)
+# ---------------------------------------------------------------------------
+
+
+def knn_neighbor_pairs(
+    embeddings: "ray.data.Dataset", k: int = 10,
+    n_centroids: int = 16, nprobe: int | None = None,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b) — unordered dedup of each doc's cosine top-k neighbors.
+
+    IVF-bucketed, fully distributed: the (small) centroid matrix is broadcast;
+    each doc lands in its nearest-centroid bucket as a *member* and is
+    replicated into its ``nprobe`` nearest buckets as a *query*; one exchange
+    on bucket computes per-bucket query×member similarities and per-query
+    partial top-k; a second exchange on the query doc reduces the global
+    top-k per doc. ``nprobe=None`` probes every bucket (exact KNN — used by
+    the pytest equivalence gate); small nprobe is the scale path.
+    """
+    import ray as _ray
+
+    head = embeddings.limit(n_centroids).to_pandas()
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+    n_c = len(cents)
+    probe_n = n_c if nprobe is None else min(nprobe, n_c)
+    c_ref = _ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        cv = _ray.get(c_ref)
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        vn = np.linalg.norm(vecs, axis=1)
+        vn[vn == 0] = 1.0
+        unit = vecs / vn[:, None]
+        sims = unit @ cv.T                      # (n, n_centroids)
+        order = np.argsort(-sims, kind="stable")
+        rows = {"bucket": [], "role": [], "doc_id": [], "vec": []}
+        for i, did in enumerate(df["doc_id"]):
+            blob = unit[i].tobytes()
+            rows["bucket"].append(int(order[i, 0]))
+            rows["role"].append("m")            # member of its home bucket
+            rows["doc_id"].append(did)
+            rows["vec"].append(blob)
+            for b in order[i, :probe_n]:        # query replicated to probes
+                rows["bucket"].append(int(b))
+                rows["role"].append("q")
+                rows["doc_id"].append(did)
+                rows["vec"].append(blob)
+        return pd.DataFrame(rows)
+
+    rows = embeddings.map_batches(assign, batch_format="pandas")
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "nb_id": [], "sim": []}
+        for _, g in df.groupby("bucket"):
+            q = g[g["role"] == "q"].drop_duplicates("doc_id")
+            m = g[g["role"] == "m"].drop_duplicates("doc_id")
+            if not len(q) or not len(m):
+                continue
+            qv = np.stack([np.frombuffer(v, dtype=np.float64) for v in q["vec"]])
+            mv = np.stack([np.frombuffer(v, dtype=np.float64) for v in m["vec"]])
+            sims = qv @ mv.T
+            qd = q["doc_id"].to_numpy()
+            md = m["doc_id"].to_numpy()
+            for i in range(len(qd)):
+                row = sims[i]
+                top = np.argsort(-row, kind="stable")[: k + 1]
+                for j in top:
+                    if md[j] == qd[i]:
+                        continue
+                    out["doc_id"].append(qd[i])
+                    out["nb_id"].append(md[j])
+                    out["sim"].append(float(row[j]))
+        return pd.DataFrame(out)
+
+    cands = bucketed_group_apply(rows, ["bucket"], lambda df: df, bucket_topk)
+
+    def per_doc_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["doc_id", "nb_id"])
+        # deterministic: sim desc, then neighbor id — matches a sequential
+        # argsort over the full similarity row
+        df = df.sort_values(["doc_id", "sim", "nb_id"],
+                            ascending=[True, False, True])
+        return df.groupby("doc_id", as_index=False).head(k)
+
+    topk = bucketed_group_apply(cands, ["doc_id"], per_doc_topk, per_doc_topk)
+
+    def to_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        both = df[["doc_id", "nb_id"]]
+        return pd.DataFrame(
+            {"doc_a": both.min(axis=1), "doc_b": both.max(axis=1)}
+        ).drop_duplicates()
+
+    pairs = topk.map_batches(to_pairs, batch_format="pandas")
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])
+
+    return bucketed_group_apply(pairs, ["doc_a", "doc_b"], dedup, dedup)
+
+
+def link_cross_documents_semantic(
+    validated: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    k_neighbors: int = 10,
+    max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
+    nprobe: int | None = None,
+) -> "ray.data.Dataset":
+    """The reference's PRUNED linking pass (graph_service.py:70-165):
+    candidate pairs = (embedding top-k neighbors) ∩ (pairs sharing ≥ 1
+    dataset entity), then the same pair judge. Both blocking sides are
+    distributed; the intersection is one pair-keyed exchange (semi-join)."""
+    from .embed import embed_docs_tasks
+
+    nbrs = knn_neighbor_pairs(embed_docs_tasks(docs), k=k_neighbors, nprobe=nprobe)
+    shared = candidate_pairs(candidate_pair_rows(validated, max_docs_per_entity))
+
+    n_tag = nbrs.map_batches(
+        lambda df: df.assign(__nbr=np.int64(1)), batch_format="pandas")
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        if "__nbr" not in df.columns:
+            df = df.assign(__nbr=np.int64(0))
+        df["__nbr"] = df["__nbr"].fillna(0).astype(np.int64)
+        # neighbor-side rows carry "" evidence — lift to a high sentinel so
+        # the min keeps the entity-side min label (plain-path parity)
+        df = df.assign(evidence_label=df["evidence_label"].replace("", "￿"))
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            n_shared_methods=("n_shared_methods", "max"),
+            n_shared_datasets=("n_shared_datasets", "max"),
+            n_shared_concepts=("n_shared_concepts", "max"),
+            evidence_label=("evidence_label", "min"),
+            n_dropped_docs=("n_dropped_docs", "max"),
+            __nbr=("__nbr", "max"),
+        )
+        # keep pairs that are BOTH semantic neighbors and share >= 1 dataset
+        # (the reference's shared-dataset filter, graph_service.py:137-143)
+        keep = g[(g["__nbr"] == 1) & (g["n_shared_datasets"] >= 1)].copy()
+        keep["evidence_label"] = keep["evidence_label"].replace("￿", "")
+        return keep.drop(columns="__nbr")
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("n_shared_methods", "n_shared_datasets", "n_shared_concepts",
+                  "evidence_label", "n_dropped_docs", "__nbr"):
+            if c not in df.columns:
+                df[c] = np.int64(0) if c != "evidence_label" else ""
+        return df
+
+    filtered = bucketed_group_apply(shared.union(n_tag), ["doc_a", "doc_b"], pre, semi)
+    return judge_pairs(filtered)
