@@ -153,28 +153,44 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run_at(ncpu: int) -> dict:
-        return run_once(ncpu)
+    cache: dict[int, dict] = {}
 
-    n_lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
-    n_hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    lo, hi = run_at(n_lo), run_at(n_hi)
-    tput_lo = lo["docs_per_sec"]
-    tput_hi = hi["docs_per_sec"]
-    eff = (tput_hi / tput_lo) / (n_hi / n_lo)
+    def run_at(ncpu: int) -> dict:
+        if ncpu not in cache:
+            cache[ncpu] = run_once(ncpu)
+        return cache[ncpu]
+
+    # BOTH N-vs-4N pairs are measured and reported (SURVEY.md §4 named 8v32;
+    # 4v16 shows the same ratio with less single-machine contention — on one
+    # box both "clusters" share the object store/raylet, see BASELINE.md)
+    if os.environ.get("GRAFT_SCALE_LO"):
+        pairs = [(int(os.environ["GRAFT_SCALE_LO"]),
+                  int(os.environ.get("GRAFT_SCALE_HI", "16")))]
+    else:
+        pairs = [(4, 16), (8, 32)]
+
+    pair_out: dict[str, dict] = {}
+    for n_lo, n_hi in pairs:
+        lo, hi = run_at(n_lo), run_at(n_hi)
+        eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (n_hi / n_lo)
+        pair_out[f"{n_lo}v{n_hi}"] = {
+            "efficiency": round(eff, 3),
+            "cpus_lo": n_lo, "cpus_hi": n_hi,
+            "sec_lo": lo["value"], "sec_hi": hi["value"],
+            "docs_per_sec_lo": lo["docs_per_sec"],
+            "docs_per_sec_hi": hi["docs_per_sec"],
+            "triples_per_sec_lo": lo["triples_per_sec"],
+            "triples_per_sec_hi": hi["triples_per_sec"],
+        }
+    primary = pair_out[f"{pairs[0][0]}v{pairs[0][1]}"]
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": primary["efficiency"],
         "unit": "ratio",
-        "cpus_lo": n_lo,
-        "cpus_hi": n_hi,
-        "sec_lo": lo["value"],
-        "sec_hi": hi["value"],
-        "docs_per_sec_lo": tput_lo,
-        "docs_per_sec_hi": tput_hi,
-        "triples_per_sec_lo": lo["triples_per_sec"],
-        "triples_per_sec_hi": hi["triples_per_sec"],
-        "kg_docs": lo["kg_docs"],
+        "pairs": pair_out,
+        "kg_docs": next(iter(cache.values()))["kg_docs"],
+        **{k: primary[k] for k in ("cpus_lo", "cpus_hi", "sec_lo", "sec_hi",
+                                   "docs_per_sec_lo", "docs_per_sec_hi")},
     }
 
 

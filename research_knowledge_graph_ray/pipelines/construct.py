@@ -55,6 +55,7 @@ def extract_validated(
     batch_size: int = 256,
     concurrency=None,
     use_actor_pool: bool = False,
+    with_meta: bool = False,
 ) -> "ray.data.Dataset":
     """Extraction + validation, as one streamed sub-pipeline.
 
@@ -77,7 +78,7 @@ def extract_validated(
             concurrency = max(2, (3 * n_cpus) // 4)
         records = docs.map_batches(
             TripleExtractor,
-            fn_constructor_kwargs={"vocab": vocab},
+            fn_constructor_kwargs={"vocab": vocab, "with_meta": with_meta},
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
@@ -92,7 +93,7 @@ def extract_validated(
     vocab_key = "default" if vocab is None else str(sorted(vocab))
 
     def extract_and_validate(batch):
-        out = validate_records(extract_batch(batch, vocab_key, vocab))
+        out = validate_records(extract_batch(batch, vocab_key, vocab, with_meta))
         # raw pre-normalization labels are dead after validation — drop them
         # before the record stream is materialized/shuffled
         return out.drop_columns(["subj_label", "obj_label"])
@@ -140,6 +141,7 @@ def build_graph(
             lambda d: extract_validated(
                 d, vocab=vocab, batch_size=extract_batch_size,
                 concurrency=extract_concurrency, use_actor_pool=extract_actor_pool,
+                with_meta=paper_node_attrs,
             ),
             f"{checkpoint_dir}/validated",
             n_partitions=checkpoint_partitions,
@@ -149,6 +151,7 @@ def build_graph(
         validated = extract_validated(
             docs, vocab=vocab, batch_size=extract_batch_size,
             concurrency=extract_concurrency, use_actor_pool=extract_actor_pool,
+            with_meta=paper_node_attrs,
         ).materialize()
 
     mapping: dict = {}
@@ -166,18 +169,12 @@ def build_graph(
     from concurrent.futures import ThreadPoolExecutor
 
     # paper-node description/properties (title/abstract/year/venue/authors —
-    # reference ingestion_service.py:176-222): metadata rows flow through the
-    # same node_id-keyed exchange as the record-derived attrs, no broadcast
-    attrs = None
-    if paper_node_attrs:
-        from ..stages.canonicalize import paper_attr_rows
-        from ..stages.metadata import extract_doc_meta
-
-        attrs = paper_attr_rows(extract_doc_meta(docs))
-
+    # reference ingestion_service.py:176-222) arrive as __PAPER_META__ records
+    # fused into the extraction pass (with_meta above) — no second corpus
+    # scan, no broadcast; build_nodes consumes them through the same exchange
     embeddings = None
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_nodes = pool.submit(build_nodes, validated, attrs)
+        f_nodes = pool.submit(build_nodes, validated)
         f_edges = pool.submit(build_edges, validated)
         if not link:
             f_cross = None

@@ -166,9 +166,11 @@ def oracle_build_graph(
                 if nid not in node_ppack or k < node_ppack[nid]:
                     node_ppack[nid] = k
     # paper-node attrs: description = title, properties = metadata JSON
+    # (engine analogue: the fused __PAPER_META__ record, which also counts
+    # the paper's own doc — every ingested doc yields a paper node)
     for doc_id, meta in paper_meta.items():
         pid = paper_node_id(doc_id)
-        node_docs.setdefault(pid, set())
+        node_docs.setdefault(pid, set()).add(doc_id)
         node_label.setdefault(pid, doc_id)
         node_type.setdefault(pid, "paper")
         if meta["title"]:

@@ -503,56 +503,7 @@ def _unpack_attr(col, empty: str):
     return pc.fill_null(pc.list_element(parts, 1), empty)
 
 
-def paper_attr_rows(meta: "ray.data.Dataset") -> "ray.data.Dataset":
-    """DOC_META rows → node-attr rows for paper nodes (description = title,
-    properties = abstract/year/venue/authors JSON), shaped to union into
-    :func:`build_nodes`' per-salt stream. Mirrors the reference's paper-node
-    properties (src/services/ingestion_service.py:176-222) minus full_text."""
-    import json
-
-    from ..functions.ids import paper_node_id
-
-    def to_rows(t: pa.Table) -> pa.Table:
-        doc_ids = t["doc_id"].to_pylist()
-        titles = t["title"].to_pylist()
-        abstracts = t["abstract"].to_pylist()
-        years = t["year"].to_pylist()
-        venues = t["venue"].to_pylist()
-        authors = t["authors"].to_pylist()
-        props = [
-            json.dumps({"abstract": a, "year": y, "venue": v, "authors": list(au or [])})
-            for a, y, v, au in zip(abstracts, years, venues, authors)
-        ]
-        n = len(doc_ids)
-        out = pa.table(
-            {
-                "node_id": pa.array([paper_node_id(d) for d in doc_ids], type=pa.string()),
-                "salt": pa.array([0] * n, type=pa.int64()),
-                "node_type": pa.array(["paper"] * n, type=pa.string()),
-                "label": pa.array([str(d) for d in doc_ids], type=pa.string()),
-                "doc_str": pa.array([str(d) for d in doc_ids], type=pa.string()),
-                "title": pa.array([t_ or "" for t_ in titles], type=pa.string()),
-                "props": pa.array(props, type=pa.string()),
-                "n_docs": pa.array([0] * n, type=pa.int64()),
-            }
-        )
-        return pa.table(
-            {
-                "node_id": out["node_id"], "salt": out["salt"],
-                "node_type": out["node_type"], "label": out["label"],
-                "dpack": _pack_attr(out["doc_str"], out["title"], ""),
-                "ppack": _pack_attr(out["doc_str"], out["props"], "{}"),
-                "n_docs": out["n_docs"],
-            }
-        )
-
-    return meta.map_batches(to_rows, batch_format="pyarrow", zero_copy_batch=True)
-
-
-def build_nodes(
-    validated: "ray.data.Dataset",
-    paper_attrs: "ray.data.Dataset | None" = None,
-) -> "ray.data.Dataset":
+def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     """NODES_SCHEMA table: per canonical node — type, min display label,
     min-doc description/properties, n_docs.
 
@@ -568,8 +519,9 @@ def build_nodes(
     src/agents/validation_agent.py:73-91 within-doc + first-writer-wins
     cross-doc): the min-(doc_id, value) packed record wins — carried through
     both phases as nullable packed strings so null (absent) never beats a
-    real value. ``paper_attrs`` (from :func:`paper_attr_rows`) flows through
-    the SAME node_id-keyed exchange — no corpus-sized broadcast.
+    real value. Paper-node attrs arrive as ``__PAPER_META__`` records fused
+    into the extraction pass (stages/extract.py::meta_record) and flow
+    through the SAME exchange — no corpus-sized broadcast, no second scan.
     """
 
     def partial1(t: pa.Table) -> pa.Table:
@@ -601,8 +553,6 @@ def build_nodes(
             ["node_id", "salt", "node_type", "label", "dpack", "ppack", "n_docs"])
 
     per_salt = hash_exchange_apply(validated, ["node_id", "salt"], partial1, final1)
-    if paper_attrs is not None:
-        per_salt = per_salt.union(paper_attrs)
 
     def combine(t: pa.Table) -> pa.Table:
         agg = arrow_group_agg(
@@ -646,6 +596,8 @@ def build_edges(validated: "ray.data.Dataset") -> "ray.data.Dataset":
 
     def agg(t: pa.Table) -> pa.Table:
         if "subj_id" in t.column_names:  # first (partial) pass sees validated rows
+            # paper-attr records are node metadata, not edges
+            t = t.filter(pc.not_equal(t["pred"], "__PAPER_META__"))
             packed = pc.binary_join_element_wise(
                 pc.utf8_lpad(t["doc_id"], _PAD, padding=" "),
                 t["rationale"], t["evidence_span"], _SEP,

@@ -207,7 +207,7 @@ def minhash_candidate_pairs_ds(
 
 def minhash_dedup_clusters(
     ds: "ray.data.Dataset", n_perm: int = 128, n_bands: int = 8, shingle_k: int = 3,
-    max_cc_iters: int = 16,
+    max_cc_iters: int = 16, cc_driver_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Cluster-mode MinHash dedup — the 100 TB-scale path, end-to-end
     distributed (neither the edge set nor the labels ever land on the driver).
@@ -244,22 +244,45 @@ def minhash_dedup_clusters(
 
     edges = bucketed_group_apply(
         sketches, ["band", "band_hash"], lambda df: df, star_edges
+    ).materialize()
+
+    # small edge sets (clean corpora) take the driver union-find fast path —
+    # the multi-round distributed propagation costs several full executions
+    # of pure overhead on a 20-row edge list. Past ``cc_driver_limit`` edges
+    # (boilerplate-heavy corpora: edge volume is linear in near-dup docs,
+    # billions at 100 TB) the fully distributed CC takes over; nothing
+    # driver-sized ever materializes on that path.
+    from .canonicalize import connected_components_driver, connected_components_ds
+
+    try:
+        pdf = edges.to_pandas(limit=cc_driver_limit)
+    except ValueError:
+        labels = connected_components_ds(edges, max_iters=max_cc_iters)
+
+        def finalize(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["node"].astype(np.int64),
+                    "cluster_id": df["label"].astype(np.int64),
+                    "keep": (df["node"] == df["label"]).to_numpy(),
+                }
+            )
+
+        return labels.map_batches(finalize, batch_format="pandas")
+
+    mapping = connected_components_driver(
+        (int(a), int(b)) for a, b in zip(pdf["a"], pdf["b"])
     )
-
-    from .canonicalize import connected_components_ds
-
-    labels = connected_components_ds(edges, max_iters=max_cc_iters)
-
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "doc_id": df["node"].astype(np.int64),
-                "cluster_id": df["label"].astype(np.int64),
-                "keep": (df["node"] == df["label"]).to_numpy(),
-            }
-        )
-
-    return labels.map_batches(finalize, batch_format="pandas")
+    members = sorted(set(mapping) | set(mapping.values()))
+    out = pd.DataFrame(
+        {"doc_id": np.asarray(members, dtype=np.int64),
+         "cluster_id": np.asarray([mapping.get(d, d) for d in members], dtype=np.int64)}
+    )
+    out["keep"] = out["doc_id"] == out["cluster_id"]
+    return ray.data.from_pandas(out) if len(out) else ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                      "cluster_id": pd.Series(dtype=np.int64),
+                      "keep": pd.Series(dtype=bool)}))
 
 
 def jaccard(text_a: str, text_b: str, k: int = 3) -> float:

@@ -150,21 +150,47 @@ def extract_doc_records(
     return records
 
 
-def _doc_texts_from_batch(batch: pa.Table) -> tuple[list[str], list[str]]:
-    """Flatten the span list column into one concatenated text per doc.
+def _doc_spans_from_batch(batch: pa.Table):
+    """(doc_ids, kinds, texts, refs, offsets) — one flatten of the span list.
 
-    Works directly on Arrow buffers (no pandas — nested lists must not round-trip
-    through object dtype). Span order is the list order, which is preserved.
-    """
+    Works directly on Arrow buffers (no pandas — nested lists must not
+    round-trip through object dtype). Span order is the list order."""
     from ..schemas import flatten_spans
 
     doc_ids = batch["doc_id"].to_pylist()
     flat, offsets = flatten_spans(batch)
-    texts = flat.field("text").to_pylist()
+    return (doc_ids, flat.field("kind").to_pylist(), flat.field("text").to_pylist(),
+            flat.field("media_ref").to_pylist(), offsets)
+
+
+def _doc_texts_from_batch(batch: pa.Table) -> tuple[list[str], list[str]]:
+    """Flatten the span list column into one concatenated text per doc."""
+    doc_ids, _kinds, texts, _refs, offsets = _doc_spans_from_batch(batch)
     joined = [
         "\n".join(texts[offsets[i] : offsets[i + 1]]) for i in range(len(doc_ids))
     ]
     return doc_ids, joined
+
+
+PAPER_META_PRED = "__PAPER_META__"
+
+
+def meta_record(doc_id: str, kinds: list, texts: list, refs: list) -> tuple:
+    """One RECORDS_SCHEMA row carrying the paper node's attrs (description =
+    title, properties = abstract/year/venue/authors JSON) — fused into the
+    extraction pass so document metadata costs no second corpus scan
+    (reference paper-node properties: src/services/ingestion_service.py:176-222).
+    Both endpoints are type 'paper', so entity-linking explodes exclude it;
+    build_edges filters the pred; build_nodes consumes the attrs."""
+    from .metadata import doc_meta_from_spans
+
+    m = doc_meta_from_spans(doc_id, kinds, texts, refs)
+    props = json.dumps(
+        {"abstract": m["abstract"], "year": m["year"], "venue": m["venue"],
+         "authors": list(m["authors"])}
+    )
+    return (doc_id, "paper", doc_id, PAPER_META_PRED, "paper", doc_id, 1.0,
+            "paper-meta", "", m["title"], props)
 
 
 def records_to_table(records: list[tuple]) -> pa.Table:
@@ -174,6 +200,27 @@ def records_to_table(records: list[tuple]) -> pa.Table:
         for col, field in zip(cols, RECORDS_SCHEMA)
     ]
     return pa.Table.from_arrays(arrays, schema=RECORDS_SCHEMA)
+
+
+def _extract_with_meta(batch: pa.Table, mention_res, triple_res,
+                       with_meta: bool) -> pa.Table:
+    """One flatten serves both extraction and (optionally) paper metadata."""
+    doc_ids, kinds, texts, refs, offsets = _doc_spans_from_batch(batch)
+    records: list[tuple] = []
+    for i, doc_id in enumerate(doc_ids):
+        lo, hi = offsets[i], offsets[i + 1]
+        joined = "\n".join(texts[lo:hi])
+        try:
+            records.extend(extract_doc_records(doc_id, joined, mention_res, triple_res))
+        except Exception as exc:  # noqa: BLE001 — mirror reference tolerance
+            records.append(
+                (doc_id, "paper", doc_id, "EXTRACTION_FAILED", "status",
+                 type(exc).__name__, 0.0, "extractor-error", str(exc)[:200],
+                 "", "{}")
+            )
+        if with_meta:
+            records.append(meta_record(doc_id, kinds[lo:hi], texts[lo:hi], refs[lo:hi]))
+    return records_to_table(records)
 
 
 def _extract_degrading(doc_ids, texts, mention_res, triple_res) -> list[tuple]:
@@ -210,25 +257,25 @@ class TripleExtractor:
     no actor cold-start. The actor pool is for genuinely heavy state.
     """
 
-    def __init__(self, vocab: dict[str, list[str]] | None = None):
+    def __init__(self, vocab: dict[str, list[str]] | None = None,
+                 with_meta: bool = False):
         self.mention_res, self.triple_res = compile_patterns(vocab)
+        self.with_meta = with_meta
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids, texts = _doc_texts_from_batch(batch)
-        return records_to_table(
-            _extract_degrading(doc_ids, texts, self.mention_res, self.triple_res)
-        )
+        return _extract_with_meta(batch, self.mention_res, self.triple_res,
+                                  self.with_meta)
 
 
 _PATTERN_CACHE: dict = {}
 
 
 def extract_batch(batch: pa.Table, vocab_key: str = "default",
-                  vocab: dict[str, list[str]] | None = None) -> pa.Table:
+                  vocab: dict[str, list[str]] | None = None,
+                  with_meta: bool = False) -> pa.Table:
     """Stateless-task twin of :class:`TripleExtractor` (per-process pattern
     cache keyed by ``vocab_key``)."""
     if vocab_key not in _PATTERN_CACHE:
         _PATTERN_CACHE[vocab_key] = compile_patterns(vocab)
     mention_res, triple_res = _PATTERN_CACHE[vocab_key]
-    doc_ids, texts = _doc_texts_from_batch(batch)
-    return records_to_table(_extract_degrading(doc_ids, texts, mention_res, triple_res))
+    return _extract_with_meta(batch, mention_res, triple_res, with_meta)

@@ -67,21 +67,83 @@ def knn_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> "ray.data.Datas
     return scored.sort(["sim_e6", "vec_id"], descending=[True, False]).limit(k)
 
 
+def kmeans_centroids(
+    ds: "ray.data.Dataset", k: int = 16, iters: int = 5,
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over an ``embedding`` column (the
+    production coarse quantizer for IVF). Deterministic: init = first ``k``
+    vectors, unit-normalized. Each iteration broadcasts the (tiny) centroid
+    matrix, computes per-batch partial (sum, count) per centroid with one
+    matmul, and reduces the k×(dim+1) partials on the driver — the classic
+    broadcast-partials pattern; no shuffle, data never leaves its blocks."""
+    head = ds.limit(k).to_pandas()
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    n = np.linalg.norm(cents, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    cents = cents / n
+
+    for _ in range(iters):
+        c_ref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pd.DataFrame:
+            cv = ray.get(c_ref)
+            vecs = _batch_vecs(batch)
+            norms = np.linalg.norm(vecs, axis=1)
+            norms[norms == 0] = 1.0
+            unit = vecs / norms[:, None]
+            assign = np.argmax(unit @ cv.T, axis=1)
+            sums = np.zeros_like(cv)
+            np.add.at(sums, assign, unit)
+            counts = np.bincount(assign, minlength=len(cv)).astype(np.float64)
+            return pd.DataFrame(
+                {"cid": np.arange(len(cv)),
+                 "vsum": [row.tobytes() for row in sums],
+                 "cnt": counts}
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for cid, blob, cnt in zip(parts["cid"], parts["vsum"], parts["cnt"]):
+            sums[cid] += np.frombuffer(blob, dtype=np.float64)
+            counts[cid] += cnt
+        nonzero = counts > 0
+        new = cents.copy()
+        new[nonzero] = sums[nonzero] / counts[nonzero, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return cents
+
+
 def knn_topk_ivf(
     sf_dir: str, query_vec_id: int = 0, k: int = 10,
-    n_centroids: int = 16, nprobe: int = 4,
+    n_centroids: int = 16, nprobe: int = 4, centroid_mode: str = "head",
+    kmeans_iters: int = 5,
 ) -> "ray.data.Dataset":
-    """Approximate IVF top-k: vectors bucketed to their nearest centroid
-    (deterministic coarse quantizer: the first ``n_centroids`` stored vectors,
-    unit-normalized); only the query's ``nprobe`` nearest buckets are scanned.
+    """Approximate IVF top-k: vectors bucketed to their nearest centroid;
+    only the query's ``nprobe`` nearest buckets are scanned.
+
+    ``centroid_mode="head"`` uses the first ``n_centroids`` stored vectors as
+    the deterministic coarse quantizer (cheap default); ``"kmeans"`` trains
+    :func:`kmeans_centroids` (the production path — better-balanced buckets
+    at the cost of ``iters`` passes over the embeddings).
 
     At cluster scale the centroid matrix is broadcast and the non-probed
     buckets are pruned before any distance work. Recall vs exact top-k is
     validated in pytest; not SQL-expressible → rows-only oracle."""
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    head = t.slice(0, n_centroids)
-    cents = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    if centroid_mode == "kmeans":
+        ds0 = ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        cents = kmeans_centroids(ds0, k=n_centroids, iters=kmeans_iters)
+    else:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        head = t.slice(0, n_centroids)
+        cents = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in head["embedding"].to_pylist()])
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 
     q = _load_query_vec(sf_dir, query_vec_id)
     q = q / np.linalg.norm(q)

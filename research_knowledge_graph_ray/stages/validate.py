@@ -56,15 +56,18 @@ def validate_records(batch: pa.Table) -> pa.Table:
     pred = _as_obj_np(batch["pred"])
 
     is_paper = subj_type == "paper"
+    obj_is_paper = obj_type == "paper"  # __PAPER_META__ records (extract.py)
     subj_norm = np.where(is_paper, subj_label, normalize_labels_np(subj_label))
-    obj_norm = normalize_labels_np(obj_label)
+    obj_norm = np.where(obj_is_paper, obj_label, normalize_labels_np(obj_label))
 
     # id keys: papers are keyed by "doc:{doc_id}" so a document can never
     # collide with an entity whose label equals a doc id
     doc_keys = np.array([f"doc:{v}" for v in subj_label], dtype=object)
     subj_key = np.where(is_paper, doc_keys, subj_norm)
     subj_id = node_ids_np(subj_type, subj_key)
-    obj_id = node_ids_np(obj_type, obj_norm)
+    obj_doc_keys = np.array([f"doc:{v}" for v in obj_label], dtype=object)
+    obj_key = np.where(obj_is_paper, obj_doc_keys, obj_norm)
+    obj_id = node_ids_np(obj_type, obj_key)
 
     # drop rows with empty endpoints or predicate (M8)
     keep = np.array(

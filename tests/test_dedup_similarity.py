@@ -91,6 +91,24 @@ def test_knn_ivf_recall(sf_dir):
     assert len(exact & approx) >= 5
 
 
+def test_knn_ivf_kmeans_centroids(sf_dir):
+    """k-means coarse quantizer (the production IVF path): full-probe scan is
+    exact; pruned probing still recovers most of the true top-k."""
+    exact = set(similarity.knn_topk(sf_dir, query_vec_id=0, k=10).to_pandas()["vec_id"])
+    full = set(
+        similarity.knn_topk_ivf(sf_dir, query_vec_id=0, k=10, n_centroids=8,
+                                nprobe=8, centroid_mode="kmeans")
+        .to_pandas()["vec_id"]
+    )
+    assert full == exact  # probing every bucket is exhaustive regardless of centroids
+    pruned = set(
+        similarity.knn_topk_ivf(sf_dir, query_vec_id=0, k=10, n_centroids=8,
+                                nprobe=4, centroid_mode="kmeans")
+        .to_pandas()["vec_id"]
+    )
+    assert len(exact & pruned) >= 5
+
+
 def test_embedding_near_dups_against_brute(sf_dir):
     out = dedup.embedding_near_dups(sf_dir, tau=0.30).to_pandas()
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()

@@ -39,3 +39,23 @@ def test_distributed_cc_fallback_on_large_edges():
         distinct_entities_ds(validated), amap, driver_limit=0
     )
     assert normal == forced
+
+
+def test_graph_edges_broadcast_excludes_paper_nodes():
+    """graph_edges resolves labels via a broadcast that must be
+    vocabulary-bound: entity rows only, never the O(corpus) paper nodes."""
+    from research_knowledge_graph_ray.pipelines.construct import build_graph
+    from research_knowledge_graph_ray.pipelines.kgflat import KG_FLAT_VOCAB, entity_label_map
+    from research_knowledge_graph_ray.sources.adapter import read_flat_documents_as_spans
+
+    res = build_graph(
+        read_flat_documents_as_spans("/root/testdata/sf0.001"),
+        vocab=KG_FLAT_VOCAB, aliases={}, entity_linking=False, link=False,
+    )
+    m = entity_label_map(res.nodes)
+    nodes = res.nodes.to_pandas()
+    n_papers = int((nodes["node_type"] == "paper").sum())
+    n_entities = int((nodes["node_type"] != "paper").sum())
+    assert n_papers >= 100          # corpus-sized side exists
+    assert len(m) == n_entities      # broadcast payload is entity-only
+    assert set(m.values()) == set(nodes[nodes["node_type"] != "paper"]["label"])

@@ -22,6 +22,11 @@ def test_minhash_clusters_planted():
     out_ds = minhash_dedup_clusters(ds)
     assert isinstance(out_ds, ray.data.Dataset)  # scale path: no driver frame
     out = out_ds.to_pandas()
+    # the fully distributed CC branch (cc_driver_limit=0) must agree exactly
+    forced = minhash_dedup_clusters(ds, cc_driver_limit=0).to_pandas()
+    a = out.sort_values("doc_id").reset_index(drop=True)
+    b = forced.sort_values("doc_id").reset_index(drop=True)
+    assert (a.values == b.values).all()
     by_doc = dict(zip(out["doc_id"], out["cluster_id"]))
     for i in range(8):
         assert by_doc.get(i) == i, f"survivor of cluster {i} wrong"
