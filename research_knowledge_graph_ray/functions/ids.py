@@ -14,10 +14,15 @@ import hashlib
 import numpy as np
 
 
+_ID_HEX = 20  # 80 bits: collision-safe past 10^9 distinct keys, half the
+# shuffle bytes of full sha1 hex — ids are the two hottest exchange columns
+
+
 def node_id(node_type: str, normalized_label: str) -> str:
-    """Deterministic node id: sha1 over type + case-insensitive label key."""
+    """Deterministic node id: truncated sha1 over type + case-insensitive
+    label key (80-bit hex — see ``_ID_HEX``)."""
     key = f"{node_type}\x00{normalized_label.lower()}"
-    return hashlib.sha1(key.encode("utf-8")).hexdigest()
+    return hashlib.sha1(key.encode("utf-8")).hexdigest()[:_ID_HEX]
 
 
 def paper_node_id(doc_id: str) -> str:
@@ -37,7 +42,8 @@ def node_ids_np(node_types: np.ndarray, normalized_labels: np.ndarray) -> np.nda
     )
     uniq, inv = np.unique(keys, return_inverse=True)
     hashed = np.array(
-        [hashlib.sha1(k.encode("utf-8")).hexdigest() for k in uniq], dtype=object
+        [hashlib.sha1(k.encode("utf-8")).hexdigest()[:_ID_HEX] for k in uniq],
+        dtype=object,
     )
     return hashed[inv]
 

@@ -71,7 +71,7 @@ def oracle_build_graph(
             [s["media_ref"] for s in spans],
         )
         text = "\n".join(s["text"] for s in row["spans"])
-        for (doc_id, st, sl, pred, ot, ol, conf, rat, ev, odesc, oprops) in extract_doc_records(
+        for (doc_id, st, sl, pred, ot, ol, conf, rat, ev, oprops) in extract_doc_records(
             row["doc_id"], text, mention_res, triple_res
         ):
             if st == "paper":
@@ -89,7 +89,7 @@ def oracle_build_graph(
                 dict(doc_id=doc_id, subj_type=st, subj_norm=s_norm, subj_id=s_id,
                      pred=pred, obj_type=ot, obj_norm=o_norm, obj_id=o_id,
                      confidence=conf, rationale=rat, evidence_span=ev,
-                     obj_desc=odesc, obj_props=oprops)
+                     obj_props=oprops)
             )
 
     # --- entity linking: alias + LSH edges → BFS components ---------------
@@ -142,10 +142,11 @@ def oracle_build_graph(
     #     carrying one (cross-doc first-writer-wins, deterministically) ------
     import json as _json
 
+    from ..stages.canonicalize import describe_node
+
     node_docs: dict[str, set] = defaultdict(set)
     node_label: dict[str, str] = {}
     node_type: dict[str, str] = {}
-    node_dpack: dict[str, tuple] = {}
     node_ppack: dict[str, tuple] = {}
     for r in validated:
         for side in ("subj", "obj"):
@@ -155,31 +156,23 @@ def oracle_build_graph(
                 node_label[nid] = lbl
             if nid not in node_type or ntype < node_type[nid]:
                 node_type[nid] = ntype
-            desc = r["obj_desc"] if side == "obj" else ""
             props = r["obj_props"] if side == "obj" else "{}"
-            if desc:
-                k = (r["doc_id"].rjust(_PAD), desc)
-                if nid not in node_dpack or k < node_dpack[nid]:
-                    node_dpack[nid] = k
             if props != "{}":
                 k = (r["doc_id"].rjust(_PAD), props)
                 if nid not in node_ppack or k < node_ppack[nid]:
                     node_ppack[nid] = k
-    # paper-node attrs: description = title, properties = metadata JSON
-    # (engine analogue: the fused __PAPER_META__ record, which also counts
-    # the paper's own doc — every ingested doc yields a paper node)
+    # paper-node attrs from metadata (engine analogue: the fused
+    # __PAPER_META__ record, which also counts the paper's own doc — every
+    # ingested doc yields a paper node)
     for doc_id, meta in paper_meta.items():
         pid = paper_node_id(doc_id)
         node_docs.setdefault(pid, set()).add(doc_id)
         node_label.setdefault(pid, doc_id)
         node_type.setdefault(pid, "paper")
-        if meta["title"]:
-            k = (doc_id.rjust(_PAD), meta["title"])
-            if pid not in node_dpack or k < node_dpack[pid]:
-                node_dpack[pid] = k
         props = _json.dumps(
-            {"abstract": meta["abstract"], "year": meta["year"],
-             "venue": meta["venue"], "authors": list(meta["authors"])}
+            {"title": meta["title"], "abstract": meta["abstract"],
+             "year": meta["year"], "venue": meta["venue"],
+             "authors": list(meta["authors"])}
         )
         if props != "{}":
             k = (doc_id.rjust(_PAD), props)
@@ -187,7 +180,7 @@ def oracle_build_graph(
                 node_ppack[pid] = k
     nodes = [
         dict(node_id=nid, node_type=node_type[nid], label=node_label[nid],
-             description=node_dpack.get(nid, ("", ""))[1],
+             description=describe_node(node_ppack.get(nid, ("", "{}"))[1]),
              properties=node_ppack.get(nid, ("", "{}"))[1],
              n_docs=len(node_docs[nid]))
         for nid in node_docs

@@ -95,7 +95,7 @@ FROM pairs WHERE n >= 2
 KG_NODE_PROPERTIES_SQL = f"""
 WITH dt AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS vdoc, term FROM ({_UNNEST}))
 SELECT 'paper' AS node_type, vdoc AS label, '' AS description,
-       '{{"abstract": "", "year": null, "venue": "", "authors": []}}' AS properties
+       '{{"title": "", "abstract": "", "year": null, "venue": "", "authors": []}}' AS properties
 FROM (SELECT DISTINCT vdoc FROM dt)
 UNION ALL
 SELECT 'concept', concat(upper(substr(term, 1, 1)), substr(term, 2)),
@@ -153,6 +153,20 @@ FROM (
 
 DOC_FINGERPRINT_SQL = """
 SELECT doc_id, md5(text) AS fp FROM documents
+"""
+
+DEDUP_NGRAM_JACCARD_SQL = r"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE doc_id < 100),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       CAST((i * 10000) // (sa.n + sb.n - i) AS BIGINT) AS jac_bp
+FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+WHERE (i * 10000) // (sa.n + sb.n - i) >= 2000
 """
 
 DEDUP_EXACT_SQL = """
@@ -217,6 +231,7 @@ QUERIES: dict = {
     "lang_id": (textops.lang_id, LANG_ID_SQL),
     # dedup family
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, None),
     "dedup_simhash_pairs": (dedup.simhash_pairs, None),
     # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,

@@ -62,13 +62,15 @@ RECORDS_SCHEMA = pa.schema(
         ("confidence", pa.float32()),
         ("rationale", pa.string()),
         ("evidence_span", pa.string()),
-        # entity description + JSON properties for the OBJECT entity (set on
-        # mention records; ""/"{}" on relational triples). Carried through
+        # JSON properties for the OBJECT entity (set on mention records and
+        # __PAPER_META__ records; "{}" on relational triples). Carried through
         # canonicalization into the nodes table, mirroring the reference's
         # entity description/properties (src/agents/validation_agent.py:73-91,
         # src/services/ingestion_service.py:105-129: cross-paper the first
-        # writer wins — deterministically restated as min-doc-wins).
-        ("obj_desc", pa.string()),
+        # writer wins — deterministically restated as min-doc-wins). The node
+        # description is DERIVED from the merged properties at finalize
+        # (canonicalize.describe_node) so it costs no second string column in
+        # the record stream.
         ("obj_props", pa.string()),
     ]
 )

@@ -125,13 +125,12 @@ def _explode_endpoints(
         subj_cols.append(t["doc_id"])
         obj_cols.append(t["doc_id"])
     if with_attrs:
-        # desc/props describe the OBJECT entity of mention records; the
-        # subject (paper) side carries empties — paper attrs arrive separately
-        names += ["desc", "props"]
+        # props describe the OBJECT entity of mention/meta records; the
+        # subject side carries the empty sentinel
+        names += ["props"]
         n = t.num_rows
-        subj_cols += [pa.array([""] * n, type=pa.string()),
-                      pa.array(["{}"] * n, type=pa.string())]
-        obj_cols += [t["obj_desc"], t["obj_props"]]
+        subj_cols += [pa.array(["{}"] * n, type=pa.string())]
+        obj_cols += [t["obj_props"]]
     return pa.concat_tables(
         [pa.table(dict(zip(names, subj_cols))), pa.table(dict(zip(names, obj_cols)))]
     )
@@ -503,6 +502,22 @@ def _unpack_attr(col, empty: str):
     return pc.fill_null(pc.list_element(parts, 1), empty)
 
 
+def describe_node(props: str) -> str:
+    """Node description derived from the merged properties JSON — costs no
+    extra string column in the record stream. Papers: the title; extracted
+    entities: the first surviving surface form (validation_agent.py:79-86)."""
+    if props == "{}":
+        return ""
+    import json
+
+    d = json.loads(props)
+    if "title" in d:
+        return d["title"] or ""
+    if "surface" in d:
+        return f"{d.get('etype', '')} mentioned as '{d['surface']}'"
+    return ""
+
+
 def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     """NODES_SCHEMA table: per canonical node — type, min display label,
     min-doc description/properties, n_docs.
@@ -530,27 +545,24 @@ def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
         ex = _explode_endpoints(t, with_doc=True, with_attrs=True)
         salt_np = (_col_hash(ex["doc_id"]) % np.uint64(N_DOC_SALTS)).astype(np.int64)
         ex = ex.append_column("salt", pa.array(salt_np, type=pa.int64()))
-        ex = ex.append_column("dpack", _pack_attr(ex["doc_id"], ex["desc"], ""))
         ex = ex.append_column("ppack", _pack_attr(ex["doc_id"], ex["props"], "{}"))
         return arrow_group_agg(
             ex, ["node_id", "doc_id", "salt"],
-            [("node_type", "min"), ("label", "min"),
-             ("dpack", "min"), ("ppack", "min")],
+            [("node_type", "min"), ("label", "min"), ("ppack", "min")],
         )
 
     def final1(t: pa.Table) -> pa.Table:
         per_doc = arrow_group_agg(
             t, ["node_id", "doc_id", "salt"],
-            [("node_type", "min"), ("label", "min"),
-             ("dpack", "min"), ("ppack", "min")],
+            [("node_type", "min"), ("label", "min"), ("ppack", "min")],
         )
         agg = arrow_group_agg(
             per_doc, ["node_id", "salt"],
             [("node_type", "min"), ("label", "min"),
-             ("dpack", "min"), ("ppack", "min"), ("doc_id", "count")],
+             ("ppack", "min"), ("doc_id", "count")],
         )
         return agg.rename_columns(
-            ["node_id", "salt", "node_type", "label", "dpack", "ppack", "n_docs"])
+            ["node_id", "salt", "node_type", "label", "ppack", "n_docs"])
 
     per_salt = hash_exchange_apply(validated, ["node_id", "salt"], partial1, final1)
 
@@ -558,10 +570,10 @@ def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
         agg = arrow_group_agg(
             t, ["node_id"],
             [("node_type", "min"), ("label", "min"),
-             ("dpack", "min"), ("ppack", "min"), ("n_docs", "sum")],
+             ("ppack", "min"), ("n_docs", "sum")],
         )
         return agg.rename_columns(
-            ["node_id", "node_type", "label", "dpack", "ppack", "n_docs"])
+            ["node_id", "node_type", "label", "ppack", "n_docs"])
 
     agg = hash_exchange_apply(per_salt, ["node_id"], combine, combine)
 
@@ -571,11 +583,13 @@ def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
             return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
         def arr(a):
             return a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        props = arr(_unpack_attr(batch["ppack"], "{}"))
+        desc = pa.array([describe_node(p) for p in props.to_pylist()],
+                        type=pa.string())
         return pa.Table.from_arrays(
             [
                 col("node_id"), col("node_type"), col("label"),
-                arr(_unpack_attr(batch["dpack"], "")),
-                arr(_unpack_attr(batch["ppack"], "{}")),
+                desc, props,
                 (batch["n_docs"].cast(pa.int64()).combine_chunks()
                  if isinstance(batch["n_docs"], pa.ChunkedArray)
                  else batch["n_docs"].cast(pa.int64())),

@@ -293,6 +293,85 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def ngram_jaccard_pairs(
+    sf_dir: str, k: int = 3, threshold_bp: int = 2000, max_doc_id: int = 100,
+    max_docs_per_shingle: int = 512,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, jac_bp) — EXACT k-word-shingle Jaccard ≥ threshold, as
+    pure dataflow: distinct (doc, shingle) rows → shingle-keyed exchange emits
+    per-shingle co-occurrence pairs → pair-keyed exchange sums |A∩B| → union
+    sizes via broadcast of the per-doc shingle counts → integer-bp Jaccard.
+
+    The inner n-gram Jaccard dedup family (exact verifier to MinHash's
+    estimate). ``max_doc_id`` bounds the subset for the SQL-oracle gate;
+    production use verifies MinHash candidates instead of all pairs, and hot
+    shingles (boilerplate) are capped at ``max_docs_per_shingle`` docs —
+    a shingle shared by more docs than that carries no discriminative signal.
+    """
+    import pyarrow.compute as pc
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < max_doc_id,
+    )
+
+    def shingle_rows(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_d, out_s = [], []
+        for did, text in zip(doc_ids, texts):
+            words = text.lower().split()
+            shs = {" ".join(words[i : i + k]) for i in range(max(0, len(words) - k + 1))}
+            out_d.extend([did] * len(shs))
+            out_s.extend(shs)
+        return pd.DataFrame({"doc_id": np.asarray(out_d, dtype=np.int64), "sh": out_s})
+
+    rows = ds.map_batches(shingle_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+
+    # per-doc distinct-shingle counts: tiny (one row per doc) → broadcast
+    sizes = (
+        rows.map_batches(
+            lambda df: df.groupby("doc_id", as_index=False).agg(n=("sh", "nunique")),
+            batch_format="pandas")
+        .groupby("doc_id").sum("n").to_pandas()
+    )
+    size_map = dict(zip(sizes["doc_id"], sizes[sizes.columns[-1]]))
+    size_ref = ray.put(size_map)
+
+    def shingle_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df.drop_duplicates(["sh", "doc_id"])
+        counts = sub["sh"].map(sub["sh"].value_counts())
+        sub = sub[(counts >= 2) & (counts <= max_docs_per_shingle)]
+        out = []
+        for _, g in sub.groupby("sh"):
+            docs = np.sort(g["doc_id"].unique())
+            ia, ib = np.triu_indices(len(docs), 1)
+            out.append(pd.DataFrame({"doc_a": docs[ia], "doc_b": docs[ib]}))
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series(dtype=np.int64),
+                                 "doc_b": pd.Series(dtype=np.int64),
+                                 "inter": pd.Series(dtype=np.int64)})
+        res = pd.concat(out, ignore_index=True)
+        return res.groupby(["doc_a", "doc_b"], as_index=False).agg(
+            inter=("doc_a", "size"))
+
+    inter = bucketed_group_apply(rows, ["sh"], lambda df: df, shingle_pairs)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(inter=("inter", "sum"))
+        sm = ray.get(size_ref)
+        na = g["doc_a"].map(sm).astype(np.int64)
+        nb = g["doc_b"].map(sm).astype(np.int64)
+        union = na + nb - g["inter"]
+        g["jac_bp"] = (g["inter"] * 10000 // union).astype(np.int64)
+        g = g[g["jac_bp"] >= threshold_bp]
+        return g[["doc_a", "doc_b", "jac_bp"]]
+
+    return bucketed_group_apply(inter, ["doc_a", "doc_b"],
+                                lambda df: df, finalize)
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

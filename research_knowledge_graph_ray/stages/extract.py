@@ -118,16 +118,14 @@ def extract_doc_records(
                 continue
             seen.add(k)
             pred = "AUTHORED_BY" if etype == "author" else "INTRODUCES"
-            # entity description/properties from the first (surviving) surface
-            # form — the reference's per-entity description + properties, with
-            # strings sanitized before they enter the record stream
-            # (reference: src/agents/validation_agent.py:79-86)
-            surface = sanitize_string(raw)
-            desc = f"{etype} mentioned as '{surface}'"
-            props = json.dumps({"etype": etype, "surface": surface})
+            # entity properties from the first (surviving) surface form — the
+            # reference's per-entity description + properties, sanitized
+            # before entering the record stream (validation_agent.py:79-86);
+            # description derives from these at node finalize
+            props = json.dumps({"etype": etype, "surface": sanitize_string(raw)})
             records.append(
                 (doc_id, "paper", doc_id, pred, etype, raw, 1.0,
-                 f"mention:{etype}", raw, desc, props)
+                 f"mention:{etype}", raw, props)
             )
 
     # 2. relational triples from surface patterns; endpoints are necessarily
@@ -145,7 +143,7 @@ def extract_doc_records(
             triple_seen.add(k)
             records.append(
                 (doc_id, stype, s_raw, pred, otype, o_raw, conf,
-                 f"pattern:{pred}", match.group(0), "", "{}")
+                 f"pattern:{pred}", match.group(0), "{}")
             )
     return records
 
@@ -186,11 +184,11 @@ def meta_record(doc_id: str, kinds: list, texts: list, refs: list) -> tuple:
 
     m = doc_meta_from_spans(doc_id, kinds, texts, refs)
     props = json.dumps(
-        {"abstract": m["abstract"], "year": m["year"], "venue": m["venue"],
-         "authors": list(m["authors"])}
+        {"title": m["title"], "abstract": m["abstract"], "year": m["year"],
+         "venue": m["venue"], "authors": list(m["authors"])}
     )
     return (doc_id, "paper", doc_id, PAPER_META_PRED, "paper", doc_id, 1.0,
-            "paper-meta", "", m["title"], props)
+            "paper-meta", "", props)
 
 
 def records_to_table(records: list[tuple]) -> pa.Table:
@@ -216,7 +214,7 @@ def _extract_with_meta(batch: pa.Table, mention_res, triple_res,
             records.append(
                 (doc_id, "paper", doc_id, "EXTRACTION_FAILED", "status",
                  type(exc).__name__, 0.0, "extractor-error", str(exc)[:200],
-                 "", "{}")
+                 "{}")
             )
         if with_meta:
             records.append(meta_record(doc_id, kinds[lo:hi], texts[lo:hi], refs[lo:hi]))

@@ -41,7 +41,7 @@ def test_nodes_desc_props_match_oracle():
     papers = eng[eng["node_type"] == "paper"]
     assert (papers["description"].str.len() > 0).all()
     props = papers["properties"].map(json.loads)
-    assert all(set(p) == {"abstract", "year", "venue", "authors"} for p in props)
+    assert all(set(p) == {"title", "abstract", "year", "venue", "authors"} for p in props)
     # entity nodes carry min-doc surface-form description/properties
     ents = eng[eng["node_type"] == "method"]
     assert ents["description"].str.startswith("method mentioned as").all()

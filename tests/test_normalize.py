@@ -56,7 +56,7 @@ def test_node_id_deterministic_and_case_insensitive():
     a = node_id("method", "3d Gaussian Splatting")
     b = node_id("method", "3D GAUSSIAN SPLATTING".lower().title())
     assert a == node_id("method", "3D Gaussian Splatting")
-    assert len(a) == 40
+    assert len(a) == 20  # truncated sha1 (80-bit) — see functions/ids._ID_HEX
     assert a != node_id("concept", "3d Gaussian Splatting")
     assert b == a
 
