@@ -255,6 +255,9 @@ from . import windows  # noqa: E402
 QUERIES.update(
     {
         "events_sessions": (windows.events_sessions, windows.EVENTS_SESSIONS_SQL),
+        "events_sliding": (windows.events_sliding, windows.EVENTS_SLIDING_SQL),
+        "top_orders_per_customer": (windows.top_orders_per_customer,
+                                    windows.TOP_ORDERS_PER_CUSTOMER_SQL),
         "events_latest_order": (windows.events_latest_order, windows.EVENTS_LATEST_ORDER_SQL),
         "customer_order_totals": (windows.customer_order_totals, windows.CUSTOMER_ORDER_TOTALS_SQL),
     }

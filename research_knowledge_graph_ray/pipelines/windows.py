@@ -132,6 +132,96 @@ ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
 """
 
 
+SLIDE_HOURS, SLIDE_STEP_HOURS = 6, 2
+
+
+def events_sliding(sf_dir: str, window_h: int = SLIDE_HOURS,
+                   step_h: int = SLIDE_STEP_HOURS) -> "ray.data.Dataset":
+    """Sliding (hopping) window: events per (event_type, 6h window hopping
+    every 2h). Each event replicates into window_h/step_h windows INSIDE the
+    batch (vectorized np.repeat — replication factor is the constant w/s,
+    never data-dependent), then per-batch partial counts flow into one
+    grouped exchange — the hopping-window analogue of the tumbling
+    events_hourly. Window key = epoch-hours of the window start."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    n_win = window_h // step_h
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch["ts"].to_numpy(zero_copy_only=False))
+        eh = (s.astype("datetime64[s]").astype(np.int64) // 3600).to_numpy()
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        # windows covering hour h start at step*floor(h/step) - k*step,
+        # k = 0..n_win-1, keeping only starts with h < start + window
+        base = (eh // step_h) * step_h
+        starts = np.repeat(base, n_win) - np.tile(
+            np.arange(n_win, dtype=np.int64) * step_h, len(eh))
+        types = np.repeat(et, n_win)
+        hours = np.repeat(eh, n_win)
+        keep = hours < starts + window_h
+        df = pd.DataFrame({"event_type": types[keep], "win_start_h": starts[keep]})
+        return df.groupby(["event_type", "win_start_h"], as_index=False).size().rename(
+            columns={"size": "n_events"})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["event_type", "win_start_h"], as_index=False).agg(
+            n_events=("n_events", "sum"))
+        out["win_start_h"] = out["win_start_h"].astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out
+
+    parts = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(parts, ["event_type", "win_start_h"], final, final,
+                                n_buckets=16)
+
+
+EVENTS_SLIDING_SQL = f"""
+WITH e AS (SELECT event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS eh FROM events),
+w AS (SELECT e.event_type,
+             (eh // {SLIDE_STEP_HOURS}) * {SLIDE_STEP_HOURS}
+               - k.k * {SLIDE_STEP_HOURS} AS win_start_h, eh
+      FROM e, (SELECT UNNEST(range(0, {SLIDE_HOURS // SLIDE_STEP_HOURS})) AS k) k)
+SELECT event_type, CAST(win_start_h AS BIGINT) AS win_start_h,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM w WHERE eh < win_start_h + {SLIDE_HOURS}
+GROUP BY 1, 2
+"""
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """Per-group top-k: each customer's k most expensive orders (price desc,
+    orderkey asc tiebreak). Per-batch partial top-k per customer shrinks
+    blocks BEFORE the customer-keyed exchange — the grouped analogue of the
+    global partial-top-k pattern in knn_topk."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" not in df.columns:
+            df = pd.DataFrame(
+                {"o_custkey": df["o_custkey"].astype(np.int64),
+                 "o_orderkey": df["o_orderkey"].astype(np.int64),
+                 "cents": (df["o_totalprice"] * 100).round().astype(np.int64)})
+        df = df.sort_values(["o_custkey", "cents", "o_orderkey"],
+                            ascending=[True, False, True])
+        out = df.groupby("o_custkey", as_index=False).head(k)
+        out["rank"] = out.groupby("o_custkey").cumcount().astype(np.int64) + 1
+        return out[["o_custkey", "o_orderkey", "cents", "rank"]]
+
+    return bucketed_group_apply(orders, ["o_custkey"], topk, topk, n_buckets=8)
+
+
+TOP_ORDERS_PER_CUSTOMER_SQL = """
+SELECT o_custkey, o_orderkey, cents, rank FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY ROUND(o_totalprice*100) DESC, o_orderkey) AS BIGINT) AS rank
+  FROM orders)
+WHERE rank <= 3
+"""
+
+
 def customer_order_totals(sf_dir: str) -> "ray.data.Dataset":
     """orders ⋈ customer as a two-sided partitioned hash join (no broadcast),
     then per-customer totals — the both-sides-large join pattern."""
