@@ -166,7 +166,7 @@ inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
 SELECT da AS doc_a, db AS doc_b,
        CAST((i * 10000) // (sa.n + sb.n - i) AS BIGINT) AS jac_bp
 FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-WHERE (i * 10000) // (sa.n + sb.n - i) >= 2000
+WHERE (i * 10000) // (sa.n + sb.n - i) >= 100
 """
 
 DEDUP_EXACT_SQL = """

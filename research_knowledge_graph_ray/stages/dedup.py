@@ -294,7 +294,7 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, k: int = 3, threshold_bp: int = 2000, max_doc_id: int = 100,
+    sf_dir: str, k: int = 3, threshold_bp: int = 100, max_doc_id: int = 100,
     max_docs_per_shingle: int = 512,
 ) -> "ray.data.Dataset":
     """(doc_a, doc_b, jac_bp) — EXACT k-word-shingle Jaccard ≥ threshold, as

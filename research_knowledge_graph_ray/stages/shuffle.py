@@ -112,6 +112,11 @@ def _map_stage(keys, n_buckets: int, *blocks: pa.Table):
 
 
 @ray.remote
+def _num_columns(t: pa.Table) -> int:
+    return t.num_columns
+
+
+@ray.remote
 def _reduce_stage(final_fn, fmt: str, *pieces: pa.Table) -> pa.Table:
     # Ray Data can emit schema-less empty blocks; drop them so final_fn never
     # sees a columnless frame (and skip final_fn when nothing has a schema)
@@ -167,7 +172,12 @@ def hash_exchange_apply(
         _reduce_stage.remote(final_fn, fmt, *[p[b] for p in piece_refs])
         for b in range(n_buckets)
     ]
-    return ray.data.from_arrow_refs(out_refs)
+    # a bucket fed only by schema-less empty blocks emits a columnless
+    # placeholder; drop those so an (all-)empty result keeps its schema
+    # (Dataset.to_pandas would otherwise return a zero-column frame)
+    ncols = ray.get([_num_columns.remote(r) for r in out_refs])
+    keep = [r for r, n in zip(out_refs, ncols) if n > 0]
+    return ray.data.from_arrow_refs(keep or out_refs[:1])
 
 
 def bucketed_group_apply(
