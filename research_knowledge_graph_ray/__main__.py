@@ -59,12 +59,25 @@ def cmd_ingest(args) -> int:
         return 2
 
     # checkpoint fingerprint identifies the INPUT: a re-run against the same
-    # checkpoint dir with different input must invalidate, not silently skip
+    # checkpoint dir with different input must invalidate, not silently skip.
+    # Built from cheap input identity (mode, path/N, source mtime+size) — no
+    # extra pass over the corpus just to count it.
     fingerprint = ""
     if args.checkpoint:
         mode = ("synthetic" if args.synthetic else "json" if args.json
                 else "text" if args.text else "parquet")
-        fingerprint = f"{mode}:{args.input or args.synthetic}:{docs.count()}"
+        ident = str(args.synthetic) if args.synthetic else args.input
+        stat = ""
+        if args.input and os.path.exists(args.input):
+            if os.path.isdir(args.input):
+                sizes = sorted(
+                    (fn, os.path.getsize(os.path.join(args.input, fn)))
+                    for fn in os.listdir(args.input))
+                stat = str(hash(tuple(sizes)))
+            else:
+                st = os.stat(args.input)
+                stat = f"{st.st_size}:{int(st.st_mtime)}"
+        fingerprint = f"{mode}:{ident}:{stat}"
 
     res = build_graph(
         docs,

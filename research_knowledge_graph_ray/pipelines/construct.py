@@ -133,9 +133,15 @@ def build_graph(
     """
     if checkpoint_dir is not None:
         # partition-level resumable extraction: completed partitions are
-        # never re-extracted (state/checkpoint.py)
+        # never re-extracted (state/checkpoint.py). The fingerprint carries a
+        # record-schema version + the meta toggle so checkpoints written by an
+        # older build (or a different paper_node_attrs setting) invalidate
+        # instead of feeding stale-schema parquet into build_nodes.
         from ..state.checkpoint import partitioned_stage_checkpoint
 
+        checkpoint_fingerprint = (
+            f"{checkpoint_fingerprint}|records=v2|meta={paper_node_attrs}"
+        )
         validated = partitioned_stage_checkpoint(
             docs,
             lambda d: extract_validated(

@@ -186,18 +186,20 @@ def semantic_top_docs(docs: "ray.data.Dataset", question: str, k: int = 3,
     def score(batch: dict) -> pd.DataFrame:
         qv = ray.get(q_ref)
         vecs = np.asarray(batch["embedding"], dtype=np.float64)
-        sims = vecs @ qv
-        top = np.argsort(-sims, kind="stable")[:k]
-        return pd.DataFrame(
-            {"doc_id": np.asarray(batch["doc_id"])[top],
-             "sim_e6": np.round(sims[top] * 1e6).astype(np.int64)}
-        )
+        ids = np.asarray(batch["doc_id"])
+        # rank by the SAME rounded key + doc_id tiebreak the global sort uses,
+        # so a rounding-tied doc is never cut at the batch boundary
+        sims_e6 = np.round((vecs @ qv) * 1e6).astype(np.int64)
+        top = sorted(range(len(ids)), key=lambda j: (-sims_e6[j], ids[j]))[:k]
+        return pd.DataFrame({"doc_id": ids[top], "sim_e6": sims_e6[top]})
 
+    out = embed_docs_tasks(docs, dim=dim).map_batches(
+        score, batch_format="numpy").to_pandas()
+    if "sim_e6" not in out.columns:  # all-empty result loses schema in Ray
+        return pd.DataFrame({"doc_id": pd.Series(dtype=object),
+                             "sim_e6": pd.Series(dtype=np.int64)})
     return (
-        embed_docs_tasks(docs, dim=dim)
-        .map_batches(score, batch_format="numpy")
-        .to_pandas()
-        .sort_values(["sim_e6", "doc_id"], ascending=[False, True])
+        out.sort_values(["sim_e6", "doc_id"], ascending=[False, True])
         .head(k)
         .reset_index(drop=True)
     )
@@ -231,6 +233,9 @@ def answer_question(docs: "ray.data.Dataset", question: str, k: int = 1,
     from ..stages.metadata import extract_doc_meta
 
     hits = semantic_top_docs(docs, question, k=k, dim=dim)
+    if not len(hits):
+        answerer = answerer or DeterministicAnswerer()
+        return {"answer": answerer.answer(question, []), "contexts": []}
     hit_ids = set(hits["doc_id"].astype(str))
     ref = ray.put(hit_ids)
 
@@ -239,7 +244,8 @@ def answer_question(docs: "ray.data.Dataset", question: str, k: int = 1,
         import pyarrow.compute as _pc
 
         ids = ray.get(ref)
-        return batch.filter(_pc.is_in(batch["doc_id"], value_set=_pa.array(list(ids))))
+        return batch.filter(_pc.is_in(
+            batch["doc_id"], value_set=_pa.array(list(ids), type=_pa.string())))
 
     meta = extract_doc_meta(
         docs.map_batches(only_hits, batch_format="pyarrow", zero_copy_batch=True)

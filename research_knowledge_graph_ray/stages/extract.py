@@ -236,7 +236,7 @@ def _extract_degrading(doc_ids, texts, mention_res, triple_res) -> list[tuple]:
             records.append(
                 (doc_id, "paper", doc_id, "EXTRACTION_FAILED", "status",
                  type(exc).__name__, 0.0, "extractor-error", str(exc)[:200],
-                 "", "{}")
+                 "{}")
             )
     return records
 

@@ -269,7 +269,11 @@ def knn_neighbor_pairs(
             md = m["doc_id"].to_numpy()
             for i in range(len(qd)):
                 row = sims[i]
-                top = np.argsort(-row, kind="stable")[: k + 1]
+                # (sim desc, nb_id asc) — the SAME tie order the global
+                # per-doc reduce uses, so an exactly-tied neighbor (duplicate
+                # embeddings) is never cut by arbitrary bucket row order
+                top = sorted(range(len(md)),
+                             key=lambda j: (-row[j], md[j]))[: k + 1]
                 for j in top:
                     if md[j] == qd[i]:
                         continue

@@ -112,17 +112,17 @@ def _map_stage(keys, n_buckets: int, *blocks: pa.Table):
 
 
 @ray.remote
-def _num_columns(t: pa.Table) -> int:
-    return t.num_columns
-
-
-@ray.remote
-def _reduce_stage(final_fn, fmt: str, *pieces: pa.Table) -> pa.Table:
+def _reduce_stage(final_fn, fmt: str, in_schema: pa.Schema | None,
+                  *pieces: pa.Table) -> pa.Table:
     # Ray Data can emit schema-less empty blocks; drop them so final_fn never
-    # sees a columnless frame (and skip final_fn when nothing has a schema)
+    # sees a columnless frame. A bucket fed only by columnless pieces gets an
+    # empty table in the PARTIAL schema, so final_fn still produces a
+    # correctly-typed (empty) output and the result Dataset keeps its schema.
     valid = [p for p in pieces if p.num_columns > 0]
     if not valid:
-        return pieces[0]
+        if in_schema is None or len(in_schema) == 0:
+            return pieces[0]
+        valid = [in_schema.empty_table()]
     merged = pa.concat_tables([p for p in valid if p.num_rows > 0] or valid[:1],
                               promote_options="default")
     return _from_fmt(final_fn(_to_fmt(merged, fmt)), fmt)
@@ -168,16 +168,19 @@ def hash_exchange_apply(
     ]
     if n_buckets == 1:
         piece_refs = [[r] for r in piece_refs]
+    # partial-output schema lets empty buckets emit correctly-typed empties
+    # (no driver-side barrier; reduce outputs stream into the next stage)
+    try:
+        sch = shrunk.schema()
+        in_schema = pa.schema(list(zip(sch.names, sch.types)))
+    except Exception:  # noqa: BLE001 — schema unavailable on degenerate input
+        in_schema = None
+
     out_refs = [
-        _reduce_stage.remote(final_fn, fmt, *[p[b] for p in piece_refs])
+        _reduce_stage.remote(final_fn, fmt, in_schema, *[p[b] for p in piece_refs])
         for b in range(n_buckets)
     ]
-    # a bucket fed only by schema-less empty blocks emits a columnless
-    # placeholder; drop those so an (all-)empty result keeps its schema
-    # (Dataset.to_pandas would otherwise return a zero-column frame)
-    ncols = ray.get([_num_columns.remote(r) for r in out_refs])
-    keep = [r for r, n in zip(out_refs, ncols) if n > 0]
-    return ray.data.from_arrow_refs(keep or out_refs[:1])
+    return ray.data.from_arrow_refs(out_refs)
 
 
 def bucketed_group_apply(
