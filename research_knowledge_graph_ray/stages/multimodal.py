@@ -118,24 +118,121 @@ class MediaFeatures:
             hist = np.bincount(arr % self.dim, minlength=self.dim).astype(np.float32)
             n = np.linalg.norm(hist)
             feats[i] = hist / n if n else hist
-        return {
+        out = {
             "media_ref": batch["media_ref"].to_numpy(zero_copy_only=False),
             "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
             "feature": feats,
         }
+        if "frame_index" in batch.column_names:  # per-frame feature rows
+            out["frame_index"] = batch["frame_index"].to_numpy(zero_copy_only=False)
+        return out
+
+
+class ResizeMedia:
+    """Actor-pool resize stage: decoded payload → fixed-target payload.
+
+    STUB on the pixel math (no imaging libraries in this container): the
+    deterministic stand-in downsamples the payload bytes by striding to the
+    target byte budget and rewrites width/height to the target box, keeping
+    aspect ratio — the Ray-side contract (binary in/out, metadata update,
+    small batches, actor state holding the target config) is the real one.
+    """
+
+    def __init__(self, target: int = 224, byte_budget: int = 128):
+        self.target = target
+        self.byte_budget = byte_budget
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ws = batch["width"].to_pylist()
+        hs = batch["height"].to_pylist()
+        out_p, out_w, out_h = [], [], []
+        for p, w, h in zip(payloads, ws, hs):
+            arr = np.frombuffer(p, dtype=np.uint8)
+            stride = max(1, len(arr) // self.byte_budget)
+            out_p.append(arr[::stride][: self.byte_budget].tobytes())
+            scale = self.target / max(w, h)
+            out_w.append(int(round(w * min(scale, 1.0))))
+            out_h.append(int(round(h * min(scale, 1.0))))
+        out = batch.drop_columns(["payload", "width", "height"])
+        out = out.append_column("payload", pa.array(out_p, type=pa.binary()))
+        out = out.append_column("width", pa.array(out_w, type=pa.int32()))
+        return out.append_column("height", pa.array(out_h, type=pa.int32()))
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: one media payload → N frame rows
+    (flat_map semantics — output has more rows than input).
+
+    STUB on the codec (no ffmpeg here): frames are deterministic equal-length
+    slices of the payload; a real backend swaps the slicing for keyframe
+    decode at the same interface. Frame rows carry (media_ref, frame_index,
+    payload) so downstream feature extraction runs per frame unchanged.
+    """
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = n_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch["media_ref"].to_pylist()
+        docs = batch["doc_id"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        rows = {"doc_id": [], "media_ref": [], "frame_index": [], "payload": []}
+        for did, ref, p in zip(docs, refs, payloads):
+            arr = np.frombuffer(p, dtype=np.uint8)
+            step = max(1, len(arr) // self.n_frames)
+            for f in range(self.n_frames):
+                rows["doc_id"].append(did)
+                rows["media_ref"].append(ref)
+                rows["frame_index"].append(f)
+                rows["payload"].append(arr[f * step : (f + 1) * step].tobytes())
+        return pa.Table.from_arrays(
+            [
+                pa.array(rows["doc_id"], type=pa.string()),
+                pa.array(rows["media_ref"], type=pa.string()),
+                pa.array(rows["frame_index"], type=pa.int32()),
+                pa.array(rows["payload"], type=pa.binary()),
+            ],
+            names=["doc_id", "media_ref", "frame_index", "payload"],
+        )
 
 
 def media_feature_pipeline(
     docs: "ray.data.Dataset", fake_decode: bool = True, batch_size: int = 32,
-    concurrency: int = 2,
+    concurrency: int = 2, resize: bool = False,
 ) -> "ray.data.Dataset":
-    """inventory → decode (actor pool, small batches) → features (actor pool)."""
+    """inventory → decode (actor pool, small batches) [→ resize] → features."""
     inv = media_inventory(docs)
     decoded = inv.map_batches(
         DecodeMedia, fn_constructor_kwargs={"fake": fake_decode},
         batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
     )
+    if resize:
+        decoded = decoded.map_batches(
+            ResizeMedia, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+        )
     return decoded.map_batches(
+        MediaFeatures, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def frame_sample_pipeline(
+    docs: "ray.data.Dataset", n_frames: int = 4, fake_decode: bool = True,
+    batch_size: int = 32, concurrency: int = 2,
+) -> "ray.data.Dataset":
+    """inventory → decode → frame-sample (1→N rows) → per-frame features."""
+    inv = media_inventory(docs)
+    decoded = inv.map_batches(
+        DecodeMedia, fn_constructor_kwargs={"fake": fake_decode},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+    frames = decoded.map_batches(
+        FrameSampler, fn_constructor_kwargs={"n_frames": n_frames},
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+    )
+    return frames.map_batches(
         MediaFeatures, batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency,
     )

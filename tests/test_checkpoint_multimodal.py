@@ -115,3 +115,27 @@ def test_media_pipeline_plumbing():
 
     with pytest.raises(NotImplementedError):
         DecodeMedia(fake=False)(pa.table(inv_batch))
+
+
+def test_resize_and_frame_sample_plumbing():
+    """Resize keeps the decode contract (binary payload + updated metadata);
+    frame sampling is 1→N flat-map with per-frame features downstream."""
+    from research_knowledge_graph_ray.sources.corpus import generate_documents
+    from research_knowledge_graph_ray.stages.multimodal import (
+        frame_sample_pipeline,
+        media_feature_pipeline,
+        media_inventory,
+    )
+
+    docs = ray.data.from_arrow(generate_documents(30, seed=6))
+    n_media = media_inventory(docs).count()
+    assert n_media > 0
+
+    resized = media_feature_pipeline(docs, fake_decode=True, resize=True).to_pandas()
+    assert len(resized) == n_media
+    assert all(len(f) == 32 for f in resized["feature"])
+
+    frames = frame_sample_pipeline(docs, n_frames=4, fake_decode=True).to_pandas()
+    assert len(frames) == n_media * 4
+    per = frames.groupby("media_ref")["frame_index"].apply(sorted)
+    assert all(list(v) == [0, 1, 2, 3] for v in per)
