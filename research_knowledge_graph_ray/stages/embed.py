@@ -21,14 +21,48 @@ import pyarrow as pa
 
 DEFAULT_DIM = 64
 
+# CRC-32 (zlib polynomial) lookup table — lets the 3-gram hash run as three
+# vectorized table lookups over numpy byte windows instead of one Python
+# zlib.crc32 call per character (bit-identical to zlib.crc32 on the window)
+_CRC_TAB = np.zeros(256, dtype=np.uint32)
+for _i in range(256):
+    _c = _i
+    for _ in range(8):
+        _c = (_c >> 1) ^ 0xEDB88320 if _c & 1 else _c >> 1
+    _CRC_TAB[_i] = _c
+del _i, _c
+
+
+def _crc3_vec(b0: np.ndarray, b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    crc = np.full(len(b0), 0xFFFFFFFF, dtype=np.uint32)
+    for b in (b0, b1, b2):
+        crc = (crc >> np.uint32(8)) ^ _CRC_TAB[(crc ^ b) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
 
 def embed_text(text: str, dim: int = DEFAULT_DIM) -> np.ndarray:
-    """Deterministic char-3-gram hashing embedding, L2-normalized float32."""
+    """Deterministic char-3-gram hashing embedding, L2-normalized float32.
+
+    ASCII text takes the vectorized path (byte windows == char windows);
+    non-ASCII falls back to the per-window loop with identical semantics.
+    Both produce exactly the same vector: the pre-normalization accumulator
+    holds integer values, so summation order cannot change the result."""
     t = " " + text.lower() + " "
-    vec = np.zeros(dim, dtype=np.float32)
-    for i in range(len(t) - 2):
-        h = zlib.crc32(t[i : i + 3].encode("utf-8"))
-        vec[(h >> 1) % dim] += 1.0 if (h & 1) else -1.0
+    raw = t.encode("utf-8")
+    if len(raw) == len(t):  # pure ASCII — byte 3-grams are char 3-grams
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        if len(arr) < 3:
+            return np.zeros(dim, dtype=np.float32)
+        h = _crc3_vec(arr[:-2].astype(np.uint32), arr[1:-1].astype(np.uint32),
+                      arr[2:].astype(np.uint32))
+        idx = (h >> np.uint32(1)) % np.uint32(dim)
+        signs = np.where(h & np.uint32(1), 1.0, -1.0)
+        vec = np.bincount(idx, weights=signs, minlength=dim).astype(np.float32)
+    else:
+        vec = np.zeros(dim, dtype=np.float32)
+        for i in range(len(t) - 2):
+            h = zlib.crc32(t[i : i + 3].encode("utf-8"))
+            vec[(h >> 1) % dim] += 1.0 if (h & 1) else -1.0
     n = float(np.linalg.norm(vec))
     if n > 0:
         vec /= n

@@ -63,3 +63,26 @@ def test_node_id_deterministic_and_case_insensitive():
 
 def test_pair_key_unordered():
     assert pair_key("b", "a") == pair_key("a", "b")
+
+
+def test_vectorized_embedding_matches_reference_loop():
+    """The table-driven CRC path must be bit-identical to the per-window
+    zlib.crc32 loop (ASCII fast path + non-ASCII fallback)."""
+    import zlib
+
+    import numpy as np
+
+    from research_knowledge_graph_ray.stages.embed import DEFAULT_DIM, embed_text
+
+    def embed_ref(text, dim=DEFAULT_DIM):
+        t = " " + text.lower() + " "
+        vec = np.zeros(dim, dtype=np.float32)
+        for i in range(len(t) - 2):
+            h = zlib.crc32(t[i : i + 3].encode("utf-8"))
+            vec[(h >> 1) % dim] += 1.0 if (h & 1) else -1.0
+        n = float(np.linalg.norm(vec))
+        return vec / n if n > 0 else vec
+
+    for t in ["", "a", "3D Gaussian Splatting", "x " * 500,
+              "Ünïcøde — non-ascii ★", "NeRF improves on Plenoxels."]:
+        assert np.array_equal(embed_text(t), embed_ref(t)), t
