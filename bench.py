@@ -137,6 +137,41 @@ def run_bench() -> dict:
     return result
 
 
+def _burn(n):
+    import hashlib
+
+    h = b"x"
+    for _ in range(n):
+        h = hashlib.sha256(h).digest()
+    return h[0]
+
+
+def _hardware_ceiling(pairs) -> dict:
+    """Coordination-free parallel-scaling ceiling of THIS host: plain
+    multiprocessing sha256 busy-loops (no Ray, no shuffle, no object store).
+    On shared-tenancy sandboxes this lands well below 1.0 (measured
+    0.74-0.77); pipeline efficiencies are reported raw AND normalized
+    against it — the engine cannot out-scale the machine."""
+    import multiprocessing as mp
+
+    burn = _burn
+    per = 2_000_000
+    tput = {}
+    for w in sorted({c for p in pairs for c in p}):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            with mp.Pool(w) as pool:
+                pool.map(burn, [per] * w)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        tput[w] = w * per / best
+    return {
+        f"{lo}v{hi}": round((tput[hi] / tput[lo]) / (hi / lo), 3)
+        for lo, hi in pairs
+    }
+
+
 def run_scaling() -> dict:
     """Identical input at both levels; corpus size defaults to 800k docs for
     the scaling measurement so scalable compute dominates fixed per-job
@@ -182,6 +217,12 @@ def run_scaling() -> dict:
             "triples_per_sec_lo": lo["triples_per_sec"],
             "triples_per_sec_hi": hi["triples_per_sec"],
         }
+    ceiling = _hardware_ceiling(pairs)
+    for key, p in pair_out.items():
+        p["hw_ceiling"] = ceiling.get(key)
+        if ceiling.get(key):
+            p["efficiency_vs_hw_ceiling"] = round(p["efficiency"] / ceiling[key], 3)
+
     primary = pair_out[f"{pairs[0][0]}v{pairs[0][1]}"]
     return {
         "metric": "scaling_efficiency",
@@ -190,7 +231,8 @@ def run_scaling() -> dict:
         "pairs": pair_out,
         "kg_docs": next(iter(cache.values()))["kg_docs"],
         **{k: primary[k] for k in ("cpus_lo", "cpus_hi", "sec_lo", "sec_hi",
-                                   "docs_per_sec_lo", "docs_per_sec_hi")},
+                                   "docs_per_sec_lo", "docs_per_sec_hi",
+                                   "hw_ceiling", "efficiency_vs_hw_ceiling")},
     }
 
 

@@ -270,6 +270,9 @@ def minhash_dedup_clusters(
 
         return labels.map_batches(finalize, batch_format="pandas")
 
+    if "a" not in pdf.columns:  # zero near-dups: empty frame loses its schema
+        pdf = pd.DataFrame({"a": pd.Series(dtype=np.int64),
+                            "b": pd.Series(dtype=np.int64)})
     mapping = connected_components_driver(
         (int(a), int(b)) for a, b in zip(pdf["a"], pdf["b"])
     )
