@@ -155,6 +155,24 @@ DOC_FINGERPRINT_SQL = """
 SELECT doc_id, md5(text) AS fp FROM documents
 """
 
+TEXT_TOKENS_BPE_SQL = r"""
+SELECT doc_id,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS n_ws_tokens,
+       CAST(COALESCE(len(regexp_extract_all(text,
+            '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+')), 0)
+            AS BIGINT) AS n_bpe_tokens
+FROM documents
+"""
+
+ROLLING_FINGERPRINT_SQL = """
+SELECT doc_id,
+       CASE WHEN LENGTH(text) < 8 THEN md5(text)
+            ELSE list_min(list_transform(range(1, LENGTH(text) - 6),
+                                         i -> md5(substr(text, i, 8))))
+       END AS min_fp
+FROM documents
+"""
+
 DEDUP_NGRAM_JACCARD_SQL = r"""
 WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
            FROM documents WHERE doc_id < 100),
@@ -228,6 +246,8 @@ QUERIES: dict = {
     "text_stats": (textops.text_stats, TEXT_STATS_SQL),
     "text_quality": (textops.text_quality, TEXT_QUALITY_SQL),
     "doc_fingerprint": (textops.doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "text_tokens_bpe": (textops.text_tokens_bpe, TEXT_TOKENS_BPE_SQL),
+    "doc_rolling_fingerprint": (textops.rolling_fingerprint, ROLLING_FINGERPRINT_SQL),
     "lang_id": (textops.lang_id, LANG_ID_SQL),
     # dedup family
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),

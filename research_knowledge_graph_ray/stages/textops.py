@@ -82,6 +82,60 @@ def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct splitting,
+# RE2-safe: no lookarounds) — the "token counting" second mode of the brief.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+
+
+def text_tokens_bpe(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_ws_tokens, n_bpe_tokens) — whitespace vs BPE-ish regex
+    token counts, both as vectorized RE2 kernels (pyarrow.compute)."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(text, pattern=" ", replacement=""))
+        n_ws = pc.add(pc.subtract(n_chars, no_space.cast(pa.int64())), 1)
+        n_bpe = pc.count_substring_regex(text, pattern=BPE_PATTERN).cast(pa.int64())
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()),
+             "n_ws_tokens": n_ws, "n_bpe_tokens": n_bpe}
+        )
+
+    return _read_docs(sf_dir).map_batches(counts, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+ROLLING_WINDOW = 8
+
+
+def rolling_fingerprint(sf_dir: str, window: int = ROLLING_WINDOW) -> "ray.data.Dataset":
+    """(doc_id, min_fp) — winnowing-style rolling fingerprint: the minimum
+    md5 over all ``window``-char substrings. Robust to local edits (an edit
+    perturbs only ``window`` of the hashes), the per-doc reduce is a plain
+    min — the rolling-hash fingerprint family of the brief, exactly
+    restatable in SQL (md5 per substring + list_min)."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        mins = []
+        for t in texts:
+            if len(t) < window:
+                mins.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+                continue
+            mins.append(min(
+                hashlib.md5(t[i : i + window].encode("utf-8")).hexdigest()
+                for i in range(len(t) - window + 1)
+            ))
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()),
+             "min_fp": pa.array(mins, type=pa.string())}
+        )
+
+    return _read_docs(sf_dir).map_batches(fp, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 # Per-language stopword profiles for the n-gram/stopword language-ID heuristic.
 LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "a", "in", "is"},
