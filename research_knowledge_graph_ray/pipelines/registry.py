@@ -280,5 +280,7 @@ QUERIES.update(
                                     windows.TOP_ORDERS_PER_CUSTOMER_SQL),
         "events_latest_order": (windows.events_latest_order, windows.EVENTS_LATEST_ORDER_SQL),
         "customer_order_totals": (windows.customer_order_totals, windows.CUSTOMER_ORDER_TOTALS_SQL),
+        "customers_without_orders": (windows.customers_without_orders,
+                                     windows.CUSTOMERS_WITHOUT_ORDERS_SQL),
     }
 )

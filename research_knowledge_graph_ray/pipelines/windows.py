@@ -222,6 +222,39 @@ WHERE rank <= 3
 """
 
 
+def customers_without_orders(sf_dir: str, year: int = 1995) -> "ray.data.Dataset":
+    """Anti-join: customers with no order in ``year`` — the key-only-shuffle
+    semi/anti pattern (right side reduced to distinct keys per block before
+    the exchange; row-group date filter pushed to the read)."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from ..stages.join import semi_anti_join
+
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= datetime.datetime(year, 1, 1))
+        & (pc.field("o_orderdate") < datetime.datetime(year + 1, 1, 1)),
+    )
+    out = semi_anti_join(customers, orders, "c_custkey", "o_custkey",
+                         ["c_custkey", "c_name"], anti=True, n_buckets=8)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df["c_custkey"].astype(np.int64),
+                             "c_name": df["c_name"].astype(str)})
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1995)
+"""
+
+
 def customer_order_totals(sf_dir: str) -> "ray.data.Dataset":
     """orders ⋈ customer as a two-sided partitioned hash join (no broadcast),
     then per-customer totals — the both-sides-large join pattern."""

@@ -65,6 +65,48 @@ def hash_join(
     return bucketed_group_apply(both, ["__key"], lambda df: df, final, n_buckets)
 
 
+def semi_anti_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    anti: bool = False,
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """Partitioned semi-join (``anti=False``: keep left rows WITH a match) /
+    anti-join (``anti=True``: keep left rows WITHOUT a match). The right side
+    pre-shrinks to distinct keys per block before the exchange — only keys
+    move, never right payloads — so the both-sides-large case costs one
+    key-only shuffle."""
+
+    l = _tag(left, "l", left_cols).map_batches(
+        lambda df: df.assign(__key=df[left_on].astype(str)), batch_format="pandas"
+    )
+
+    def right_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"__key": df[right_on].astype(str).drop_duplicates()})
+        out[_TAG] = "r"
+        return out
+
+    r = right.map_batches(right_keys, batch_format="pandas")
+    both = l.union(r)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if _TAG not in df.columns:
+            return df
+        rt = df[df[_TAG] == "r"].drop_duplicates("__key")
+        return pd.concat([df[df[_TAG] == "l"], rt], ignore_index=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df[df[_TAG] == "l"].reindex(columns=left_cols + ["__key"])
+        rkeys = set(df[df[_TAG] == "r"]["__key"])
+        keep = ~lt["__key"].isin(rkeys) if anti else lt["__key"].isin(rkeys)
+        return lt[keep].drop(columns="__key")
+
+    return bucketed_group_apply(both, ["__key"], partial, final, n_buckets)
+
+
 def asof_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
