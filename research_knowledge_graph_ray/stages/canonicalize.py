@@ -34,7 +34,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Min
 
 from ..functions.ids import node_id as make_node_id
 from ..functions.normalize import label_key, normalize_label
