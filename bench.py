@@ -189,10 +189,14 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     cache: dict[int, dict] = {}
+    # best-of-N per level: this host's co-tenancy makes single samples swing
+    # 2-3x (see BASELINE.md); GRAFT_SCALE_SAMPLES=2+ recommended when time allows
+    n_samples = max(1, int(os.environ.get("GRAFT_SCALE_SAMPLES", "1")))
 
     def run_at(ncpu: int) -> dict:
         if ncpu not in cache:
-            cache[ncpu] = run_once(ncpu)
+            runs = [run_once(ncpu) for _ in range(n_samples)]
+            cache[ncpu] = max(runs, key=lambda d: d["docs_per_sec"])
         return cache[ncpu]
 
     # BOTH N-vs-4N pairs are measured and reported (SURVEY.md §4 named 8v32;
