@@ -114,7 +114,12 @@ def rolling_fingerprint(sf_dir: str, window: int = ROLLING_WINDOW) -> "ray.data.
     md5 over all ``window``-char substrings. Robust to local edits (an edit
     perturbs only ``window`` of the hashes), the per-doc reduce is a plain
     min — the rolling-hash fingerprint family of the brief, exactly
-    restatable in SQL (md5 per substring + list_min)."""
+    restatable in SQL (md5 per substring + list_min).
+
+    Scale note: md5-per-window is Python-loop work (~LENGTH hashes/doc) —
+    the price of SQL-checkability; it is embarrassingly parallel and a
+    production variant would swap in the table-driven vectorized CRC of
+    stages/embed.py (no SQL twin) for ~50× the per-doc speed."""
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = batch["text"].to_pylist()

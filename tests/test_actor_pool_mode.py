@@ -14,4 +14,10 @@ def test_actor_pool_extraction_equivalent():
     b = build_graph(ray.data.from_arrow(table), entity_linking=True, link=True)
     key = lambda df: sorted(zip(df["src_id"], df["dst_id"], df["edge_type"]))
     assert key(a.edges.to_pandas()) == key(b.edges.to_pandas())
-    assert sorted(a.nodes.to_pandas()["node_id"]) == sorted(b.nodes.to_pandas()["node_id"])
+    # node tables identical INCLUDING the fused-meta description/properties —
+    # both execution modes must carry the __PAPER_META__ records
+    an = a.nodes.to_pandas().sort_values("node_id").reset_index(drop=True)
+    bn = b.nodes.to_pandas().sort_values("node_id").reset_index(drop=True)
+    assert (an.astype(str).values == bn.astype(str).values).all()
+    papers = an[an["node_type"] == "paper"]
+    assert (papers["description"].str.len() > 0).all()
