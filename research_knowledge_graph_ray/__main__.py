@@ -5,7 +5,8 @@ Usage:
         [--no-entity-linking] [--embed] [--checkpoint DIR] [--json|--text|--synthetic N]
     python -m research_knowledge_graph_ray query <out_dir> <kind> [--doc DOC_ID] [--k K]
         kinds: nodes | edges | improvements | concepts | datasets | metrics |
-               similar | subgraph | top-entities | ask "<question>"
+               similar | subgraph | top-entities |
+               ask --doc "<question>" --corpus <documents parquet>
     python -m research_knowledge_graph_ray visualize <out_dir> --html PATH [--limit N]
 
 The CLI owns its Ray session (scripts only — library code never calls

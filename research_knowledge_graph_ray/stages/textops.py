@@ -154,8 +154,9 @@ LANG_PROFILES = {
 class LangId:
     """Actor-pool language-ID stage (heuristic stopword/charset scorer).
 
-    Stateful setup (profile tables, compiled tokenizer) happens once per actor.
-    Not SQL-expressible → registered as a rows-only query.
+    Stateful setup (profile tables, compiled tokenizer) happens once per
+    actor. The scoring argmax (first-wins tie order en>fr>de>es) is restated
+    exactly in SQL (registry.LANG_ID_SQL) for the oracle gate.
     """
 
     def __init__(self):
