@@ -193,6 +193,90 @@ SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
 FROM documents GROUP BY md5(text)
 """
 
+# exact SQL restatement of stages/dedup.py simhash_pairs: md5-derived word
+# feature hashes (occurrence-weighted sign votes, bit set iff vote > 0),
+# 4×16-bit band blocking, Hamming ≤ 3 via bit_count(xor)
+DEDUP_SIMHASH_SQL = r"""
+WITH w AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM w),
+bits AS (SELECT doc_id, b.bit,
+                SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b GROUP BY 1, 2),
+sims AS (SELECT doc_id,
+                SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                         ELSE 0::UBIGINT END)::UBIGINT AS sh
+         FROM bits GROUP BY 1),
+alldocs AS (SELECT d.doc_id, COALESCE(s.sh, 0::UBIGINT) AS sh
+            FROM documents d LEFT JOIN sims s USING (doc_id)),
+bands AS (SELECT doc_id, sh, b.band, (sh >> (b.band * 16)) & 65535 AS band_val
+          FROM alldocs CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sh AS sa, b.sh AS sb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+def _minhash_sql() -> str:
+    """Exact SQL restatement of stages/dedup.py minhash_candidate_pairs:
+    md5-derived shingle hashes mod the Mersenne prime, the seeded permutation
+    table inlined as literals, md5-of-joined-decimals band keys, per-bucket
+    256-doc cap, and the m→est_jaccard_bp map precomputed HERE with numpy so
+    rounding is bit-identical by construction."""
+    import numpy as np
+
+    from ..stages.dedup import _MERSENNE, _perm_params
+
+    n_perm, n_bands = 128, 8
+    rows_per_band = n_perm // n_bands
+    a, b = _perm_params(n_perm)
+    perms = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_perm))
+    bp = {m: int(np.round((m / n_bands) ** (1.0 / rows_per_band) * 10000))
+          for m in range(1, n_bands + 1)}
+    bp_case = " ".join(f"WHEN {m} THEN {v}" for m, v in bp.items())
+    return rf"""
+WITH ws AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '') AS ws
+            FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+                              1, 16))::UBIGINT % {_MERSENNE} AS BIGINT) AS h
+       FROM ws, UNNEST(range(1, len(ws) - 1)) t(i)),
+perms(i, a, b) AS (VALUES {perms}),
+sigs AS (SELECT s.doc_id, p.i, MIN((p.a * s.h + p.b) % {_MERSENNE}) AS v
+         FROM sh s CROSS JOIN perms p GROUP BY 1, 2),
+alls AS (SELECT d.doc_id, p.i, COALESCE(sg.v, {_MERSENNE}) AS v
+         FROM documents d CROSS JOIN perms p
+         LEFT JOIN sigs sg ON sg.doc_id = d.doc_id AND sg.i = p.i),
+bands AS (SELECT doc_id, i // {rows_per_band} AS band,
+                 md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS band_hash
+          FROM alls GROUP BY doc_id, i // {rows_per_band}),
+capped AS (SELECT band, band_hash, doc_id,
+                  row_number() OVER (PARTITION BY band, band_hash
+                                     ORDER BY doc_id) AS rn
+           FROM bands),
+hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS m
+         FROM capped a JOIN capped b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id
+         WHERE a.rn <= 256 AND b.rn <= 256
+         GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(CASE m {bp_case} END AS BIGINT) AS est_jaccard_bp
+FROM hits WHERE CASE m {bp_case} END >= 5000
+"""
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
+
 KG_TWO_HOP_SQL = f"""
 WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
 co AS (SELECT a.term AS ta, b.term AS tb FROM dt a
@@ -252,8 +336,8 @@ QUERIES: dict = {
     # dedup family
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
-    "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, None),
-    "dedup_simhash_pairs": (dedup.simhash_pairs, None),
+    "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, DEDUP_MINHASH_SQL),
+    "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),
     # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,
     # so the threshold is lowered to exercise the operator end-to-end
     "dedup_embedding_pairs": (lambda sf: dedup.embedding_near_dups(sf, tau=0.25), None),

@@ -10,7 +10,6 @@ explode to (bucket, doc) rows → groupby bucket → candidate pairs → verify.
 from __future__ import annotations
 
 import hashlib
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -63,11 +62,21 @@ def _perm_params(n_perm: int, seed: int = 13):
     return a, b
 
 
+def hash64(s: str) -> int:
+    """First 8 bytes of md5 as a big-endian uint64 — the feature hash for the
+    sketch family. md5 (not crc32/xxhash) so the ENTIRE sketch pipeline is
+    restatable in ANSI SQL: DuckDB's
+    ``('0x' || substr(md5(s), 1, 16))::UBIGINT`` produces the identical value,
+    which is what lets dedup_minhash_pairs / dedup_simhash_pairs carry full
+    value-hash oracles instead of rows-only checks."""
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
 def word_shingles(text: str, k: int = 3) -> set[int]:
-    """Hashed k-word shingles (crc32 → int32 space)."""
+    """Hashed k-word shingles (md5 → uint64 space; see :func:`hash64`)."""
     words = text.lower().split()
     return {
-        zlib.crc32(" ".join(words[i : i + k]).encode("utf-8"))
+        hash64(" ".join(words[i : i + k]))
         for i in range(max(0, len(words) - k + 1))
     }
 
@@ -76,7 +85,8 @@ def minhash_signature(shingles: set[int], a: np.ndarray, b: np.ndarray) -> np.nd
     """n_perm-wide MinHash signature (uint64)."""
     if not shingles:
         return np.full(len(a), _MERSENNE, dtype=np.uint64)
-    h = np.fromiter(shingles, dtype=np.int64, count=len(shingles)) % _MERSENNE
+    h = (np.fromiter(shingles, dtype=np.uint64, count=len(shingles))
+         % np.uint64(_MERSENNE)).astype(np.int64)
     # (n_perm, n_shingles) universal hashing mod Mersenne prime; int64-safe
     vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
     return np.min(vals, axis=1).astype(np.uint64)
@@ -105,7 +115,11 @@ class MinHashSketcher:
             for band in range(self.n_bands):
                 chunk = sig[band * self.rows_per_band : (band + 1) * self.rows_per_band]
                 band_col.append(band)
-                hash_col.append(hashlib.md5(chunk.tobytes()).hexdigest())
+                # md5 over comma-joined decimals (not raw bytes) so the band
+                # key is restatable in SQL: md5(string_agg(v, ',' ORDER BY i))
+                hash_col.append(
+                    hashlib.md5(",".join(map(str, chunk.tolist())).encode()).hexdigest()
+                )
                 doc_col.append(did)
         return pd.DataFrame(
             {"band": np.asarray(band_col, dtype=np.int64), "band_hash": hash_col,
@@ -380,21 +394,41 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word features (crc32-salted)."""
-    acc = np.zeros(64, dtype=np.int64)
-    shifts = np.arange(64, dtype=np.uint64)
-    for w in text.lower().split():
-        h = np.uint64(
-            (zlib.crc32(w.encode("utf-8")) << 32) | zlib.crc32(("x" + w).encode("utf-8"))
-        )
-        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-        acc += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
+# word → 64-bit feature hash cache. Corpus vocabulary is Zipf-distributed, so
+# the per-actor hit rate is high; bounded to keep long-lived workers in heap.
+_WORD_H: dict = {}
+_WORD_H_CAP = 1 << 20
+_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def _word_hashes(words: np.ndarray) -> np.ndarray:
+    """uint64 feature hashes for an object array of words (cached md5)."""
+    if len(_WORD_H) > _WORD_H_CAP:
+        _WORD_H.clear()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = _WORD_H.get(w)
+        if h is None:
+            h = hash64(w)
+            _WORD_H[w] = h
+        out[i] = h
     return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (md5-derived, see :func:`hash64`;
+    words weighted by occurrence count). Bit i is set iff the signed
+    occurrence-weighted vote for bit i is strictly positive — the same rule
+    the SQL oracle restates (registry.DEDUP_SIMHASH_SQL)."""
+    words = text.lower().split()
+    if not words:
+        return 0
+    uniq, counts = np.unique(np.asarray(words, dtype=object), return_counts=True)
+    h = _word_hashes(uniq)
+    bits = ((h[:, None] >> _SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = ((2 * bits - 1) * counts[:, None]).sum(axis=0)
+    return int(np.bitwise_or.reduce(
+        np.where(acc > 0, np.uint64(1) << _SHIFTS, np.uint64(0))))
 
 
 def simhash_pairs(sf_dir: str, max_hamming: int = 3) -> "ray.data.Dataset":
