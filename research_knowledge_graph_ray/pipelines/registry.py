@@ -9,7 +9,7 @@ correctness pinned by pytest instead.
 
 from __future__ import annotations
 
-from ..stages import dedup, similarity, textops
+from ..stages import dedup, sampling, similarity, textops
 from . import kgflat, relational
 from .kgflat import TERM_PATTERN
 
@@ -277,6 +277,43 @@ FROM hits WHERE CASE m {bp_case} END >= 5000
 
 DEDUP_MINHASH_SQL = _minhash_sql()
 
+# --- sampling / corpus mixing (stages/sampling.py) -----------------------
+# All keyed off md5(doc_id) so the Ray operator and the SQL are the same
+# deterministic function; integer thresholds make comparisons exact.
+
+SAMPLE_HASH_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT < 858993459
+"""
+
+SAMPLE_STRATIFIED_SQL = """
+WITH h AS (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  AS BIGINT) AS hkey
+           FROM documents)
+SELECT doc_id, lang, hkey FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rn
+  FROM h)
+WHERE rn <= 30
+"""
+
+CORPUS_MIX_SQL = """
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+      < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 1073741824
+"""
+
+SAMPLE_CHAR_BUDGET_SQL = """
+WITH h AS (SELECT doc_id, n_chars,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hkey
+           FROM documents),
+c AS (SELECT doc_id, n_chars,
+        SUM(n_chars) OVER (ORDER BY hkey, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM h)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(cum AS BIGINT) AS cum_chars
+FROM c WHERE cum <= 40000
+"""
+
 KG_TWO_HOP_SQL = f"""
 WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
 co AS (SELECT a.term AS ta, b.term AS tb FROM dt a
@@ -341,6 +378,11 @@ QUERIES: dict = {
     # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,
     # so the threshold is lowered to exercise the operator end-to-end
     "dedup_embedding_pairs": (lambda sf: dedup.embedding_near_dups(sf, tau=0.25), None),
+    # sampling / corpus mixing
+    "sample_hash": (sampling.hash_sample, SAMPLE_HASH_SQL),
+    "sample_stratified": (sampling.stratified_sample, SAMPLE_STRATIFIED_SQL),
+    "corpus_mix": (sampling.corpus_mix, CORPUS_MIX_SQL),
+    "sample_char_budget": (sampling.sample_char_budget, SAMPLE_CHAR_BUDGET_SQL),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
     "knn_topk_ivf": (similarity.knn_topk_ivf, None),  # approximate — rows-only

