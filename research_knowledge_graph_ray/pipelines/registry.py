@@ -277,6 +277,40 @@ FROM hits WHERE CASE m {bp_case} END >= 5000
 
 DEDUP_MINHASH_SQL = _minhash_sql()
 
+# --- exact embedding dedup (stages/dedup.py) -----------------------------
+# sim_e6 = ROUND(cosine * 1e6) on both sides; threshold applied to the
+# rounded value so the float boundary is identical.
+
+DEDUP_EMBEDDING_EXACT_SQL = """
+WITH s AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) * 1000000)
+              AS BIGINT) AS sim_e6
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, sim_e6 FROM s WHERE sim_e6 >= 400000
+"""
+
+# Cluster-mode: connected components of the τ=0.4 exact pair graph,
+# component = min reachable vec_id (recursive closure in SQL; distributed
+# min-label propagation in Ray — canonicalize.connected_components_ds).
+DEDUP_EMBEDDING_CLUSTERS_SQL = """
+WITH RECURSIVE p AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE CAST(ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]) * 1000000)
+             AS BIGINT) >= 400000),
+e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+reach(n, m) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+SELECT n AS vec_id, MIN(m) AS component,
+       CASE WHEN n = MIN(m) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY n
+"""
+
 # --- sampling / corpus mixing (stages/sampling.py) -----------------------
 # All keyed off md5(doc_id) so the Ray operator and the SQL are the same
 # deterministic function; integer thresholds make comparisons exact.
@@ -378,6 +412,11 @@ QUERIES: dict = {
     # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,
     # so the threshold is lowered to exercise the operator end-to-end
     "dedup_embedding_pairs": (lambda sf: dedup.embedding_near_dups(sf, tau=0.25), None),
+    "dedup_embedding_exact": (dedup.embedding_exact_pairs, DEDUP_EMBEDDING_EXACT_SQL),
+    "dedup_embedding_clusters": (
+        dedup.embedding_dedup_clusters,
+        DEDUP_EMBEDDING_CLUSTERS_SQL,
+    ),
     # sampling / corpus mixing
     "sample_hash": (sampling.hash_sample, SAMPLE_HASH_SQL),
     "sample_stratified": (sampling.stratified_sample, SAMPLE_STRATIFIED_SQL),

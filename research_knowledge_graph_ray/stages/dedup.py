@@ -544,3 +544,79 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> "ray.data.Dataset":
         return df.groupby(["vec_a", "vec_b"], as_index=False).agg(sim_e6=("sim_e6", "min"))
 
     return grouped_aggregate(pairs, ["vec_a", "vec_b"], agg)
+
+
+def embedding_exact_pairs(sf_dir: str, tau: float = 0.4) -> "ray.data.Dataset":
+    """(vec_a, vec_b, sim_e6) — EXACT cosine pairs with sim ≥ τ: the
+    brute-force baseline for embedding near-dup (the sign-LSH variant above
+    is the approximate scale path).
+
+    The normalized matrix is broadcast once (``ray.put``), each batch does a
+    single matmul against it, and a pair is emitted only from the batch
+    holding its smaller vec_id — exactly-once without a dedup pass.
+    Partitioning assumption: O(n·dim) embedding matrix fits one worker
+    (valid when dedup runs per shard / per LSH block); past that, the LSH
+    path is the answer. sim_e6 = floor(sim·1e6 + 0.5), matching SQL ROUND."""
+    import ray as _ray
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = full["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(full["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    ref = _ray.put((all_ids, unit))
+    tau_e6 = int(round(tau * 1e6))
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        ids_all, u_all = _ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        n = np.linalg.norm(vecs, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        sims = (vecs / n) @ u_all.T
+        e6 = np.floor(sims * 1e6 + 0.5).astype(np.int64)
+        # emit (i, j) only where my id < other id: exactly-once globally
+        ii, jj = np.nonzero((e6 >= tau_e6) & (ids[:, None] < ids_all[None, :]))
+        return pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids_all[jj], "sim_e6": e6[ii, jj]}
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_dedup_clusters(sf_dir: str, tau: float = 0.4) -> "ray.data.Dataset":
+    """(vec_id, component, is_canonical) — cluster-mode dedup over the EXACT
+    cosine pair graph, resolved by the fully distributed min-label-propagation
+    CC (`canonicalize.connected_components_ds`): neither edges nor labels ever
+    land on the driver. Every vector appears; singletons are their own
+    component; is_canonical=1 marks the kept representative (min vec_id)."""
+    from .canonicalize import connected_components_ds
+
+    pair_edges = embedding_exact_pairs(sf_dir, tau).map_batches(
+        lambda df: pd.DataFrame({"a": df["vec_a"], "b": df["vec_b"]}),
+        batch_format="pandas",
+    )
+    identity = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df["vec_id"].astype(np.int64), "b": df["vec_id"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+    labels = connected_components_ds(pair_edges.union(identity))
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "vec_id": df["node"].astype(np.int64),
+                "component": df["label"].astype(np.int64),
+                "is_canonical": (df["node"] == df["label"]).astype(np.int64),
+            }
+        )
+
+    return labels.map_batches(out, batch_format="pandas")

@@ -126,3 +126,40 @@ def test_embedding_near_dups_against_brute(sf_dir):
     assert found.issubset(brute)
     if brute:
         assert len(found) / len(brute) >= 0.5  # recall sanity at this τ
+
+
+def test_embedding_exact_pairs_is_bruteforce(sf_dir):
+    out = dedup.embedding_exact_pairs(sf_dir, tau=0.35).to_pandas()
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    vecs = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    sims = vecs @ vecs.T
+    brute = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids)) for j in range(i + 1, len(ids))
+        if int(np.floor(sims[i, j] * 1e6 + 0.5)) >= 350_000
+    }
+    assert set(zip(out["vec_a"], out["vec_b"])) == brute  # EXACT, not approx
+    assert not out.duplicated(["vec_a", "vec_b"]).any()
+
+
+def test_embedding_clusters_consistent_with_pairs(sf_dir):
+    tau = 0.4
+    pairs = dedup.embedding_exact_pairs(sf_dir, tau).to_pandas()
+    clus = dedup.embedding_dedup_clusters(sf_dir, tau).to_pandas()
+    comp = dict(zip(clus["vec_id"], clus["component"]))
+    emb_ids = set(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
+        .to_pandas()["vec_id"]
+    )
+    # total coverage incl. singletons
+    assert set(clus["vec_id"]) == emb_ids
+    # paired vectors share a component
+    for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+        assert comp[a] == comp[b]
+    # component label is the member minimum; exactly one canonical each
+    g = clus.groupby("component")
+    assert (g["vec_id"].min() == g["vec_id"].min().index).all()
+    assert (g["is_canonical"].sum() == 1).all()
+    assert ((clus["vec_id"] == clus["component"]) == (clus["is_canonical"] == 1)).all()
