@@ -9,7 +9,7 @@ correctness pinned by pytest instead.
 
 from __future__ import annotations
 
-from ..stages import dedup, sampling, similarity, textops
+from ..stages import dedup, graphalgs, sampling, similarity, textops
 from . import kgflat, relational
 from .kgflat import TERM_PATTERN
 
@@ -422,6 +422,9 @@ QUERIES: dict = {
     "sample_stratified": (sampling.stratified_sample, SAMPLE_STRATIFIED_SQL),
     "corpus_mix": (sampling.corpus_mix, CORPUS_MIX_SQL),
     "sample_char_budget": (sampling.sample_char_budget, SAMPLE_CHAR_BUDGET_SQL),
+    # graph analytics (stages/graphalgs.py) — distributed loops with exact
+    # fixed-iteration SQL restatements
+    "graph_pagerank": (graphalgs.pagerank, graphalgs.pagerank_sql()),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
     "knn_topk_ivf": (similarity.knn_topk_ivf, None),  # approximate — rows-only
