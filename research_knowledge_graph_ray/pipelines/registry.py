@@ -44,6 +44,20 @@ FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
 GROUP BY 1, 2
 """
 
+GRAPH_TRIANGLES_SQL = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
+co AS (SELECT a.term AS ta, b.term AS tb FROM dt a JOIN dt b
+       ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2),
+tri AS (SELECT e1.ta AS a, e1.tb AS b, e2.tb AS c
+        FROM co e1 JOIN co e2 ON e1.tb = e2.ta
+             JOIN co e3 ON e3.ta = e1.ta AND e3.tb = e2.tb)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_tri
+FROM (SELECT a AS term FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY term
+"""
+
 KG_TOP_ENTITIES_SQL = f"""
 SELECT term AS label, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM ({_UNNEST}) GROUP BY term
@@ -425,6 +439,7 @@ QUERIES: dict = {
     # graph analytics (stages/graphalgs.py) — distributed loops with exact
     # fixed-iteration SQL restatements
     "graph_pagerank": (graphalgs.pagerank, graphalgs.pagerank_sql()),
+    "graph_triangles": (graphalgs.triangle_counts, GRAPH_TRIANGLES_SQL),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
     "knn_topk_ivf": (similarity.knn_topk_ivf, None),  # approximate — rows-only

@@ -155,6 +155,117 @@ def pagerank(sf_dir: str, iters: int = 5) -> "ray.data.Dataset":
     return ranks.map_batches(out, batch_format="pandas")
 
 
+def triangle_counts(sf_dir: str) -> "ray.data.Dataset":
+    """(term, n_tri) — per-entity triangle membership counts over the term
+    co-occurrence graph.
+
+    Degree-ordered wedge enumeration, the scale-safe classic: every edge is
+    oriented from its lower-(degree, term) endpoint to the higher one, so
+    each wedge is emitted exactly once by the LOWEST-degree vertex of its
+    triangle and total wedge volume is bounded by the graph arboricity
+    (sum of d_low per edge), not by max-degree². Dataflow: one exchange to
+    build per-vertex neighbor lists and emit wedges, one exchange to
+    intersect wedges with the edge set (tagged union keyed on the closing
+    pair), one grouped sum per term. The degree table is vocabulary-bound
+    (distinct entity terms), so it is broadcast via ``ray.put`` rather than
+    joined — the same small-side rule the entity canonicalizer documents.
+
+    Orientation affects only who *finds* a triangle, never which triangles
+    exist, so the output is orientation-independent and matches the
+    lexicographic three-way self-join the SQL oracle states."""
+    # lazy import: pipelines depend on stages; this one query-layer operator
+    # reuses the pipeline-level co-occurrence builder without a module cycle
+    from ..pipelines.kgflat import cooccurrence
+
+    co = cooccurrence(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"ta": df["term_a"].astype(str), "tb": df["term_b"].astype(str)}
+        ),
+        batch_format="pandas",
+    ).materialize()
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([df["ta"], df["tb"]], ignore_index=True)
+        return both.value_counts().rename_axis("term").reset_index(name="d")
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False).agg(d=("d", "sum"))
+
+    deg_df = bucketed_group_apply(co, ["term"], deg_partial, deg_final).to_pandas()
+    deg_ref = ray.put(dict(zip(deg_df["term"], deg_df["d"].astype(np.int64))))
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = ray.get(deg_ref)
+        da = df["ta"].map(dmap).to_numpy()
+        db = df["tb"].map(dmap).to_numpy()
+        # src = lower (degree, term); ties keep the lex order ta<tb
+        a_first = da <= db
+        return pd.DataFrame(
+            {
+                "src": np.where(a_first, df["ta"], df["tb"]),
+                "dst": np.where(a_first, df["tb"], df["ta"]),
+            }
+        )
+
+    oriented = co.map_batches(orient, batch_format="pandas")
+
+    def wedge_final(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, g in df.groupby("src"):
+            nb = np.unique(g["dst"].to_numpy())
+            if len(nb) < 2:
+                continue
+            iu, ju = np.triu_indices(len(nb), k=1)
+            outs.append(
+                pd.DataFrame(
+                    {"b": nb[iu], "c": nb[ju], "apex": src, "is_edge": np.int8(0)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame(
+                {"b": pd.Series(dtype=str), "c": pd.Series(dtype=str),
+                 "apex": pd.Series(dtype=str),
+                 "is_edge": pd.Series(dtype=np.int8)}
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = bucketed_group_apply(oriented, ["src"], lambda df: df, wedge_final)
+
+    # the closing pair (b, c) is lexicographically unordered after degree
+    # orientation — canonicalize to the lex order the edge set uses
+    def canon_pair(df: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(df["b"], df["c"])
+        hi = np.maximum(df["b"], df["c"])
+        return df.assign(b=lo, c=hi)
+
+    edge_rows = co.map_batches(
+        lambda df: pd.DataFrame(
+            {"b": df["ta"], "c": df["tb"], "apex": "", "is_edge": np.int8(1)}
+        ),
+        batch_format="pandas",
+    )
+    tagged = wedges.map_batches(canon_pair, batch_format="pandas").union(edge_rows)
+
+    def close_final(df: pd.DataFrame) -> pd.DataFrame:
+        present = df.loc[df["is_edge"] == 1, ["b", "c"]].drop_duplicates()
+        tri = df[df["is_edge"] == 0].merge(present, on=["b", "c"])
+        if tri.empty:
+            return pd.DataFrame(
+                {"term": pd.Series(dtype=str), "n_tri": pd.Series(dtype=np.int64)}
+            )
+        members = pd.concat([tri["apex"], tri["b"], tri["c"]], ignore_index=True)
+        return members.value_counts().rename_axis("term").reset_index(name="n_tri")
+
+    partial_counts = bucketed_group_apply(
+        tagged, ["b", "c"], lambda df: df, close_final
+    )
+    return grouped_aggregate(
+        partial_counts,
+        ["term"],
+        lambda df: df.groupby("term", as_index=False).agg(n_tri=("n_tri", "sum")),
+    )
+
+
 def pagerank_sql(iters: int = 5) -> str:
     """The exact fixed-iteration restatement of :func:`pagerank` as chained
     CTEs (generated, one per iteration)."""

@@ -71,6 +71,53 @@ def test_pagerank_matches_reference(tiny_graph_dir):
     assert 0.0 < total <= 1.0 + 1e-9
 
 
+@pytest.fixture(scope="module")
+def tiny_docs_dir(tmp_path_factory):
+    """documents.parquet over the closed TERMS vocab with known per-doc term
+    sets: a hub term ('spark', high degree — exercises degree orientation),
+    planted triangles, and an isolated edge with no closing wedge."""
+    docsets = [
+        {"spark", "join", "hash"},        # triangle 1
+        {"spark", "sort", "merge"},       # triangle 2
+        {"join", "hash"},                 # reinforces an edge of triangle 1
+        {"spark", "filter"},              # dangling spoke off the hub
+        {"window", "stream"},             # isolated edge, no triangle
+        {"spark", "join", "sort"},        # wedge spark-join / spark-sort + join-sort edge? no
+        {"hash", "sort"},                 # closes (hash, sort)? only if wedge exists
+    ]
+    rows = [
+        {"doc_id": i, "text": "the " + " and the ".join(sorted(s)) + " engine"}
+        for i, s in enumerate(docsets)
+    ]
+    d = tmp_path_factory.mktemp("tinydocs")
+    pq.write_table(pa.Table.from_pylist(rows), d / "documents.parquet")
+    return str(d), docsets
+
+
+def _ref_triangles(docsets):
+    import itertools
+
+    edges = set()
+    for s in docsets:
+        for a, b in itertools.combinations(sorted(s), 2):
+            edges.add((a, b))
+    counts = {}
+    for (a, b), (c, d), (e, f) in itertools.combinations(sorted(edges), 3):
+        nodes = {a, b, c, d, e, f}
+        if len(nodes) == 3 and {(x, y) for x, y in [(a, b), (c, d), (e, f)]} <= edges:
+            for t in nodes:
+                counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def test_triangle_counts_matches_bruteforce(tiny_docs_dir):
+    d, docsets = tiny_docs_dir
+    got = graphalgs.triangle_counts(d).to_pandas()
+    want = _ref_triangles(docsets)
+    assert dict(zip(got["term"], got["n_tri"].astype(int))) == want
+    assert want  # the planted corpus really contains triangles
+
+
 def test_pagerank_sql_shape():
     sql = graphalgs.pagerank_sql(iters=3)
     assert sql.count("JOIN r") == 3  # one chained CTE per iteration
