@@ -58,6 +58,19 @@ FROM (SELECT a AS term FROM tri
 GROUP BY term
 """
 
+GRAPH_COMPONENTS_SQL = f"""
+WITH RECURSIVE dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
+co AS (SELECT a.term AS ta, b.term AS tb FROM dt a JOIN dt b
+       ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2),
+sym AS (SELECT ta AS a, tb AS b FROM co UNION SELECT tb, ta FROM co),
+reach(node, r) AS (
+  SELECT n, n FROM (SELECT a AS n FROM sym UNION SELECT b FROM sym)
+  UNION
+  SELECT sym.a, reach.r FROM sym JOIN reach ON sym.b = reach.node
+)
+SELECT node AS term, MIN(r) AS component FROM reach GROUP BY node
+"""
+
 KG_TOP_ENTITIES_SQL = f"""
 SELECT term AS label, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
 FROM ({_UNNEST}) GROUP BY term
@@ -440,6 +453,7 @@ QUERIES: dict = {
     # fixed-iteration SQL restatements
     "graph_pagerank": (graphalgs.pagerank, graphalgs.pagerank_sql()),
     "graph_triangles": (graphalgs.triangle_counts, GRAPH_TRIANGLES_SQL),
+    "graph_components": (graphalgs.components, GRAPH_COMPONENTS_SQL),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
     "knn_topk_ivf": (similarity.knn_topk_ivf, None),  # approximate — rows-only

@@ -266,6 +266,30 @@ def triangle_counts(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+def components(sf_dir: str) -> "ray.data.Dataset":
+    """(term, component) — connected components of the term co-occurrence
+    graph; ``component`` is the lexicographically smallest member term.
+
+    Thin query-layer wrapper over the fully distributed min-label-propagation
+    CC (:func:`..stages.canonicalize.connected_components_ds` — no edge set or
+    label table on the driver). Propagation runs to *fixpoint* (scalar
+    checksum convergence), which is exactly the transitive closure the
+    recursive-CTE oracle states, so the comparison is iteration-count-free."""
+    from ..pipelines.kgflat import cooccurrence
+    from .canonicalize import connected_components_ds
+
+    co = cooccurrence(sf_dir).map_batches(
+        lambda df: pd.DataFrame(
+            {"a": df["term_a"].astype(str), "b": df["term_b"].astype(str)}
+        ),
+        batch_format="pandas",
+    )
+    return connected_components_ds(co).map_batches(
+        lambda df: pd.DataFrame({"term": df["node"], "component": df["label"]}),
+        batch_format="pandas",
+    )
+
+
 def pagerank_sql(iters: int = 5) -> str:
     """The exact fixed-iteration restatement of :func:`pagerank` as chained
     CTEs (generated, one per iteration)."""

@@ -118,6 +118,17 @@ def test_triangle_counts_matches_bruteforce(tiny_docs_dir):
     assert want  # the planted corpus really contains triangles
 
 
+def test_components_two_islands(tiny_docs_dir):
+    d, docsets = tiny_docs_dir
+    got = graphalgs.components(d).to_pandas()
+    labels = dict(zip(got["term"], got["component"]))
+    # {window, stream} is an isolated edge — its own component; everything
+    # else is connected through the 'spark' hub
+    assert labels["window"] == labels["stream"] == "stream"
+    main = {t for s in docsets for t in s} - {"window", "stream"}
+    assert {labels[t] for t in main} == {min(main)}
+
+
 def test_pagerank_sql_shape():
     sql = graphalgs.pagerank_sql(iters=3)
     assert sql.count("JOIN r") == 3  # one chained CTE per iteration
