@@ -9,7 +9,7 @@ correctness pinned by pytest instead.
 
 from __future__ import annotations
 
-from ..stages import dedup, graphalgs, sampling, similarity, textops
+from ..stages import dedup, graphalgs, sampling, similarity, stats, textops
 from . import kgflat, relational
 from .kgflat import TERM_PATTERN
 
@@ -56,6 +56,14 @@ FROM (SELECT a AS term FROM tri
       UNION ALL SELECT b FROM tri
       UNION ALL SELECT c FROM tri)
 GROUP BY term
+"""
+
+PRICE_QUANTILES_SQL = """
+SELECT l_returnflag,
+       percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
+       percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_extendedprice) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY l_extendedprice) AS p99
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 GRAPH_COMPONENTS_SQL = f"""
@@ -454,6 +462,8 @@ QUERIES: dict = {
     "graph_pagerank": (graphalgs.pagerank, graphalgs.pagerank_sql()),
     "graph_triangles": (graphalgs.triangle_counts, GRAPH_TRIANGLES_SQL),
     "graph_components": (graphalgs.components, GRAPH_COMPONENTS_SQL),
+    # order statistics (stages/stats.py) — exact histogram rank-refinement
+    "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
     "knn_topk_ivf": (similarity.knn_topk_ivf, None),  # approximate — rows-only
