@@ -58,6 +58,17 @@ FROM (SELECT a AS term FROM tri
 GROUP BY term
 """
 
+TFIDF_SQL = f"""
+WITH m AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ({_UNNEST}) GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM m GROUP BY term),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+SELECT m.doc_id, m.term,
+       CAST(ROUND(m.n * ln((SELECT n FROM nn) / dfreq.df) * 1000000000)
+            AS BIGINT) AS tfidf_e9
+FROM m JOIN dfreq USING (term)
+"""
+
 PRICE_QUANTILES_SQL = """
 SELECT l_returnflag,
        percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
@@ -438,6 +449,7 @@ QUERIES: dict = {
     "doc_fingerprint": (textops.doc_fingerprint, DOC_FINGERPRINT_SQL),
     "text_tokens_bpe": (textops.text_tokens_bpe, TEXT_TOKENS_BPE_SQL),
     "doc_rolling_fingerprint": (textops.rolling_fingerprint, ROLLING_FINGERPRINT_SQL),
+    "tfidf": (textops.tfidf, TFIDF_SQL),
     "lang_id": (textops.lang_id, LANG_ID_SQL),
     # dedup family
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),

@@ -191,3 +191,36 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
         LangId, batch_format="pyarrow", zero_copy_batch=True,
         concurrency=max(2, n_cpus // 2),
     )
+
+
+def tfidf(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, term, tfidf_e9) — TF·IDF per (document, vocabulary term).
+
+    tf is the in-document term count (the distributed mention-count
+    aggregation in kgflat.doc_mentions); idf = ln(N/df) with N = corpus doc
+    count and df the term's distinct-doc count. The df table is
+    vocabulary-bound, so it is broadcast via ``ray.put`` and looked up inside
+    ``map_batches`` — no join shuffle. e9 fixed-point output keeps the DuckDB
+    oracle comparison exact (same double ops in the same order, half-away
+    rounding on both sides)."""
+    from ..pipelines.kgflat import doc_mentions, nodes_flat
+
+    n_docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    ).count()
+    df_tbl = nodes_flat(sf_dir).select_columns(["label", "n_docs"]).to_pandas()
+    df_ref = ray.put(dict(zip(df_tbl["label"], df_tbl["n_docs"].astype(np.int64))))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        dfreq = ray.get(df_ref)
+        idf = np.log(float(n_docs) / df["term"].map(dfreq).to_numpy(np.float64))
+        val = df["n"].to_numpy(np.float64) * idf * 1e9
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "term": df["term"],
+                "tfidf_e9": np.floor(val + 0.5).astype(np.int64),
+            }
+        )
+
+    return doc_mentions(sf_dir).map_batches(score, batch_format="pandas")
