@@ -498,6 +498,8 @@ QUERIES.update(
         "top_orders_per_customer": (windows.top_orders_per_customer,
                                     windows.TOP_ORDERS_PER_CUSTOMER_SQL),
         "events_latest_order": (windows.events_latest_order, windows.EVENTS_LATEST_ORDER_SQL),
+        "purchase_attribution": (windows.purchase_attribution,
+                                 windows.PURCHASE_ATTRIBUTION_SQL),
         "customer_order_totals": (windows.customer_order_totals, windows.CUSTOMER_ORDER_TOTALS_SQL),
         "customers_without_orders": (windows.customers_without_orders,
                                      windows.CUSTOMERS_WITHOUT_ORDERS_SQL),

@@ -299,3 +299,41 @@ SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 """
+
+
+def purchase_attribution(sf_dir: str, days: int = 7) -> "ray.data.Dataset":
+    """(event_id, n_prior) — for each purchase event, how many same-user
+    events landed in the preceding ``days`` days (strictly before the
+    purchase). The attribution-window pattern: a range join events⋈events on
+    user_id, answered per bucket by one build-side sort plus two
+    lexicographic searchsorted probes (stages/join.py::range_count_join) —
+    never a per-pair materialization."""
+    from ..stages.join import range_count_join
+
+    probe = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda df: df[df["event_type"] == "purchase"].assign(
+            start=df["ts"] - pd.Timedelta(days=days), end=df["ts"]
+        )[["event_id", "user_id", "start", "end"]],
+        batch_format="pandas",
+    )
+    build = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return range_count_join(
+        probe, build, "user_id", "user_id",
+        ["event_id"], "ts", "start", "end",
+        out_count="n_prior", n_buckets=16,
+        probe_casts={"event_id": "int64"},
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = """
+SELECT p.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_prior
+FROM events p JOIN events b
+  ON b.user_id = p.user_id
+ AND b.ts >= p.ts - INTERVAL 7 DAY AND b.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+"""

@@ -151,3 +151,81 @@ def asof_join(
         return out[[c for c in out_cols if c in out.columns]]
 
     return bucketed_group_apply(both, ["__key"], lambda df: df, final, n_buckets)
+
+
+def range_count_join(
+    probe: "ray.data.Dataset",
+    build: "ray.data.Dataset",
+    probe_on: str,
+    build_on: str,
+    probe_cols: list[str],
+    build_ts: str,
+    probe_start: str,
+    probe_end: str,
+    out_count: str = "n",
+    n_buckets: int = 32,
+    probe_casts: dict[str, str] | None = None,
+) -> "ray.data.Dataset":
+    """Range (interval) join, aggregated: for each ``probe`` row, count the
+    ``build`` rows with the same key whose ``build_ts`` falls in
+    ``[probe_start, probe_end)``. Inner semantics — probe rows with zero
+    matches are dropped.
+
+    One tagged exchange on the equality key co-locates both sides; each
+    bucket then sorts the build side ONCE by (key, ts) and answers every
+    probe interval with two lexicographic ``np.searchsorted`` calls on a
+    structured array — no per-key Python loop, no pair materialization, so
+    a probe interval covering millions of build rows costs O(log n), not
+    O(n). This is the windowed-count pattern an as-of join can't express
+    (asof = nearest single row; range = all rows in an interval)."""
+    import numpy as np
+
+    p = _tag(
+        probe, "p", list(dict.fromkeys(probe_cols + [probe_on, probe_start, probe_end]))
+    ).map_batches(
+        lambda df: df.assign(__key=df[probe_on].astype(str)), batch_format="pandas"
+    )
+    b = _tag(build, "b", [build_on, build_ts]).map_batches(
+        lambda df: df.assign(__key=df[build_on].astype(str)), batch_format="pandas"
+    )
+    both = p.union(b)
+    _dt = np.dtype([("k", np.int64), ("t", np.int64)])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        pt = df[df[_TAG] == "p"].reindex(
+            columns=probe_cols + [probe_start, probe_end, "__key"]
+        )
+        bt = df[df[_TAG] == "b"].reindex(columns=[build_ts, "__key"])
+        if pt.empty or bt.empty:
+            # a one-sided bucket sees the other side's columns null-promoted
+            # (float64); the cast keeps every bucket's output schema identical
+            empty = pt.reindex(columns=probe_cols).iloc[0:0].assign(
+                **{out_count: np.int64(0)}
+            )
+            return empty.astype(probe_casts) if probe_casts else empty
+        # dense per-bucket key ranks give an int64 lexicographic composite
+        keys, b_rank = np.unique(bt["__key"].to_numpy(), return_inverse=True)
+        arr = np.empty(len(bt), dtype=_dt)
+        arr["k"] = b_rank
+        arr["t"] = bt[build_ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        arr.sort()
+        p_rank = np.searchsorted(keys, pt["__key"].to_numpy())
+        # probe keys absent from the build side map to a rank whose (k, t)
+        # range is empty, so lo == hi and the row drops out below
+        in_build = (p_rank < len(keys)) & (
+            keys[np.minimum(p_rank, len(keys) - 1)] == pt["__key"].to_numpy()
+        )
+        q_lo = np.zeros(len(pt), dtype=_dt)
+        q_hi = np.zeros(len(pt), dtype=_dt)
+        q_lo["k"] = p_rank * in_build
+        q_hi["k"] = p_rank * in_build
+        q_lo["t"] = pt[probe_start].to_numpy().astype("datetime64[us]").astype(np.int64)
+        q_hi["t"] = pt[probe_end].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = np.searchsorted(arr, q_hi) - np.searchsorted(arr, q_lo)
+        n = np.where(in_build, n, 0)
+        out = pt[probe_cols].copy()
+        out[out_count] = n.astype(np.int64)
+        out = out[out[out_count] > 0]
+        return out.astype(probe_casts) if probe_casts else out
+
+    return bucketed_group_apply(both, ["__key"], lambda df: df, final, n_buckets)
