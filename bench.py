@@ -117,6 +117,12 @@ def run_bench() -> dict:
         timed("text_quality", textops.text_quality)
         timed("dedup_minhash_pairs", dedup.minhash_candidate_pairs)
         timed("knn_topk", similarity.knn_topk)
+        from research_knowledge_graph_ray.pipelines import windows
+        from research_knowledge_graph_ray.stages import graphalgs, stats
+
+        timed("graph_pagerank", graphalgs.pagerank)
+        timed("price_quantiles", stats.price_quantiles)
+        timed("purchase_attribution", windows.purchase_attribution)
 
     result = {
         "metric": "kg_construct_wall_sec",

@@ -112,11 +112,16 @@ def pagerank(sf_dir: str, iters: int = 5) -> "ray.data.Dataset":
         lambda df: df.assign(r=np.float64(init)), batch_format="pandas"
     )
 
+    # constant across iterations: materialize once, not per round
+    zero = nodes.map_batches(
+        lambda df: df.assign(m=np.float64(0.0)), batch_format="pandas"
+    ).materialize()
+
     for _ in range(iters):
         contrib = hash_join(
             ranks, edges_deg, "node", "src",
             ["node", "r"], ["src", "dst", "c"],
-            n_buckets=16,
+            n_buckets=8,
         ).map_batches(
             lambda df: pd.DataFrame(
                 {
@@ -126,14 +131,11 @@ def pagerank(sf_dir: str, iters: int = 5) -> "ray.data.Dataset":
             ),
             batch_format="pandas",
         )
-        zero = nodes.map_batches(
-            lambda df: df.assign(m=np.float64(0.0)), batch_format="pandas"
-        )
 
         def merge(df: pd.DataFrame) -> pd.DataFrame:
             return df.groupby("node", as_index=False).agg(m=("m", "sum"))
 
-        ranks = grouped_aggregate(contrib.union(zero), ["node"], merge, n_buckets=16
+        ranks = grouped_aggregate(contrib.union(zero), ["node"], merge, n_buckets=8
         ).map_batches(
             lambda df: pd.DataFrame(
                 {
