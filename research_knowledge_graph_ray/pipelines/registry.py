@@ -476,6 +476,9 @@ QUERIES: dict = {
     "graph_components": (graphalgs.components, GRAPH_COMPONENTS_SQL),
     # order statistics (stages/stats.py) — exact histogram rank-refinement
     "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
+    # approximate by construction (HLL sketch) — error bound pinned by
+    # tests/test_stats.py against the exact count
+    "approx_distinct_custkey": (stats.approx_distinct_custkey, None),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
     "knn_topk_ivf": (similarity.knn_topk_ivf, None),  # approximate — rows-only

@@ -133,3 +133,54 @@ def price_quantiles(sf_dir: str) -> pd.DataFrame:
     return exact_group_quantiles(
         ds, "l_extendedprice", "l_returnflag", [0.5, 0.9, 0.99]
     )
+
+
+def hll_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> float:
+    """Approximate COUNT(DISTINCT col) via HyperLogLog with 2**p registers.
+
+    Per-block partials compute register maxima locally (one deterministic
+    64-bit hash pass, numpy bit ops), emit only non-zero (register, rank)
+    rows, and a grouped max merges them — the sketch, not the values, crosses
+    the exchange, so the network cost is O(2**p) regardless of input size.
+    Standard error ≈ 1.04/sqrt(2**p) (~1.6% at p=12). Flajolet et al. 2007
+    estimator with small-range linear counting correction."""
+    m = 1 << p
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel stop bit
+        # rank = leading zeros of the remaining 64-p bits, + 1
+        lz = np.zeros(len(h), dtype=np.int64)
+        cur = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur < (np.uint64(1) << np.uint64(64 - shift))
+            lz[mask] += shift
+            cur[mask] = cur[mask] << np.uint64(shift)
+        rank = np.minimum(lz + 1, 64 - p + 1)
+        out = pd.DataFrame({"reg": idx, "rank": rank})
+        return out.groupby("reg", as_index=False).agg(rank=("rank", "max"))
+
+    merged = grouped_aggregate(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["reg"],
+        lambda df: df.groupby("reg", as_index=False).agg(rank=("rank", "max")),
+        n_buckets=8,
+    ).to_pandas()  # <= 2**p rows
+
+    regs = np.zeros(m, dtype=np.float64)
+    regs[merged["reg"].to_numpy(np.int64)] = merged["rank"].to_numpy(np.float64)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs))
+    zeros = int(np.sum(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * math.log(m / zeros)  # linear counting for small cardinality
+    return float(est)
+
+
+def approx_distinct_custkey(sf_dir: str) -> pd.DataFrame:
+    """One row (n_approx,) — HLL-approximate distinct o_custkey. Rows-only
+    driver check (approximate by construction); the error bound is pinned by
+    tests/test_stats.py against the exact count."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return pd.DataFrame({"n_approx": [int(round(hll_distinct(ds, "o_custkey")))]})

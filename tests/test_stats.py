@@ -45,3 +45,25 @@ def test_quantiles_spike_cap(monkeypatch):
     )
     with pytest.raises(ValueError, match="n_hist"):
         stats.exact_group_quantiles(ds, "v", None, [0.5], n_hist=4)
+
+
+def test_hll_distinct_error_bound():
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 60_000, 150_000)
+    exact = len(np.unique(vals))
+    est = stats.hll_distinct(ray.data.from_pandas(pd.DataFrame({"v": vals})), "v")
+    assert abs(est - exact) / exact < 0.05  # ~3 sigma at p=12
+
+    # linear-counting regime: tiny cardinality stays tight too
+    small = ray.data.from_pandas(pd.DataFrame({"v": np.arange(300) % 37}))
+    assert abs(stats.hll_distinct(small, "v") - 37) / 37 < 0.05
+
+
+def test_approx_distinct_custkey_vs_exact(sf_dir):
+    import duckdb
+
+    got = int(stats.approx_distinct_custkey(sf_dir)["n_approx"].iloc[0])
+    exact = duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM read_parquet('{sf_dir}/orders.parquet')"
+    ).fetchone()[0]
+    assert abs(got - exact) / exact < 0.05
