@@ -414,6 +414,51 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id, '' AS title, '' AS abstract,
 FROM documents
 """
 
+TOP_TOKENS_SQL = """
+SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+WHERE t <> '' GROUP BY t
+ORDER BY n DESC, token LIMIT 20
+"""
+
+REPETITION_STATS_SQL = """
+WITH w AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents)
+SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS n_distinct_words,
+       CAST((len(ws) - len(list_distinct(ws))) * 10000
+            // GREATEST(len(ws), 1) AS BIGINT) AS dup_frac_bp
+FROM w
+"""
+
+SCRUB_TERMS_SQL = r"""
+SELECT doc_id,
+       CAST(COALESCE(len(regexp_extract_all(text, '\b(dup|spark)\b')), 0)
+            AS BIGINT) AS n_redacted,
+       md5(regexp_replace(text, '\b(dup|spark)\b', '[REDACTED]', 'g'))
+           AS scrubbed_fp
+FROM documents
+"""
+
+# exact restatement of the per-lang greedy packing recursion (textops
+# _greedy_pack): new sequence iff run + t > budget and run > 0
+PACK_SEQUENCES_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents),
+p(lang, rn, doc_id, t, seq, run) AS (
+  SELECT lang, rn, doc_id, t, CAST(0 AS BIGINT), t FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.rn, d.doc_id, d.t,
+         CASE WHEN p.run + d.t > 512 THEN p.seq + 1 ELSE p.seq END,
+         CASE WHEN p.run + d.t > 512 THEN d.t ELSE p.run + d.t END
+  FROM p JOIN d ON d.lang = p.lang AND d.rn = p.rn + 1)
+SELECT doc_id, lang, t AS n_tokens, seq AS seq_id FROM p
+"""
+
 KNN_TOPK_SQL = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -451,6 +496,13 @@ QUERIES: dict = {
     "doc_rolling_fingerprint": (textops.rolling_fingerprint, ROLLING_FINGERPRINT_SQL),
     "tfidf": (textops.tfidf, TFIDF_SQL),
     "lang_id": (textops.lang_id, LANG_ID_SQL),
+    # heavy hitters: exact exchange path and the Misra-Gries sketch +
+    # exact-rescan scale path (same oracle — the rescan restores exactness)
+    "top_tokens": (textops.top_tokens, TOP_TOKENS_SQL),
+    "top_tokens_mg": (textops.top_tokens_mg, TOP_TOKENS_SQL),
+    "repetition_stats": (textops.repetition_stats, REPETITION_STATS_SQL),
+    "scrub_terms": (textops.scrub_terms, SCRUB_TERMS_SQL),
+    "pack_sequences": (textops.pack_sequences, PACK_SEQUENCES_SQL),
     # dedup family
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
@@ -489,6 +541,7 @@ QUERIES: dict = {
     "events_by_type": (relational.events_by_type, relational.EVENTS_BY_TYPE_SQL),
     "orders_by_month": (relational.orders_by_month, relational.ORDERS_BY_MONTH_SQL),
     "events_hourly": (relational.events_hourly, relational.EVENTS_HOURLY_SQL),
+    "orders_rollup": (relational.orders_rollup, relational.ORDERS_ROLLUP_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)
@@ -506,5 +559,6 @@ QUERIES.update(
         "customer_order_totals": (windows.customer_order_totals, windows.CUSTOMER_ORDER_TOTALS_SQL),
         "customers_without_orders": (windows.customers_without_orders,
                                      windows.CUSTOMERS_WITHOUT_ORDERS_SQL),
+        "customer_rolling": (windows.customer_rolling, windows.CUSTOMER_ROLLING_SQL),
     }
 )

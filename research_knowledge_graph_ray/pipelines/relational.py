@@ -206,6 +206,67 @@ FROM orders GROUP BY 1
 """
 
 
+def orders_rollup(sf_dir: str) -> pd.DataFrame:
+    """(year, month, n_orders, total_cents) — GROUP BY ROLLUP(year, month):
+    detail rows, per-year subtotals (month = -1) and a grand total
+    (year = month = -1), sentinel -1 instead of NULL so value hashing is
+    null-free on both sides.
+
+    Scale shape: one distributed partial pass (per-block groupby on
+    (year, month)) + one small exchange produce the detail aggregate, which
+    is bounded by |years| x 12 regardless of input size; the two coarser
+    rollup levels re-aggregate THAT table driver-side — no second scan of
+    the input."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "year": s.dt.year.astype(np.int64),
+            "month": s.dt.month.astype(np.int64),
+            "cents": _cents(batch["o_totalprice"]).to_numpy(),
+        })
+        return df.groupby(["year", "month"], as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["year", "month"], as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    detail = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["year", "month"], final, final, n_buckets=8,
+    ).to_pandas()
+
+    years = detail.groupby("year", as_index=False).agg(
+        n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+    years["month"] = -1
+    grand = pd.DataFrame({
+        "year": [-1], "month": [-1],
+        "n_orders": [detail["n_orders"].sum()],
+        "total_cents": [detail["total_cents"].sum()],
+    })
+    out = pd.concat([detail, years, grand], ignore_index=True)
+    for c in ("year", "month", "n_orders", "total_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out[["year", "month", "n_orders", "total_cents"]]
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT CAST(COALESCE(y, -1) AS BIGINT) AS year,
+       CAST(COALESCE(m, -1) AS BIGINT) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM (SELECT YEAR(o_orderdate) AS y, MONTH(o_orderdate) AS m,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders)
+GROUP BY ROLLUP (y, m)
+"""
+
+
 def events_hourly(sf_dir: str) -> "ray.data.Dataset":
     """Tumbling-window aggregate: events per (event_type, hour window).
 

@@ -329,6 +329,56 @@ def purchase_attribution(sf_dir: str, days: int = 7) -> "ray.data.Dataset":
     )
 
 
+def customer_rolling(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
+    """(o_orderkey, o_custkey, sum_last3_cents) — per-customer rolling sum
+    over the last ``window`` orders (ROWS window-1 PRECEDING .. CURRENT ROW,
+    ordered by date then key). One hash exchange on the partition key, then a
+    fully vectorized per-bucket scan: grouped cumsum minus the cumsum shifted
+    ``window`` rows within the group — no per-row or per-customer Python loop.
+    Integer-cents sums keep the DuckDB window-function oracle exact."""
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def cents(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+            "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+            "o_orderdate": batch["o_orderdate"].to_numpy(zero_copy_only=False),
+            "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
+            .cast(pa.int64()).to_numpy(),
+        })
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort").reset_index(drop=True)
+        c = df.groupby("o_custkey", sort=False)["cents"].cumsum()
+        prev = (df.assign(_c=c).groupby("o_custkey", sort=False)["_c"]
+                .shift(window).fillna(0))
+        out = df[["o_orderkey", "o_custkey"]].copy()
+        # cumsum values < 2^53 — float round-trip through shift/fillna is exact
+        out["sum_last3_cents"] = (c - prev).astype(np.int64)
+        out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+        out["o_custkey"] = out["o_custkey"].astype(np.int64)
+        return out
+
+    return bucketed_group_apply(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], lambda df: df, roll, n_buckets=16)
+
+
+CUSTOMER_ROLLING_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+       AS sum_last3_cents
+FROM orders
+"""
+
+
 PURCHASE_ATTRIBUTION_SQL = """
 SELECT p.event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_prior
 FROM events p JOIN events b

@@ -193,6 +193,220 @@ def lang_id(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
+TOPK_DEFAULT = 20
+
+
+def _token_partial_counts(batch: pa.Table) -> pa.Table:
+    """Per-block exact token counts: one C-level split + value_counts —
+    no Python loop, output rows bounded by the block's distinct tokens."""
+    words = pc.list_flatten(pc.split_pattern(batch["text"], " "))
+    words = words.filter(pc.not_equal(words, ""))
+    vc = pc.value_counts(words)
+    return pa.table({"token": vc.field("values"),
+                     "n": vc.field("counts").cast(pa.int64())})
+
+
+def _bucket_topk(k: int):
+    def final(tab: pa.Table) -> pa.Table:
+        agg = tab.group_by("token").aggregate([("n", "sum")]).rename_columns(
+            ["token", "n"])
+        order = pc.sort_indices(agg, sort_keys=[("n", "descending"),
+                                                ("token", "ascending")])
+        return agg.take(order[:k])
+    return final
+
+
+def top_tokens(sf_dir: str, k: int = TOPK_DEFAULT) -> pd.DataFrame:
+    """(token, n) — exact global top-k most frequent whitespace tokens.
+
+    The heavy-hitters baseline: per-block partial counts (value_counts, rows
+    bounded by per-block vocabulary) → hash exchange on token (all counts for
+    a token land in one bucket) → per-bucket sum + LOCAL top-k → a k×buckets
+    global merge on the driver. No full sort, no global materialization —
+    the only driver-sized object is k·n_buckets rows."""
+    from .shuffle import hash_exchange_apply
+
+    partial = hash_exchange_apply(
+        _read_docs(sf_dir), ["token"],
+        _token_partial_counts, _bucket_topk(k), n_buckets=16,
+    ).to_pandas()
+    return (partial.sort_values(["n", "token"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def _mg_merge(tokens: np.ndarray, counts: np.ndarray, capacity: int):
+    """Misra-Gries summary compression: if more than ``capacity`` keys,
+    subtract the (capacity+1)-th largest count from all and drop <= 0.
+    Standard mergeable-summary rule (Agarwal et al., PODS'12): total
+    undercount after merging summaries is <= N/capacity."""
+    if len(tokens) <= capacity:
+        return tokens, counts
+    thresh = np.partition(counts, len(counts) - capacity - 1)[len(counts) - capacity - 1]
+    adj = counts - thresh
+    keep = adj > 0
+    return tokens[keep], adj[keep]
+
+
+def top_tokens_mg(sf_dir: str, k: int = TOPK_DEFAULT,
+                  capacity: int = 64) -> pd.DataFrame:
+    """Heavy hitters, sketch-pruned scale path: per-block Misra-Gries
+    summaries (<= capacity rows each, regardless of vocabulary size) →
+    exchange-sum of summaries → candidate set = every surviving token →
+    EXACT rescan counting only candidates → top-k.
+
+    The rescan makes the output exact whenever the true top-k survive the
+    sketch (guaranteed when the k-th frequency > N/capacity), so it shares
+    top_tokens' SQL oracle; at 100 TB this path never ships more than
+    capacity rows per block while the exact path ships the whole per-block
+    vocabulary."""
+    from .shuffle import hash_exchange_apply
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        t = _token_partial_counts(batch)
+        tok, n = _mg_merge(np.asarray(t["token"]), np.asarray(t["n"]), capacity)
+        return pa.table({"token": pa.array(tok, type=pa.string()),
+                         "n": pa.array(n, type=pa.int64())})
+
+    def sum_final(tab: pa.Table) -> pa.Table:
+        return tab.group_by("token").aggregate([("n", "sum")]).rename_columns(
+            ["token", "n"])
+
+    docs = _read_docs(sf_dir)
+    cand = hash_exchange_apply(docs, ["token"], mg_partial, sum_final,
+                               n_buckets=16).to_pandas()
+    # candidate array is <= max(4k, capacity) strings — ships inside the
+    # closure (a broadcast-by-value small side, not a join)
+    cand_arr = pa.array(
+        cand.sort_values(["n", "token"], ascending=[False, True])
+        .head(max(4 * k, capacity))["token"].tolist(), type=pa.string())
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        t = _token_partial_counts(batch)
+        return t.filter(pc.is_in(t["token"], value_set=cand_arr))
+
+    exact = hash_exchange_apply(docs, ["token"], exact_partial,
+                                _bucket_topk(k), n_buckets=16).to_pandas()
+    return (exact.sort_values(["n", "token"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_words, n_distinct_words, dup_frac_bp) — word-level
+    repetition ratio in basis points; the boilerplate/repetition quality
+    filter of large-corpus pipelines (Gopher-style rule family). One split
+    kernel + a grouped nunique per block — no per-row Python."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        words = flat.to_numpy(zero_copy_only=False)
+        keep = words != ""
+        doc_idx, words = doc_idx[keep], words[keep]
+        n_words = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+        uniq = pd.DataFrame({"d": doc_idx, "w": words}).groupby("d")["w"].nunique()
+        n_distinct = np.zeros(len(lens), np.int64)
+        n_distinct[uniq.index.to_numpy()] = uniq.to_numpy()
+        denom = np.maximum(n_words, 1)
+        bp = (n_words - n_distinct) * 10000 // denom
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_words": pa.array(n_words), "n_distinct_words": pa.array(n_distinct),
+            "dup_frac_bp": pa.array(bp),
+        })
+
+    return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+# banned-term scrub: the PII-redaction machinery (vectorized RE2 find+replace
+# with an audit count + post-scrub fingerprint) demonstrated on terms that
+# exist in this corpus; swap the pattern for emails/phones/SSNs on a real one.
+SCRUB_PATTERN = r"\b(dup|spark)\b"
+SCRUB_TOKEN = "[REDACTED]"
+
+
+def scrub_terms(sf_dir: str, pattern: str = SCRUB_PATTERN) -> "ray.data.Dataset":
+    """(doc_id, n_redacted, scrubbed_fp) — redact every match of ``pattern``,
+    count redactions, fingerprint the scrubbed text (md5) so the full scrub
+    output is value-checked without shipping the text to the oracle compare."""
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n = pc.count_substring_regex(text, pattern=pattern).cast(pa.int64())
+        red = pc.replace_substring_regex(text, pattern=pattern,
+                                         replacement=SCRUB_TOKEN)
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in red.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_redacted": n,
+            "scrubbed_fp": pa.array(fps, type=pa.string()),
+        })
+
+    return _read_docs(sf_dir).map_batches(scrub, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+PACK_BUDGET = 512
+
+
+def _greedy_pack(tok: np.ndarray, budget: int) -> np.ndarray:
+    """Greedy concat-and-chunk: new sequence when adding the doc would
+    overflow the budget (an oversized doc occupies its own sequence).
+    Inherently a sequential scan — integer ops over the group's doc count,
+    run inside the per-partition reducer, never on the driver."""
+    seq = np.empty(len(tok), np.int64)
+    s = run = 0
+    for i, t in enumerate(tok):
+        t = int(t)
+        if run + t > budget and run > 0:
+            s, run = s + 1, t
+        else:
+            run += t
+        seq[i] = s
+    return seq
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_BUDGET) -> "ray.data.Dataset":
+    """(doc_id, lang, n_tokens, seq_id) — greedy packing of documents into
+    fixed token-budget training sequences, partitioned by lang, doc_id order.
+
+    The LLM-training sequence-packing primitive: packing is sequential within
+    a partition but embarrassingly parallel across partitions. ``lang`` is the
+    partition key here so the SQL oracle can restate the exact greedy
+    recursion; a production corpus would use a finer deterministic key
+    (lang, shard) to bound partition size — the operator itself is unchanged."""
+    from .shuffle import bucketed_group_apply
+
+    def toks(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(text, pattern=" ",
+                                                       replacement=""))
+        n_tok = pc.add(pc.subtract(n_chars, no_space.cast(pa.int64())), 1)
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "lang": batch["lang"], "n_tokens": n_tok})
+
+    base = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        out = []
+        for lang, g in df.groupby("lang", sort=False):
+            out.append(g.assign(seq_id=_greedy_pack(
+                g["n_tokens"].to_numpy(np.int64), budget)))
+        res = pd.concat(out) if out else df.assign(seq_id=np.int64(0))
+        res["seq_id"] = res["seq_id"].astype(np.int64)
+        return res[["doc_id", "lang", "n_tokens", "seq_id"]]
+
+    return bucketed_group_apply(base, ["lang"], lambda df: df, pack, n_buckets=8)
+
+
 def tfidf(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, term, tfidf_e9) — TF·IDF per (document, vocabulary term).
 
