@@ -20,8 +20,10 @@ import pandas as pd
 
 import ray.data
 
+import ray
+
 from .join import hash_join
-from .shuffle import bucketed_group_apply, grouped_aggregate
+from .shuffle import bucketed_group_apply, grouped_aggregate, hash_exchange_apply
 
 # supplier→part bipartite edges; parts offset into a disjoint id space
 _PART_OFFSET = 10_000_000
@@ -53,108 +55,126 @@ def _supplier_part_edges(sf_dir: str) -> "ray.data.Dataset":
     )
 
 
-def pagerank(sf_dir: str, iters: int = 5) -> "ray.data.Dataset":
+@ray.remote
+def _pr_prep_bucket(edges_tab) -> "object":
+    """(src, dst) bucket → (src, dst, c) with the out-degree computed
+    LOCALLY: the bucket holds every edge of each of its srcs (bucketed by
+    src), so degree is a within-bucket transform — no degree join."""
+    import pyarrow as pa
+
+    if edges_tab.num_columns == 0 or edges_tab.num_rows == 0:
+        return pa.table({"src": pa.array([], pa.int64()),
+                         "dst": pa.array([], pa.int64()),
+                         "c": pa.array([], pa.int64())})
+    df = edges_tab.to_pandas()
+    df["c"] = df.groupby("src")["dst"].transform("size").astype(np.int64)
+    return pa.Table.from_pandas(df[["src", "dst", "c"]], preserve_index=False)
+
+
+@ray.remote
+def _pr_contrib(edges_tab, ranks_tab, n_buckets: int):
+    """One superstep, scatter side: join the pinned edge bucket with its
+    co-partitioned rank bucket (both keyed by the same hash of src/node),
+    emit (node=dst, m=r/c) contributions split by dst bucket."""
+    import pyarrow as pa
+
+    from .shuffle import _split_by_bucket
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "m": pa.array([], pa.float64())})
+    if (edges_tab.num_rows == 0 or ranks_tab.num_rows == 0):
+        return tuple([empty] * n_buckets) if n_buckets > 1 else empty
+    e = edges_tab.to_pandas()
+    r = ranks_tab.to_pandas()
+    j = e.merge(r, left_on="src", right_on="node", how="inner", sort=False)
+    out = pa.Table.from_pandas(
+        pd.DataFrame({"node": j["dst"].astype(np.int64),
+                      "m": j["r"].to_numpy(np.float64) / j["c"].to_numpy(np.float64)}),
+        preserve_index=False)
+    pieces = _split_by_bucket(out, ["node"], n_buckets)
+    return tuple(pieces) if n_buckets > 1 else pieces[0]
+
+
+@ray.remote
+def _pr_apply(nodes_tab, base_r: float, damping: float, *pieces):
+    """One superstep, gather side: sum this bucket's incoming contributions,
+    left-join onto the bucket's node set (dangling/unreached nodes get 0),
+    apply teleport + damping."""
+    import pyarrow as pa
+
+    nodes = nodes_tab.to_pandas()
+    valid = [p for p in pieces if p.num_columns > 0 and p.num_rows > 0]
+    if valid:
+        m = (pa.concat_tables(valid).to_pandas()
+             .groupby("node", as_index=False).agg(m=("m", "sum")))
+        nodes = nodes.merge(m, on="node", how="left", sort=False)
+        nodes["m"] = nodes["m"].fillna(0.0)
+    else:
+        nodes = nodes.assign(m=np.float64(0.0))
+    nodes["r"] = base_r + damping * nodes["m"].to_numpy(np.float64)
+    return pa.Table.from_pandas(nodes[["node", "r"]], preserve_index=False)
+
+
+@ray.remote
+def _pr_out(ranks_tab):
+    import pyarrow as pa
+
+    df = ranks_tab.to_pandas()
+    return pa.Table.from_pandas(
+        pd.DataFrame({"node": df["node"].astype(np.int64),
+                      "rank_e9": np.floor(df["r"] * 1e9 + 0.5).astype(np.int64)}),
+        preserve_index=False)
+
+
+def pagerank(sf_dir: str, iters: int = 5, n_buckets: int = 8) -> "ray.data.Dataset":
     """(node, rank_e9) — `iters` damped PageRank iterations over the
     supplier→part graph; dangling mass is dropped (mirrored exactly in SQL).
 
-    Fully distributed loop: per iteration one hash join (ranks ⋈ edges on
-    src) and one grouped sum on dst — ranks are a Dataset keyed by node, the
-    edge set is materialized ONCE and re-exchanged per round (a production
-    loop would pin the co-partitioned edge blocks; the exchange is
-    deterministic on key so placement is stable). rank_e9 rounds away the
-    sub-1e-15 float summation-order noise."""
-    edges = _supplier_part_edges(sf_dir).materialize()
+    Pregel-style pinned-partition loop: the edge set is hash-bucketed by src
+    ONCE and stays in the object store; ranks are co-partitioned by the same
+    hash, so each superstep is B contribution tasks (local join, split by
+    dst bucket) + a B×B scatter of the SHRUNK contribution pieces + B apply
+    tasks — the edges never move again after round 0 (vs re-exchanging both
+    join sides every round). Out-degrees are a within-bucket transform, not
+    a join, because bucketing by src co-locates all of a src's edges.
+    rank_e9 rounds away the sub-1e-15 float summation-order noise."""
+    edges = _supplier_part_edges(sf_dir)
 
-    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("src", as_index=False).agg(c=("dst", "count"))
-
-    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby("src", as_index=False).agg(c=("c", "sum"))
-
-    deg = bucketed_group_apply(edges, ["src"], deg_partial, deg_final).map_batches(
-        lambda df: pd.DataFrame({"src2": df["src"], "c": df["c"]}),
-        batch_format="pandas",
-    )
-    # (src, dst, c): out-degree joined onto each edge, once
-    edges_deg = hash_join(
-        edges, deg, "src", "src2",
-        ["src", "dst"], ["src2", "c"],
-        n_buckets=16,
-    ).map_batches(
-        # hash_join's reindex can degrade int columns to double (NaN-typed
-        # missing columns in one-sided buckets); str() join keys on a later
-        # round would then see "0.0" vs "0" — pin the dtypes here
-        lambda df: pd.DataFrame(
-            {
-                "src": df["src"].astype(np.int64),
-                "dst": df["dst"].astype(np.int64),
-                "c": df["c"].astype(np.int64),
-            }
-        ),
-        batch_format="pandas",
-    ).materialize()
+    # bucket edges by src once (identity exchange: bucket b = block b),
+    # then attach local out-degrees per bucket
+    ident = lambda t: t  # noqa: E731
+    e_bucketed = hash_exchange_apply(edges, ["src"], ident, ident,
+                                     n_buckets=n_buckets)
+    E = [_pr_prep_bucket.remote(ref) for ref in e_bucketed.to_arrow_refs()]
 
     def nodes_of(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"node": pd.concat([df["src"], df["dst"]], ignore_index=True)}
         ).drop_duplicates()
 
-    nodes = grouped_aggregate(
+    nodes_ds = grouped_aggregate(
         edges.map_batches(nodes_of, batch_format="pandas"),
-        ["node"],
-        lambda df: df.drop_duplicates(),
+        ["node"], lambda df: df.drop_duplicates(), n_buckets=n_buckets,
     ).materialize()
-    n = nodes.count()
-    init = 1.0 / n
-    base_r = _TELEPORT / n
+    n = nodes_ds.count()
+    N = nodes_ds.to_arrow_refs()  # bucket b = block b, same hash as E
+    init, base_r = 1.0 / n, _TELEPORT / n
 
-    ranks = nodes.map_batches(
-        lambda df: df.assign(r=np.float64(init)), batch_format="pandas"
-    )
-
-    # constant across iterations: materialize once, not per round
-    zero = nodes.map_batches(
-        lambda df: df.assign(m=np.float64(0.0)), batch_format="pandas"
-    ).materialize()
-
+    R = [_pr_apply.remote(N[b], init, 0.0) for b in range(n_buckets)]
     for _ in range(iters):
-        contrib = hash_join(
-            ranks, edges_deg, "node", "src",
-            ["node", "r"], ["src", "dst", "c"],
-            n_buckets=8,
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "node": df["dst"].astype(np.int64),
-                    "m": df["r"].astype(np.float64) / df["c"].astype(np.float64),
-                }
-            ),
-            batch_format="pandas",
-        )
+        cps = [
+            _pr_contrib.options(num_returns=n_buckets).remote(E[b], R[b], n_buckets)
+            for b in range(n_buckets)
+        ]
+        if n_buckets == 1:
+            cps = [[c] for c in cps]
+        R = [
+            _pr_apply.remote(N[b], base_r, _DAMPING,
+                             *[cps[src][b] for src in range(n_buckets)])
+            for b in range(n_buckets)
+        ]
 
-        def merge(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("node", as_index=False).agg(m=("m", "sum"))
-
-        ranks = grouped_aggregate(contrib.union(zero), ["node"], merge, n_buckets=8
-        ).map_batches(
-            lambda df: pd.DataFrame(
-                {
-                    "node": df["node"].astype(np.int64),
-                    "r": base_r + _DAMPING * df["m"].astype(np.float64),
-                }
-            ),
-            batch_format="pandas",
-        ).materialize()
-
-    def out(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "node": df["node"].astype(np.int64),
-                "rank_e9": np.floor(df["r"] * 1e9 + 0.5).astype(np.int64),
-            }
-        )
-
-    return ranks.map_batches(out, batch_format="pandas")
+    return ray.data.from_arrow_refs([_pr_out.remote(r) for r in R])
 
 
 def triangle_counts(sf_dir: str) -> "ray.data.Dataset":
