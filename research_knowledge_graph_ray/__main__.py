@@ -43,7 +43,8 @@ def cmd_ingest(args) -> int:
     from .sources.files import read_json_corpus, read_text_corpus
 
     if args.synthetic:
-        docs = ray.data.from_arrow(generate_documents(args.synthetic, seed=42))
+        docs = ray.data.from_arrow(generate_documents(
+            args.synthetic, seed=42, start=getattr(args, "synthetic_start", 0)))
     elif args.json:
         docs = read_json_corpus(args.input)
     elif args.text:
@@ -80,19 +81,57 @@ def cmd_ingest(args) -> int:
                 stat = f"{st.st_size}:{int(st.st_mtime)}"
         fingerprint = f"{mode}:{ident}:{stat}"
 
-    res = build_graph(
-        docs,
-        link=not args.no_link,
-        entity_linking=not args.no_entity_linking,
-        embed_docs=args.embed,
-        checkpoint_dir=args.checkpoint,
-        checkpoint_fingerprint=fingerprint,
-    )
+    if getattr(args, "append", False):
+        # incremental update: docs are the INCREMENT; the existing graph in
+        # --out is extended without reprocessing old documents (requires a
+        # prior non-append ingest with --no-entity-linking; see
+        # pipelines/incremental.py for the exactness preconditions)
+        base_p = os.path.join(args.out, "base_edges")
+        if not os.path.isdir(base_p):
+            print(f"--append requires an existing graph with state at {args.out}",
+                  file=sys.stderr)
+            return 2
+        from .pipelines.incremental import update_graph
+
+        old_nodes = ray.data.read_parquet(os.path.join(args.out, "nodes"))
+        old_base = ray.data.read_parquet(base_p)
+        cross_p = os.path.join(args.out, "cross_edges")
+        old_cross = (ray.data.read_parquet(cross_p)
+                     if os.path.isdir(cross_p) else None)
+        res = update_graph(old_nodes, old_base, old_cross, docs,
+                           link=not args.no_link)
+    else:
+        res = build_graph(
+            docs,
+            link=not args.no_link,
+            entity_linking=not args.no_entity_linking,
+            embed_docs=args.embed,
+            checkpoint_dir=args.checkpoint,
+            checkpoint_fingerprint=fingerprint,
+        )
     os.makedirs(args.out, exist_ok=True)
-    res.nodes.write_parquet(os.path.join(args.out, "nodes"))
-    res.edges.write_parquet(os.path.join(args.out, "edges"))
+    outputs = {"nodes": res.nodes, "edges": res.edges}
+    # split edge views enable later `ingest --append` runs
+    if res.base_edges is not None:
+        outputs["base_edges"] = res.base_edges
+    if res.cross_edges is not None:
+        outputs["cross_edges"] = res.cross_edges
+    # stream every output into a tmp dir FIRST, then swap: append mode reads
+    # the old graph lazily from these same directories, and write_parquet
+    # into an existing dir would otherwise accumulate stale files
+    import shutil
+    for name, ds in outputs.items():
+        tmp = os.path.join(args.out, f".tmp_{name}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds.write_parquet(tmp)
+    # counts BEFORE the swap: in append mode the result pipelines lazily read
+    # the pre-swap files, so nothing may re-execute once they are replaced
     n_nodes = res.nodes.count()
     n_edges = res.edges.count()
+    for name in outputs:
+        final = os.path.join(args.out, name)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(os.path.join(args.out, f".tmp_{name}"), final)
     if res.embeddings is not None:
         print(f"embeddings: {res.embeddings.count()}")
     print(f"ingested: {n_nodes} nodes, {n_edges} edges -> {args.out}")
@@ -182,6 +221,10 @@ def main(argv=None) -> int:
     pi.add_argument("--json", action="store_true", help="input is JSON paper dicts")
     pi.add_argument("--text", action="store_true", help="input is a text file")
     pi.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs")
+    pi.add_argument("--append", action="store_true",
+                    help="treat input as an increment to the existing graph in --out")
+    pi.add_argument("--synthetic-start", type=int, default=0,
+                    help="first synthetic doc index (append-ordered increments)")
     pi.set_defaults(fn=cmd_ingest)
 
     pq = sub.add_parser("query")

@@ -47,6 +47,10 @@ class GraphResult:
     edges: "ray.data.Dataset"
     canonical_mapping: dict = field(default_factory=dict)
     embeddings: "ray.data.Dataset | None" = None  # (doc_id, embedding) when embed_docs
+    # split views of ``edges`` kept for incremental update (pipelines/incremental.py):
+    # base = within-doc triples, cross = cross-document links; edges == base ∪ cross
+    base_edges: "ray.data.Dataset | None" = None
+    cross_edges: "ray.data.Dataset | None" = None
 
 
 def extract_validated(
@@ -202,10 +206,12 @@ def build_graph(
 
             f_embed = pool.submit(lambda: embed_docs_tasks(docs).materialize())
         nodes = f_nodes.result()
-        edges = f_edges.result()
-        if f_cross is not None:
-            edges = edges.union(f_cross.result())
+        base_edges = f_edges.result()
+        cross_edges = f_cross.result() if f_cross is not None else None
+        edges = (base_edges.union(cross_edges) if cross_edges is not None
+                 else base_edges)
         if embed_docs:
             embeddings = f_embed.result()
     return GraphResult(nodes=nodes, edges=edges, canonical_mapping=mapping,
-                       embeddings=embeddings)
+                       embeddings=embeddings, base_edges=base_edges,
+                       cross_edges=cross_edges)

@@ -483,6 +483,12 @@ QUERIES: dict = {
     "kg_graph_nodes": (kgflat.graph_nodes, KG_GRAPH_NODES_SQL),
     "kg_graph_edges": (kgflat.graph_edges, KG_GRAPH_EDGES_SQL),
     "kg_cross_doc_edges": (kgflat.cross_doc_edges, KG_CROSS_DOC_EDGES_SQL),
+    # incremental update paths: built by appending the corpus's second half
+    # via pipelines/incremental.py — checked against the FULL-corpus SQL, so
+    # the oracle gate itself proves incremental == full rebuild
+    "kg_incremental_nodes": (kgflat.incremental_graph_nodes, KG_GRAPH_NODES_SQL),
+    "kg_incremental_cross": (kgflat.incremental_cross_doc_edges,
+                             KG_CROSS_DOC_EDGES_SQL),
     "kg_node_properties": (kgflat.node_properties, KG_NODE_PROPERTIES_SQL),
     "papers_by_year": (kgflat.papers_by_year, PAPERS_BY_YEAR_SQL),
     "kg_two_hop": (kgflat.two_hop_neighbors, KG_TWO_HOP_SQL),

@@ -28,3 +28,33 @@ def test_cli_ingest_query_visualize(tmp_path):
     r = _run("visualize", out, "--html", html)
     assert r.returncode == 0, r.stderr[-2000:]
     assert os.path.exists(html)
+
+
+def test_cli_append_equals_full(tmp_path):
+    """ingest --append over an increment matches a from-scratch rebuild."""
+    import duckdb
+    import pandas as pd
+
+    inc = str(tmp_path / "inc")
+    full = str(tmp_path / "full")
+    r = _run("ingest", "--synthetic", "30", "--out", inc, "--no-entity-linking")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("ingest", "--synthetic", "15", "--synthetic-start", "30",
+             "--append", "--out", inc, "--no-entity-linking")
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("ingest", "--synthetic", "45", "--out", full, "--no-entity-linking")
+    assert r.returncode == 0, r.stderr[-2000:]
+    for t in ("nodes", "edges"):
+        a = duckdb.sql(
+            f"SELECT * FROM read_parquet('{inc}/{t}/*.parquet') ORDER BY ALL").fetchdf()
+        b = duckdb.sql(
+            f"SELECT * FROM read_parquet('{full}/{t}/*.parquet') ORDER BY ALL").fetchdf()
+        pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                      b.reset_index(drop=True))
+
+
+def test_cli_append_requires_state(tmp_path):
+    r = _run("ingest", "--synthetic", "5", "--append",
+             "--out", str(tmp_path / "nope"))
+    assert r.returncode == 2
+    assert "requires an existing graph" in r.stderr
