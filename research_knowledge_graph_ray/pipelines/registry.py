@@ -566,5 +566,6 @@ QUERIES.update(
         "customers_without_orders": (windows.customers_without_orders,
                                      windows.CUSTOMERS_WITHOUT_ORDERS_SQL),
         "customer_rolling": (windows.customer_rolling, windows.CUSTOMER_ROLLING_SQL),
+        "vip_order_totals": (windows.vip_order_totals, windows.VIP_ORDER_TOTALS_SQL),
     }
 )

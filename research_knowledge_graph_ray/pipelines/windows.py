@@ -329,6 +329,61 @@ def purchase_attribution(sf_dir: str, days: int = 7) -> "ray.data.Dataset":
     )
 
 
+def vip_order_totals(sf_dir: str, min_acctbal: float = 9000.0) -> "ray.data.Dataset":
+    """Per-VIP-customer order totals — the SELECTIVE-build-side join pattern:
+    the filtered customer side blooms its keys (stages/join.py::build_bloom,
+    128 KiB broadcast), and non-matching orders are dropped at the map side
+    BEFORE the exchange — at 100 TB ~91% of order rows never ship."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join_bloom
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
+             .cast(pa.int64()).to_numpy()})
+
+    vips = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["c_acctbal"], min_acctbal))
+        .select(["c_custkey", "c_name"]),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = hash_join_bloom(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        vips, left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_custkey", "cents"], right_cols=["c_custkey", "c_name"],
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" in df.columns:
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("cents", "size"), total_cents=("cents", "sum"))
+        else:
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+        for c in ("c_custkey", "n_orders", "total_cents"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(joined, ["c_custkey"], agg, agg, n_buckets=8)
+
+
+VIP_ORDER_TOTALS_SQL = """
+SELECT c_custkey, c_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_acctbal > 9000
+GROUP BY c_custkey, c_name
+"""
+
+
 def customer_rolling(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
     """(o_orderkey, o_custkey, sum_last3_cents) — per-customer rolling sum
     over the last ``window`` orders (ROWS window-1 PRECEDING .. CURRENT ROW,

@@ -229,3 +229,85 @@ def range_count_join(
         return out.astype(probe_casts) if probe_casts else out
 
     return bucketed_group_apply(both, ["__key"], lambda df: df, final, n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 20  # 128 KiB bitmap — broadcastable; ~0.1% fp at 100k keys
+BLOOM_HASHES = 4
+
+
+def build_bloom(ds: "ray.data.Dataset", col: str,
+                m_bits: int = BLOOM_BITS, k: int = BLOOM_HASHES):
+    """Bloom filter over a key column, built distributed: each block emits a
+    partial bitmap (one binary row), the driver ORs the partials (k·128 KiB,
+    not keys). No false negatives by construction; false positives only cost
+    wasted shuffle rows, never wrong join output."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .shuffle import _col_hash
+
+    words = m_bits // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _col_hash(t[col].cast(pa.large_string()))
+        bm = np.zeros(words, np.uint64)
+        h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        for i in range(k):
+            idx = (h + np.uint64(i) * h2) % np.uint64(m_bits)
+            np.bitwise_or.at(bm, (idx >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (idx & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], type=pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    bm = np.zeros(words, np.uint64)
+    # an all-empty dataset to_pandas()-es to a ZERO-COLUMN frame — a zero
+    # bitmap is the correct filter for an empty build side (drops everything)
+    for raw in (parts["bm"] if "bm" in parts.columns else ()):
+        bm |= np.frombuffer(raw, np.uint64)
+    return ray.put((bm, m_bits, k))
+
+
+def bloom_prefilter(ds: "ray.data.Dataset", col: str, bloom_ref) -> "ray.data.Dataset":
+    """Drop rows whose key is definitely absent from the bloomed side —
+    BEFORE the join exchange, so pruned rows never ship."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .shuffle import _col_hash
+
+    def filt(t: pa.Table) -> pa.Table:
+        bm, m_bits, k = ray.get(bloom_ref)
+        h = _col_hash(t[col].cast(pa.large_string()))
+        h2 = h * np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)
+        keep = np.ones(len(h), bool)
+        for i in range(k):
+            idx = (h + np.uint64(i) * h2) % np.uint64(m_bits)
+            bit = (bm[(idx >> np.uint64(6)).astype(np.int64)]
+                   >> (idx & np.uint64(63))) & np.uint64(1)
+            keep &= bit.astype(bool)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join_bloom(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 32,
+) -> "ray.data.Dataset":
+    """hash_join with the probe (left) side bloom-pruned by the build (right)
+    side's keys. Use when the right side is SELECTIVE (e.g. a filtered
+    dimension): at 100 TB the probe rows that would never match are dropped
+    at the map side instead of crossing the exchange."""
+    bloom = build_bloom(right, right_on)
+    return hash_join(bloom_prefilter(left, left_on, bloom), right,
+                     left_on, right_on, left_cols, right_cols, n_buckets)
