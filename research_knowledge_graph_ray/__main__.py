@@ -98,8 +98,14 @@ def cmd_ingest(args) -> int:
         cross_p = os.path.join(args.out, "cross_edges")
         old_cross = (ray.data.read_parquet(cross_p)
                      if os.path.isdir(cross_p) else None)
+        mapping_p = os.path.join(args.out, "mapping.json")
+        frozen = None
+        if os.path.exists(mapping_p):
+            import json
+            with open(mapping_p) as f:
+                frozen = json.load(f)
         res = update_graph(old_nodes, old_base, old_cross, docs,
-                           link=not args.no_link)
+                           link=not args.no_link, frozen_mapping=frozen)
     else:
         res = build_graph(
             docs,
@@ -124,6 +130,11 @@ def cmd_ingest(args) -> int:
         tmp = os.path.join(args.out, f".tmp_{name}")
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
+    # canonical mapping persists so later --append runs reuse it (frozen)
+    if res.canonical_mapping:
+        import json
+        with open(os.path.join(args.out, "mapping.json"), "w") as f:
+            json.dump(res.canonical_mapping, f)
     # counts BEFORE the swap: in append mode the result pipelines lazily read
     # the pre-swap files, so nothing may re-execute once they are replaced
     n_nodes = res.nodes.count()

@@ -114,6 +114,7 @@ def build_graph(
     vocab: dict | None = None,
     aliases: dict | None = None,
     entity_linking: bool = True,
+    frozen_mapping: dict | None = None,
     link: bool = True,
     link_mode: str = "entity",  # "entity" (shared-entity blocking) | "semantic"
     link_k_neighbors: int = 10,
@@ -171,6 +172,14 @@ def build_graph(
         # applied lazily: the remap is a cheap broadcast lookup, so each
         # consumer re-derives it from the single materialized record stream
         # instead of pinning a second full copy in the object store
+        validated = apply_canonical_mapping(validated, mapping)
+    elif frozen_mapping:
+        # incremental update path (pipelines/incremental.py): REUSE a prior
+        # run's canonical mapping on the increment instead of recomputing a
+        # corpus-global one — mentions of already-canonicalized entities land
+        # on their existing node ids; genuinely new entities keep content
+        # hashes (they join the mapping at the next full canonicalization)
+        mapping = dict(frozen_mapping)
         validated = apply_canonical_mapping(validated, mapping)
 
     # The three downstream exchanges are independent consumers of the single

@@ -22,8 +22,11 @@ byte-equality of incremental vs full-rebuild output):
    the padded lexicographic order of canonicalize._pack_attr (true for
    monotonically assigned ids) — this makes "old properties win" equal to
    "min-doc properties win";
-2. ``entity_linking=False`` (content-hash ids; alias/LSH canonicalization is
-   corpus-global and would need the frozen-mapping variant);
+2. ``entity_linking=False`` (content-hash ids), OR the frozen-mapping
+   variant: pass the prior run's ``canonical_mapping`` as
+   ``frozen_mapping=`` — the increment reuses existing canonical ids and
+   the result equals a full linked rebuild whenever the increment
+   introduces no NEW alias/LSH merges (tested);
 3. no blocking entity exceeds ``max_docs_per_entity`` (the cap re-selects
    its doc subset when membership changes).
 
@@ -247,6 +250,7 @@ def update_graph(
     vocab: dict | None = None,
     max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
     link: bool = True,
+    frozen_mapping: dict | None = None,
     **build_kw,
 ):
     """Append ``new_docs`` to an existing graph. Work is proportional to the
@@ -262,6 +266,7 @@ def update_graph(
 
     inc = build_graph(
         new_docs, vocab=vocab, entity_linking=False, link=False,
+        frozen_mapping=frozen_mapping,
         max_docs_per_entity=max_docs_per_entity, **build_kw,
     )
     nodes = merge_nodes(old_nodes, inc.nodes).materialize()
@@ -282,4 +287,5 @@ def update_graph(
 
     edges = base.union(cross) if cross is not None else base
     return GraphResult(nodes=nodes, edges=edges, base_edges=base,
-                       cross_edges=cross)
+                       cross_edges=cross,
+                       canonical_mapping=dict(frozen_mapping or {}))

@@ -75,3 +75,24 @@ def test_merge_base_edges_is_exact_reduce(corpus_split):
     merged = merge_base_edges(old.base_edges, new.base_edges)
     pd.testing.assert_frame_equal(
         _sorted(merged.to_pandas()), _sorted(full.base_edges.to_pandas()))
+
+
+def test_frozen_mapping_incremental_equals_full_linked(corpus_split):
+    """With entity linking ON: appending via the OLD run's frozen canonical
+    mapping equals a full linked rebuild whenever the increment introduces no
+    new alias/LSH merges (checked first — if the mappings differ this corpus
+    no longer exercises the property and the test must be re-seeded)."""
+    old_docs, new_docs, full_docs = corpus_split
+
+    old = build_graph(old_docs, entity_linking=True, link=True)
+    full = build_graph(full_docs, entity_linking=True, link=True)
+    assert old.canonical_mapping == full.canonical_mapping, (
+        "corpus split introduces new merges; pick a split where the old half "
+        "already contains every alias surface form")
+
+    res = update_graph(old.nodes, old.base_edges, old.cross_edges, new_docs,
+                       frozen_mapping=old.canonical_mapping)
+    pd.testing.assert_frame_equal(
+        _sorted(res.nodes.to_pandas()), _sorted(full.nodes.to_pandas()))
+    pd.testing.assert_frame_equal(
+        _sorted(res.edges.to_pandas()), _sorted(full.edges.to_pandas()))
