@@ -143,6 +143,78 @@ def run_bench() -> dict:
     return result
 
 
+def run_incremental() -> dict:
+    """Measures the incremental-update claim: appending a 10% increment via
+    pipelines/incremental.update_graph vs rebuilding the combined corpus from
+    scratch (the reference reprocesses everything on update,
+    reference/README.md:400-405). Both paths produce identical tables
+    (tests/test_incremental.py); this reports the wall-clock ratio."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import pyarrow.compute as pc
+    import ray.data
+
+    from research_knowledge_graph_ray.pipelines.construct import build_graph
+    from research_knowledge_graph_ray.pipelines.incremental import update_graph
+    from research_knowledge_graph_ray.sources.corpus import (
+        generate_documents,
+        write_corpus_parallel,
+    )
+
+    if not os.path.isdir(CORPUS_DIR) or not os.listdir(CORPUS_DIR):
+        write_corpus_parallel(CORPUS_DIR, KG_DOCS, seed=42)
+    cut_id = f"doc-{int(KG_DOCS * 0.9):06d}"
+    docs = ray.data.read_parquet(CORPUS_DIR)
+    old_docs = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], cut_id)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    inc_docs = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], cut_id)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    # warm-up (worker spawn/imports outside all timed windows)
+    w = build_graph(ray.data.from_arrow(generate_documents(2000, seed=7)),
+                    entity_linking=True, link=True)
+    w.edges.count(); w.nodes.count()
+
+    # pre-existing graph state (untimed — it exists before the update arrives)
+    old = build_graph(old_docs, entity_linking=True, link=True)
+    old.nodes = old.nodes.materialize()
+    old.base_edges = old.base_edges.materialize()
+    old.cross_edges = old.cross_edges.materialize()
+
+    t0 = time.perf_counter()
+    res = update_graph(old.nodes, old.base_edges, old.cross_edges, inc_docs,
+                       frozen_mapping=old.canonical_mapping)
+    inc_nodes, inc_edges = res.nodes.count(), res.edges.count()
+    t_inc = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    full = build_graph(docs, entity_linking=True, link=True)
+    full_nodes, full_edges = full.nodes.count(), full.edges.count()
+    t_full = time.perf_counter() - t0
+
+    out = {
+        "metric": "incremental_append_sec",
+        "value": round(t_inc, 3),
+        "unit": "sec",
+        "rebuild_sec": round(t_full, 3),
+        "speedup_vs_rebuild": round(t_full / t_inc, 2),
+        "increment_docs": int(KG_DOCS * 0.1),
+        "total_docs": KG_DOCS,
+        "nodes_match": inc_nodes == full_nodes,
+        "edges_match": inc_edges == full_edges,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    return out
+
+
 def _burn(n):
     import hashlib
 
@@ -253,5 +325,7 @@ def run_scaling() -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--incremental" in sys.argv:
+        print(json.dumps(run_incremental()))
     else:
         print(json.dumps(run_bench()))

@@ -27,10 +27,14 @@ byte-equality of incremental vs full-rebuild output):
    ``frozen_mapping=`` — the increment reuses existing canonical ids and
    the result equals a full linked rebuild whenever the increment
    introduces no NEW alias/LSH merges (tested);
-3. no blocking entity exceeds ``max_docs_per_entity`` (the cap re-selects
-   its doc subset when membership changes).
+3. the ``max_docs_per_entity`` cap keeps the FIRST k sorted doc ids, and
+   appended ids sort after all old ones (precondition 1) — so a capped
+   entity's doc subset is prefix-stable under append and capped runs stay
+   exactly equal to a capped full rebuild (an already-full entity simply
+   admits no pairs with new docs, same as the rebuild).
 
-Violating 1 or 3 degrades to a documented approximation, never a crash.
+Violating precondition 1 degrades to a documented approximation, never a
+crash.
 """
 
 from __future__ import annotations
@@ -216,14 +220,15 @@ def incremental_pair_rows(
             if k < 2:
                 continue
             etype = g["entity_type"].iloc[0]
-            ia, ib = np.triu_indices(k, 1)
-            docs_arr = np.array(docs, dtype=object)
-            da, db = docs_arr[ia], docs_arr[ib]
-            isnew = np.array([a in newset or b in newset
-                              for a, b in zip(da, db)])
-            if not isnew.any():
+            # O(k) membership checks, then a vectorized pair mask — never a
+            # Python test per pair (pairs are O(k²))
+            new_mask = np.fromiter((d in newset for d in docs), bool, count=k)
+            if not new_mask.any():
                 continue
-            da, db = da[isnew], db[isnew]
+            ia, ib = np.triu_indices(k, 1)
+            isnew = new_mask[ia] | new_mask[ib]
+            docs_arr = np.array(docs, dtype=object)
+            da, db = docs_arr[ia][isnew], docs_arr[ib][isnew]
             out.append(pd.DataFrame({
                 "doc_a": da, "doc_b": db,
                 "is_method": np.int64(1 if etype == "method" else 0),
