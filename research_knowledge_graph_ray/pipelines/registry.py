@@ -459,6 +459,21 @@ p(lang, rn, doc_id, t, seq, run) AS (
 SELECT doc_id, lang, t AS n_tokens, seq AS seq_id FROM p
 """
 
+CORPUS_FILTER_SQL = """
+WITH w AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+s AS (SELECT doc_id, len(ws) AS n,
+        (len(ws) - len(list_distinct(ws))) * 10000
+            // GREATEST(len(ws), 1) AS dup_bp
+      FROM w)
+SELECT doc_id,
+  CAST(CASE WHEN n >= 20 AND dup_bp <= 6000 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+  CASE WHEN n < 20 THEN 'too_short'
+       WHEN dup_bp > 6000 THEN 'repetitive' ELSE '' END AS reason
+FROM s
+"""
+
 KNN_TOPK_SQL = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 scored AS (
@@ -509,6 +524,7 @@ QUERIES: dict = {
     "repetition_stats": (textops.repetition_stats, REPETITION_STATS_SQL),
     "scrub_terms": (textops.scrub_terms, SCRUB_TERMS_SQL),
     "pack_sequences": (textops.pack_sequences, PACK_SEQUENCES_SQL),
+    "corpus_filter": (textops.corpus_filter, CORPUS_FILTER_SQL),
     # dedup family
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),

@@ -350,6 +350,49 @@ def scrub_terms(sf_dir: str, pattern: str = SCRUB_PATTERN) -> "ray.data.Dataset"
                                           zero_copy_batch=True)
 
 
+MIN_WORDS = 20
+MAX_DUP_BP = 6000
+
+
+def corpus_filter(sf_dir: str, min_words: int = MIN_WORDS,
+                  max_dup_bp: int = MAX_DUP_BP) -> "ray.data.Dataset":
+    """(doc_id, keep, reason) — the composite quality filter chain of
+    large-corpus pipelines: ordered rules, first failure names the drop
+    reason ('' when kept). One pass, fully vectorized, rules share the
+    repetition_stats kernels — add rules by appending (mask, name) pairs."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        lens = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        words = flat.to_numpy(zero_copy_only=False)
+        keep_w = words != ""
+        doc_idx, words = doc_idx[keep_w], words[keep_w]
+        n_words = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+        uniq = pd.DataFrame({"d": doc_idx, "w": words}).groupby("d")["w"].nunique()
+        n_distinct = np.zeros(len(lens), np.int64)
+        n_distinct[uniq.index.to_numpy()] = uniq.to_numpy()
+        dup_bp = (n_words - n_distinct) * 10000 // np.maximum(n_words, 1)
+
+        rules = [
+            (n_words < min_words, "too_short"),
+            (dup_bp > max_dup_bp, "repetitive"),
+        ]
+        reason = np.full(len(lens), "", dtype=object)
+        for mask, name in reversed(rules):  # earlier rules overwrite later
+            reason[mask] = name
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "keep": pa.array((reason == "").astype(np.int64)),
+            "reason": pa.array(reason, type=pa.string()),
+        })
+
+    return _read_docs(sf_dir).map_batches(filt, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 PACK_BUDGET = 512
 
 
