@@ -583,5 +583,9 @@ QUERIES.update(
                                      windows.CUSTOMERS_WITHOUT_ORDERS_SQL),
         "customer_rolling": (windows.customer_rolling, windows.CUSTOMER_ROLLING_SQL),
         "vip_order_totals": (windows.vip_order_totals, windows.VIP_ORDER_TOTALS_SQL),
+        # bucketed-layout join (shuffle once, join many times) — same oracle
+        # as the exchange-based join proves the layouts agree
+        "bucketed_order_totals": (windows.bucketed_order_totals,
+                                  windows.CUSTOMER_ORDER_TOTALS_SQL),
     }
 )

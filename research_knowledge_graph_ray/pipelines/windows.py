@@ -384,6 +384,54 @@ GROUP BY c_custkey, c_name
 """
 
 
+def bucketed_order_totals(sf_dir: str) -> "ray.data.Dataset":
+    """customer_order_totals computed over a BUCKETED table layout
+    (stages/bucketed.py): both tables are hash-bucketed on the customer key
+    once (persisted as bucket=K/ parquet), then the join runs with NO
+    exchange — one local merge task per co-bucketed pair. Same SQL oracle as
+    the exchange-based join proves the layouts agree."""
+    import tempfile
+
+    import pyarrow.compute as pc
+
+    from ..stages.bucketed import bucketed_join, write_bucketed
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
+             .cast(pa.int64()).to_numpy()})
+
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_name"])
+    root = tempfile.mkdtemp(prefix="rkg_bucketed_")
+    write_bucketed(orders.map_batches(cents, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                   "o_custkey", f"{root}/orders", n_buckets=8)
+    write_bucketed(customers, "c_custkey", f"{root}/customer", n_buckets=8)
+    joined = bucketed_join(f"{root}/orders", f"{root}/customer",
+                           "o_custkey", "c_custkey",
+                           ["o_custkey", "cents"], ["c_custkey", "c_name"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" in df.columns:
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("cents", "size"), total_cents=("cents", "sum"))
+        else:
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+        for c in ("c_custkey", "n_orders", "total_cents"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    # blocks are already bucketed by key, so the aggregate needs no second
+    # exchange either: one local groupby per block
+    return joined.map_batches(agg, batch_format="pandas", batch_size=None)
+
+
 def customer_rolling(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
     """(o_orderkey, o_custkey, sum_last3_cents) — per-customer rolling sum
     over the last ``window`` orders (ROWS window-1 PRECEDING .. CURRENT ROW,
