@@ -91,3 +91,78 @@ def test_simhash_deterministic_64bit(s):
 def test_shingles_subset_of_reordered(s):
     words = s.split()
     assert word_shingles(" ".join(words)) == word_shingles("  ".join(words))
+
+
+# --- exchange hash: equal keys must hash to equal buckets (incl. empty and
+# short strings — regression for the masked-tail-byte fix in _col_hash) ------
+
+import numpy as np
+import pyarrow as pa
+
+from research_knowledge_graph_ray.stages.shuffle import _bucket_ids
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase, max_size=3),
+                min_size=1, max_size=60))
+@settings(max_examples=100)
+def test_bucket_ids_stable_across_block_layout(keys):
+    # the same key list split across two differently-chunked tables must land
+    # every key in the same bucket
+    t1 = pa.table({"k": pa.array(keys, type=pa.string())})
+    half = len(keys) // 2
+    t2a = pa.table({"k": pa.array(keys[:half], type=pa.string())})
+    t2b = pa.table({"k": pa.array(keys[half:], type=pa.string())})
+    b1 = _bucket_ids(t1, ["k"], 8)
+    b2 = np.concatenate([
+        _bucket_ids(t2a, ["k"], 8) if half else np.array([], np.int64),
+        _bucket_ids(t2b, ["k"], 8),
+    ])
+    per_key = {}
+    for k, b in zip(keys, np.concatenate([b1, b2])):
+        per_key.setdefault(k, set()).add(int(b))
+    assert all(len(v) == 1 for v in per_key.values()), per_key
+
+
+# --- greedy sequence packing invariants -------------------------------------
+
+from research_knowledge_graph_ray.stages.textops import _greedy_pack, _mg_merge
+
+
+@given(st.lists(st.integers(min_value=1, max_value=100), max_size=200),
+       st.integers(min_value=1, max_value=120))
+@settings(max_examples=100)
+def test_greedy_pack_invariants(toks, budget):
+    arr = np.array(toks, np.int64)
+    seq = _greedy_pack(arr, budget)
+    assert len(seq) == len(arr)
+    if len(arr) == 0:
+        return
+    # monotone contiguous sequence ids from 0
+    assert seq[0] == 0
+    assert ((np.diff(seq) == 0) | (np.diff(seq) == 1)).all()
+    # a sequence overflows the budget only as an oversized singleton
+    for s in np.unique(seq):
+        m = seq == s
+        if arr[m].sum() > budget:
+            assert m.sum() == 1 and arr[m][0] > budget
+
+
+@given(st.dictionaries(st.text(alphabet=string.ascii_lowercase, min_size=1,
+                               max_size=4),
+                       st.integers(min_value=1, max_value=10_000),
+                       min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=64))
+@settings(max_examples=100)
+def test_mg_merge_guarantee(counts, cap):
+    toks = np.array(list(counts.keys()), dtype=object)
+    cnts = np.array(list(counts.values()), dtype=np.int64)
+    n = int(cnts.sum())
+    t, c = _mg_merge(toks, cnts, cap)
+    assert len(t) <= max(cap, len(toks) if len(toks) <= cap else cap)
+    kept = dict(zip(t, c))
+    for tok, true in counts.items():
+        # undercount bounded by N/cap; anything above the bound survives
+        if true > n / cap:
+            assert tok in kept
+        if tok in kept:
+            assert 0 < kept[tok] <= true
