@@ -587,5 +587,11 @@ QUERIES.update(
         # as the exchange-based join proves the layouts agree
         "bucketed_order_totals": (windows.bucketed_order_totals,
                                   windows.CUSTOMER_ORDER_TOTALS_SQL),
+        # left-outer join (order-less customers kept with zero counts)
+        "customer_order_counts_all": (windows.customer_order_counts_all,
+                                      windows.CUSTOMER_ORDER_COUNTS_ALL_SQL),
+        # salted (skew-resistant) join plan — same oracle as the plain join
+        "customer_order_totals_salted": (windows.customer_order_totals_salted,
+                                         windows.CUSTOMER_ORDER_TOTALS_SQL),
     }
 )

@@ -384,6 +384,96 @@ GROUP BY c_custkey, c_name
 """
 
 
+def customer_order_counts_all(sf_dir: str) -> "ray.data.Dataset":
+    """EVERY customer with order count and total (0 for order-less customers)
+    — the left-outer-join pattern (hash_join how='left'); NaN right columns
+    from unmatched rows aggregate to 0 via count/sum skip-NaN semantics."""
+    import pyarrow.compute as pc
+
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_name"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
+             .cast(pa.int64()).to_numpy()})
+
+    joined = hash_join(
+        customers,
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        left_on="c_custkey", right_on="o_custkey",
+        left_cols=["c_custkey", "c_name"], right_cols=["o_custkey", "cents"],
+        how="left",
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" in df.columns:
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("cents", "count"),   # count skips NaN
+                total_cents=("cents", "sum"))  # sum of all-NaN group = 0
+        else:
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+        for c in ("c_custkey", "n_orders", "total_cents"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(joined, ["c_custkey"], agg, agg, n_buckets=8)
+
+
+CUSTOMER_ORDER_COUNTS_ALL_SQL = """
+SELECT c_custkey, c_name, CAST(COUNT(o_custkey) AS BIGINT) AS n_orders,
+       CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)), 0) AS BIGINT)
+           AS total_cents
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+"""
+
+
+def customer_order_totals_salted(sf_dir: str) -> "ray.data.Dataset":
+    """customer_order_totals routed through the SALTED hash join
+    (stages/join.py::hash_join_salted, the hot-key mitigation): shares the
+    exchange join's SQL oracle, proving the salted plan is row-identical."""
+    import pyarrow.compute as pc
+
+    from ..stages.join import hash_join_salted
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
+             .cast(pa.int64()).to_numpy()})
+
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_name"])
+    joined = hash_join_salted(
+        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        customers,
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_custkey", "cents"], right_cols=["c_custkey", "c_name"],
+        n_salts=4,
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if "cents" in df.columns:
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("cents", "size"), total_cents=("cents", "sum"))
+        else:
+            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+        for c in ("c_custkey", "n_orders", "total_cents"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return bucketed_group_apply(joined, ["c_custkey"], agg, agg, n_buckets=8)
+
+
 def bucketed_order_totals(sf_dir: str) -> "ray.data.Dataset":
     """customer_order_totals computed over a BUCKETED table layout
     (stages/bucketed.py): both tables are hash-bucketed on the customer key

@@ -36,12 +36,17 @@ def hash_join(
     left_cols: list[str],
     right_cols: list[str],
     n_buckets: int = 32,
+    how: str = "inner",
 ) -> "ray.data.Dataset":
-    """Inner hash join of two large Datasets, partitioned on the join key.
+    """Hash join of two large Datasets, partitioned on the join key.
 
     Both sides flow through ONE exchange keyed on a unified ``__key`` column;
     each reduce bucket splits by side tag and merges with pandas. Column sets
-    must be disjoint apart from the keys."""
+    must be disjoint apart from the keys. ``how`` is ``"inner"`` or
+    ``"left"`` (left-outer: unmatched left rows keep NaN right columns —
+    partition-correct because every row of a key lands in one bucket)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how={how!r}: only 'inner' and 'left' supported")
 
     l = _tag(left, "l", left_cols).map_batches(
         lambda df: df.assign(__key=df[left_on].astype(str)), batch_format="pandas"
@@ -59,8 +64,55 @@ def hash_join(
         # the other side's columns entirely (inner join correctly yields 0 rows)
         lt = df[df[_TAG] == "l"].reindex(columns=left_cols + ["__key"])
         rt = df[df[_TAG] == "r"].reindex(columns=right_cols + ["__key"])
-        out = lt.merge(rt, on="__key")
+        out = lt.merge(rt, on="__key", how=how)
         return out.drop(columns=["__key"])
+
+    return bucketed_group_apply(both, ["__key"], lambda df: df, final, n_buckets)
+
+
+def hash_join_salted(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 32,
+    n_salts: int = 8,
+) -> "ray.data.Dataset":
+    """Skew-resistant inner hash join: a HOT join key (one key holding a
+    large fraction of the big side's rows) funnels into a single reduce
+    bucket under plain hash_join. Salting splits the big (left) side's rows
+    per key across ``n_salts`` sub-keys and replicates the small-per-key
+    (right) side's rows to every salt — hot-key work fans out ``n_salts``
+    ways at the cost of ×n_salts duplication of the matching right rows
+    only. Output is row-identical to hash_join (tested)."""
+    import numpy as np
+
+    def salt_left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[left_cols].copy()
+        df[_TAG] = "l"
+        salt = np.arange(len(df), dtype=np.int64) % n_salts
+        df["__key"] = df[left_on].astype(str) + "#" + pd.Series(salt).astype(str).values
+        return df
+
+    def salt_right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[right_cols].copy()
+        df[_TAG] = "r"
+        reps = []
+        for s in range(n_salts):
+            rep = df.copy()
+            rep["__key"] = rep[right_on].astype(str) + f"#{s}"
+            reps.append(rep)
+        return pd.concat(reps, ignore_index=True)
+
+    both = left.map_batches(salt_left, batch_format="pandas").union(
+        right.map_batches(salt_right, batch_format="pandas"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        lt = df[df[_TAG] == "l"].reindex(columns=left_cols + ["__key"])
+        rt = df[df[_TAG] == "r"].reindex(columns=right_cols + ["__key"])
+        return lt.merge(rt, on="__key").drop(columns=["__key"])
 
     return bucketed_group_apply(both, ["__key"], lambda df: df, final, n_buckets)
 
