@@ -199,6 +199,13 @@ def run_incremental() -> dict:
     full_nodes, full_edges = full.nodes.count(), full.edges.count()
     t_full = time.perf_counter() - t0
 
+    # self-gating: a speedup is only meaningful at equal output — refuse to
+    # report one if the increment diverged from the rebuild (e.g. a new
+    # alias merge outside the frozen mapping)
+    if inc_nodes != full_nodes or inc_edges != full_edges:
+        raise AssertionError(
+            f"incremental output diverged from rebuild: nodes "
+            f"{inc_nodes}!={full_nodes} or edges {inc_edges}!={full_edges}")
     out = {
         "metric": "incremental_append_sec",
         "value": round(t_inc, 3),

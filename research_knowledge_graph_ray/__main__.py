@@ -116,33 +116,55 @@ def cmd_ingest(args) -> int:
             checkpoint_fingerprint=fingerprint,
         )
     os.makedirs(args.out, exist_ok=True)
-    outputs = {"nodes": res.nodes, "edges": res.edges}
-    # split edge views enable later `ingest --append` runs
-    if res.base_edges is not None:
-        outputs["base_edges"] = res.base_edges
-    if res.cross_edges is not None:
-        outputs["cross_edges"] = res.cross_edges
-    # stream every output into a tmp dir FIRST, then swap: append mode reads
-    # the old graph lazily from these same directories, and write_parquet
-    # into an existing dir would otherwise accumulate stale files
     import shutil
-    for name, ds in outputs.items():
+
+    def write_tmp(name, ds):
         tmp = os.path.join(args.out, f".tmp_{name}")
         shutil.rmtree(tmp, ignore_errors=True)
         ds.write_parquet(tmp)
-    # canonical mapping persists so later --append runs reuse it (frozen)
-    if res.canonical_mapping:
-        import json
-        with open(os.path.join(args.out, "mapping.json"), "w") as f:
-            json.dump(res.canonical_mapping, f)
-    # counts BEFORE the swap: in append mode the result pipelines lazily read
-    # the pre-swap files, so nothing may re-execute once they are replaced
-    n_nodes = res.nodes.count()
-    n_edges = res.edges.count()
+        return tmp
+
+    # stream every output into a tmp dir FIRST, then swap: append mode reads
+    # the old graph lazily from these same directories, and write_parquet
+    # into an existing dir would otherwise accumulate stale files.
+    # base/cross execute their pipelines exactly ONCE; the combined edges
+    # view and all counts re-read the already-written tmp parquet instead of
+    # re-running the linking pipelines.
+    outputs = ["nodes", "edges"]
+    write_tmp("nodes", res.nodes)
+    edge_tmp_dirs = []
+    if res.base_edges is not None:
+        edge_tmp_dirs.append(write_tmp("base_edges", res.base_edges))
+        outputs.append("base_edges")
+    if res.cross_edges is not None:
+        edge_tmp_dirs.append(write_tmp("cross_edges", res.cross_edges))
+        outputs.append("cross_edges")
+    edges_from_files = res.edges
+    if edge_tmp_dirs:  # a list argument to read_parquet means files, not dirs
+        parts = [ray.data.read_parquet(d) for d in edge_tmp_dirs]
+        edges_from_files = parts[0]
+        for p in parts[1:]:
+            edges_from_files = edges_from_files.union(p)
+    write_tmp("edges", edges_from_files)
+    n_nodes = ray.data.read_parquet(os.path.join(args.out, ".tmp_nodes")).count()
+    n_edges = ray.data.read_parquet(os.path.join(args.out, ".tmp_edges")).count()
     for name in outputs:
         final = os.path.join(args.out, name)
         shutil.rmtree(final, ignore_errors=True)
         os.replace(os.path.join(args.out, f".tmp_{name}"), final)
+    # remove sidecar state this run did NOT produce — a later --append must
+    # never consume a previous configuration's leftovers
+    for stale in ("base_edges", "cross_edges"):
+        if stale not in outputs:
+            shutil.rmtree(os.path.join(args.out, stale), ignore_errors=True)
+    mapping_p = os.path.join(args.out, "mapping.json")
+    if res.canonical_mapping:
+        # persists so later --append runs reuse it (frozen mapping)
+        import json
+        with open(mapping_p, "w") as f:
+            json.dump(res.canonical_mapping, f)
+    elif os.path.exists(mapping_p):
+        os.remove(mapping_p)
     if res.embeddings is not None:
         print(f"embeddings: {res.embeddings.count()}")
     print(f"ingested: {n_nodes} nodes, {n_edges} edges -> {args.out}")

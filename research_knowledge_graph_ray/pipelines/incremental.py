@@ -165,7 +165,16 @@ def mention_index(base_edges: "ray.data.Dataset",
     """(entity_id, doc_id, entity_type, label) reconstructed from the merged
     graph: INTRODUCES edges supply the (doc, entity) incidence (one row per
     pair after build_edges' dedup), the vocabulary-bound entity rows of the
-    node table supply type/label via a broadcast lookup — no shuffle join."""
+    node table supply type/label via a broadcast lookup — no shuffle join.
+
+    Known approximation (affects evidence_span only, never the pair/edge
+    set): the node table's label is the min norm over ALL endpoint mentions,
+    while the full-rebuild blocking uses the min over INTRODUCES objects
+    only. Under a frozen canonical mapping, a cluster whose lexicographic
+    min-norm surface appears only as a triple SUBJECT would carry that
+    surface as evidence where the rebuild carries the min INTRODUCES-object
+    norm. The equality tests cover the shipped corpora; a provenance-exact
+    variant would carry obj_norm on INTRODUCES edges."""
     ent = nodes.map_batches(
         lambda t: t.filter(pc.is_in(t["node_type"],
                                     value_set=pa.array(list(BLOCKING_TYPES)))),

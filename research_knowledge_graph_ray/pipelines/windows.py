@@ -255,9 +255,10 @@ WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE YEAR(o_orderdate) = 1
 """
 
 
-def customer_order_totals(sf_dir: str) -> "ray.data.Dataset":
-    """orders ⋈ customer as a two-sided partitioned hash join (no broadcast),
-    then per-customer totals — the both-sides-large join pattern."""
+def _order_cents(sf_dir: str) -> "ray.data.Dataset":
+    """orders projected to (o_custkey, cents) with the shared integer-cents
+    rounding rule — ONE definition so every money-join query stays
+    oracle-exact together."""
     import pyarrow.compute as pc
 
     orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
@@ -270,27 +271,34 @@ def customer_order_totals(sf_dir: str) -> "ray.data.Dataset":
              .cast(pa.int64()).to_numpy()}
         )
 
+    return orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _order_totals_agg(df: pd.DataFrame) -> pd.DataFrame:
+    """Two-phase per-customer totals combine shared by the join variants."""
+    if "cents" in df.columns:  # partial pass over joined rows
+        g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum"))
+    else:  # final combine over partials
+        g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+    for c in ("c_custkey", "n_orders", "total_cents"):
+        g[c] = g[c].astype(np.int64)
+    return g
+
+
+def customer_order_totals(sf_dir: str) -> "ray.data.Dataset":
+    """orders ⋈ customer as a two-sided partitioned hash join (no broadcast),
+    then per-customer totals — the both-sides-large join pattern."""
     customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                       columns=["c_custkey", "c_name"])
     joined = hash_join(
-        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
-        customers,
+        _order_cents(sf_dir), customers,
         left_on="o_custkey", right_on="c_custkey",
         left_cols=["o_custkey", "cents"], right_cols=["c_custkey", "c_name"],
     )
-
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        if "cents" in df.columns:  # partial pass over joined rows
-            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-                n_orders=("cents", "size"), total_cents=("cents", "sum"))
-        else:  # final combine over partials
-            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
-        for c in ("c_custkey", "n_orders", "total_cents"):
-            g[c] = g[c].astype(np.int64)
-        return g
-
-    return bucketed_group_apply(joined, ["c_custkey"], agg, agg, n_buckets=8)
+    return bucketed_group_apply(joined, ["c_custkey"], _order_totals_agg,
+                                _order_totals_agg, n_buckets=8)
 
 
 CUSTOMER_ORDER_TOTALS_SQL = """
@@ -338,15 +346,6 @@ def vip_order_totals(sf_dir: str, min_acctbal: float = 9000.0) -> "ray.data.Data
 
     from ..stages.join import hash_join_bloom
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_custkey", "o_totalprice"])
-
-    def cents(batch: pa.Table) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
-             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
-             .cast(pa.int64()).to_numpy()})
-
     vips = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_acctbal"],
@@ -356,23 +355,12 @@ def vip_order_totals(sf_dir: str, min_acctbal: float = 9000.0) -> "ray.data.Data
         batch_format="pyarrow", zero_copy_batch=True,
     )
     joined = hash_join_bloom(
-        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        _order_cents(sf_dir),
         vips, left_on="o_custkey", right_on="c_custkey",
         left_cols=["o_custkey", "cents"], right_cols=["c_custkey", "c_name"],
     )
-
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        if "cents" in df.columns:
-            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-                n_orders=("cents", "size"), total_cents=("cents", "sum"))
-        else:
-            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
-        for c in ("c_custkey", "n_orders", "total_cents"):
-            g[c] = g[c].astype(np.int64)
-        return g
-
-    return bucketed_group_apply(joined, ["c_custkey"], agg, agg, n_buckets=8)
+    return bucketed_group_apply(joined, ["c_custkey"], _order_totals_agg,
+                                _order_totals_agg, n_buckets=8)
 
 
 VIP_ORDER_TOTALS_SQL = """
@@ -388,22 +376,11 @@ def customer_order_counts_all(sf_dir: str) -> "ray.data.Dataset":
     """EVERY customer with order count and total (0 for order-less customers)
     — the left-outer-join pattern (hash_join how='left'); NaN right columns
     from unmatched rows aggregate to 0 via count/sum skip-NaN semantics."""
-    import pyarrow.compute as pc
-
     customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                       columns=["c_custkey", "c_name"])
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_custkey", "o_totalprice"])
-
-    def cents(batch: pa.Table) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
-             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
-             .cast(pa.int64()).to_numpy()})
-
     joined = hash_join(
         customers,
-        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        _order_cents(sf_dir),
         left_on="c_custkey", right_on="o_custkey",
         left_cols=["c_custkey", "c_name"], right_cols=["o_custkey", "cents"],
         how="left",
@@ -437,41 +414,19 @@ def customer_order_totals_salted(sf_dir: str) -> "ray.data.Dataset":
     """customer_order_totals routed through the SALTED hash join
     (stages/join.py::hash_join_salted, the hot-key mitigation): shares the
     exchange join's SQL oracle, proving the salted plan is row-identical."""
-    import pyarrow.compute as pc
-
     from ..stages.join import hash_join_salted
-
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_custkey", "o_totalprice"])
-
-    def cents(batch: pa.Table) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
-             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
-             .cast(pa.int64()).to_numpy()})
 
     customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                       columns=["c_custkey", "c_name"])
     joined = hash_join_salted(
-        orders.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        _order_cents(sf_dir),
         customers,
         left_on="o_custkey", right_on="c_custkey",
         left_cols=["o_custkey", "cents"], right_cols=["c_custkey", "c_name"],
         n_salts=4,
     )
-
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        if "cents" in df.columns:
-            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-                n_orders=("cents", "size"), total_cents=("cents", "sum"))
-        else:
-            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
-        for c in ("c_custkey", "n_orders", "total_cents"):
-            g[c] = g[c].astype(np.int64)
-        return g
-
-    return bucketed_group_apply(joined, ["c_custkey"], agg, agg, n_buckets=8)
+    return bucketed_group_apply(joined, ["c_custkey"], _order_totals_agg,
+                                _order_totals_agg, n_buckets=8)
 
 
 def bucketed_order_totals(sf_dir: str) -> "ray.data.Dataset":
@@ -480,46 +435,27 @@ def bucketed_order_totals(sf_dir: str) -> "ray.data.Dataset":
     once (persisted as bucket=K/ parquet), then the join runs with NO
     exchange — one local merge task per co-bucketed pair. Same SQL oracle as
     the exchange-based join proves the layouts agree."""
-    import tempfile
-
-    import pyarrow.compute as pc
+    import hashlib
 
     from ..stages.bucketed import bucketed_join, write_bucketed
 
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
-                                   columns=["o_custkey", "o_totalprice"])
-
-    def cents(batch: pa.Table) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
-             "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
-             .cast(pa.int64()).to_numpy()})
-
     customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
                                       columns=["c_custkey", "c_name"])
-    root = tempfile.mkdtemp(prefix="rkg_bucketed_")
-    write_bucketed(orders.map_batches(cents, batch_format="pyarrow",
-                                      zero_copy_batch=True),
-                   "o_custkey", f"{root}/orders", n_buckets=8)
+    # deterministic per-input path, overwritten in place by write_bucketed —
+    # repeated query runs reuse one layout dir instead of leaking tmp copies
+    root = ("/tmp/rkg_bucketed_layout_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:10])
+    write_bucketed(_order_cents(sf_dir), "o_custkey", f"{root}/orders",
+                   n_buckets=8)
     write_bucketed(customers, "c_custkey", f"{root}/customer", n_buckets=8)
     joined = bucketed_join(f"{root}/orders", f"{root}/customer",
                            "o_custkey", "c_custkey",
                            ["o_custkey", "cents"], ["c_custkey", "c_name"])
 
-    def agg(df: pd.DataFrame) -> pd.DataFrame:
-        if "cents" in df.columns:
-            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-                n_orders=("cents", "size"), total_cents=("cents", "sum"))
-        else:
-            g = df.groupby(["c_custkey", "c_name"], as_index=False).agg(
-                n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
-        for c in ("c_custkey", "n_orders", "total_cents"):
-            g[c] = g[c].astype(np.int64)
-        return g
-
     # blocks are already bucketed by key, so the aggregate needs no second
     # exchange either: one local groupby per block
-    return joined.map_batches(agg, batch_format="pandas", batch_size=None)
+    return joined.map_batches(_order_totals_agg, batch_format="pandas",
+                              batch_size=None)
 
 
 def customer_rolling(sf_dir: str, window: int = 3) -> "ray.data.Dataset":

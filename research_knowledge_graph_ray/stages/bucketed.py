@@ -32,9 +32,15 @@ def write_bucketed(ds: "ray.data.Dataset", key: str, out_dir: str,
     (``out_dir/bucket=K/part.parquet``). Returns ``out_dir``."""
     import pyarrow.parquet as pq
 
+    import shutil
+
     ident = lambda t: t  # noqa: E731
     bucketed = hash_exchange_apply(ds, [key], ident, ident, n_buckets=n_buckets)
     refs = bucketed.to_arrow_refs()  # block b == bucket b, in order
+    # a re-written layout must never mix with a previous dataset's buckets
+    # (stale bucket=K dirs from a larger n_buckets, or a bucket file a
+    # degenerate empty skips) — clear before declaring the layout
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     @ray.remote

@@ -138,7 +138,9 @@ def pagerank(sf_dir: str, iters: int = 5, n_buckets: int = 8) -> "ray.data.Datas
     join sides every round). Out-degrees are a within-bucket transform, not
     a join, because bucketing by src co-locates all of a src's edges.
     rank_e9 rounds away the sub-1e-15 float summation-order noise."""
-    edges = _supplier_part_edges(sf_dir)
+    # materialized once: BOTH the bucketing exchange and the node-set
+    # aggregation consume it — without this the edge scan/transform runs twice
+    edges = _supplier_part_edges(sf_dir).materialize()
 
     # bucket edges by src once (identity exchange: bucket b = block b),
     # then attach local out-degrees per bucket

@@ -261,11 +261,19 @@ def top_tokens_mg(sf_dir: str, k: int = TOPK_DEFAULT,
     vocabulary."""
     from .shuffle import hash_exchange_apply
 
+    # reserved key (no whitespace token can equal it) carries each block's
+    # EXACT total token count through the same exchange — needed for the
+    # provable candidate bound below
+    total_key = "\x00__total__"
+
     def mg_partial(batch: pa.Table) -> pa.Table:
         t = _token_partial_counts(batch)
-        tok, n = _mg_merge(np.asarray(t["token"]), np.asarray(t["n"]), capacity)
-        return pa.table({"token": pa.array(tok, type=pa.string()),
-                         "n": pa.array(n, type=pa.int64())})
+        n_all = np.asarray(t["n"], dtype=np.int64)
+        tok, n = _mg_merge(np.asarray(t["token"]), n_all, capacity)
+        return pa.table({
+            "token": pa.array(np.append(tok, total_key), type=pa.string()),
+            "n": pa.array(np.append(n, int(n_all.sum())), type=pa.int64()),
+        })
 
     def sum_final(tab: pa.Table) -> pa.Table:
         return tab.group_by("token").aggregate([("n", "sum")]).rename_columns(
@@ -274,11 +282,17 @@ def top_tokens_mg(sf_dir: str, k: int = TOPK_DEFAULT,
     docs = _read_docs(sf_dir)
     cand = hash_exchange_apply(docs, ["token"], mg_partial, sum_final,
                                n_buckets=16).to_pandas()
-    # candidate array is <= max(4k, capacity) strings — ships inside the
-    # closure (a broadcast-by-value small side, not a join)
-    cand_arr = pa.array(
-        cand.sort_values(["n", "token"], ascending=[False, True])
-        .head(max(4 * k, capacity))["token"].tolist(), type=pa.string())
+    n_total = int(cand.loc[cand["token"] == total_key, "n"].sum())
+    cand = cand[cand["token"] != total_key]
+    # provable superset of the true top-k: every estimate undercounts by at
+    # most N/capacity and never overcounts, so est(true top-k token) >=
+    # (k-th largest estimate) - N/capacity. A fixed head() could evict a
+    # near-tie true winner; the bound cannot.
+    ests = cand["n"].to_numpy()
+    est_k = (np.partition(ests, len(ests) - k)[len(ests) - k]
+             if len(ests) >= k else 0)
+    keep = cand[cand["n"] >= max(1, est_k - n_total // capacity)]
+    cand_arr = pa.array(keep["token"].tolist(), type=pa.string())
 
     def exact_partial(batch: pa.Table) -> pa.Table:
         t = _token_partial_counts(batch)
@@ -290,27 +304,34 @@ def top_tokens_mg(sf_dir: str, k: int = TOPK_DEFAULT,
             .head(k).reset_index(drop=True))
 
 
+def _word_stats(batch: pa.Table):
+    """Shared per-block word-stats kernel: one split + one grouped nunique →
+    (n_words, n_distinct, dup_frac_bp) arrays aligned with the batch rows.
+    Both repetition_stats and corpus_filter consume it, so the tokenization
+    rule can never desynchronize between the stats and the filter."""
+    lists = pc.split_pattern(batch["text"], " ")
+    flat = pc.list_flatten(lists)
+    lens = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    words = flat.to_numpy(zero_copy_only=False)
+    keep = words != ""
+    doc_idx, words = doc_idx[keep], words[keep]
+    n_words = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
+    uniq = pd.DataFrame({"d": doc_idx, "w": words}).groupby("d")["w"].nunique()
+    n_distinct = np.zeros(len(lens), np.int64)
+    n_distinct[uniq.index.to_numpy()] = uniq.to_numpy()
+    bp = (n_words - n_distinct) * 10000 // np.maximum(n_words, 1)
+    return n_words, n_distinct, bp
+
+
 def repetition_stats(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, n_words, n_distinct_words, dup_frac_bp) — word-level
     repetition ratio in basis points; the boilerplate/repetition quality
-    filter of large-corpus pipelines (Gopher-style rule family). One split
-    kernel + a grouped nunique per block — no per-row Python."""
+    filter of large-corpus pipelines (Gopher-style rule family)."""
 
     def stats(batch: pa.Table) -> pa.Table:
-        lists = pc.split_pattern(batch["text"], " ")
-        flat = pc.list_flatten(lists)
-        lens = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        words = flat.to_numpy(zero_copy_only=False)
-        keep = words != ""
-        doc_idx, words = doc_idx[keep], words[keep]
-        n_words = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
-        uniq = pd.DataFrame({"d": doc_idx, "w": words}).groupby("d")["w"].nunique()
-        n_distinct = np.zeros(len(lens), np.int64)
-        n_distinct[uniq.index.to_numpy()] = uniq.to_numpy()
-        denom = np.maximum(n_words, 1)
-        bp = (n_words - n_distinct) * 10000 // denom
+        n_words, n_distinct, bp = _word_stats(batch)
         return pa.table({
             "doc_id": batch["doc_id"].cast(pa.int64()),
             "n_words": pa.array(n_words), "n_distinct_words": pa.array(n_distinct),
@@ -362,25 +383,13 @@ def corpus_filter(sf_dir: str, min_words: int = MIN_WORDS,
     repetition_stats kernels — add rules by appending (mask, name) pairs."""
 
     def filt(batch: pa.Table) -> pa.Table:
-        lists = pc.split_pattern(batch["text"], " ")
-        flat = pc.list_flatten(lists)
-        lens = pc.list_value_length(lists).cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        words = flat.to_numpy(zero_copy_only=False)
-        keep_w = words != ""
-        doc_idx, words = doc_idx[keep_w], words[keep_w]
-        n_words = np.bincount(doc_idx, minlength=len(lens)).astype(np.int64)
-        uniq = pd.DataFrame({"d": doc_idx, "w": words}).groupby("d")["w"].nunique()
-        n_distinct = np.zeros(len(lens), np.int64)
-        n_distinct[uniq.index.to_numpy()] = uniq.to_numpy()
-        dup_bp = (n_words - n_distinct) * 10000 // np.maximum(n_words, 1)
+        n_words, _n_distinct, dup_bp = _word_stats(batch)
 
         rules = [
             (n_words < min_words, "too_short"),
             (dup_bp > max_dup_bp, "repetitive"),
         ]
-        reason = np.full(len(lens), "", dtype=object)
+        reason = np.full(len(n_words), "", dtype=object)
         for mask, name in reversed(rules):  # earlier rules overwrite later
             reason[mask] = name
         return pa.table({

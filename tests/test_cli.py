@@ -58,3 +58,19 @@ def test_cli_append_requires_state(tmp_path):
              "--out", str(tmp_path / "nope"))
     assert r.returncode == 2
     assert "requires an existing graph" in r.stderr
+
+
+def test_cli_reingest_clears_stale_sidecars(tmp_path):
+    """A re-ingest with a different config must not leave the previous
+    configuration's mapping.json / cross_edges for --append to consume."""
+    out = str(tmp_path / "g2")
+    r = _run("ingest", "--synthetic", "10", "--out", out)  # linking on
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.exists(os.path.join(out, "mapping.json"))
+    assert os.path.isdir(os.path.join(out, "cross_edges"))
+    r = _run("ingest", "--synthetic", "10", "--out", out,
+             "--no-entity-linking", "--no-link")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert not os.path.exists(os.path.join(out, "mapping.json"))
+    assert not os.path.isdir(os.path.join(out, "cross_edges"))
+    assert os.path.isdir(os.path.join(out, "base_edges"))
