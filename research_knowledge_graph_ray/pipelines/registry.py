@@ -593,5 +593,8 @@ QUERIES.update(
         # salted (skew-resistant) join plan — same oracle as the plain join
         "customer_order_totals_salted": (windows.customer_order_totals_salted,
                                          windows.CUSTOMER_ORDER_TOTALS_SQL),
+        # rank/dense-rank window family
+        "order_rank_in_month": (windows.order_rank_in_month,
+                                windows.ORDER_RANK_IN_MONTH_SQL),
     }
 )

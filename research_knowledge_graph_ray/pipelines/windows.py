@@ -498,6 +498,55 @@ def customer_rolling(sf_dir: str, window: int = 3) -> "ray.data.Dataset":
         ["o_custkey"], lambda df: df, roll, n_buckets=16)
 
 
+def order_rank_in_month(sf_dir: str, top: int = 5) -> "ray.data.Dataset":
+    """(o_orderkey, ym, rnk) — ROW_NUMBER ranking of orders by price within
+    their calendar month, top ``top`` per month kept. One exchange on the
+    partition key (ym), then a single sort + grouped cumcount per bucket —
+    the rank/dense-rank window family, fully vectorized."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        s = pd.Series(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+            "ym": (s.dt.year * 100 + s.dt.month).astype(np.int64),
+            "cents": pc.round(pc.multiply(batch["o_totalprice"], 100))
+            .cast(pa.int64()).to_numpy(),
+        })
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ym", "cents", "o_orderkey"],
+                            ascending=[True, False, True],
+                            kind="mergesort").reset_index(drop=True)
+        rnk = df.groupby("ym", sort=False).cumcount().to_numpy() + 1
+        out = df.assign(rnk=rnk)[rnk <= top]
+        return pd.DataFrame({
+            "o_orderkey": out["o_orderkey"].astype(np.int64),
+            "ym": out["ym"].astype(np.int64),
+            "rnk": out["rnk"].astype(np.int64),
+        })
+
+    return bucketed_group_apply(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["ym"], lambda df: df, rank, n_buckets=8)
+
+
+ORDER_RANK_IN_MONTH_SQL = """
+SELECT o_orderkey, ym, rnk FROM (
+  SELECT o_orderkey,
+         CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+         CAST(ROW_NUMBER() OVER (
+              PARTITION BY YEAR(o_orderdate)*100 + MONTH(o_orderdate)
+              ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey)
+              AS BIGINT) AS rnk
+  FROM orders)
+WHERE rnk <= 5
+"""
+
+
 CUSTOMER_ROLLING_SQL = """
 SELECT o_orderkey, o_custkey,
        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
