@@ -69,6 +69,34 @@ SELECT m.doc_id, m.term,
 FROM m JOIN dfreq USING (term)
 """
 
+DECONTAMINATE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 6),
+                i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gram
+  FROM toks WHERE len(w) >= 8
+),
+eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS ns
+  FROM grams g JOIN eg USING (gram)
+  WHERE g.doc_id % 97 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.ns, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN COALESCE(h.ns, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
 PRICE_QUANTILES_SQL = """
 SELECT l_returnflag,
        percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
@@ -564,6 +592,9 @@ QUERIES: dict = {
     "orders_by_month": (relational.orders_by_month, relational.ORDERS_BY_MONTH_SQL),
     "events_hourly": (relational.events_hourly, relational.EVENTS_HOURLY_SQL),
     "orders_rollup": (relational.orders_rollup, relational.ORDERS_ROLLUP_SQL),
+    # PIVOT / conditional aggregation (one count column per event type)
+    "events_daily_pivot": (relational.events_daily_pivot,
+                           relational.EVENTS_DAILY_PIVOT_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)
@@ -596,5 +627,10 @@ QUERIES.update(
         # rank/dense-rank window family
         "order_rank_in_month": (windows.order_rank_in_month,
                                 windows.ORDER_RANK_IN_MONTH_SQL),
+        # LAG/LEAD window family
+        "customer_order_gaps": (windows.customer_order_gaps,
+                                windows.CUSTOMER_ORDER_GAPS_SQL),
+        # benchmark decontamination (n-gram overlap vs held-out eval slice)
+        "decontaminate": (textops.decontaminate, DECONTAMINATE_SQL),
     }
 )

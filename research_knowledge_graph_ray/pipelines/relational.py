@@ -304,3 +304,48 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_daily_pivot(sf_dir: str, types: list[str] = PIVOT_TYPES) -> "ray.data.Dataset":
+    """(ymd, n_click, n_error, n_purchase, n_signup, n_view) — PIVOT: one row
+    per day with a count column per event type (conditional aggregation).
+
+    Per-block partial: vectorized crosstab (groupby day × type, unstacked to
+    the fixed column set — unknown types are ignored, so the schema is stable
+    regardless of which types a block contains). Final: tiny per-day sum of
+    the partials behind one exchange on the day key. Output is |days| rows —
+    the wide step shrinks to the partial table immediately."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch["ts"].to_numpy(zero_copy_only=False))
+        ymd = (s.dt.year * 10000 + s.dt.month * 100 + s.dt.day).astype(np.int64)
+        df = pd.DataFrame(
+            {"ymd": ymd, "event_type": batch["event_type"].to_numpy(zero_copy_only=False)}
+        )
+        g = df.groupby(["ymd", "event_type"]).size().unstack(fill_value=0)
+        g = g.reindex(columns=types, fill_value=0)
+        g.columns = cols
+        return g.reset_index().astype(np.int64)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("ymd", as_index=False)[cols].sum().astype(np.int64)
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    out = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(out, ["ymd"], final, final, n_buckets=8)
+
+
+EVENTS_DAILY_PIVOT_SQL = """
+SELECT CAST(YEAR(ts)*10000 + MONTH(ts)*100 + DAY(ts) AS BIGINT) AS ymd,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""

@@ -565,3 +565,47 @@ FROM events p JOIN events b
 WHERE p.event_type = 'purchase'
 GROUP BY p.event_id
 """
+
+def customer_order_gaps(sf_dir: str) -> "ray.data.Dataset":
+    """(o_orderkey, o_custkey, gap_days) — days since the customer's
+    previous order (LAG window; first order of a customer → -1). One hash
+    exchange on the partition key, then a vectorized per-bucket scan:
+    sort by (custkey, date, orderkey), grouped shift, day diff — the
+    LAG/LEAD window family with no per-customer Python loop."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        days = (batch["o_orderdate"].cast(pa.timestamp("us")).cast(pa.int64())
+                .to_numpy() // 86_400_000_000)
+        return pd.DataFrame({
+            "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+            "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+            "day": days,
+        })
+
+    def gaps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "day", "o_orderkey"],
+                            kind="mergesort").reset_index(drop=True)
+        prev = df.groupby("o_custkey", sort=False)["day"].shift(1)
+        gap = (df["day"] - prev).fillna(-1).astype(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype(np.int64),
+            "o_custkey": df["o_custkey"].astype(np.int64),
+            "gap_days": gap,
+        })
+
+    return bucketed_group_apply(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey"], lambda df: df, gaps, n_buckets=16)
+
+
+CUSTOMER_ORDER_GAPS_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(COALESCE(DATE_DIFF('day',
+            LAG(o_orderdate) OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            o_orderdate), -1) AS BIGINT) AS gap_days
+FROM orders
+"""

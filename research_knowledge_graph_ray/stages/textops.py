@@ -490,3 +490,106 @@ def tfidf(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return doc_mentions(sf_dir).map_batches(score, batch_format="pandas")
+
+
+DECON_N = 8          # word n-gram size for overlap checks
+DECON_EVAL_MOD = 97  # doc_id % mod == 0 -> held-out "benchmark" slice
+
+
+def _doc_ngrams(batch: pa.Table, n: int):
+    """Vectorized word n-gram construction over a batch of documents.
+
+    Tokenization: lowercase, non-alphanumeric runs collapse to one space,
+    trim — so every interior token is non-empty and the DuckDB restatement
+    (string_split_regex + list_filter) produces the identical token list.
+    Grams are built with NO per-row Python: Arrow list offsets → numpy
+    grouped-arange for gram start positions → ``n`` shifted ``take``s over
+    the flat token array → one ``binary_join_element_wise``.
+
+    Returns ``(doc_idx, grams)``: for each gram, the row index of its doc
+    within ``batch`` and the gram string (n tokens joined by ' ').
+    """
+    low = pc.utf8_lower(batch["text"])
+    norm = pc.utf8_trim(pc.replace_substring_regex(low, "[^a-z0-9]+", " "), " ")
+    toks = pc.split_pattern(norm, " ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offsets = toks.offsets.to_numpy().astype(np.int64)
+    lens = offsets[1:] - offsets[:-1]
+    n_g = np.maximum(lens - n + 1, 0)
+    total = int(n_g.sum())
+    if total == 0:
+        return np.array([], np.int64), pa.array([], type=pa.string())
+    doc_idx = np.repeat(np.arange(len(lens), dtype=np.int64), n_g)
+    excl = np.concatenate(([0], np.cumsum(n_g)[:-1]))
+    within = np.arange(total, dtype=np.int64) - np.repeat(excl, n_g)
+    starts = np.repeat(offsets[:-1], n_g) + within
+    flat = toks.values
+    parts = [flat.take(pa.array(starts + k)) for k in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    return doc_idx, grams
+
+
+def _eval_gram_set(sf_dir: str, n: int, eval_mod: int) -> pa.Array:
+    """Distinct word n-grams of the eval slice (doc_id % eval_mod == 0).
+
+    One streaming pass over the slice, per-block distinct, small driver
+    union. An eval/benchmark suite is MB-scale by definition, so the result
+    is broadcast-sized (documented assumption of the decontamination op)."""
+
+    def per_block(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = ids % eval_mod == 0
+        if not mask.any():
+            return pa.table({"gram": pa.array([], type=pa.string())})
+        _, grams = _doc_ngrams(batch.filter(pa.array(mask)), n)
+        return pa.table({"gram": pc.unique(grams)})
+
+    out = _read_docs(sf_dir).map_batches(
+        per_block, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    # all-empty Dataset.to_pandas() yields a zero-column frame — guard it
+    uniq = sorted(set(out["gram"])) if "gram" in out.columns else []
+    return pa.array(uniq, type=pa.string())
+
+
+def decontaminate(sf_dir: str, n: int = DECON_N,
+                  eval_mod: int = DECON_EVAL_MOD) -> "ray.data.Dataset":
+    """(doc_id, n_shared, contaminated) — benchmark decontamination: flag
+    training documents sharing any word ``n``-gram with the held-out eval
+    slice (doc_id % eval_mod == 0 stands in for a benchmark suite; GPT-3
+    appendix-C-style n-gram overlap decontamination).
+
+    Scale: the eval gram set is built in one streaming pass and broadcast
+    ONCE via ``ray.put``; the train side is a single map-side membership
+    pass (``pc.is_in``) with NO shuffle anywhere. Gram construction is
+    fully vectorized (see :func:`_doc_ngrams`); ``n_shared`` counts the
+    doc's distinct grams that hit the eval set, restated exactly in SQL."""
+    eval_ref = ray.put(_eval_gram_set(sf_dir, n, eval_mod))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = ids % eval_mod != 0
+        sub = batch.filter(pa.array(mask))
+        ids = ids[mask]
+        n_shared = np.zeros(len(ids), np.int64)
+        if len(ids):
+            doc_idx, grams = _doc_ngrams(sub, n)
+            eval_arr = ray.get(eval_ref)
+            if len(grams) and len(eval_arr):
+                hit = pc.is_in(grams, value_set=eval_arr).to_numpy(
+                    zero_copy_only=False)
+                if hit.any():
+                    hd = pd.DataFrame({
+                        "d": doc_idx[hit],
+                        "g": grams.take(pa.array(np.nonzero(hit)[0])),
+                    }).drop_duplicates()
+                    cnt = hd.groupby("d", sort=False).size()
+                    n_shared[cnt.index.to_numpy()] = cnt.to_numpy()
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_shared": n_shared,
+            "contaminated": (n_shared > 0).astype(np.int64),
+        })
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)
