@@ -595,6 +595,8 @@ QUERIES: dict = {
     # PIVOT / conditional aggregation (one count column per event type)
     "events_daily_pivot": (relational.events_daily_pivot,
                            relational.EVENTS_DAILY_PIVOT_SQL),
+    # CUBE (all grouping sets over year × status)
+    "orders_cube": (relational.orders_cube, relational.ORDERS_CUBE_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

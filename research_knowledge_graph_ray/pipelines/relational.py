@@ -349,3 +349,70 @@ SELECT CAST(YEAR(ts)*10000 + MONTH(ts)*100 + DAY(ts) AS BIGINT) AS ymd,
        CAST(COUNT(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view
 FROM events GROUP BY 1
 """
+
+def orders_cube(sf_dir: str) -> pd.DataFrame:
+    """(year, o_orderstatus, n_orders, total_cents) — GROUP BY CUBE: all four
+    grouping sets (year × status, year, status, grand total); sentinel -1 /
+    'ALL' instead of NULL so value hashing is null-free on both sides.
+
+    Scale shape mirrors orders_rollup: one distributed partial pass + one
+    small exchange produce the finest (year, status) aggregate — bounded by
+    |years| × |statuses| regardless of input size — and the three coarser
+    cube levels re-aggregate THAT table driver-side, no second input scan."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderdate", "o_orderstatus", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({
+            "year": s.dt.year.astype(np.int64),
+            "o_orderstatus": batch["o_orderstatus"].to_numpy(zero_copy_only=False),
+            "cents": _cents(batch["o_totalprice"]).to_numpy(),
+        })
+        return df.groupby(["year", "o_orderstatus"], as_index=False).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum"))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["year", "o_orderstatus"], as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    detail = bucketed_group_apply(
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["year", "o_orderstatus"], final, final, n_buckets=8,
+    ).to_pandas()
+
+    def _coarse(keys: list[str]) -> pd.DataFrame:
+        g = detail.groupby(keys, as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+        if "year" not in keys:
+            g["year"] = -1
+        if "o_orderstatus" not in keys:
+            g["o_orderstatus"] = "ALL"
+        return g
+
+    grand = pd.DataFrame({
+        "year": [-1], "o_orderstatus": ["ALL"],
+        "n_orders": [detail["n_orders"].sum()],
+        "total_cents": [detail["total_cents"].sum()],
+    })
+    out = pd.concat(
+        [detail, _coarse(["year"]), _coarse(["o_orderstatus"]), grand],
+        ignore_index=True)
+    for c in ("year", "n_orders", "total_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out[["year", "o_orderstatus", "n_orders", "total_cents"]]
+
+
+ORDERS_CUBE_SQL = """
+SELECT CAST(COALESCE(y, -1) AS BIGINT) AS year,
+       COALESCE(s, 'ALL') AS o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM (SELECT YEAR(o_orderdate) AS y, o_orderstatus AS s, o_totalprice
+      FROM orders)
+GROUP BY CUBE(y, s)
+"""
