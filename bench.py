@@ -123,6 +123,7 @@ def run_bench() -> dict:
         timed("graph_pagerank", graphalgs.pagerank)
         timed("price_quantiles", stats.price_quantiles)
         timed("purchase_attribution", windows.purchase_attribution)
+        timed("decontaminate", textops.decontaminate)
 
     result = {
         "metric": "kg_construct_wall_sec",
