@@ -394,3 +394,28 @@ def cross_doc_edges(sf_dir: str, max_doc_id: int = 150) -> "ray.data.Dataset":
         )
 
     return res.edges.map_batches(project, batch_format="pandas")
+
+
+def doc_terms_agg(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, terms) — ordered collect_list: each document's distinct
+    vocabulary terms, sorted and comma-joined.
+
+    The list aggregation is per-document, and a document's mentions all come
+    from its own input row — so this is a pure map (zero shuffle), unlike a
+    naive groupby over an exploded mention table."""
+
+    def agg_terms(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_doc, out_terms = [], []
+        for did, text in zip(doc_ids, texts):
+            terms = sorted(set(_TERM_RE.findall(text.lower())))
+            if terms:
+                out_doc.append(did)
+                out_terms.append(",".join(terms))
+        return pd.DataFrame(
+            {"doc_id": np.asarray(out_doc, dtype=np.int64), "terms": out_terms}
+        )
+
+    return _read_docs(sf_dir).map_batches(agg_terms, batch_format="pyarrow",
+                                          zero_copy_batch=True)

@@ -411,6 +411,67 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
       < (CAST(substr(source, 4) AS BIGINT) % 4 + 1) * 1073741824
 """
 
+SAMPLE_WEIGHTED_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+      * (SELECT MAX(n_chars) FROM documents) < n_chars * 4294967296
+"""
+
+PRICE_QTY_REGRESSION_SQL = """
+WITH b AS (SELECT CAST(ROUND(l_quantity) AS HUGEINT) AS x,
+                  CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+           FROM lineitem),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM b),
+t AS (SELECT CAST(n AS BIGINT) AS n,
+             CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+             CAST(n*sxx - sx*sx AS DOUBLE) AS den_x,
+             CAST(n*syy - sy*sy AS DOUBLE) AS den_y,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd FROM s)
+SELECT n,
+  CAST(ROUND(num / sqrt(den_x * den_y) * 1000000000) AS BIGINT) AS corr_e9,
+  CAST(ROUND(num / den_x * 1000000000) AS BIGINT) AS slope_e9,
+  CAST(ROUND((syd - (num / den_x) * sxd) / CAST(n AS DOUBLE) * 1000000000)
+       AS BIGINT) AS intercept_e9
+FROM t
+"""
+
+USER_TOP_EVENT_SQL = """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type) AS rn
+      FROM c)
+SELECT user_id, event_type AS top_event, cnt FROM r WHERE rn = 1
+"""
+
+ORDER_PRICE_HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders GROUP BY 1
+"""
+
+VALUE_OUTLIERS_SQL = """
+WITH b AS (SELECT event_id,
+                  CAST(ROUND(value * 100) AS HUGEINT) AS y
+           FROM events),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(y) AS sy, SUM(y*y) AS syy
+      FROM b),
+t AS (SELECT CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             sqrt(CAST(n*syy - sy*sy AS DOUBLE)) / CAST(n AS DOUBLE) AS std
+      FROM s)
+SELECT event_id, CAST(y AS BIGINT) AS cents FROM b, t
+WHERE CAST(y AS DOUBLE) < (mean - 3.0 * std)
+   OR CAST(y AS DOUBLE) > (mean + 3.0 * std)
+"""
+
+DOC_TERMS_AGG_SQL = f"""
+SELECT doc_id, string_agg(term, ',' ORDER BY term) AS terms
+FROM (SELECT DISTINCT doc_id, term FROM ({_UNNEST}))
+GROUP BY doc_id
+"""
+
 SAMPLE_CHAR_BUDGET_SQL = """
 WITH h AS (SELECT doc_id, n_chars,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hkey
@@ -597,6 +658,17 @@ QUERIES: dict = {
                            relational.EVENTS_DAILY_PIVOT_SQL),
     # CUBE (all grouping sets over year × status)
     "orders_cube": (relational.orders_cube, relational.ORDERS_CUBE_SQL),
+    # sufficient-statistics profiling (stages/stats.py): exact integer sums
+    # are the only values crossing the exchange; floats derived identically
+    # on both sides → bit-exact e9 fixed points
+    "price_qty_regression": (stats.price_qty_regression, PRICE_QTY_REGRESSION_SQL),
+    "value_outliers": (stats.value_outliers, VALUE_OUTLIERS_SQL),
+    "user_top_event": (stats.user_top_event, USER_TOP_EVENT_SQL),
+    "order_price_histogram": (stats.order_price_histogram, ORDER_PRICE_HISTOGRAM_SQL),
+    # weighted (proportional-to-size) Bernoulli sampling — all-integer keys
+    "sample_weighted": (sampling.sample_weighted, SAMPLE_WEIGHTED_SQL),
+    # ordered collect_list / string_agg (per-doc ⇒ zero-shuffle map)
+    "doc_terms_agg": (kgflat.doc_terms_agg, DOC_TERMS_AGG_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

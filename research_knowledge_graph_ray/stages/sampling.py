@@ -187,3 +187,25 @@ def sample_char_budget(sf_dir: str, budget: int = 40_000) -> "ray.data.Dataset":
 
     pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_group_apply(pruned, ["bucket"], ident, fin)
+
+
+def sample_weighted(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, lang, n_chars) — weighted Bernoulli sample: each document is
+    kept with probability n_chars / max(n_chars), i.e. proportional-to-size
+    sampling keyed off the same md5 hash as :func:`hash_sample`.
+
+    Entirely integer arithmetic (hkey · max_w < w · 2^32), so selection is
+    bit-reproducible across runs, cluster sizes and the SQL oracle — no float
+    thresholds to disagree at the boundary. One tiny max() aggregate, then a
+    shuffle-free vectorized filter."""
+    cols = ["doc_id", "lang", "n_chars"]
+    max_w = int(_read_docs(sf_dir, ["n_chars"]).max("n_chars"))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(_hkeys(ids) * max_w < w * _HSPACE))
+
+    return _read_docs(sf_dir, cols).map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -20,6 +20,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 import ray.data
 from ray.data.aggregate import Max, Min
@@ -184,3 +185,197 @@ def approx_distinct_custkey(sf_dir: str) -> pd.DataFrame:
     tests/test_stats.py against the exact count."""
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     return pd.DataFrame({"n_approx": [int(round(hll_distinct(ds, "o_custkey")))]})
+
+
+# ---------------------------------------------------------------------------
+# Sufficient-statistics regression / correlation, grouped mode, histogram,
+# z-score outliers — dataset-profiling primitives for training-data curation.
+# Every float in the outputs is derived from EXACT integer sums (the only
+# values that cross the exchange), so the DuckDB oracle can restate the same
+# formula over HUGEINT sums and match bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_ISUM_STEP = 1 << 16  # chunked exact sum: 2^16 × 1e14 (max y²) < 2^63
+
+
+def _isum(a: np.ndarray) -> int:
+    """Exact Python-int sum of an int64 array (chunk partials stay < 2^63)."""
+    return sum(int(a[i : i + _ISUM_STEP].sum()) for i in range(0, len(a), _ISUM_STEP))
+
+
+def _round_e9(v: float) -> int:
+    """ROUND(v * 1e9) with DuckDB semantics (half away from zero).
+
+    Compares the exact fractional part instead of computing ``s + 0.5``,
+    which double-rounds once |s| exceeds 2^52 (the float spacing there is 1,
+    so adding 0.5 rounds ties to even before the floor)."""
+    s = abs(v) * 1e9
+    f = math.floor(s)
+    if s - f >= 0.5:
+        f += 1
+    return int(f) if v >= 0 else -int(f)
+
+
+def linear_sufficient_stats(
+    ds: "ray.data.Dataset", x_col: str, y_col: str, y_cents: bool = True
+) -> dict[str, int]:
+    """Exact integer sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) for a
+    linear fit of ``y_col`` on ``x_col``.
+
+    Per-block partials are six exact integers serialized as decimal strings
+    (sums exceed int64 at scale); the driver folds one tiny row per block.
+    x is assumed integer-valued, y cents-exact when ``y_cents`` — both are
+    range-checked so a violated assumption raises instead of silently
+    rounding. No shuffle: this is a pure map + O(blocks) driver fold."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xf = df[x_col].to_numpy(np.float64)
+        yf = df[y_col].to_numpy(np.float64) * (100.0 if y_cents else 1.0)
+        x = np.rint(xf).astype(np.int64)
+        y = np.rint(yf).astype(np.int64)
+        if np.abs(xf - x).max(initial=0.0) > 1e-6 or np.abs(yf - y).max(initial=0.0) > 1e-6:
+            raise ValueError(f"{x_col}/{y_col} not integer/cents-exact")
+        return pd.DataFrame(
+            {
+                "n": [len(x)],
+                "sx": [str(_isum(x))],
+                "sy": [str(_isum(y))],
+                "sxx": [str(_isum(x * x))],
+                "syy": [str(_isum(y * y))],
+                "sxy": [str(_isum(x * y))],
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()  # O(blocks) rows
+    return {
+        "n": int(parts["n"].sum()),
+        **{c: sum(int(v) for v in parts[c]) for c in ("sx", "sy", "sxx", "syy", "sxy")},
+    }
+
+
+def price_qty_regression(sf_dir: str) -> pd.DataFrame:
+    """One row (n, corr_e9, slope_e9, intercept_e9) — Pearson correlation and
+    OLS fit of l_extendedprice (cents) on l_quantity across all of lineitem.
+
+    The classic sufficient-statistics reduction: six exact integers summarize
+    the whole table, so the op is one streaming pass + O(blocks) driver fold
+    at any scale. Fixed-point e9 outputs give the oracle bit-exact parity."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+    s = linear_sufficient_stats(ds, "l_quantity", "l_extendedprice")
+    n, sx, sy, sxx, syy, sxy = (s[k] for k in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    num = float(n * sxy - sx * sy)
+    den_x = float(n * sxx - sx * sx)
+    den_y = float(n * syy - sy * sy)
+    slope = num / den_x
+    return pd.DataFrame(
+        {
+            "n": [n],
+            "corr_e9": [_round_e9(num / math.sqrt(den_x * den_y))],
+            "slope_e9": [_round_e9(slope)],
+            "intercept_e9": [_round_e9((float(sy) - slope * float(sx)) / float(n))],
+        }
+    )
+
+
+def user_top_event(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, top_event, cnt) — grouped mode: each user's most frequent
+    event type, ties broken lexicographically.
+
+    Partial (user, type) counts shrink each block before the single exchange
+    on user_id; the per-bucket final pass sums counts and keeps the argmax
+    row. Count rows per user are bounded by the type vocabulary, so the
+    exchange moves O(users × |types|), never O(events)."""
+    from .shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["user_id", "event_type"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["user_id", "event_type"], as_index=False).agg(cnt=("cnt", "sum"))
+        df = df.sort_values(
+            ["user_id", "cnt", "event_type"], ascending=[True, False, True]
+        ).drop_duplicates("user_id", keep="first")
+        out = df.rename(columns={"event_type": "top_event"})[
+            ["user_id", "top_event", "cnt"]
+        ]
+        # empty buckets: pandas object → Arrow null; pin the string dtype so
+        # every output block carries the same schema
+        return out.astype({"top_event": "string"})
+
+    return bucketed_group_apply(ds, ["user_id"], part, fin)
+
+
+def order_price_histogram(sf_dir: str, width: float = 25_000.0) -> "ray.data.Dataset":
+    """(bucket, n_orders, sum_cents) — fixed-width histogram of o_totalprice.
+
+    Map-side partials collapse each block to O(|buckets|) rows; the combine
+    is a tiny exchange over bucket ids. Constant (data-independent) bin edges
+    keep the op one-pass and the SQL restatement trivial."""
+    from .shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        p = df["o_totalprice"].to_numpy(np.float64)
+        out = pd.DataFrame(
+            {
+                "bucket": np.floor(p / width).astype(np.int64),
+                "n_orders": np.int64(1),
+                "sum_cents": np.rint(p * 100.0).astype(np.int64),
+            }
+        )
+        return out.groupby("bucket", as_index=False).agg(
+            n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum")
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("bucket", as_index=False).agg(
+            n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum")
+        )
+
+    return bucketed_group_apply(ds, ["bucket"], part, fin, n_buckets=4)
+
+
+def value_outliers(sf_dir: str, z: float = 3.0) -> "ray.data.Dataset":
+    """(event_id, cents) — events whose value sits more than ``z`` population
+    standard deviations from the mean (events.value is heavy-tailed).
+
+    Two streaming passes: exact integer (n, Σy, Σy²) → driver-computed
+    mean/std broadcast into a vectorized filter map. Nothing but the six-int
+    summary ever leaves a worker in pass one."""
+    path = f"{sf_dir}/events.parquet"
+    s = linear_sufficient_stats(
+        ray.data.read_parquet(path, columns=["value"]).map_batches(
+            lambda df: df.assign(_one=np.int64(1)), batch_format="pandas"
+        ),
+        "_one",
+        "value",
+    )
+    n, sy, syy = s["n"], s["sy"], s["syy"]
+    mean = float(sy) / float(n)
+    std = math.sqrt(float(n * syy - sy * sy)) / float(n)
+    lo, hi = mean - z * std, mean + z * std
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        m = (cents < lo) | (cents > hi)
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy()[m], type=pa.int64()),
+                "cents": pa.array(cents[m], type=pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(path, columns=["event_id", "value"]).map_batches(
+        pick, batch_format="pandas"
+    )

@@ -1,0 +1,128 @@
+"""Unit semantics for the sufficient-statistics profiling family
+(stages/stats.py round-2 additions) and the weighted sampler.
+
+DuckDB value-hash parity for each query is covered by
+tests/test_queries_vs_duckdb.py; these tests pin the semantics the SQL
+restatement alone would not catch (exactness of the integer sums, rounding
+edge cases, tiebreaks, inclusion invariants).
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data
+
+from research_knowledge_graph_ray.stages import sampling, stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_round_e9_large_magnitude_half_way_regression():
+    # |v*1e9| > 2^52: adding 0.5 before floor double-rounds (ties-to-even
+    # pushes an exact integer up); the fixed version must not.
+    v = 5341048.428488557  # v * 1e9 is exactly 5341048428488557.0
+    assert stats._round_e9(v) == 5341048428488557
+    assert stats._round_e9(-v) == -5341048428488557
+    assert stats._round_e9(1.2345e-9) == 1
+    assert stats._round_e9(0.5e-9) == 1  # half away from zero
+    assert stats._round_e9(-0.5e-9) == -1
+
+
+def test_linear_sufficient_stats_exact_vs_numpy():
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_quantity", "l_extendedprice"])
+    x = np.rint(t["l_quantity"].to_numpy()).astype(np.int64).astype(object)
+    y = np.rint(t["l_extendedprice"].to_numpy() * 100).astype(np.int64).astype(object)
+    ds = ray.data.read_parquet(f"{SF}/lineitem.parquet",
+                               columns=["l_quantity", "l_extendedprice"])
+    s = stats.linear_sufficient_stats(ds, "l_quantity", "l_extendedprice")
+    assert s["n"] == len(x)
+    assert s["sx"] == int(sum(x)) and s["sy"] == int(sum(y))
+    assert s["sxx"] == int(sum(x * x)) and s["syy"] == int(sum(y * y))
+    assert s["sxy"] == int(sum(x * y))
+
+
+def test_regression_matches_numpy_fit():
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_quantity", "l_extendedprice"])
+    x = t["l_quantity"].to_numpy()
+    y = t["l_extendedprice"].to_numpy() * 100
+    out = stats.price_qty_regression(SF).iloc[0]
+    corr = np.corrcoef(x, y)[0, 1]
+    slope, intercept = np.polyfit(x, y, 1)
+    assert out["corr_e9"] == pytest.approx(corr * 1e9, abs=50)
+    assert out["slope_e9"] == pytest.approx(slope * 1e9, rel=1e-9)
+    assert out["intercept_e9"] == pytest.approx(intercept * 1e9, rel=1e-9)
+
+
+def test_value_outliers_matches_bruteforce():
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_id", "value"])
+    cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+    mean, std = cents.mean(), cents.std()
+    expect = set(np.asarray(t["event_id"])[np.abs(cents - mean) > 3 * std].tolist())
+    got = set(stats.value_outliers(SF).to_pandas()["event_id"].tolist())
+    assert got == expect and len(got) > 0
+
+
+def test_user_top_event_tiebreak(tmp_path):
+    # u1: tie a/b at 2 → lexicographically smallest wins; u2: clear winner.
+    events = pa.table({
+        "event_id": pa.array(range(7), type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2, 2], type=pa.int64()),
+        "event_type": ["b", "a", "b", "a", "x", "x", "a"],
+    })
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+    got = (stats.user_top_event(str(tmp_path)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert got["top_event"].tolist() == ["a", "x"]
+    assert got["cnt"].tolist() == [2, 2]
+
+
+def test_order_price_histogram_bruteforce():
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"])
+    p = t["o_totalprice"].to_numpy()
+    b = np.floor(p / 25000.0).astype(np.int64)
+    got = stats.order_price_histogram(SF).to_pandas().set_index("bucket")
+    assert int(got["n_orders"].sum()) == len(p)
+    for bucket, grp in pd.DataFrame({"b": b, "c": np.rint(p * 100).astype(np.int64)}).groupby("b"):
+        assert got.loc[bucket, "n_orders"] == len(grp)
+        assert got.loc[bucket, "sum_cents"] == int(grp["c"].sum())
+
+
+def test_sample_weighted_invariants():
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    max_w = pa.compute.max(docs["n_chars"]).as_py()
+    got = sampling.sample_weighted(SF).to_pandas()
+    full = docs.to_pandas()
+    # max-weight docs are always kept (hkey < 2^32 = keep threshold)
+    heaviest = set(full[full["n_chars"] == max_w]["doc_id"])
+    assert heaviest <= set(got["doc_id"])
+    # overall keep rate ≈ E[w]/max_w (hash-uniformity; generous band)
+    expect = full["n_chars"].mean() / max_w
+    assert abs(len(got) / len(full) - expect) < 0.1
+    # selection is by the documented integer rule — recompute and compare
+    keys = sampling._hkeys(full["doc_id"].to_numpy())
+    keep = keys * max_w < full["n_chars"].to_numpy().astype(np.int64) * sampling._HSPACE
+    assert set(got["doc_id"]) == set(full[keep]["doc_id"])
+
+
+def test_doc_terms_agg_sorted_distinct():
+    from research_knowledge_graph_ray.pipelines import kgflat
+
+    got = kgflat.doc_terms_agg(SF).to_pandas()
+    assert len(got) > 0
+    for terms in got["terms"].head(50):
+        parts = terms.split(",")
+        assert parts == sorted(set(parts))
+    # agrees with the mention table's per-doc distinct term sets
+    mentions = kgflat.doc_mentions(SF).to_pandas()
+    want = mentions.groupby("doc_id")["term"].apply(
+        lambda s: ",".join(sorted(set(s)))
+    )
+    merged = got.set_index("doc_id")["terms"]
+    assert merged.sort_index().equals(want.sort_index())
