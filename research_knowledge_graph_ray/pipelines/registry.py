@@ -472,6 +472,26 @@ FROM (SELECT DISTINCT doc_id, term FROM ({_UNNEST}))
 GROUP BY doc_id
 """
 
+CUSTOMER_YEAR_SETOPS_SQL = """
+WITH y AS (SELECT DISTINCT o_custkey, EXTRACT(year FROM o_orderdate) AS yr
+           FROM orders WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)),
+f AS (SELECT o_custkey, bool_or(yr = 1995) AS a, bool_or(yr = 1996) AS b
+      FROM y GROUP BY 1)
+SELECT o_custkey,
+       CASE WHEN a AND b THEN 'both'
+            WHEN a THEN 'y1995_only' ELSE 'y1996_only' END AS op
+FROM f
+"""
+
+_PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                 "o_orderdate", "o_orderpriority"]
+TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+    f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct FROM orders"
+    for c in _PROFILE_COLS
+)
+
 SAMPLE_CHAR_BUDGET_SQL = """
 WITH h AS (SELECT doc_id, n_chars,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hkey
@@ -669,6 +689,14 @@ QUERIES: dict = {
     "sample_weighted": (sampling.sample_weighted, SAMPLE_WEIGHTED_SQL),
     # ordered collect_list / string_agg (per-doc ⇒ zero-shuffle map)
     "doc_terms_agg": (kgflat.doc_terms_agg, DOC_TERMS_AGG_SQL),
+    # distributed INTERSECT/EXCEPT (boolean-partial set membership)
+    "customer_year_setops": (relational.customer_year_setops,
+                             CUSTOMER_YEAR_SETOPS_SQL),
+    # exact column profiler (one tagged exchange of per-block-distinct pairs)
+    "table_profile": (stats.table_profile, TABLE_PROFILE_SQL),
+    # PCA via d×d covariance partials — float sums, approximate by
+    # construction; pinned vs numpy by tests/test_profiling_ops.py
+    "embedding_pca": (stats.embedding_pca, None),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

@@ -416,3 +416,45 @@ FROM (SELECT YEAR(o_orderdate) AS y, o_orderstatus AS s, o_totalprice
       FROM orders)
 GROUP BY CUBE(y, s)
 """
+
+
+def customer_year_setops(sf_dir: str) -> "ray.data.Dataset":
+    """(o_custkey, op) — distributed INTERSECT / EXCEPT: customers who ordered
+    in 1995 and/or 1996, classified 'both' / 'y1995_only' / 'y1996_only'.
+
+    Set membership is computed as two boolean partials per block (max is the
+    associative combine), so the exchange moves at most one row per (customer,
+    block) — never the order rows themselves. One exchange on o_custkey; the
+    final per-bucket pass ORs the flags and emits the set-op class."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        yr = df["o_orderdate"].dt.year
+        m = yr.isin([1995, 1996])
+        out = pd.DataFrame(
+            {
+                "o_custkey": df["o_custkey"][m],
+                "a": (yr[m] == 1995).astype(np.int64),
+                "b": (yr[m] == 1996).astype(np.int64),
+            }
+        )
+        return out.groupby("o_custkey", as_index=False).agg(
+            a=("a", "max"), b=("b", "max")
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(a=("a", "max"), b=("b", "max"))
+        op = np.where(
+            (g["a"] == 1) & (g["b"] == 1),
+            "both",
+            np.where(g["a"] == 1, "y1995_only", "y1996_only"),
+        )
+        return pd.DataFrame({"o_custkey": g["o_custkey"], "op": op}).astype(
+            {"op": "string"}
+        )
+
+    return bucketed_group_apply(ds, ["o_custkey"], part, fin)

@@ -93,3 +93,35 @@ def extract_text_from_pdf(payload: bytes) -> str:
 
     reader = pypdf.PdfReader(io.BytesIO(payload))
     return "\n".join(page.extract_text() or "" for page in reader.pages)
+
+
+def read_lance_corpus(path: str) -> "ray.data.Dataset":
+    """Interleaved-span corpus from a Lance dataset (the north rule's native
+    input format, BASELINE.json input_hint).
+
+    Gated on the optional ``lance`` package (absent in this container — the
+    parquet tables under /root/testdata are the stand-in, same schema). When
+    available this is a zero-copy columnar scan exactly like read_parquet:
+    Lance fragments → Arrow blocks, column projection pushed to the source."""
+    try:
+        import lance  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Lance input requires the 'lance' package, which is not installed "
+            "in this environment; use the parquet stand-in tables "
+            "(identical schema) via read_parquet"
+        ) from e
+    return ray.data.read_lance(path, columns=["doc_id", "spans"])
+
+
+def write_lance_table(ds: "ray.data.Dataset", path: str) -> None:
+    """Materialize a node/edge table as a Lance dataset (gated like
+    :func:`read_lance_corpus`); parquet sinks are the stand-in here."""
+    try:
+        import lance  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "Lance output requires the 'lance' package, which is not "
+            "installed in this environment; write_parquet is the stand-in"
+        ) from e
+    ds.write_lance(path)

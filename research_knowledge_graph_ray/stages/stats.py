@@ -379,3 +379,108 @@ def value_outliers(sf_dir: str, z: float = 3.0) -> "ray.data.Dataset":
     return ray.data.read_parquet(path, columns=["event_id", "value"]).map_batches(
         pick, batch_format="pandas"
     )
+
+
+def table_profile(sf_dir: str, table: str = "orders") -> pd.DataFrame:
+    """(col, n_rows, n_null, n_distinct) — exact one-table column profiler.
+
+    Null/row counts are map-side partials folded on the driver. Exact
+    distinct counts use ONE tagged exchange over per-block-distinct
+    (col, val) string pairs — each block contributes a value at most once per
+    column, so the exchange moves the sum of per-block vocabularies, not the
+    table. (At extreme scale swap in :func:`hll_distinct` per column — the
+    sketch path is already tested; this is the exact-profile variant.)"""
+    from .shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    cols = ds.schema().names
+
+    def base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "col": cols,
+                "n_rows": np.int64(len(df)),
+                "n_null": [int(df[c].isna().sum()) for c in cols],
+            }
+        )
+
+    totals = (
+        ds.map_batches(base, batch_format="pandas")
+        .to_pandas()
+        .groupby("col", as_index=False)
+        .agg(n_rows=("n_rows", "sum"), n_null=("n_null", "sum"))
+    )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            pd.DataFrame({"col": c, "val": df[c].dropna().astype(str).unique()})
+            for c in cols
+        ]
+        return pd.concat(frames, ignore_index=True)
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["col", "val"])
+
+    def count_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.drop_duplicates(["col", "val"]).groupby("col", as_index=False).size()
+        return g.rename(columns={"size": "n_distinct"})
+
+    nd = (
+        bucketed_group_apply(ds.map_batches(pairs, batch_format="pandas"),
+                             ["col", "val"], dedup, count_distinct)
+        .to_pandas()  # ≤ buckets × |cols| rows
+        .groupby("col", as_index=False)
+        .agg(n_distinct=("n_distinct", "sum"))
+    )
+    out = totals.merge(nd, on="col", how="left").fillna({"n_distinct": 0})
+    out["n_distinct"] = out["n_distinct"].astype(np.int64)
+    return out.sort_values("col").reset_index(drop=True)
+
+
+def embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """(component, eigenvalue, var_explained) — PCA over the embeddings table
+    via distributed covariance sufficient statistics.
+
+    Per-block partials are (n, Σx ∈ R^d, XᵀX ∈ R^{d×d}) — d² floats per
+    block, independent of row count — folded on the driver, where the d×d
+    eigendecomposition runs (d is model-sized, never data-sized). The classic
+    pattern for embedding whitening / dim-reduction before clustering.
+    Approximate by construction (float sums); pinned against single-machine
+    numpy PCA by tests/test_profiling_ops.py, rows-only for the driver."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        return pd.DataFrame(
+            {
+                "n": [x.shape[0]],
+                "s": [np.ascontiguousarray(x.sum(axis=0)).tobytes()],
+                "xtx": [np.ascontiguousarray(x.T @ x).tobytes()],
+            }
+        )
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # O(blocks) rows of d + d² floats
+    )
+    n = int(parts["n"].sum())
+    s = np.sum([np.frombuffer(b, dtype=np.float64) for b in parts["s"]], axis=0)
+    d = s.shape[0]
+    xtx = np.sum(
+        [np.frombuffer(b, dtype=np.float64).reshape(d, d) for b in parts["xtx"]],
+        axis=0,
+    )
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    top = evals[:k]
+    return pd.DataFrame(
+        {
+            "component": np.arange(k, dtype=np.int64),
+            "eigenvalue": top,
+            "var_explained": top / total,
+        }
+    )

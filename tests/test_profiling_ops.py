@@ -126,3 +126,50 @@ def test_doc_terms_agg_sorted_distinct():
     )
     merged = got.set_index("doc_id")["terms"]
     assert merged.sort_index().equals(want.sort_index())
+
+
+def test_embedding_pca_matches_numpy():
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    x = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    cov = np.cov(x, rowvar=False, bias=True)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1]
+    got = stats.embedding_pca(SF, k=4)
+    assert np.allclose(got["eigenvalue"].to_numpy(), evals[:4], rtol=1e-8)
+    assert np.allclose(
+        got["var_explained"].to_numpy(), evals[:4] / evals.sum(), rtol=1e-8
+    )
+    assert (np.diff(got["eigenvalue"].to_numpy()) <= 0).all()
+
+
+def test_customer_year_setops_bruteforce():
+    from research_knowledge_graph_ray.pipelines import relational
+
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    df = t.to_pandas()
+    yr = df["o_orderdate"].dt.year
+    s95 = set(df["o_custkey"][yr == 1995])
+    s96 = set(df["o_custkey"][yr == 1996])
+    got = relational.customer_year_setops(SF).to_pandas()
+    by_op = {op: set(g["o_custkey"]) for op, g in got.groupby("op")}
+    assert by_op.get("both", set()) == (s95 & s96)
+    assert by_op.get("y1995_only", set()) == (s95 - s96)
+    assert by_op.get("y1996_only", set()) == (s96 - s95)
+
+
+def test_table_profile_bruteforce():
+    df = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    got = stats.table_profile(SF).set_index("col")
+    for c in df.columns:
+        assert got.loc[c, "n_rows"] == len(df)
+        assert got.loc[c, "n_null"] == int(df[c].isna().sum())
+        assert got.loc[c, "n_distinct"] == df[c].dropna().astype(str).nunique()
+
+
+def test_lance_io_is_gated():
+    from research_knowledge_graph_ray.sources.files import (
+        read_lance_corpus, write_lance_table)
+
+    with pytest.raises(NotImplementedError):
+        read_lance_corpus("/tmp/nonexistent.lance")
+    with pytest.raises(NotImplementedError):
+        write_lance_table(None, "/tmp/nonexistent.lance")
