@@ -492,6 +492,30 @@ TABLE_PROFILE_SQL = "\nUNION ALL\n".join(
     for c in _PROFILE_COLS
 )
 
+FUZZY_NAME_PAIRS_SQL = """
+WITH n AS (SELECT DISTINCT p_name FROM part),
+k AS (SELECT p_name, split_part(p_name, ' ', -1) AS blk FROM n)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM k a JOIN k b ON a.blk = b.blk AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+ITEM_JACCARD_SQL = """
+WITH dp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS d FROM dp GROUP BY 1),
+co AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+              CAST(COUNT(*) AS BIGINT) AS co
+       FROM dp a JOIN dp b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2)
+SELECT pa, pb, co,
+       CAST(ROUND(CAST(co AS DOUBLE) / CAST(da.d + db.d - co AS DOUBLE)
+                  * 1000000000) AS BIGINT) AS jaccard_e9
+FROM co JOIN deg da ON pa = da.l_partkey JOIN deg db ON pb = db.l_partkey
+WHERE co >= 2
+"""
+
 SAMPLE_CHAR_BUDGET_SQL = """
 WITH h AS (SELECT doc_id, n_chars,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hkey
@@ -697,6 +721,10 @@ QUERIES: dict = {
     # PCA via d×d covariance partials — float sums, approximate by
     # construction; pinned vs numpy by tests/test_profiling_ops.py
     "embedding_pca": (stats.embedding_pca, None),
+    # fuzzy (edit-distance) self-join, blocked on the name's last token
+    "fuzzy_name_pairs": (dedup.fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
+    # item–item Jaccard over the order–part bipartite graph
+    "item_jaccard": (graphalgs.item_jaccard, ITEM_JACCARD_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

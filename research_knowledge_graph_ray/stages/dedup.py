@@ -620,3 +620,66 @@ def embedding_dedup_clusters(sf_dir: str, tau: float = 0.4) -> "ray.data.Dataset
         )
 
     return labels.map_batches(out, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance fuzzy matching (entity-resolution near-dup family)
+# ---------------------------------------------------------------------------
+
+_FUZZY_BLOCK_CAP = 10_000  # distinct names per blocking key before loud failure
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Classic unit-cost edit distance (insert/delete/substitute) — the same
+    DP DuckDB's levenshtein() implements, so the oracle matches exactly."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_name_pairs(sf_dir: str, max_dist: int = 3) -> "ray.data.Dataset":
+    """(name_a, name_b, dist) — distinct part names within edit distance
+    ``max_dist``, blocked on the name's last token.
+
+    The fuzzy self-join pattern: global distinct via per-block dedup + one
+    exchange on the blocking key, then pairwise verification only WITHIN a
+    block (never all-pairs). Block sizes are vocabulary-bound; a block
+    exceeding _FUZZY_BLOCK_CAP raises loudly (pick a finer blocking key)
+    instead of going quadratic in silence."""
+    ds = ray.data.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def part_fn(df: pd.DataFrame) -> pd.DataFrame:
+        names = df["p_name"].dropna().unique()
+        return pd.DataFrame(
+            {"p_name": names, "blk": [n.rsplit(" ", 1)[-1] for n in names]}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("p_name")
+        rows_a, rows_b, dist = [], [], []
+        for _, grp in df.groupby("blk"):
+            names = sorted(grp["p_name"])
+            if len(names) > _FUZZY_BLOCK_CAP:
+                raise ValueError(
+                    f"fuzzy block of {len(names)} names exceeds cap "
+                    f"{_FUZZY_BLOCK_CAP}; use a finer blocking key"
+                )
+            for i in range(len(names)):
+                for j in range(i + 1, len(names)):
+                    d = _levenshtein(names[i], names[j])
+                    if d <= max_dist:
+                        rows_a.append(names[i])
+                        rows_b.append(names[j])
+                        dist.append(d)
+        return pd.DataFrame(
+            {"name_a": rows_a, "name_b": rows_b,
+             "dist": np.asarray(dist, dtype=np.int64)}
+        ).astype({"name_a": "string", "name_b": "string"})
+
+    return bucketed_group_apply(ds, ["blk"], part_fn, fin)

@@ -337,3 +337,95 @@ r{t} AS (SELECT nodes.node,
     tail = f"""
 SELECT node, CAST(ROUND(r * 1000000000) AS BIGINT) AS rank_e9 FROM r{iters}"""
     return head + "," + ",".join(steps) + tail
+
+
+_BASKET_CAP = 4096  # parts per order before pair emission goes loudly quadratic
+
+
+def item_jaccard(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
+    """(pa, pb, co, jaccard_e9) — item-item Jaccard similarity over the
+    order–part bipartite graph ("bought together"): for parts a, b with
+    order-neighborhoods N(a), N(b), J = |N∩N| / |N∪N|, emitted when the
+    co-occurrence count reaches ``min_co``.
+
+    Dataflow: distinct (order, part) partials → exchange on order → per-order
+    pair emission (bounded by the basket size, capped loudly) with partial
+    pair counts → exchange on the pair → exact co counts; part degrees ride
+    the first pass and are broadcast (catalog-bound, not order-bound). The
+    e9 fixed point is computed from exact integers on both sides."""
+    from .stats import _round_e9
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+
+    def distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_orderkey", "l_partkey"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        out_a, out_b = [], []
+        for _, grp in df.groupby("l_orderkey"):
+            parts = np.sort(grp["l_partkey"].to_numpy())
+            k = len(parts)
+            if k > _BASKET_CAP:
+                raise ValueError(f"basket of {k} parts exceeds cap {_BASKET_CAP}")
+            if k < 2:
+                continue
+            ia, ib = np.triu_indices(k, 1)
+            out_a.append(parts[ia])
+            out_b.append(parts[ib])
+        if not out_a:
+            return pd.DataFrame({"pa": np.array([], dtype=np.int64),
+                                 "pb": np.array([], dtype=np.int64),
+                                 "co": np.array([], dtype=np.int64)})
+        return (
+            pd.DataFrame({"pa": np.concatenate(out_a), "pb": np.concatenate(out_b)})
+            .groupby(["pa", "pb"], as_index=False)
+            .size()
+            .rename(columns={"size": "co"})
+        )
+
+    co = grouped_aggregate(
+        bucketed_group_apply(ds, ["l_orderkey"], distinct, pairs),
+        ["pa", "pb"],
+        lambda df: df.groupby(["pa", "pb"], as_index=False).agg(co=("co", "sum")),
+    )
+
+    # part degrees: |N(part)| = distinct orders per part (catalog-bound table,
+    # broadcast once — swap for a hash join if the catalog outgrows memory)
+    deg = (
+        bucketed_group_apply(
+            ds,
+            ["l_partkey"],
+            distinct,  # per-block shrink; global dedup happens post-exchange
+            lambda df: (
+                df.drop_duplicates(["l_orderkey", "l_partkey"])
+                .groupby("l_partkey", as_index=False)
+                .size()
+                .rename(columns={"size": "d"})
+            ),
+        )
+        .to_pandas()
+    )
+    deg_ref = ray.put(dict(zip(deg["l_partkey"], deg["d"])))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(deg_ref)
+        df = df[df["co"] >= min_co].copy()
+        if not len(df):
+            return pd.DataFrame({"pa": np.array([], dtype=np.int64),
+                                 "pb": np.array([], dtype=np.int64),
+                                 "co": np.array([], dtype=np.int64),
+                                 "jaccard_e9": np.array([], dtype=np.int64)})
+        da = df["pa"].map(d).to_numpy(np.int64)
+        db = df["pb"].map(d).to_numpy(np.int64)
+        co_v = df["co"].to_numpy(np.int64)
+        df["jaccard_e9"] = np.asarray(
+            [_round_e9(float(c) / float(x + y - c))
+             for c, x, y in zip(co_v, da, db)],
+            dtype=np.int64,
+        )
+        return df
+
+    return co.map_batches(score, batch_format="pandas")

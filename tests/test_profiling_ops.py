@@ -173,3 +173,56 @@ def test_lance_io_is_gated():
         read_lance_corpus("/tmp/nonexistent.lance")
     with pytest.raises(NotImplementedError):
         write_lance_table(None, "/tmp/nonexistent.lance")
+
+
+def test_levenshtein_matches_duckdb():
+    import duckdb
+
+    from research_knowledge_graph_ray.stages.dedup import _levenshtein
+
+    rng = np.random.default_rng(7)
+    alpha = list("abcde ")
+    cases = ["".join(rng.choice(alpha, rng.integers(0, 12))) for _ in range(60)]
+    cases += ["", "a", "same", "same"]
+    con = duckdb.connect()
+    for i in range(0, len(cases) - 1, 2):
+        a, b = cases[i], cases[i + 1]
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        assert _levenshtein(a, b) == want, (a, b)
+
+
+def test_fuzzy_name_pairs_symmetric_and_bounded():
+    from research_knowledge_graph_ray.stages.dedup import fuzzy_name_pairs
+
+    got = fuzzy_name_pairs(SF).to_pandas()
+    assert len(got) > 0
+    assert (got["dist"] <= 3).all()
+    assert (got["name_a"] < got["name_b"]).all()
+    assert not got.duplicated(["name_a", "name_b"]).any()
+
+
+def test_item_jaccard_bruteforce():
+    from collections import defaultdict
+    from itertools import combinations
+
+    from research_knowledge_graph_ray.stages.graphalgs import item_jaccard
+
+    t = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    df = t.to_pandas().drop_duplicates()
+    orders = defaultdict(set)
+    nbr = defaultdict(set)
+    for o, p in zip(df["l_orderkey"], df["l_partkey"]):
+        orders[o].add(p)
+        nbr[p].add(o)
+    co = defaultdict(int)
+    for o, parts in orders.items():
+        for a, b in combinations(sorted(parts), 2):
+            co[(a, b)] += 1
+    expect = {
+        k: v for k, v in co.items() if v >= 2
+    }
+    got = item_jaccard(SF).to_pandas()
+    assert {(a, b): c for a, b, c in zip(got["pa"], got["pb"], got["co"])} == expect
+    for _, r in got.head(100).iterrows():
+        union = len(nbr[r["pa"]] | nbr[r["pb"]])
+        assert r["jaccard_e9"] == pytest.approx(r["co"] / union * 1e9, abs=1)
