@@ -516,6 +516,30 @@ FROM co JOIN deg da ON pa = da.l_partkey JOIN deg db ON pb = db.l_partkey
 WHERE co >= 2
 """
 
+DOC_LOGPROB_SQL = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM nz GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cnt),
+lp AS (SELECT tok,
+              CAST(ROUND(ln(CAST(n AS DOUBLE) / (SELECT t FROM tot))
+                         * 1000000000) AS BIGINT) AS lp
+       FROM cnt)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(lp) AS BIGINT) AS sum_logp_e9
+FROM nz JOIN lp USING (tok) GROUP BY doc_id
+"""
+
+PROPS_K_STATS_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events GROUP BY 1
+"""
+
 SAMPLE_CHAR_BUDGET_SQL = """
 WITH h AS (SELECT doc_id, n_chars,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hkey
@@ -725,6 +749,11 @@ QUERIES: dict = {
     "fuzzy_name_pairs": (dedup.fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     # item–item Jaccard over the order–part bipartite graph
     "item_jaccard": (graphalgs.item_jaccard, ITEM_JACCARD_SQL),
+    # unigram-LM document scoring (perplexity-filter shape); integer
+    # log-probs make the per-doc sum order-independent ⇒ exact SQL parity
+    "doc_logprob": (textops.doc_logprob, DOC_LOGPROB_SQL),
+    # semi-structured JSON field extraction + aggregate
+    "props_k_stats": (relational.props_k_stats, PROPS_K_STATS_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

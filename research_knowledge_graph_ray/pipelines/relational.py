@@ -458,3 +458,46 @@ def customer_year_setops(sf_dir: str) -> "ray.data.Dataset":
         )
 
     return bucketed_group_apply(ds, ["o_custkey"], part, fin)
+
+
+def props_k_stats(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, n, sum_k, max_k) — aggregate over a field extracted from
+    the semi-structured ``props`` JSON column.
+
+    Extraction is a vectorized RE2 fast-path for the flat integer field
+    (pc.extract_regex — no per-row json.loads in the hot loop; equivalence
+    with a real JSON parser is pinned by tests). Partial aggregates per block,
+    one tiny exchange on event_type."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        ex = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(ex, "k").cast(pa.int64())
+        if k.null_count:
+            raise ValueError("props row without an integer 'k' field")
+        df = pd.DataFrame(
+            {
+                "event_type": batch["event_type"].to_pandas(),
+                "k": k.to_pandas(),
+            }
+        )
+        return df.groupby("event_type", as_index=False).agg(
+            n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max")
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), sum_k=("sum_k", "sum"), max_k=("max_k", "max")
+        )
+
+    return bucketed_group_apply(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"],
+        lambda df: df,
+        fin,
+        n_buckets=4,
+    )

@@ -8,6 +8,7 @@ compute / RE2 kernels); integer outputs so the DuckDB oracles compare exactly.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 import numpy as np
@@ -590,6 +591,63 @@ def decontaminate(sf_dir: str, n: int = DECON_N,
             "n_shared": n_shared,
             "contaminated": (n_shared > 0).astype(np.int64),
         })
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+def doc_logprob(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, sum_logp_e9) — unigram language-model score per
+    document (the CCNet-style perplexity-filter shape, with the trained LM
+    replaced by the corpus's own unigram model).
+
+    Pass 1 builds exact global token counts (one exchange, output is
+    vocabulary-bound) and broadcasts per-token ROUND(ln(p)·1e9) as int64 —
+    integer log-probs make the per-doc SUM order-independent, so the SQL
+    restatement matches exactly (float summation order never matters).
+    Pass 2 is a zero-shuffle map: split, lookup via pc.index_in against the
+    broadcast vocab, exact integer bincount per document.
+
+    Scale note: the broadcast assumes a memory-bound vocabulary; for an
+    open web vocabulary swap the lookup for a hash join on token."""
+    from .shuffle import hash_exchange_apply
+    from .stats import _round_e9
+
+    counts = hash_exchange_apply(
+        _read_docs(sf_dir), ["token"], _token_partial_counts,
+        lambda tab: tab.group_by("token").aggregate([("n", "sum")])
+        .rename_columns(["token", "n"]),
+        n_buckets=16,
+    ).to_pandas()  # vocabulary-bound
+    total = float(counts["n"].sum())
+    lp = np.asarray(
+        [_round_e9(math.log(float(n) / total)) for n in counts["n"]],
+        dtype=np.int64,
+    )
+    vocab_ref = ray.put((pa.array(counts["token"], type=pa.string()), lp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, lp_arr = ray.get(vocab_ref)
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=vocab)
+        if idx.null_count:
+            raise ValueError("token outside the unigram vocabulary")
+        idx = idx.to_numpy(zero_copy_only=False)
+        n_rows = len(batch)
+        sums = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(sums, parent[keep], lp_arr[idx[keep]])
+        ntok = np.bincount(parent[keep], minlength=n_rows).astype(np.int64)
+        m = ntok > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().filter(pa.array(m)),
+                "n_tokens": pa.array(ntok[m]),
+                "sum_logp_e9": pa.array(sums[m]),
+            }
+        )
 
     return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
                                           zero_copy_batch=True)

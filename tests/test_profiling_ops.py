@@ -226,3 +226,37 @@ def test_item_jaccard_bruteforce():
     for _, r in got.head(100).iterrows():
         union = len(nbr[r["pa"]] | nbr[r["pb"]])
         assert r["jaccard_e9"] == pytest.approx(r["co"] / union * 1e9, abs=1)
+
+
+def test_doc_logprob_bruteforce():
+    from collections import Counter
+
+    from research_knowledge_graph_ray.stages import textops
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    toks = {d: [w for w in txt.split(" ") if w]
+            for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    cnt = Counter(w for ws in toks.values() for w in ws)
+    total = float(sum(cnt.values()))
+    lp = {w: stats._round_e9(math.log(n / total)) for w, n in cnt.items()}
+    got = textops.doc_logprob(SF).to_pandas().set_index("doc_id")
+    assert len(got) == len(toks)
+    for d, ws in list(toks.items())[:100]:
+        assert got.loc[d, "n_tokens"] == len(ws)
+        assert got.loc[d, "sum_logp_e9"] == sum(lp[w] for w in ws)
+
+
+def test_props_regex_extraction_equals_json():
+    import json
+
+    from research_knowledge_graph_ray.pipelines import relational
+
+    t = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "props"])
+    df = t.to_pandas()
+    df["k"] = [json.loads(p)["k"] for p in df["props"]]
+    want = df.groupby("event_type").agg(
+        n=("k", "size"), sum_k=("k", "sum"), max_k=("k", "max"))
+    got = relational.props_k_stats(SF).to_pandas().set_index("event_type")
+    for et in want.index:
+        for c in ("n", "sum_k", "max_k"):
+            assert got.loc[et, c] == want.loc[et, c]
