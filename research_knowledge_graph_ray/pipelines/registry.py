@@ -540,6 +540,42 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
 FROM events GROUP BY 1
 """
 
+NATION_YEAR_REVENUE_SQL = """
+SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                * (10000 - CAST(ROUND(l_discount*10000) AS BIGINT)))
+            AS BIGINT) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1, 2
+"""
+
+EVENTS_HOURLY_DENSE_SQL = """
+WITH b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+c AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1, 2),
+r AS (SELECT unnest(generate_series((SELECT MIN(h) FROM b),
+                                    (SELECT MAX(h) FROM b))) AS h),
+ty AS (SELECT DISTINCT event_type FROM b)
+SELECT ty.event_type, r.h, CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events
+FROM r CROSS JOIN ty
+LEFT JOIN c ON c.event_type = ty.event_type AND c.h = r.h
+"""
+
+ORDER_QUARTILES_SQL = """
+WITH t AS (SELECT
+    percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+    percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+    percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75
+  FROM orders)
+SELECT CAST(1 + CAST(o_totalprice > p25 AS INT)
+              + CAST(o_totalprice > p50 AS INT)
+              + CAST(o_totalprice > p75 AS INT) AS BIGINT) AS quartile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders, t GROUP BY 1
+"""
+
 SAMPLE_CHAR_BUDGET_SQL = """
 WITH h AS (SELECT doc_id, n_chars,
              ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hkey
@@ -754,6 +790,8 @@ QUERIES: dict = {
     "doc_logprob": (textops.doc_logprob, DOC_LOGPROB_SQL),
     # semi-structured JSON field extraction + aggregate
     "props_k_stats": (relational.props_k_stats, PROPS_K_STATS_SQL),
+    # value-based NTILE via the exact-quantile operator
+    "order_quartiles": (stats.order_quartiles, ORDER_QUARTILES_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)
@@ -761,6 +799,12 @@ from . import windows  # noqa: E402
 
 QUERIES.update(
     {
+        # multi-stage join plan: big-big on orderkey + broadcast dimensions
+        "nation_year_revenue": (windows.nation_year_revenue,
+                                NATION_YEAR_REVENUE_SQL),
+        # distributed gap-fill: dense (type, hour) grid left-joined to counts
+        "events_hourly_dense": (windows.events_hourly_dense,
+                                EVENTS_HOURLY_DENSE_SQL),
         "events_sessions": (windows.events_sessions, windows.EVENTS_SESSIONS_SQL),
         "events_sliding": (windows.events_sliding, windows.EVENTS_SLIDING_SQL),
         "top_orders_per_customer": (windows.top_orders_per_customer,

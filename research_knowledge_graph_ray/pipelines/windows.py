@@ -609,3 +609,148 @@ SELECT o_orderkey, o_custkey,
             o_orderdate), -1) AS BIGINT) AS gap_days
 FROM orders
 """
+
+
+def nation_year_revenue(sf_dir: str) -> "ray.data.Dataset":
+    """(n_name, yr, revenue) — discounted lineitem revenue per nation-year:
+    a multi-stage join plan (lineitem ⋈ orders big-big, customer→nation
+    broadcast).
+
+    Plan shape: lineitem pre-aggregates per order WITHIN each block before
+    the exchange (the join then moves order-level partials, not line items);
+    one partitioned hash join on orderkey; the two dimension hops ride a
+    single broadcast dict; final (nation, year) rollup is a tiny exchange.
+    Revenue uses the Q1 integer idiom (cents × (10000 − discount_bp)) so the
+    oracle matches bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from ..stages.shuffle import grouped_aggregate
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    c2n = {c: nk[k] for c, k in zip(cust["c_custkey"].to_pylist(),
+                                    cust["c_nationkey"].to_pylist())}
+    ref = ray.put(c2n)
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
+        bp = np.rint(df["l_discount"].to_numpy(np.float64) * 10000).astype(np.int64)
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                            "rev": cents * (10000 - bp)})
+        return out.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(li_partial, batch_format="pandas")
+
+    def ord_prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_custkey": df["o_custkey"],
+            "yr": df["o_orderdate"].dt.year.astype(np.int64),
+        })
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(ord_prep, batch_format="pandas")
+
+    joined = hash_join(
+        li, orders, left_on="l_orderkey", right_on="o_orderkey",
+        left_cols=["l_orderkey", "rev"],
+        right_cols=["o_orderkey", "o_custkey", "yr"],
+    )
+
+    def rollup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        out = pd.DataFrame({
+            "n_name": df["o_custkey"].map(m),
+            "yr": df["yr"].astype(np.int64),
+            "revenue": df["rev"].astype(np.int64),
+        })
+        return out.groupby(["n_name", "yr"], as_index=False).agg(
+            revenue=("revenue", "sum"))
+
+    return grouped_aggregate(
+        joined.map_batches(rollup_partial, batch_format="pandas"),
+        ["n_name", "yr"],
+        lambda df: df.groupby(["n_name", "yr"], as_index=False).agg(
+            revenue=("revenue", "sum")),
+        n_buckets=8,
+    )
+
+
+def events_hourly_dense(sf_dir: str) -> "ray.data.Dataset":
+    """(event_type, h, n_events) — gap-filled tumbling window: every
+    (type, epoch-hour) slot between the global min and max hour appears,
+    zero-filled where no events landed.
+
+    The dense frame is generated DISTRIBUTED (ray.data.range over the hour
+    span × broadcast type list) and left-joined against the hourly counts —
+    the gap-fill never materializes on the driver, so an arbitrarily long
+    time range streams like any other table."""
+    from ray.data.aggregate import Max, Min
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+
+    def hour_partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).view("int64")
+        df = pd.DataFrame({
+            "event_type": batch["event_type"].to_numpy(zero_copy_only=False),
+            "h": us // 3_600_000_000,
+        })
+        g = df.groupby(["event_type", "h"], as_index=False).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = bucketed_group_apply(
+        ev.map_batches(hour_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type", "h"],
+        lambda df: df,
+        lambda df: df.groupby(["event_type", "h"], as_index=False).agg(n=("n", "sum")),
+        n_buckets=8,
+    )
+
+    def keyed_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["event_type"] + "|" + df["h"].astype(str),
+                             "n": df["n"].astype(np.int64)})
+
+    hr = counts.map_batches(
+        lambda df: df[["h"]], batch_format="pandas"
+    ).aggregate(Min("h"), Max("h"))
+    hmin, hmax = int(hr["min(h)"]), int(hr["max(h)"])
+    types = sorted(
+        counts.map_batches(lambda df: df[["event_type"]].drop_duplicates(),
+                           batch_format="pandas")
+        .to_pandas()["event_type"].unique()
+    )
+    ty_ref = ray.put(types)
+
+    def dense(batch: dict) -> pd.DataFrame:
+        tys = ray.get(ty_ref)
+        h = batch["id"] + hmin
+        return pd.DataFrame({
+            "event_type": np.repeat(tys, len(h)),
+            "h": np.tile(h, len(tys)),
+        }).assign(key=lambda d: d["event_type"] + "|" + d["h"].astype(str))
+
+    grid = ray.data.range(hmax - hmin + 1).map_batches(dense, batch_format="numpy")
+    joined = hash_join(
+        grid, counts.map_batches(keyed_counts, batch_format="pandas"),
+        left_on="key", right_on="key",
+        left_cols=["key", "event_type", "h"], right_cols=["key", "n"],
+        how="left", n_buckets=8,
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].astype("string"),
+            "h": df["h"].astype(np.int64),
+            "n_events": df["n"].fillna(0).astype(np.int64),
+        })
+
+    return joined.map_batches(fin, batch_format="pandas")

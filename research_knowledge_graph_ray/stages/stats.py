@@ -484,3 +484,37 @@ def embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
             "var_explained": top / total,
         }
     )
+
+
+def order_quartiles(sf_dir: str) -> pd.DataFrame:
+    """(quartile, n_orders, sum_cents) — value-based NTILE: orders bucketed
+    by the exact p25/p50/p75 of o_totalprice.
+
+    Composes the exact-quantile operator (three streaming passes, no sort)
+    with a broadcast threshold filter — value-based buckets (v ≤ p25 → q1)
+    rather than row-position NTILE, so equal values never straddle a
+    boundary and the result is deterministic at any parallelism."""
+    path = f"{sf_dir}/orders.parquet"
+    ds = ray.data.read_parquet(path, columns=["o_totalprice"])
+    qdf = exact_group_quantiles(ds, "o_totalprice", None, [0.25, 0.5, 0.75])
+    t25, t50, t75 = (float(qdf.iloc[0][c]) for c in ("p25", "p50", "p75"))
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["o_totalprice"].to_numpy(np.float64)
+        q = 1 + (v > t25).astype(np.int64) + (v > t50) + (v > t75)
+        out = pd.DataFrame({"quartile": q,
+                            "cents": np.rint(v * 100).astype(np.int64)})
+        return out.groupby("quartile", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+
+    parts = (
+        ray.data.read_parquet(path, columns=["o_totalprice"])
+        .map_batches(bucket, batch_format="pandas")
+        .to_pandas()  # ≤ 4 rows per block
+    )
+    return (
+        parts.groupby("quartile", as_index=False)
+        .agg(n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum"))
+        .sort_values("quartile")
+        .reset_index(drop=True)
+    )

@@ -260,3 +260,57 @@ def test_props_regex_extraction_equals_json():
     for et in want.index:
         for c in ("n", "sum_k", "max_k"):
             assert got.loc[et, c] == want.loc[et, c]
+
+
+def test_nation_year_revenue_bruteforce():
+    from research_knowledge_graph_ray.pipelines import windows
+
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    na = pq.read_table(f"{SF}/nation.parquet").to_pandas()
+    li["rev"] = (np.rint(li["l_extendedprice"] * 100).astype(np.int64)
+                 * (10000 - np.rint(li["l_discount"] * 10000).astype(np.int64)))
+    m = (li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+         .merge(cu, left_on="o_custkey", right_on="c_custkey")
+         .merge(na, left_on="c_nationkey", right_on="n_nationkey"))
+    m["yr"] = m["o_orderdate"].dt.year
+    want = m.groupby(["n_name", "yr"])["rev"].sum()
+    got = windows.nation_year_revenue(SF).to_pandas().set_index(["n_name", "yr"])
+    assert len(got) == len(want)
+    for k, v in want.items():
+        assert got.loc[k, "revenue"] == v
+
+
+def test_events_hourly_dense_zero_fill():
+    from research_knowledge_graph_ray.pipelines import windows
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "ts"]).to_pandas()
+    h = ev["ts"].astype("int64") // 10**6 // 3600
+    types = sorted(ev["event_type"].unique())
+    got = windows.events_hourly_dense(SF).to_pandas()
+    span = int(h.max() - h.min() + 1)
+    assert len(got) == span * len(types)
+    assert (got["n_events"] == 0).any()  # gaps exist and are zero-filled
+    want = (pd.DataFrame({"event_type": ev["event_type"], "h": h})
+            .groupby(["event_type", "h"]).size())
+    gi = got.set_index(["event_type", "h"])["n_events"]
+    for k, v in want.items():
+        assert gi.loc[k] == v
+    assert int(gi.sum()) == len(ev)
+
+
+def test_order_quartiles_value_semantics():
+    got = stats.order_quartiles(SF)
+    t = pq.read_table(f"{SF}/orders.parquet", columns=["o_totalprice"]).to_pandas()
+    v = np.sort(t["o_totalprice"].to_numpy())
+    n = len(v)
+    import math as _m
+    p25, p50, p75 = (v[max(1, _m.ceil(q * n)) - 1] for q in (0.25, 0.5, 0.75))
+    q = 1 + (t["o_totalprice"] > p25).astype(int) + (t["o_totalprice"] > p50) \
+        + (t["o_totalprice"] > p75)
+    want = pd.DataFrame({"q": q, "c": np.rint(t["o_totalprice"] * 100).astype(np.int64)}) \
+        .groupby("q").agg(n=("c", "size"), s=("c", "sum"))
+    assert got["quartile"].tolist() == want.index.tolist()
+    assert got["n_orders"].tolist() == want["n"].tolist()
+    assert got["sum_cents"].tolist() == want["s"].tolist()
