@@ -124,6 +124,10 @@ def run_bench() -> dict:
         timed("price_quantiles", stats.price_quantiles)
         timed("purchase_attribution", windows.purchase_attribution)
         timed("decontaminate", textops.decontaminate)
+        timed("doc_logprob", textops.doc_logprob)
+        timed("item_jaccard", graphalgs.item_jaccard)
+        timed("nation_year_revenue", windows.nation_year_revenue)
+        timed("price_qty_regression", stats.price_qty_regression)
 
     result = {
         "metric": "kg_construct_wall_sec",

@@ -240,6 +240,46 @@ def cmd_visualize(args) -> int:
     return 0
 
 
+def cmd_run(args) -> int:
+    """Execute any registered query (the same registry __ray_entry__ serves)
+    over an sf_dir of parquet tables; print the head or write parquet."""
+    import pandas as pd
+
+    from .pipelines.registry import QUERIES
+
+    if not args.name or args.name == "list":
+        for name, (_, sql) in sorted(QUERIES.items()):
+            print(f"{name}\t{'sql-checked' if sql else 'rows-only'}")
+        return 0
+    if args.name not in QUERIES:
+        print(f"unknown query '{args.name}' — run with 'list' to enumerate",
+              file=sys.stderr)
+        return 2
+    fn, _ = QUERIES[args.name]
+    res = fn(args.sf_dir)
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        if args.out:
+            res.write_parquet(args.out)
+            print(f"wrote {args.out}")
+            return 0
+        df = res.limit(max(args.head, 1)).to_pandas()
+        n = "(streamed)"
+    else:
+        df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+        n = str(len(df))
+        if args.out:
+            df.to_parquet(args.out)
+            print(f"wrote {args.out}")
+            return 0
+        df = df.head(args.head)
+    with pd.option_context("display.width", 200, "display.max_columns", 50):
+        print(df.to_string(index=False))
+    print(f"rows: {n}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="research_knowledge_graph_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -273,6 +313,14 @@ def main(argv=None) -> int:
     pv.add_argument("--html", required=True)
     pv.add_argument("--limit", type=int, default=300)
     pv.set_defaults(fn=cmd_visualize)
+
+    pr = sub.add_parser("run", help="run any registry query over an sf_dir")
+    pr.add_argument("name", nargs="?", default="",
+                    help="query name (omit or pass 'list' to enumerate)")
+    pr.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pr.add_argument("--head", type=int, default=20)
+    pr.add_argument("--out", default="", help="optional parquet output path")
+    pr.set_defaults(fn=cmd_run)
 
     args = p.parse_args(argv)
     rc = args.fn(args)

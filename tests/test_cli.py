@@ -74,3 +74,16 @@ def test_cli_reingest_clears_stale_sidecars(tmp_path):
     assert not os.path.exists(os.path.join(out, "mapping.json"))
     assert not os.path.isdir(os.path.join(out, "cross_edges"))
     assert os.path.isdir(os.path.join(out, "base_edges"))
+
+
+def test_cli_run_query():
+    r = _run("run", "list")
+    assert r.returncode == 0
+    assert "order_quartiles\tsql-checked" in r.stdout
+
+    r = _run("run", "order_quartiles", "--sf-dir", "/root/testdata/sf0.001")
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "quartile" in r.stdout and "rows: 4" in r.stdout
+
+    r = _run("run", "no_such_query")
+    assert r.returncode == 2
