@@ -540,6 +540,14 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
 FROM events GROUP BY 1
 """
 
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, ts, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+"""
+
 NATION_YEAR_REVENUE_SQL = """
 SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
        CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
@@ -799,6 +807,9 @@ from . import windows  # noqa: E402
 
 QUERIES.update(
     {
+        # CDC / upsert compaction: latest row per key, argmax partials
+        "latest_event_per_user": (windows.latest_event_per_user,
+                                  LATEST_EVENT_PER_USER_SQL),
         # multi-stage join plan: big-big on orderkey + broadcast dimensions
         "nation_year_revenue": (windows.nation_year_revenue,
                                 NATION_YEAR_REVENUE_SQL),

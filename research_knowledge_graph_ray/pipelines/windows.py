@@ -754,3 +754,26 @@ def events_hourly_dense(sf_dir: str) -> "ray.data.Dataset":
         })
 
     return joined.map_batches(fin, batch_format="pandas")
+
+
+def latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, ts, event_id, event_type) — snapshot compaction: each user's
+    most recent event (ties on ts broken by highest event_id).
+
+    The CDC/upsert-compaction primitive (MERGE INTO's read side): per-block
+    argmax partials mean the exchange moves ≤1 row per (user, block) — the
+    event stream itself never shuffles. Same shape at any update-log size."""
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        out = df.drop_duplicates("user_id", keep="last")
+        return out[["user_id", "ts", "event_id", "event_type"]].astype(
+            {"event_type": "string"}
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return bucketed_group_apply(ev, ["user_id"], keep_latest, keep_latest,
+                                n_buckets=8)
