@@ -686,6 +686,78 @@ SELECT vec_id, sim_e6 FROM scored ORDER BY sim_e6 DESC, vec_id LIMIT 10
 """
 
 
+QUANTITY_CUME_DIST_SQL = """
+WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM lineitem GROUP BY 1, 2),
+g AS (SELECT l_returnflag, qty, n,
+        SUM(n) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cum,
+        SUM(n) OVER (PARTITION BY l_returnflag) AS tot
+      FROM c)
+SELECT l_returnflag, qty, n,
+       CAST(cum * 1000000000 // tot AS BIGINT) AS cume_e9
+FROM g
+"""
+
+PRICE_QUANTILES_CONT_SQL = """
+WITH c AS (SELECT o_orderstatus,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_orderstatus,
+  CAST(ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) * 100)
+       AS BIGINT) AS p25_e4,
+  CAST(ROUND(percentile_cont(0.50) WITHIN GROUP (ORDER BY cents) * 100)
+       AS BIGINT) AS p50_e4,
+  CAST(ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY cents) * 100)
+       AS BIGINT) AS p75_e4
+FROM c GROUP BY o_orderstatus
+"""
+
+CHAR_DIVERSITY_SQL = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c
+            FROM documents WHERE length(text) > 0),
+cc AS (SELECT doc_id, c, COUNT(*) AS k FROM ch GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bytes,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(k * k) AS BIGINT) AS sum_sq,
+       CAST(MAX(k) AS BIGINT) AS top_cnt
+FROM cc GROUP BY doc_id
+"""
+
+GRAPH_CLUSTERING_SQL = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
+co AS (SELECT a.term AS ta, b.term AS tb FROM dt a JOIN dt b
+       ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2),
+deg AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS d FROM
+        (SELECT ta AS term FROM co UNION ALL SELECT tb FROM co) GROUP BY term),
+tri AS (SELECT e1.ta AS a, e1.tb AS b, e2.tb AS c
+        FROM co e1 JOIN co e2 ON e1.tb = e2.ta
+             JOIN co e3 ON e3.ta = e1.ta AND e3.tb = e2.tb),
+tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n_tri
+       FROM (SELECT a AS term FROM tri UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri) GROUP BY term)
+SELECT deg.term, deg.d, CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
+       CAST(2 * COALESCE(tc.n_tri, 0) * 1000000000 // (deg.d * (deg.d - 1))
+            AS BIGINT) AS coeff_e9
+FROM deg LEFT JOIN tc USING (term) WHERE deg.d >= 2
+"""
+
+EVENT_TYPE_DRIFT_SQL = """
+WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+           FROM events),
+c AS (SELECT event_type,
+        CAST(SUM(CASE WHEN epoch_us(ts) <= (SELECT mid FROM m)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        CAST(SUM(CASE WHEN epoch_us(ts) > (SELECT mid FROM m)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_second
+      FROM events GROUP BY 1)
+SELECT event_type, n_first, n_second,
+       CAST(CASE WHEN n_first > 0 THEN n_second * 1000000000 // n_first
+                 ELSE -1 END AS BIGINT) AS ratio_e9
+FROM c
+"""
+
+
 # name -> (callable(sf_dir) -> result, oracle_sql | None)
 QUERIES: dict = {
     # knowledge-graph construction over the flat documents corpus
@@ -800,6 +872,16 @@ QUERIES: dict = {
     "props_k_stats": (relational.props_k_stats, PROPS_K_STATS_SQL),
     # value-based NTILE via the exact-quantile operator
     "order_quartiles": (stats.order_quartiles, ORDER_QUARTILES_SQL),
+    # CUME_DIST over a bounded value domain (score-percentile normalization)
+    "quantity_cume_dist": (stats.quantity_cume_dist, QUANTITY_CUME_DIST_SQL),
+    # percentile_cont (interpolated) quartiles — exact over integer cents
+    "price_quantiles_cont": (stats.price_quantiles_cont, PRICE_QUANTILES_CONT_SQL),
+    # byte-level character-diversity quality signal (exact integer stats)
+    "char_diversity": (textops.char_diversity, CHAR_DIVERSITY_SQL),
+    # local clustering coefficient (triangles + degrees, floor-div e9)
+    "graph_clustering": (graphalgs.clustering_coefficient, GRAPH_CLUSTERING_SQL),
+    # first-half vs second-half distribution drift monitor
+    "event_type_drift": (stats.event_type_drift, EVENT_TYPE_DRIFT_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

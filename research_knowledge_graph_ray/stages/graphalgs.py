@@ -197,6 +197,13 @@ def triangle_counts(sf_dir: str) -> "ray.data.Dataset":
     Orientation affects only who *finds* a triangle, never which triangles
     exist, so the output is orientation-independent and matches the
     lexicographic three-way self-join the SQL oracle states."""
+    co, deg_df = _co_graph(sf_dir)
+    return _triangles(co, deg_df)
+
+
+def _co_graph(sf_dir: str):
+    """Materialized (ta, tb) co-occurrence edge set + its vocabulary-bound
+    degree table (driver-sized by construction — distinct entity terms)."""
     # lazy import: pipelines depend on stages; this one query-layer operator
     # reuses the pipeline-level co-occurrence builder without a module cycle
     from ..pipelines.kgflat import cooccurrence
@@ -216,6 +223,10 @@ def triangle_counts(sf_dir: str) -> "ray.data.Dataset":
         return df.groupby("term", as_index=False).agg(d=("d", "sum"))
 
     deg_df = bucketed_group_apply(co, ["term"], deg_partial, deg_final).to_pandas()
+    return co, deg_df
+
+
+def _triangles(co: "ray.data.Dataset", deg_df: pd.DataFrame) -> "ray.data.Dataset":
     deg_ref = ray.put(dict(zip(deg_df["term"], deg_df["d"].astype(np.int64))))
 
     def orient(df: pd.DataFrame) -> pd.DataFrame:
@@ -287,6 +298,35 @@ def triangle_counts(sf_dir: str) -> "ray.data.Dataset":
         partial_counts,
         ["term"],
         lambda df: df.groupby("term", as_index=False).agg(n_tri=("n_tri", "sum")),
+    )
+
+
+def clustering_coefficient(sf_dir: str) -> pd.DataFrame:
+    """(term, d, n_tri, coeff_e9) — local clustering coefficient per entity
+    over the term co-occurrence graph, for every term with degree ≥ 2.
+
+    coeff = 2·T / (d·(d−1)); ``coeff_e9`` is exact floor-division integer
+    arithmetic (2·T·1e9 // d·(d−1)) so the DuckDB restatement matches
+    bit-for-bit. Triangle counts come from the degree-ordered wedge
+    enumeration (:func:`triangle_counts` internals — arboricity-bounded, no
+    max-degree² blowup); degrees ride the same single co-occurrence build.
+    Both final tables are vocabulary-bound, so the merge is driver-sized by
+    the same argument the degree broadcast already documents."""
+    co, deg_df = _co_graph(sf_dir)
+    tri = _triangles(co, deg_df).to_pandas()  # vocabulary-bound
+    out = deg_df.merge(tri, on="term", how="left").fillna({"n_tri": 0})
+    out = out[out["d"] >= 2].copy()
+    out["d"] = out["d"].astype(np.int64)
+    out["n_tri"] = out["n_tri"].astype(np.int64)
+    out["coeff_e9"] = np.array(
+        [
+            2 * int(t) * 10**9 // (int(d) * (int(d) - 1))
+            for d, t in zip(out["d"], out["n_tri"])
+        ],
+        dtype=np.int64,
+    )
+    return out[["term", "d", "n_tri", "coeff_e9"]].sort_values("term").reset_index(
+        drop=True
     )
 
 

@@ -486,6 +486,241 @@ def embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
     )
 
 
+def quantity_cume_dist(sf_dir: str) -> pd.DataFrame:
+    """(l_returnflag, qty, n, cume_e9) — CUME_DIST of l_quantity within each
+    return flag, stated over the bounded value domain.
+
+    The score-percentile-normalization pattern: per-block partial counts per
+    (flag, value) collapse each block to O(|flags| × |domain|) rows, one tiny
+    exchange merges them, and the cumulative distribution is a domain-sized
+    driver cumsum. ``cume_e9 = cum * 1e9 // tot`` is exact integer arithmetic
+    on both sides. At scale the resulting CDF table is broadcast back into a
+    map stage to attach a percentile to every row (the quartile query shows
+    that half of the pattern); the exchange only ever moves domain-bounded
+    partials, never rows."""
+    from .shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"].astype(str),
+                "qty": np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64),
+            }
+        )
+        return out.groupby(["l_returnflag", "qty"], as_index=False).size().rename(
+            columns={"size": "n"}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "qty"], as_index=False).agg(n=("n", "sum"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return merge(df).astype({"l_returnflag": "string"})
+
+    counts = (
+        bucketed_group_apply(ds.map_batches(part, batch_format="pandas"),
+                             ["l_returnflag", "qty"], merge, fin)
+        .to_pandas()  # |flags| × |domain| rows — domain-bounded by construction
+        .sort_values(["l_returnflag", "qty"])
+        .reset_index(drop=True)
+    )
+    cum = counts.groupby("l_returnflag")["n"].cumsum().to_numpy(np.int64)
+    tot = counts.groupby("l_returnflag")["n"].transform("sum").to_numpy(np.int64)
+    counts["cume_e9"] = np.array(
+        [int(c) * 10**9 // int(t) for c, t in zip(cum, tot)], dtype=np.int64
+    )
+    return counts
+
+
+def exact_group_quantiles_cont(
+    ds: "ray.data.Dataset",
+    cents_col: str,
+    group_col: str | None,
+    qs: list[float],
+    n_hist: int = 2048,
+) -> pd.DataFrame:
+    """Exact ``percentile_cont``-semantics (linearly interpolated) quantiles
+    per group over an INTEGER-valued column.
+
+    Same three-pass histogram rank-refinement as
+    :func:`exact_group_quantiles`, but each quantile fetches the two bracket
+    order statistics at 0-based rank h = (n-1)·q and interpolates
+    ``lo + (hi - lo) * frac``. With integer values and q a multiple of 1/4,
+    every term is exactly representable in float64, so the result matches
+    DuckDB's percentile_cont bit-for-bit. Returns ``p{q*100:g}`` float
+    columns."""
+    agg = ds.aggregate(Min(cents_col), Max(cents_col))
+    lo, hi = float(agg[f"min({cents_col})"]), float(agg[f"max({cents_col})"])
+    if not math.isfinite(lo):
+        raise ValueError(f"no finite values in {cents_col}")
+    width = (hi - lo) or 1.0
+    edges_scale = n_hist / width
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) * edges_scale).astype(np.int64), 0, n_hist - 1)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col] if group_col else pd.Series("", index=df.index)
+        out = pd.DataFrame(
+            {"g": g.astype(str), "b": bucket_of(df[cents_col].to_numpy(np.float64))}
+        )
+        return out.groupby(["g", "b"], as_index=False).size().rename(
+            columns={"size": "cnt"}
+        )
+
+    hist = grouped_aggregate(
+        ds.map_batches(hist_partial, batch_format="pandas"),
+        ["g", "b"],
+        lambda df: df.groupby(["g", "b"], as_index=False).agg(cnt=("cnt", "sum")),
+    ).to_pandas()
+
+    # per group and quantile: the two bracket ranks (1-based) + the fraction
+    needed: dict[tuple[str, int], list[tuple[float, int, int]]] = {}
+    fracs: dict[tuple[str, float], float] = {}
+    for g, gh in hist.groupby("g"):
+        gh = gh.sort_values("b")
+        counts = gh["cnt"].to_numpy(np.int64)
+        buckets = gh["b"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        n = int(cum[-1])
+        for q in qs:
+            h = (n - 1) * q  # 0-based fractional rank; exact for q = k/4
+            fracs[(g, q)] = h - math.floor(h)
+            for side, rank in enumerate(
+                (int(math.floor(h)) + 1, int(math.ceil(h)) + 1)
+            ):
+                i = int(np.searchsorted(cum, rank, side="left")) - 1
+                i = max(0, min(i, len(buckets) - 1))
+                needed.setdefault((g, int(buckets[i])), []).append(
+                    (q, rank - int(cum[i]), side)
+                )
+
+    need_keys = set(needed)
+    total_cand = int(hist.set_index(["g", "b"]).loc[list(need_keys), "cnt"].sum())
+    if total_cand > _CAND_CAP:
+        raise ValueError(
+            f"candidate set {total_cand} rows exceeds cap {_CAND_CAP}; "
+            f"re-run with larger n_hist (distribution is spiked)"
+        )
+    need_ref = ray.put({f"{g}|{b}" for g, b in need_keys})
+
+    def candidates(df: pd.DataFrame) -> pa.Table:
+        keys = ray.get(need_ref)
+        g = (df[group_col] if group_col else pd.Series("", index=df.index)).astype(str)
+        v = df[cents_col].to_numpy(np.float64)
+        b = bucket_of(v)
+        mask = (g + "|" + pd.Series(b, index=g.index).astype(str)).isin(keys).to_numpy()
+        return pa.table(
+            {
+                "g": pa.array(g[mask].tolist(), type=pa.string()),
+                "b": pa.array(b[mask]),
+                "v": pa.array(v[mask]),
+            }
+        )
+
+    cand = ds.map_batches(candidates, batch_format="pandas").to_pandas()
+
+    bracket: dict[str, dict[float, list[float]]] = {}
+    for (g, b), wants in needed.items():
+        vals = np.sort(cand[(cand["g"] == g) & (cand["b"] == b)]["v"].to_numpy())
+        for q, k, side in wants:
+            bracket.setdefault(g, {}).setdefault(q, [0.0, 0.0])[side] = float(
+                vals[k - 1]
+            )
+    rows = {
+        g: {
+            f"p{q * 100:g}": pair[0] + (pair[1] - pair[0]) * fracs[(g, q)]
+            for q, pair in by_q.items()
+        }
+        for g, by_q in bracket.items()
+    }
+    out = pd.DataFrame(
+        [{**({group_col: g} if group_col else {}), **cols} for g, cols in rows.items()]
+    )
+    cols_order = ([group_col] if group_col else []) + [f"p{q * 100:g}" for q in qs]
+    return out[cols_order].sort_values(cols_order[0]).reset_index(drop=True)
+
+
+def price_quantiles_cont(sf_dir: str) -> pd.DataFrame:
+    """(o_orderstatus, p25_e4, p50_e4, p75_e4) — interpolated
+    (``percentile_cont``) quartiles of o_totalprice per order status, in
+    exact 1e-4-dollar fixed point.
+
+    Prices are converted to exact integer cents FIRST (so interpolation at
+    quarter fractions is exact float64 arithmetic on both sides), then the
+    e4 output is cents·100 — a bit-exact integer on the Ray and DuckDB
+    sides alike."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "o_orderstatus": df["o_orderstatus"].astype(str),
+                "cents": np.rint(
+                    df["o_totalprice"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    q = exact_group_quantiles_cont(ds, "cents", "o_orderstatus", [0.25, 0.5, 0.75])
+    out = pd.DataFrame({"o_orderstatus": q["o_orderstatus"]})
+    for col, name in (("p25", "p25_e4"), ("p50", "p50_e4"), ("p75", "p75_e4")):
+        out[name] = np.rint(q[col].to_numpy(np.float64) * 100.0).astype(np.int64)
+    return out
+
+
+def event_type_drift(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_first, n_second, ratio_e9) — distribution drift between
+    the first and second halves of the events time range.
+
+    The dataset-drift monitor every training-data pipeline runs before
+    mixing a new crawl in: one Min/Max pass pins the midpoint, then one
+    streaming pass emits per-block (type, half) partial counts —
+    O(|types| × 2) rows per block, folded on the driver. ``ratio_e9`` is
+    exact integer arithmetic (−1 when the type is absent from the first
+    half). Nothing data-sized ever leaves a worker."""
+    path = f"{sf_dir}/events.parquet"
+    agg = ray.data.read_parquet(path, columns=["ts"]).aggregate(Min("ts"), Max("ts"))
+    t_lo = pd.Timestamp(agg["min(ts)"]).value // 1000  # ns → us
+    t_hi = pd.Timestamp(agg["max(ts)"]).value // 1000
+    mid = (t_lo + t_hi) // 2
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        first = us <= mid
+        out = pd.DataFrame(
+            {
+                "event_type": df["event_type"].astype(str),
+                "n_first": first.astype(np.int64),
+                "n_second": (~first).astype(np.int64),
+            }
+        )
+        return out.groupby("event_type", as_index=False).agg(
+            n_first=("n_first", "sum"), n_second=("n_second", "sum")
+        )
+
+    parts = (
+        ray.data.read_parquet(path, columns=["ts", "event_type"])
+        .map_batches(part, batch_format="pandas")
+        .to_pandas()  # O(blocks × |types|) rows
+        .groupby("event_type", as_index=False)
+        .agg(n_first=("n_first", "sum"), n_second=("n_second", "sum"))
+    )
+    parts["ratio_e9"] = np.array(
+        [
+            int(b) * 10**9 // int(a) if a > 0 else -1
+            for a, b in zip(parts["n_first"], parts["n_second"])
+        ],
+        dtype=np.int64,
+    )
+    return parts.sort_values("event_type").reset_index(drop=True)
+
+
 def order_quartiles(sf_dir: str) -> pd.DataFrame:
     """(quartile, n_orders, sum_cents) — value-based NTILE: orders bucketed
     by the exact p25/p50/p75 of o_totalprice.

@@ -651,3 +651,52 @@ def doc_logprob(sf_dir: str) -> "ray.data.Dataset":
 
     return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def char_diversity(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_bytes, n_distinct, sum_sq, top_cnt) — exact byte-level
+    character-distribution stats per document; empty documents excluded.
+
+    The character-diversity quality signal (Simpson index 1 − sum_sq/n² and
+    top-character dominance are derived from these integers): gibberish and
+    binary-ish spam score low diversity, so corpus filters threshold on it.
+    Entropy needs logs (float, no exact oracle); ``sum_sq = Σ count(c)²`` is
+    the integer-exact diversity statistic, so the DuckDB per-char-unnest
+    oracle matches bit-for-bit.
+
+    Fully vectorized and zero-copy: the Arrow string column's offsets + data
+    buffers are read directly; one ``np.bincount`` over
+    ``doc_index·256 + byte`` produces every per-doc histogram at once — no
+    per-row Python, no per-doc loop. Byte semantics (== char for this ASCII
+    corpus; for UTF-8 the operator reads as byte-diversity, equally valid as
+    a quality signal). Zero-shuffle: per-doc outputs stream straight out."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        arr = batch["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        lens = np.diff(off)
+        slab = data[off[0] : off[-1]].astype(np.int64)
+        doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+        counts = np.bincount(
+            doc_idx * 256 + slab, minlength=len(arr) * 256
+        ).reshape(len(arr), 256)
+        m = lens > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().filter(pa.array(m))
+                if isinstance(batch["doc_id"], pa.ChunkedArray)
+                else batch["doc_id"].filter(pa.array(m)),
+                "n_bytes": pa.array(lens[m]),
+                "n_distinct": pa.array((counts > 0).sum(axis=1).astype(np.int64)[m]),
+                "sum_sq": pa.array((counts * counts).sum(axis=1)[m]),
+                "top_cnt": pa.array(counts.max(axis=1)[m]),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow",
+                                          zero_copy_batch=True)

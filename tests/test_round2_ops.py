@@ -1,0 +1,121 @@
+"""Unit semantics for the session's new operator batch: CUME_DIST over a
+bounded domain, percentile_cont interpolation, byte-level char diversity,
+clustering coefficient, and the drift monitor.
+
+DuckDB value-hash parity is covered by tests/test_queries_vs_duckdb.py;
+these tests pin semantics against independent brute-force twins (numpy /
+pure Python) so a wrong-but-self-consistent SQL restatement can't hide a
+bug.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from research_knowledge_graph_ray.stages import graphalgs, stats, textops
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_quantity_cume_dist_vs_brute_force():
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_returnflag", "l_quantity"]).to_pandas()
+    t["qty"] = np.rint(t["l_quantity"].to_numpy()).astype(np.int64)
+    got = stats.quantity_cume_dist(SF)
+    for _, r in got.iterrows():
+        grp = t[t["l_returnflag"] == r["l_returnflag"]]
+        cum = int((grp["qty"] <= r["qty"]).sum())
+        n = int((grp["qty"] == r["qty"]).sum())
+        assert r["n"] == n
+        assert r["cume_e9"] == cum * 10**9 // len(grp)
+    # complete domain: one row per observed (flag, qty)
+    assert len(got) == t.groupby(["l_returnflag", "qty"]).ngroups
+    # CDF ends at exactly 1.0 per flag
+    assert (got.groupby("l_returnflag")["cume_e9"].max() == 10**9).all()
+
+
+def test_price_quantiles_cont_vs_numpy_linear():
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderstatus", "o_totalprice"]).to_pandas()
+    t["cents"] = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    got = stats.price_quantiles_cont(SF).set_index("o_orderstatus")
+    for st, grp in t.groupby("o_orderstatus"):
+        v = grp["cents"].to_numpy(np.float64)
+        for q, col in ((0.25, "p25_e4"), (0.5, "p50_e4"), (0.75, "p75_e4")):
+            want = int(np.rint(np.quantile(v, q, method="linear") * 100))
+            assert got.loc[st, col] == want, (st, col)
+
+
+def test_char_diversity_vs_python_counter():
+    from collections import Counter
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    got = textops.char_diversity(SF).to_pandas().set_index("doc_id")
+    sample = t.head(25)
+    for _, r in sample.iterrows():
+        b = r["text"].encode()
+        if not b:
+            assert r["doc_id"] not in got.index
+            continue
+        c = Counter(b)
+        row = got.loc[r["doc_id"]]
+        assert row["n_bytes"] == len(b)
+        assert row["n_distinct"] == len(c)
+        assert row["sum_sq"] == sum(k * k for k in c.values())
+        assert row["top_cnt"] == max(c.values())
+    assert len(got) == int((t["text"].str.len() > 0).sum())
+
+
+def test_clustering_coefficient_vs_brute_force():
+    import itertools
+
+    from research_knowledge_graph_ray.pipelines.kgflat import cooccurrence
+
+    co = cooccurrence(SF).to_pandas()
+    adj: dict[str, set] = {}
+    for a, b in zip(co["term_a"], co["term_b"]):
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = graphalgs.clustering_coefficient(SF).set_index("term")
+    assert set(got.index) == {t for t, nb in adj.items() if len(nb) >= 2}
+    for term, nb in adj.items():
+        d = len(nb)
+        if d < 2:
+            continue
+        tri = sum(1 for x, y in itertools.combinations(sorted(nb), 2)
+                  if y in adj.get(x, ()))
+        row = got.loc[term]
+        assert row["d"] == d
+        assert row["n_tri"] == tri
+        assert row["coeff_e9"] == 2 * tri * 10**9 // (d * (d - 1))
+
+
+def test_event_type_drift_vs_brute_force():
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["ts", "event_type"]).to_pandas()
+    us = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    mid = (int(us.min()) + int(us.max())) // 2
+    got = stats.event_type_drift(SF).set_index("event_type")
+    for ty, grp_idx in t.groupby("event_type").groups.items():
+        g = us[t.index.get_indexer(grp_idx)]
+        a, b = int((g <= mid).sum()), int((g > mid).sum())
+        row = got.loc[ty]
+        assert row["n_first"] == a and row["n_second"] == b
+        assert row["ratio_e9"] == (b * 10**9 // a if a else -1)
+    assert int(got["n_first"].sum() + got["n_second"].sum()) == len(t)
+
+
+def test_exact_group_quantiles_cont_planted_interpolation():
+    # 5 values: h = (n-1)q hits exact quarter fractions; brackets interpolate
+    import ray.data
+
+    df = pd.DataFrame({"g": ["x"] * 5, "v": [10, 20, 40, 80, 160]})
+    ds = ray.data.from_pandas(df)
+    out = stats.exact_group_quantiles_cont(ds, "v", "g", [0.25, 0.5, 0.75])
+    assert out.loc[0, "p25"] == 20.0  # h=1.0 → exact order stat
+    assert out.loc[0, "p50"] == 40.0
+    assert out.loc[0, "p75"] == 80.0
+    out = stats.exact_group_quantiles_cont(ds, "v", "g", [0.625])
+    # h = 4*0.625 = 2.5 → 40 + 0.5*(80-40) = 60
+    assert out.loc[0, "p62.5"] == 60.0
