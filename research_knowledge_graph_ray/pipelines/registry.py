@@ -742,6 +742,39 @@ SELECT deg.term, deg.d, CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
 FROM deg LEFT JOIN tc USING (term) WHERE deg.d >= 2
 """
 
+VALUE_OUTLIERS_MAD_SQL = """
+WITH c AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events),
+med AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS m FROM c),
+d AS (SELECT event_id, cents, ABS(cents - (SELECT m FROM med)) AS dev FROM c),
+mad AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY dev) AS m FROM d)
+SELECT event_id, cents, dev
+FROM d WHERE dev > 5 * (SELECT m FROM mad)
+"""
+
+DOC_LOGPROB_BIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+  FROM toks WHERE len(w) >= 2),
+cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY 1),
+lft AS (SELECT string_split(g, ' ')[1] AS w1, CAST(SUM(n) AS BIGINT) AS ln_
+        FROM cnt GROUP BY 1),
+lp AS (SELECT g,
+              CAST(ROUND(ln(CAST(n AS DOUBLE) / CAST(l.ln_ AS DOUBLE))
+                         * 1000000000) AS BIGINT) AS lp
+       FROM cnt JOIN lft l ON string_split(cnt.g, ' ')[1] = l.w1)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(lp) AS BIGINT) AS sum_logp_e9
+FROM bg JOIN lp USING (g) GROUP BY doc_id
+"""
+
 EVENT_TYPE_DRIFT_SQL = """
 WITH m AS (SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
            FROM events),
@@ -882,6 +915,13 @@ QUERIES: dict = {
     "graph_clustering": (graphalgs.clustering_coefficient, GRAPH_CLUSTERING_SQL),
     # first-half vs second-half distribution drift monitor
     "event_type_drift": (stats.event_type_drift, EVENT_TYPE_DRIFT_SQL),
+    # robust (median/MAD) outlier filter — integer-exact thresholds
+    "value_outliers_mad": (stats.value_outliers_mad, VALUE_OUTLIERS_MAD_SQL),
+    # conditional bigram LM scoring (perplexity filter with context)
+    "doc_logprob_bigram": (textops.doc_logprob_bigram, DOC_LOGPROB_BIGRAM_SQL),
+    # global running total by month (distributed prefix-sum shape)
+    "orders_running_total": (relational.orders_running_total,
+                             relational.ORDERS_RUNNING_TOTAL_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

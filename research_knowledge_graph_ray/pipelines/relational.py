@@ -206,6 +206,61 @@ FROM orders GROUP BY 1
 """
 
 
+def orders_running_total(sf_dir: str) -> pd.DataFrame:
+    """(ym, n_orders, sum_cents, cum_cents) — global cumulative revenue by
+    calendar month: each month's totals plus the running total over all
+    months ≤ it.
+
+    The distributed-prefix-sum pattern at its cheapest: per-block partials
+    collapse every block to O(|months|) rows, one tiny combine produces the
+    month table (bounded by the date range, never by row count), and the
+    prefix sum is a domain-sized driver cumsum — the same
+    partial → bounded-combine → prefix-offset shape sample_char_budget uses
+    at row granularity. Exact integer cents throughout."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        out = pd.DataFrame(
+            {
+                "ym": (s.dt.year * 100 + s.dt.month).astype(np.int64),
+                "n_orders": np.int64(1),
+                "sum_cents": np.rint(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby("ym", as_index=False).agg(
+            n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum")
+        )
+
+    months = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # O(blocks × |months|) rows — month-domain-bounded
+        .groupby("ym", as_index=False)
+        .agg(n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum"))
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    months["cum_cents"] = months["sum_cents"].cumsum().astype(np.int64)
+    return months
+
+
+ORDERS_RUNNING_TOTAL_SQL = """
+WITH m AS (SELECT CAST(YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS BIGINT) AS ym,
+                  CAST(COUNT(*) AS BIGINT) AS n_orders,
+                  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                    AS sum_cents
+           FROM orders GROUP BY 1)
+SELECT ym, n_orders, sum_cents,
+       CAST(SUM(sum_cents) OVER (ORDER BY ym ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_cents
+FROM m
+"""
+
+
 def orders_rollup(sf_dir: str) -> pd.DataFrame:
     """(year, month, n_orders, total_cents) — GROUP BY ROLLUP(year, month):
     detail rows, per-year subtotals (month = -1) and a grand total

@@ -674,6 +674,53 @@ def price_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def value_outliers_mad(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+    """(event_id, cents, dev) — robust (median/MAD) outlier filter: events
+    whose |value − median| exceeds ``k`` × MAD (median absolute deviation).
+
+    The robust twin of :func:`value_outliers` — mean/std are dragged by the
+    very outliers being hunted; median/MAD are not. Dataflow: the exact
+    streaming-quantile operator finds the median of cents, a second
+    quantile pass finds the median of |cents − med| (both integer-valued, so
+    ``percentile_disc`` parity is exact), then one shuffle-free vectorized
+    filter compares integers — no float thresholds to disagree at the
+    boundary."""
+    path = f"{sf_dir}/events.parquet"
+
+    def cents_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"cents": np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)}
+        )
+
+    cents_ds = ray.data.read_parquet(path, columns=["value"]).map_batches(
+        cents_map, batch_format="pandas"
+    )
+    med = int(exact_group_quantiles(cents_ds, "cents", None, [0.5]).iloc[0]["p50"])
+
+    dev_ds = cents_ds.map_batches(
+        lambda df: pd.DataFrame({"dev": np.abs(df["cents"].to_numpy(np.int64) - med)}),
+        batch_format="pandas",
+    )
+    mad = int(exact_group_quantiles(dev_ds, "dev", None, [0.5]).iloc[0]["p50"])
+    thr = k * mad
+
+    def pick(df: pd.DataFrame) -> pa.Table:
+        cents = np.rint(df["value"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        dev = np.abs(cents - med)
+        m = dev > thr
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"].to_numpy()[m], type=pa.int64()),
+                "cents": pa.array(cents[m], type=pa.int64()),
+                "dev": pa.array(dev[m], type=pa.int64()),
+            }
+        )
+
+    return ray.data.read_parquet(path, columns=["event_id", "value"]).map_batches(
+        pick, batch_format="pandas"
+    )
+
+
 def event_type_drift(sf_dir: str) -> pd.DataFrame:
     """(event_type, n_first, n_second, ratio_e9) — distribution drift between
     the first and second halves of the events time range.

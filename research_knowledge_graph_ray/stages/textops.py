@@ -700,3 +700,70 @@ def char_diversity(sf_dir: str) -> "ray.data.Dataset":
 
     return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def doc_logprob_bigram(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_bigrams, sum_logp_e9) — conditional bigram language-model
+    score per document: Σ ln P(w2 | w1) with P = count(w1 w2) / count(w1 ·).
+
+    The KenLM-shaped upgrade of :func:`doc_logprob` (perplexity filtering
+    with context). Pass 1 builds exact bigram counts with the decontaminate
+    machinery (vectorized Arrow-offset gram construction, one exchange,
+    output bounded by the bigram vocabulary); left-context totals
+    count(w1 ·) are derived FROM that table by grouping on the first token —
+    no second corpus pass. Integer e9 log-probs make the per-doc sum
+    order-independent ⇒ exact SQL parity. Docs with < 2 tokens are excluded
+    (no bigram exists).
+
+    Scale note: the bigram table is broadcast for the scoring pass — fine
+    while the n-gram vocabulary is memory-bound (the usual case for filter
+    models); for an open web vocabulary swap the lookup for a hash join on
+    the gram, exactly as the unigram scorer documents."""
+    from .shuffle import hash_exchange_apply
+    from .stats import _round_e9
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        _, grams = _doc_ngrams(batch, 2)
+        t = pa.table({"g": grams})
+        return t.group_by("g").aggregate([("g", "count")]).rename_columns(["g", "n"])
+
+    counts = hash_exchange_apply(
+        _read_docs(sf_dir), ["g"], gram_partial,
+        lambda tab: tab.group_by("g").aggregate([("n", "sum")])
+        .rename_columns(["g", "n"]),
+        n_buckets=16,
+    ).to_pandas()  # bigram-vocabulary-bound
+    w1 = counts["g"].str.split(" ").str[0]
+    left = counts.groupby(w1)["n"].transform("sum")
+    lp = np.asarray(
+        [_round_e9(math.log(float(n) / float(l)))
+         for n, l in zip(counts["n"], left)],
+        dtype=np.int64,
+    )
+    vocab_ref = ray.put((pa.array(counts["g"], type=pa.string()), lp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, lp_arr = ray.get(vocab_ref)
+        doc_idx, grams = _doc_ngrams(batch, 2)
+        idx = pc.index_in(grams, value_set=vocab)
+        if idx.null_count:
+            raise ValueError("bigram outside the model vocabulary")
+        idx = idx.to_numpy(zero_copy_only=False)
+        n_rows = len(batch)
+        sums = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(sums, doc_idx, lp_arr[idx])
+        nbg = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+        m = nbg > 0
+        ids = batch["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "doc_id": ids.filter(pa.array(m)),
+                "n_bigrams": pa.array(nbg[m]),
+                "sum_logp_e9": pa.array(sums[m]),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)

@@ -119,3 +119,68 @@ def test_exact_group_quantiles_cont_planted_interpolation():
     out = stats.exact_group_quantiles_cont(ds, "v", "g", [0.625])
     # h = 4*0.625 = 2.5 → 40 + 0.5*(80-40) = 60
     assert out.loc[0, "p62.5"] == 60.0
+
+
+def test_value_outliers_mad_vs_brute_force():
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "value"]).to_pandas()
+    cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
+    med = int(np.sort(cents)[int(np.ceil(0.5 * len(cents))) - 1])
+    dev = np.abs(cents - med)
+    mad = int(np.sort(dev)[int(np.ceil(0.5 * len(dev))) - 1])
+    want = set(t["event_id"].to_numpy()[dev > 5 * mad])
+    got = stats.value_outliers_mad(SF).to_pandas()
+    assert set(got["event_id"]) == want
+    assert (got["dev"] > 5 * mad).all()
+
+
+def test_doc_logprob_bigram_vs_brute_force():
+    import math
+    import re
+    from collections import Counter
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    docs = {
+        r["doc_id"]: [w for w in re.split(r"[^a-z0-9]+", r["text"].lower()) if w]
+        for _, r in t.iterrows()
+    }
+    bg = Counter(
+        f"{w1} {w2}"
+        for ws in docs.values()
+        for w1, w2 in zip(ws, ws[1:])
+    )
+    left = Counter()
+    for g, n in bg.items():
+        left[g.split(" ")[0]] += n
+    lp = {g: stats._round_e9(math.log(n / left[g.split(" ")[0]]))
+          for g, n in bg.items()}
+    got = textops.doc_logprob_bigram(SF).to_pandas().set_index("doc_id")
+    n_checked = 0
+    for doc_id, ws in docs.items():
+        grams = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        if not grams:
+            assert doc_id not in got.index
+            continue
+        row = got.loc[doc_id]
+        assert row["n_bigrams"] == len(grams)
+        assert row["sum_logp_e9"] == sum(lp[g] for g in grams)
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_orders_running_total_monotone_and_exact():
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"]).to_pandas()
+    ym = (t["o_orderdate"].dt.year * 100 + t["o_orderdate"].dt.month).astype(int)
+    cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    from research_knowledge_graph_ray.pipelines import relational
+
+    got = relational.orders_running_total(SF)
+    assert got["ym"].is_monotonic_increasing
+    assert (got["cum_cents"].diff().fillna(got["cum_cents"]) ==
+            got["sum_cents"]).all()
+    grand = int(cents.sum())
+    assert int(got["cum_cents"].iloc[-1]) == grand
+    one = got[got["ym"] == int(ym.iloc[0])]
+    assert int(one["sum_cents"].iloc[0]) == int(cents[ym == ym.iloc[0]].sum())
