@@ -70,6 +70,36 @@ def doc_mentions(sf_dir: str) -> "ray.data.Dataset":
                                           zero_copy_batch=True)
 
 
+def term_postings(sf_dir: str) -> "ray.data.Dataset":
+    """(term, n_docs, postings) — inverted-index build: each vocabulary
+    term's sorted posting list of doc_ids, comma-joined, plus its document
+    frequency. The search-index artifact a retrieval stack materializes from
+    the corpus.
+
+    Dataflow: the per-doc mention pass (zero shuffle, already distinct per
+    doc) feeds ONE exchange on term; each reducer sorts and joins its terms'
+    postings locally. Output rows are vocabulary-bound; posting-list LENGTH
+    is frequency-bound — for web-scale hot terms, shard the list by
+    ``doc_id`` range into (term, shard) rows before the exchange (same
+    salting pattern as build_nodes) rather than building one giant string."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    mentions = doc_mentions(sf_dir)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["term", "doc_id"]]
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "doc_id"], kind="mergesort")
+        out = df.groupby("term", as_index=False).agg(
+            n_docs=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(map(str, s))),
+        )
+        return out.astype({"term": "string", "postings": "string"})
+
+    return bucketed_group_apply(mentions, ["term"], part, fin)
+
+
 def nodes_flat(sf_dir: str) -> "ray.data.Dataset":
     """(node_id, label, n_docs) — canonical term entities with doc counts."""
     partial = doc_mentions(sf_dir).map_batches(

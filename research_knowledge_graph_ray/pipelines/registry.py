@@ -742,6 +742,35 @@ SELECT deg.term, deg.d, CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
 FROM deg LEFT JOIN tc USING (term) WHERE deg.d >= 2
 """
 
+KNN_JOIN_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+          AS sim_e6
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim_e6 DESC, nn_id) AS rnk
+      FROM s)
+SELECT vec_id, nn_id, CAST(rnk AS BIGINT) AS nn_rank, sim_e6
+FROM r WHERE rnk <= 3
+"""
+
+TERM_POSTINGS_SQL = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST}))
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM dt GROUP BY term
+"""
+
+TABLE_CHECKSUM_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(('0x' || substr(md5(
+              CAST(o_orderkey AS VARCHAR) || '|' ||
+              CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+            ), 1, 8))::UBIGINT) AS BIGINT) AS checksum
+FROM orders
+"""
+
 VALUE_OUTLIERS_MAD_SQL = """
 WITH c AS (SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS cents
            FROM events),
@@ -922,6 +951,15 @@ QUERIES: dict = {
     # global running total by month (distributed prefix-sum shape)
     "orders_running_total": (relational.orders_running_total,
                              relational.ORDERS_RUNNING_TOTAL_SQL),
+    # inverted-index build (term → sorted posting list)
+    "term_postings": (kgflat.term_postings, TERM_POSTINGS_SQL),
+    # order-independent table content checksum (replication integrity)
+    "table_checksum": (stats.table_checksum, TABLE_CHECKSUM_SQL),
+    # cosine kNN self-join: brute (broadcast build side) and the distributed
+    # IVF dataflow — registered at nprobe == n_centroids where IVF is EXACT,
+    # so both share the oracle; the pruned-nprobe recall is pytest-pinned
+    "knn_join": (similarity.knn_join, KNN_JOIN_SQL),
+    "knn_join_ivf": (similarity.knn_join_ivf, KNN_JOIN_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

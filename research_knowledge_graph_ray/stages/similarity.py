@@ -175,3 +175,188 @@ def knn_topk_ivf(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(["sim_e6", "vec_id"], descending=[True, False]).limit(k)
+
+
+_KEY_SHIFT = np.int64(1) << np.int64(32)  # lexicographic (−sim_e6, nn_id) key
+
+
+def _topk_keys(sims_e6: np.ndarray, nn_ids: np.ndarray) -> np.ndarray:
+    """int64 sort keys ordering by (sim_e6 DESC, nn_id ASC) — one argsort per
+    row instead of a per-row lexsort."""
+    return (np.int64(1_000_000) - sims_e6) * _KEY_SHIFT + nn_ids
+
+
+def _load_unit_matrix(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    flat = np.asarray(t["embedding"].combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False), dtype=np.float64)
+    mat = flat.reshape(len(ids), -1)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, mat / norms
+
+
+def knn_join(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """(vec_id, nn_id, nn_rank, sim_e6) — cosine k-nearest-neighbor SELF-JOIN:
+    every vector's top-k neighbors (self excluded; ties broken by nn_id).
+
+    The brute-force baseline the brief names: the build side is broadcast
+    ONCE as a unit-normalized matrix (``ray.put``), each batch of query rows
+    is one matmul against it, and per-row top-k is a single argsort over a
+    packed (−sim, id) integer key — no per-row Python, no shuffle at all.
+    Valid while the build side is broadcast-sized; past that, switch to
+    :func:`knn_join_ivf`, whose bucketed exchange never materializes the
+    build side in one place."""
+    ids, unit = _load_unit_matrix(sf_dir)
+    b_ref = ray.put((ids, unit))
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        b_ids, b_unit = ray.get(b_ref)
+        q_ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = _batch_vecs(batch)
+        nq = np.linalg.norm(q, axis=1, keepdims=True)
+        nq[nq == 0] = 1.0
+        sims_e6 = np.round((q / nq) @ b_unit.T * 1e6).astype(np.int64)
+        keys = _topk_keys(sims_e6, b_ids[None, :].repeat(len(q_ids), axis=0))
+        keys[q_ids[:, None] == b_ids[None, :]] = np.iinfo(np.int64).max  # self
+        top = np.argsort(keys, axis=1, kind="stable")[:, :k]
+        rows = np.repeat(np.arange(len(q_ids)), k)
+        cols = top.ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": q_ids[rows],
+                "nn_id": b_ids[cols],
+                "nn_rank": np.tile(np.arange(1, k + 1, dtype=np.int64),
+                                   len(q_ids)),
+                "sim_e6": sims_e6[rows, cols],
+            }
+        )
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_join_ivf(
+    sf_dir: str, k: int = 3, n_centroids: int = 16, nprobe: int = 16,
+) -> "ray.data.Dataset":
+    """(vec_id, nn_id, nn_rank, sim_e6) — the DISTRIBUTED kNN self-join: IVF
+    bucketing with nprobe probing, no broadcast of the build side.
+
+    Dataflow: one map assigns each vector to its nearest-centroid bucket
+    (build role) and fans it out to its ``nprobe`` nearest buckets (query
+    role) — a build vector lives in exactly one bucket, so (query, build)
+    pairs are never duplicated across buckets. One exchange co-locates each
+    bucket; the per-bucket kernel is the same matmul + packed-key argsort as
+    the brute path, emitting per-bucket top-k partials. A second, tiny
+    exchange on vec_id (≤ nprobe·k rows per query) merges partials into the
+    global top-k. With ``nprobe == n_centroids`` the result is EXACT (that
+    configuration is the oracle gate); smaller nprobe trades recall for a
+    pruned candidate set — pinned by pytest against the brute join."""
+    from .shuffle import bucketed_group_apply
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    head = t.slice(0, n_centroids)
+    cents = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in head["embedding"].to_pylist()])
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    c_ref = ray.put(cents)
+    nprobe = min(nprobe, n_centroids)
+
+    def fanout(batch: pa.Table) -> pd.DataFrame:
+        cv = ray.get(c_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = _batch_vecs(batch)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        sims_c = unit @ cv.T
+        order = np.argsort(-sims_c, axis=1, kind="stable")
+        build_b = order[:, 0]
+        probe_b = order[:, :nprobe]
+        n, d = unit.shape
+        vb = [row.tobytes() for row in unit]
+        return pd.DataFrame(
+            {
+                "bucket": np.concatenate([build_b, probe_b.ravel()]),
+                "vid": np.concatenate([ids, np.repeat(ids, nprobe)]),
+                "role": np.concatenate(
+                    [np.zeros(n, np.int8), np.ones(n * nprobe, np.int8)]
+                ),
+                "v": vb + [vb[i] for i in np.repeat(np.arange(n), nprobe)],
+            }
+        )
+
+    def bucket_knn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype=np.int64),
+             "nn_id": pd.Series(dtype=np.int64),
+             "sim_e6": pd.Series(dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        out = []
+        for _, g in df.groupby("bucket", sort=False):
+            b = g[g["role"] == 0]
+            q = g[g["role"] == 1]
+            if b.empty or q.empty:
+                continue
+            b_ids = b["vid"].to_numpy(np.int64)
+            q_ids = q["vid"].to_numpy(np.int64)
+            b_m = np.frombuffer(b"".join(b["v"]), np.float64).reshape(len(b), -1)
+            q_m = np.frombuffer(b"".join(q["v"]), np.float64).reshape(len(q), -1)
+            sims_e6 = np.round(q_m @ b_m.T * 1e6).astype(np.int64)
+            keys = _topk_keys(sims_e6, b_ids[None, :].repeat(len(q_ids), axis=0))
+            keys[q_ids[:, None] == b_ids[None, :]] = np.iinfo(np.int64).max
+            kk = min(k, len(b_ids))
+            top = np.argsort(keys, axis=1, kind="stable")[:, :kk]
+            rows = np.repeat(np.arange(len(q_ids)), kk)
+            cols = top.ravel()
+            sel = keys[rows, cols] != np.iinfo(np.int64).max  # drop self-only
+            out.append(pd.DataFrame(
+                {"vec_id": q_ids[rows][sel], "nn_id": b_ids[cols][sel],
+                 "sim_e6": sims_e6[rows, cols][sel]}
+            ))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    partials = bucketed_group_apply(
+        ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"],
+        lambda df: df,
+        bucket_knn,
+    )
+
+    def merge_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"vec_id": pd.Series(dtype=np.int64),
+             "nn_id": pd.Series(dtype=np.int64),
+             "nn_rank": pd.Series(dtype=np.int64),
+             "sim_e6": pd.Series(dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        df = df.copy()
+        df["key"] = _topk_keys(df["sim_e6"].to_numpy(np.int64),
+                               df["nn_id"].to_numpy(np.int64))
+        df = df.sort_values(["vec_id", "key"], kind="mergesort")
+        df = df.groupby("vec_id", sort=False).head(k)
+        df["nn_rank"] = df.groupby("vec_id", sort=False).cumcount() + 1
+        return df[["vec_id", "nn_id", "nn_rank", "sim_e6"]]
+
+    def shrink(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block partial top-k before the exchange on vec_id
+        if df.empty:
+            return df
+        df = df.copy()
+        df["key"] = _topk_keys(df["sim_e6"].to_numpy(np.int64),
+                               df["nn_id"].to_numpy(np.int64))
+        df = df.sort_values(["vec_id", "key"], kind="mergesort")
+        return df.groupby("vec_id", sort=False).head(k)[
+            ["vec_id", "nn_id", "sim_e6"]]
+
+    return bucketed_group_apply(partials, ["vec_id"], shrink, merge_topk)

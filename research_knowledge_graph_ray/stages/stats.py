@@ -768,6 +768,46 @@ def event_type_drift(sf_dir: str) -> pd.DataFrame:
     return parts.sort_values("event_type").reset_index(drop=True)
 
 
+def table_checksum(sf_dir: str, table: str = "orders") -> pd.DataFrame:
+    """One row (n_rows, checksum) — order-independent content checksum of the
+    orders table: SUM of the 32-bit md5 key of each row's canonical string
+    ``orderkey|cents``.
+
+    The migration/replication integrity check: because the fold is a SUM, it
+    is insensitive to row order and partitioning, so the same data yields
+    the same checksum at any parallelism — and a single changed/dropped row
+    changes it. Per-block partial sums are the only thing that leaves a
+    worker (one int per block). md5 keeps the hash restatable in SQL; at
+    open-web scale the per-row digest dominates compute and a vectorized
+    64-bit mix (e.g. the exchange's CRC family) is the drop-in swap."""
+    import hashlib
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/{table}.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["o_orderkey"].to_numpy(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100.0).astype(
+            np.int64
+        )
+        s = sum(
+            int.from_bytes(
+                hashlib.md5(f"{k}|{c}".encode()).digest()[:4], "big"
+            )
+            for k, c in zip(keys, cents)
+        )
+        return pd.DataFrame({"n_rows": [len(df)], "csum": [s]})
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    return pd.DataFrame(
+        {
+            "n_rows": [int(parts["n_rows"].sum())],
+            "checksum": [int(parts["csum"].sum())],
+        }
+    )
+
+
 def order_quartiles(sf_dir: str) -> pd.DataFrame:
     """(quartile, n_orders, sum_cents) — value-based NTILE: orders bucketed
     by the exact p25/p50/p75 of o_totalprice.

@@ -184,3 +184,74 @@ def test_orders_running_total_monotone_and_exact():
     assert int(got["cum_cents"].iloc[-1]) == grand
     one = got[got["ym"] == int(ym.iloc[0])]
     assert int(one["sum_cents"].iloc[0]) == int(cents[ym == ym.iloc[0]].sum())
+
+
+def test_term_postings_vs_brute_force():
+    import re
+
+    from research_knowledge_graph_ray.pipelines import kgflat
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    pat = re.compile(kgflat.TERM_PATTERN)
+    post: dict[str, set] = {}
+    for _, r in t.iterrows():
+        for term in set(pat.findall(r["text"].lower())):
+            post.setdefault(term, set()).add(r["doc_id"])
+    got = kgflat.term_postings(SF).to_pandas().set_index("term")
+    assert set(got.index) == set(post)
+    for term, docs in post.items():
+        row = got.loc[term]
+        assert row["n_docs"] == len(docs)
+        assert row["postings"] == ",".join(map(str, sorted(docs)))
+
+
+def test_table_checksum_detects_change(tmp_path):
+    import pyarrow.parquet as pqw
+
+    base = stats.table_checksum(SF)
+    t = pq.read_table(f"{SF}/orders.parquet")
+    d = tmp_path / "x"
+    d.mkdir()
+    df = t.to_pandas()
+    df.loc[0, "o_totalprice"] += 0.01  # one cent in one row
+    pqw.write_table(pq.read_table(f"{SF}/orders.parquet"), str(d / "orders.parquet"))
+    same = stats.table_checksum(str(d))
+    assert int(same["checksum"][0]) == int(base["checksum"][0])
+    import pyarrow as pa
+
+    pqw.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    str(d / "orders.parquet"))
+    changed = stats.table_checksum(str(d))
+    assert int(changed["checksum"][0]) != int(base["checksum"][0])
+    assert int(changed["n_rows"][0]) == int(base["n_rows"][0])
+
+
+def test_knn_join_ivf_pruned_recall_and_invariants():
+    from research_knowledge_graph_ray.stages import similarity
+
+    exact = similarity.knn_join(SF, k=3).to_pandas()
+    pruned = similarity.knn_join_ivf(SF, k=3, n_centroids=16, nprobe=4).to_pandas()
+    # invariants: no self pairs, ranks 1..k, ranks strictly ordered by key
+    assert (pruned["vec_id"] != pruned["nn_id"]).all()
+    assert set(pruned["nn_rank"]) <= {1, 2, 3}
+    # recall vs the exact join rises monotonically with nprobe and reaches
+    # 1.0 at full probe (this synthetic corpus is unclustered, so absolute
+    # recall at small nprobe is data-limited — the MONOTONE property is the
+    # operator's contract)
+    e_pairs = set(zip(exact["vec_id"], exact["nn_id"]))
+
+    def recall(nprobe):
+        p = similarity.knn_join_ivf(SF, k=3, n_centroids=16,
+                                    nprobe=nprobe).to_pandas()
+        pp = set(zip(p["vec_id"], p["nn_id"]))
+        return len(e_pairs & pp) / len(e_pairs)
+
+    r4 = len(e_pairs & set(zip(pruned["vec_id"], pruned["nn_id"]))) / len(e_pairs)
+    r8, r16 = recall(8), recall(16)
+    assert r4 >= 0.25, r4
+    assert r4 <= r8 <= r16 == 1.0, (r4, r8, r16)
+    # per-query ordering: sim_e6 non-increasing with rank
+    for _, g in pruned.groupby("vec_id"):
+        s = g.sort_values("nn_rank")["sim_e6"].to_numpy()
+        assert (np.diff(s) <= 0).all()
