@@ -128,6 +128,9 @@ def run_bench() -> dict:
         timed("item_jaccard", graphalgs.item_jaccard)
         timed("nation_year_revenue", windows.nation_year_revenue)
         timed("price_qty_regression", stats.price_qty_regression)
+        timed("char_diversity", textops.char_diversity)
+        timed("doc_logprob_bigram", textops.doc_logprob_bigram)
+        timed("knn_join", similarity.knn_join)
 
     result = {
         "metric": "kg_construct_wall_sec",
