@@ -24,10 +24,19 @@ def _init_ray():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local",
-                 num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0") or 0) or None,
-                 include_dashboard=False, ignore_reinit_error=True,
-                 logging_level="ERROR")
+        if os.environ.get("RAY_JOB_ID"):
+            # launched via `ray job submit` — attach to the running cluster;
+            # CPU/memory budgets belong to the cluster, never the CLI flags
+            # (the production path the north rule names: the same commands
+            # run unchanged under the job server on a multi-node cluster)
+            ray.init(address="auto", ignore_reinit_error=True,
+                     logging_level="ERROR")
+        else:
+            ray.init(address="local",
+                     num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "0") or 0)
+                     or None,
+                     include_dashboard=False, ignore_reinit_error=True,
+                     logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

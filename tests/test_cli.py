@@ -87,3 +87,24 @@ def test_cli_run_query():
 
     r = _run("run", "no_such_query")
     assert r.returncode == 2
+
+
+def test_init_ray_attaches_to_cluster_under_job_server(monkeypatch):
+    # under `ray job submit` (RAY_JOB_ID set) the CLI must attach to the
+    # running cluster (address="auto"), never spawn a local session
+    import ray
+
+    from research_knowledge_graph_ray import __main__ as cli
+
+    calls = {}
+    monkeypatch.setattr(ray, "is_initialized", lambda: False)
+    monkeypatch.setattr(ray, "init", lambda **kw: calls.update(kw))
+    monkeypatch.setenv("RAY_JOB_ID", "raysubmit_TEST")
+    cli._init_ray()
+    assert calls["address"] == "auto"
+    assert "num_cpus" not in calls
+
+    calls.clear()
+    monkeypatch.delenv("RAY_JOB_ID")
+    cli._init_ray()
+    assert calls["address"] == "local"
