@@ -742,6 +742,18 @@ SELECT deg.term, deg.d, CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
 FROM deg LEFT JOIN tc USING (term) WHERE deg.d >= 2
 """
 
+CONTRASTIVE_PAIRS_SQL = """
+WITH h AS (SELECT doc_id,
+                  md5(substr(text, 1, length(text) // 2)) AS fp_left,
+                  md5(substr(text, length(text) // 2 + 1)) AS fp_right
+           FROM documents)
+SELECT doc_id, fp_left AS fp_a, fp_right AS fp_b, CAST(1 AS BIGINT) AS label
+FROM h
+UNION ALL
+SELECT a.doc_id, a.fp_left AS fp_a, b.fp_left AS fp_b, CAST(0 AS BIGINT)
+FROM h a JOIN h b ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0
+"""
+
 KNN_JOIN_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
@@ -960,6 +972,8 @@ QUERIES: dict = {
     # so both share the oracle; the pruned-nprobe recall is pytest-pinned
     "knn_join": (similarity.knn_join, KNN_JOIN_SQL),
     "knn_join_ivf": (similarity.knn_join_ivf, KNN_JOIN_SQL),
+    # self-supervised training-pair generation (pair-key exchange negatives)
+    "contrastive_pairs": (textops.contrastive_pairs, CONTRASTIVE_PAIRS_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

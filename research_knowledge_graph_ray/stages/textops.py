@@ -767,3 +767,76 @@ def doc_logprob_bigram(sf_dir: str) -> "ray.data.Dataset":
 
     return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def contrastive_pairs(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, fp_a, fp_b, label) — self-supervised training-pair
+    generation for contrastive embedding training: positives are the two
+    halves of one document (label 1, zero shuffle); negatives pair each even
+    doc's left half with its id+1 partner's left half (label 0).
+
+    The pairing dataflow is the interesting part at scale: partners are
+    co-located by ONE exchange on the pair key ``doc_id // 2`` — each
+    reducer group holds at most the two partner docs, so negative pairing is
+    a bounded local zip, never a self-join. Fingerprints (md5 of the half)
+    stand in for the text payload so the output stays narrow; a real
+    pipeline would carry the halves themselves. Deterministic end-to-end —
+    no RNG, so pairs are stable under retries and restatable in SQL."""
+    from .shuffle import bucketed_group_apply
+
+    def halves(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = batch["text"]
+        n = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        half = n // 2
+        full = text.to_pylist()
+        la = [hashlib.md5(t[:h].encode()).hexdigest()
+              for t, h in zip(full, half)]
+        rb = [hashlib.md5(t[h:].encode()).hexdigest()
+              for t, h in zip(full, half)]
+        return pd.DataFrame({"doc_id": ids, "fp_left": la, "fp_right": rb})
+
+    fps = _read_docs(sf_dir).map_batches(halves, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+    def pos(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"], "fp_a": df["fp_left"],
+             "fp_b": df["fp_right"], "label": np.int64(1)}
+        )
+        return out.astype({"fp_a": "string", "fp_b": "string"})
+
+    positives = fps.map_batches(pos, batch_format="pandas")
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pk"] = df["doc_id"] // 2
+        return df
+
+    def pair_up(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64),
+             "fp_a": pd.Series(dtype="string"),
+             "fp_b": pd.Series(dtype="string"),
+             "label": pd.Series(dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        ev = df[df["doc_id"] % 2 == 0]
+        od = df[df["doc_id"] % 2 == 1]
+        m = ev.merge(od, on="pk", suffixes=("", "_r"), sort=False)
+        if m.empty:
+            return empty
+        out = pd.DataFrame(
+            {"doc_id": m["doc_id"].to_numpy(np.int64),
+             "fp_a": m["fp_left"].to_numpy(),
+             "fp_b": m["fp_left_r"].to_numpy(),
+             "label": np.int64(0)}
+        )
+        return out.astype({"fp_a": "string", "fp_b": "string"})
+
+    negatives = bucketed_group_apply(
+        fps.map_batches(pair_key, batch_format="pandas"),
+        ["pk"], lambda df: df, pair_up,
+    )
+    return positives.union(negatives)

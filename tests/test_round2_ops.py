@@ -255,3 +255,31 @@ def test_knn_join_ivf_pruned_recall_and_invariants():
     for _, g in pruned.groupby("vec_id"):
         s = g.sort_values("nn_rank")["sim_e6"].to_numpy()
         assert (np.diff(s) <= 0).all()
+
+
+def test_contrastive_pairs_semantics():
+    import hashlib
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    got = textops.contrastive_pairs(SF).to_pandas()
+    pos = got[got["label"] == 1].set_index("doc_id")
+    neg = got[got["label"] == 0].set_index("doc_id")
+    # every doc yields exactly one positive: (md5(left half), md5(right half))
+    assert len(pos) == len(t)
+    by_id = t.set_index("doc_id")["text"]
+    for doc_id in t["doc_id"].head(20):
+        s = by_id[doc_id]
+        h = len(s) // 2
+        assert pos.loc[doc_id, "fp_a"] == hashlib.md5(s[:h].encode()).hexdigest()
+        assert pos.loc[doc_id, "fp_b"] == hashlib.md5(s[h:].encode()).hexdigest()
+    # negatives: one per complete even/odd partner pair, anchored at the even id
+    ids = set(t["doc_id"])
+    want_neg = {d for d in ids if d % 2 == 0 and d + 1 in ids}
+    assert set(neg.index) == want_neg
+    for doc_id in list(want_neg)[:10]:
+        sa, sb = by_id[doc_id], by_id[doc_id + 1]
+        assert neg.loc[doc_id, "fp_a"] == hashlib.md5(
+            sa[: len(sa) // 2].encode()).hexdigest()
+        assert neg.loc[doc_id, "fp_b"] == hashlib.md5(
+            sb[: len(sb) // 2].encode()).hexdigest()
