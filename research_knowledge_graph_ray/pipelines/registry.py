@@ -1020,5 +1020,10 @@ QUERIES.update(
                                 windows.CUSTOMER_ORDER_GAPS_SQL),
         # benchmark decontamination (n-gram overlap vs held-out eval slice)
         "decontaminate": (textops.decontaminate, DECONTAMINATE_SQL),
+        # cohort retention: first-seen derived inside the same user exchange
+        "user_retention": (windows.user_retention, windows.USER_RETENTION_SQL),
+        # two-step funnel with the 'B after A' constraint resolved per user
+        "signup_purchase_funnel": (windows.signup_purchase_funnel,
+                                   windows.SIGNUP_PURCHASE_FUNNEL_SQL),
     }
 )

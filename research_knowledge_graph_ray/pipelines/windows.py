@@ -777,3 +777,110 @@ def latest_event_per_user(sf_dir: str) -> "ray.data.Dataset":
     )
     return bucketed_group_apply(ev, ["user_id"], keep_latest, keep_latest,
                                 n_buckets=8)
+
+
+def user_retention(sf_dir: str) -> pd.DataFrame:
+    """(cohort_d, d, n_users) — cohort retention: users grouped by the day of
+    their first event (cohort), counted on every day they were active.
+
+    One exchange, no self-join: the per-block partial is DISTINCT
+    (user_id, day) — O(users × active-days), already heavily shrunk — and
+    each user lands wholly in one bucket, so the reducer derives the cohort
+    (min day) AND the per-(cohort, day) user counts locally; the final
+    combine sums day²-bounded partials on the driver. The classic
+    analytics query that naively needs events ⋈ first-seen; here first-seen
+    rides the same exchange."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    day_us = 86_400_000_000
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // day_us
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "d": d}).drop_duplicates()
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"cohort_d": pd.Series(dtype=np.int64),
+                                 "d": pd.Series(dtype=np.int64),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        df = df.drop_duplicates(["user_id", "d"])
+        df = df.assign(cohort_d=df.groupby("user_id")["d"].transform("min"))
+        return (df.groupby(["cohort_d", "d"], as_index=False)
+                .agg(n_users=("user_id", "size")))
+
+    parts = bucketed_group_apply(ev, ["user_id"], part, fin).to_pandas()
+    return (parts.groupby(["cohort_d", "d"], as_index=False)
+            .agg(n_users=("n_users", "sum"))
+            .sort_values(["cohort_d", "d"]).reset_index(drop=True))
+
+
+USER_RETENTION_SQL = """
+WITH dd AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+f AS (SELECT user_id, MIN(d) AS cohort_d FROM dd GROUP BY 1)
+SELECT CAST(f.cohort_d AS BIGINT) AS cohort_d, CAST(dd.d AS BIGINT) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM dd JOIN f USING (user_id) GROUP BY 1, 2
+"""
+
+
+def signup_purchase_funnel(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, t_signup_us, t_purchase_us, converted) — two-step funnel:
+    for every user who signed up, the first signup time and the first
+    purchase AT OR AFTER it (−1 / converted=0 when none).
+
+    Stateful sequence matching expressed as one exchange on user_id: the
+    per-block partial filters to the two step types and projects three
+    columns; the reducer holds each user's full (tiny) step history and
+    resolves the 'B after A' constraint locally — the constraint is why
+    per-type MIN partials would be wrong (a purchase before signup must not
+    count), so the partial shrinks by FILTER, not by aggregation."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "ts"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["signup", "purchase"])]
+        return pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(np.int64),
+             "event_type": df["event_type"].astype(str),
+             "ts_us": df["ts"].to_numpy().astype("datetime64[us]")
+             .astype(np.int64)}
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                              "t_signup_us": pd.Series(dtype=np.int64),
+                              "t_purchase_us": pd.Series(dtype=np.int64),
+                              "converted": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        s = (df[df["event_type"] == "signup"]
+             .groupby("user_id", as_index=False).agg(t_signup_us=("ts_us", "min")))
+        if s.empty:
+            return empty
+        p = df[df["event_type"] == "purchase"].merge(s, on="user_id", sort=False)
+        p = p[p["ts_us"] >= p["t_signup_us"]]
+        pb = p.groupby("user_id", as_index=False).agg(tb=("ts_us", "min"))
+        out = s.merge(pb, on="user_id", how="left", sort=False)
+        conv = out["tb"].notna()
+        out["t_purchase_us"] = out["tb"].fillna(-1).astype(np.int64)
+        out["converted"] = conv.astype(np.int64)
+        return out[["user_id", "t_signup_us", "t_purchase_us", "converted"]]
+
+    return bucketed_group_apply(ev, ["user_id"], part, fin, n_buckets=8)
+
+
+SIGNUP_PURCHASE_FUNNEL_SQL = """
+WITH s AS (SELECT user_id, MIN(epoch_us(ts)) AS ta FROM events
+           WHERE event_type = 'signup' GROUP BY 1),
+p AS (SELECT s.user_id, MIN(epoch_us(e.ts)) AS tb
+      FROM s JOIN events e ON e.user_id = s.user_id
+           AND e.event_type = 'purchase' AND epoch_us(e.ts) >= s.ta
+      GROUP BY 1)
+SELECT s.user_id, CAST(s.ta AS BIGINT) AS t_signup_us,
+       CAST(COALESCE(p.tb, -1) AS BIGINT) AS t_purchase_us,
+       CAST(CASE WHEN p.tb IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS converted
+FROM s LEFT JOIN p USING (user_id)
+"""

@@ -283,3 +283,45 @@ def test_contrastive_pairs_semantics():
             sa[: len(sa) // 2].encode()).hexdigest()
         assert neg.loc[doc_id, "fp_b"] == hashlib.md5(
             sb[: len(sb) // 2].encode()).hexdigest()
+
+
+def test_user_retention_vs_brute_force():
+    from research_knowledge_graph_ray.pipelines import windows
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "ts"]).to_pandas()
+    day = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) \
+        // 86_400_000_000
+    df = pd.DataFrame({"u": t["user_id"], "d": day}).drop_duplicates()
+    cohort = df.groupby("u")["d"].min()
+    df["cohort_d"] = df["u"].map(cohort)
+    want = df.groupby(["cohort_d", "d"]).size()
+    got = windows.user_retention(SF).set_index(["cohort_d", "d"])["n_users"]
+    assert got.to_dict() == want.to_dict()
+    # diagonal completeness: every cohort is active on its own first day
+    for c in cohort.unique():
+        assert (c, c) in got.index
+
+
+def test_signup_purchase_funnel_vs_brute_force():
+    from research_knowledge_graph_ray.pipelines import windows
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["user_id", "event_type", "ts"]).to_pandas()
+    t["us"] = t["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    got = windows.signup_purchase_funnel(SF).to_pandas().set_index("user_id")
+    signups = t[t["event_type"] == "signup"].groupby("user_id")["us"].min()
+    assert set(got.index) == set(signups.index)
+    for uid, ta in signups.items():
+        row = got.loc[uid]
+        assert row["t_signup_us"] == ta
+        after = t[(t["user_id"] == uid) & (t["event_type"] == "purchase")
+                  & (t["us"] >= ta)]["us"]
+        if len(after):
+            assert row["converted"] == 1 and row["t_purchase_us"] == after.min()
+        else:
+            assert row["converted"] == 0 and row["t_purchase_us"] == -1
+    # a purchase strictly BEFORE signup must not convert: verify at least the
+    # rule is enforceable (all converted rows satisfy t_purchase >= t_signup)
+    conv = got[got["converted"] == 1]
+    assert (conv["t_purchase_us"] >= conv["t_signup_us"]).all()
