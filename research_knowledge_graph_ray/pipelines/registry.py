@@ -742,6 +742,36 @@ SELECT deg.term, deg.d, CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
 FROM deg LEFT JOIN tc USING (term) WHERE deg.d >= 2
 """
 
+SOURCE_QUALITY_SQL = r"""
+WITH q AS (SELECT source, lang,
+    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS t,
+    CAST(COALESCE(array_length(regexp_extract_all(lower(text),
+                                                  '\b(the|a)\b')), 0)
+         AS BIGINT) AS s
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(t) AS BIGINT) AS sum_tokens,
+       CAST(SUM(s) AS BIGINT) AS sum_stopwords,
+       CAST(SUM(s) * 10000 // SUM(t) AS BIGINT) AS stop_bp
+FROM q GROUP BY source
+"""
+
+KEY_SKEW_SQL = """
+WITH a AS (
+  SELECT 'orders.o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS v FROM orders
+  UNION ALL
+  SELECT 'lineitem.l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'lineitem.l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem),
+c AS (SELECT col, v, COUNT(*) AS n FROM a GROUP BY 1, 2)
+SELECT col, CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(n) AS BIGINT) AS top_cnt,
+       CAST(MAX(n) * COUNT(*) * 1000000000 // SUM(n) AS BIGINT) AS skew_e9
+FROM c GROUP BY col
+"""
+
 CONTRASTIVE_PAIRS_SQL = """
 WITH h AS (SELECT doc_id,
                   md5(substr(text, 1, length(text) // 2)) AS fp_left,
@@ -974,6 +1004,10 @@ QUERIES: dict = {
     "knn_join_ivf": (similarity.knn_join_ivf, KNN_JOIN_SQL),
     # self-supervised training-pair generation (pair-key exchange negatives)
     "contrastive_pairs": (textops.contrastive_pairs, CONTRASTIVE_PAIRS_SQL),
+    # domain-level curation report (per-source quality aggregate)
+    "source_quality": (textops.source_quality_report, SOURCE_QUALITY_SQL),
+    # pre-flight join-key skew diagnostic (decides plain vs salted join)
+    "key_skew": (stats.key_skew_report, KEY_SKEW_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

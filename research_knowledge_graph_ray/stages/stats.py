@@ -840,3 +840,50 @@ def order_quartiles(sf_dir: str) -> pd.DataFrame:
         .sort_values("quartile")
         .reset_index(drop=True)
     )
+
+
+_SKEW_SPECS = [
+    ("orders", "o_custkey", "orders.o_custkey"),
+    ("lineitem", "l_suppkey", "lineitem.l_suppkey"),
+    ("lineitem", "l_partkey", "lineitem.l_partkey"),
+]
+
+
+def key_skew_report(sf_dir: str) -> pd.DataFrame:
+    """(col, n_rows, n_distinct, top_cnt, skew_e9) — the pre-flight skew
+    diagnostic for join/aggregation keys: per key column, the hottest key's
+    count and the skew factor top_cnt·n_distinct·1e9 // n_rows (1e9 ⇒
+    perfectly uniform; ≫1e9 ⇒ salt this key).
+
+    This is the tool that decides between hash_join and hash_join_salted
+    BEFORE a 100 TB job funnels one reduce bucket. Per column: per-block
+    partial value counts → one exchange on the value → each bucket emits a
+    single (rows, distinct, max) summary row (values are disjoint across
+    buckets, so the driver fold of sums/max is exact)."""
+    from .shuffle import bucketed_group_apply
+
+    rows = []
+    for table, col, label in _SKEW_SPECS:
+        ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=[col])
+
+        def part(df: pd.DataFrame, col=col) -> pd.DataFrame:
+            return (df.groupby(col, as_index=False).size()
+                    .rename(columns={"size": "n"}))
+
+        def fin(df: pd.DataFrame, col=col) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"rows": pd.Series(dtype=np.int64),
+                                     "distinct": pd.Series(dtype=np.int64),
+                                     "top": pd.Series(dtype=np.int64)})
+            g = df.groupby(col, as_index=False).agg(n=("n", "sum"))
+            return pd.DataFrame({"rows": [int(g["n"].sum())],
+                                 "distinct": [len(g)],
+                                 "top": [int(g["n"].max())]})
+
+        s = bucketed_group_apply(ds, [col], part, fin, n_buckets=8).to_pandas()
+        n_rows, n_distinct, top = (int(s["rows"].sum()), int(s["distinct"].sum()),
+                                   int(s["top"].max()))
+        rows.append({"col": label, "n_rows": n_rows, "n_distinct": n_distinct,
+                     "top_cnt": top,
+                     "skew_e9": top * n_distinct * 10**9 // n_rows})
+    return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)

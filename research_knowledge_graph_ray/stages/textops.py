@@ -840,3 +840,60 @@ def contrastive_pairs(sf_dir: str) -> "ray.data.Dataset":
         ["pk"], lambda df: df, pair_up,
     )
     return positives.union(negatives)
+
+
+def source_quality_report(sf_dir: str) -> "ray.data.Dataset":
+    """(source, n_docs, n_langs, sum_tokens, sum_stopwords, stop_bp) — the
+    domain-level curation report: per source, document count, language
+    spread, and the aggregate stopword-quality score in basis points.
+
+    The decision table for source-level filtering/reweighting (the
+    CommonCrawl-style "keep this domain?" step). Per-block partials collapse
+    to O(|sources| × |langs|) rows (integer sums + the distinct lang set
+    rides the same rows); one tiny exchange on source; all outputs exact
+    integers."""
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(
+            pc.replace_substring(text, pattern=" ", replacement="")
+        )
+        toks = pc.add(pc.subtract(n_chars, no_space.cast(pa.int64())), 1)
+        stops = pc.count_substring_regex(
+            pc.utf8_lower(text), pattern=STOPWORD_PATTERN
+        ).cast(pa.int64())
+        df = pd.DataFrame(
+            {
+                "source": batch["source"].to_pandas().astype(str),
+                "lang": batch["lang"].to_pandas().astype(str),
+                "t": toks.to_numpy(zero_copy_only=False),
+                "s": stops.to_numpy(zero_copy_only=False),
+                "n": np.int64(1),
+            }
+        )
+        return df.groupby(["source", "lang"], as_index=False).agg(
+            t=("t", "sum"), s=("s", "sum"), n=("n", "sum")
+        )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["source", "lang"], as_index=False).agg(
+            t=("t", "sum"), s=("s", "sum"), n=("n", "sum")
+        )
+        out = df.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_langs=("lang", "nunique"),
+            sum_tokens=("t", "sum"), sum_stopwords=("s", "sum"),
+        )
+        out["stop_bp"] = np.array(
+            [int(s) * 10000 // int(t)
+             for s, t in zip(out["sum_stopwords"], out["sum_tokens"])],
+            dtype=np.int64,
+        )
+        return out.astype({"source": "string"})
+
+    from .shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
+    ).map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(ds, ["source"], lambda df: df, fin, n_buckets=8)

@@ -325,3 +325,34 @@ def test_signup_purchase_funnel_vs_brute_force():
     # rule is enforceable (all converted rows satisfy t_purchase >= t_signup)
     conv = got[got["converted"] == 1]
     assert (conv["t_purchase_us"] >= conv["t_signup_us"]).all()
+
+
+def test_source_quality_report_vs_brute_force():
+    import re
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["source", "lang", "text"]).to_pandas()
+    stop = re.compile(r"\b(the|a)\b")
+    t["tok"] = t["text"].str.len() - t["text"].str.replace(" ", "").str.len() + 1
+    t["stp"] = t["text"].str.lower().map(lambda s: len(stop.findall(s)))
+    got = textops.source_quality_report(SF).to_pandas().set_index("source")
+    for src, g in t.groupby("source"):
+        row = got.loc[src]
+        assert row["n_docs"] == len(g)
+        assert row["n_langs"] == g["lang"].nunique()
+        assert row["sum_tokens"] == int(g["tok"].sum())
+        assert row["sum_stopwords"] == int(g["stp"].sum())
+        assert row["stop_bp"] == int(g["stp"].sum()) * 10000 // int(g["tok"].sum())
+    assert len(got) == t["source"].nunique()
+
+
+def test_key_skew_report_vs_brute_force():
+    got = stats.key_skew_report(SF).set_index("col")
+    for table, col, label in stats._SKEW_SPECS:
+        v = pq.read_table(f"{SF}/{table}.parquet", columns=[col]).to_pandas()[col]
+        cnt = v.value_counts()
+        row = got.loc[label]
+        assert row["n_rows"] == len(v)
+        assert row["n_distinct"] == len(cnt)
+        assert row["top_cnt"] == int(cnt.max())
+        assert row["skew_e9"] == int(cnt.max()) * len(cnt) * 10**9 // len(v)
