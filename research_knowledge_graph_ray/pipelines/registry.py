@@ -742,6 +742,13 @@ SELECT deg.term, deg.d, CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_tri,
 FROM deg LEFT JOIN tc USING (term) WHERE deg.d >= 2
 """
 
+ORDER_PRICE_RANK_SQL = """
+SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(RANK() OVER (ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS price_rank
+FROM orders
+"""
+
 SOURCE_QUALITY_SQL = r"""
 WITH q AS (SELECT source, lang,
     CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT) AS t,
@@ -1008,6 +1015,9 @@ QUERIES: dict = {
     "source_quality": (textops.source_quality_report, SOURCE_QUALITY_SQL),
     # pre-flight join-key skew diagnostic (decides plain vs salted join)
     "key_skew": (stats.key_skew_report, KEY_SKEW_SQL),
+    # exact global RANK() attach without a global sort (range partition +
+    # histogram offsets; ties are bucket-local by construction)
+    "order_price_rank": (stats.order_price_rank, ORDER_PRICE_RANK_SQL),
 }
 
 # windowed / join operators (registered after module init to avoid cycles)

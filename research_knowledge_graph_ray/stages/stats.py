@@ -887,3 +887,89 @@ def key_skew_report(sf_dir: str) -> pd.DataFrame:
                      "top_cnt": top,
                      "skew_e9": top * n_distinct * 10**9 // n_rows})
     return pd.DataFrame(rows).sort_values("col").reset_index(drop=True)
+
+
+def order_price_rank(sf_dir: str, n_hist: int = 2048) -> "ray.data.Dataset":
+    """(o_orderkey, cents, price_rank) — EXACT global RANK() of every order
+    by o_totalprice (ties share the min rank), without a global sort.
+
+    The distributed rank-attach pattern: one histogram pass pins per-bucket
+    global offsets (value → bucket is order-preserving, so offsets are just
+    the cumulative histogram); one exchange co-locates each bucket; each
+    reducer sorts only its own bucket and adds its offset. Equal values
+    always share a bucket (the bucket is a function of the value), so tie
+    groups never straddle reducers and min-rank ties are bucket-local.
+    Skewed value ranges only widen one bucket — the loud candidate-cap
+    failure mode of the quantile operator applies, never a silent straggler
+    at the scale of the whole table."""
+    from .shuffle import bucketed_group_apply
+
+    path = f"{sf_dir}/orders.parquet"
+
+    def cents_map(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "cents": np.rint(
+                    df["o_totalprice"].to_numpy(np.float64) * 100.0
+                ).astype(np.int64),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        path, columns=["o_orderkey", "o_totalprice"]
+    ).map_batches(cents_map, batch_format="pandas")
+
+    agg = ds.aggregate(Min("cents"), Max("cents"))
+    lo, hi = int(agg["min(cents)"]), int(agg["max(cents)"])
+    width = (hi - lo) or 1
+    scale = n_hist / width
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) * scale).astype(np.int64), 0, n_hist - 1)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucket_of(df["cents"].to_numpy(np.int64))
+        c = np.bincount(b, minlength=n_hist)
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame({"b": nz, "cnt": c[nz]})
+
+    counts = (
+        ds.map_batches(hist, batch_format="pandas")
+        .to_pandas()  # ≤ n_hist rows per block
+        .groupby("b", as_index=False)
+        .agg(cnt=("cnt", "sum"))
+        .sort_values("b")
+    )
+    full = np.zeros(n_hist, dtype=np.int64)
+    full[counts["b"].to_numpy(np.int64)] = counts["cnt"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])  # rows below bucket
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_of(df["cents"].to_numpy(np.int64))
+        return df
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderkey": pd.Series(dtype=np.int64),
+                              "cents": pd.Series(dtype=np.int64),
+                              "price_rank": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        out = []
+        for b, g in df.groupby("b", sort=False):
+            v = g["cents"].to_numpy(np.int64)
+            order = np.argsort(v, kind="stable")
+            sv = v[order]
+            # min rank of each tie group = index of first equal value
+            first_idx = np.searchsorted(sv, v, side="left")
+            out.append(pd.DataFrame(
+                {"o_orderkey": g["o_orderkey"].to_numpy(np.int64),
+                 "cents": v,
+                 "price_rank": int(offsets[b]) + first_idx + 1}))
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        ds.map_batches(keyed, batch_format="pandas"), ["b"],
+        lambda df: df, rank_bucket,
+    )

@@ -356,3 +356,18 @@ def test_key_skew_report_vs_brute_force():
         assert row["n_distinct"] == len(cnt)
         assert row["top_cnt"] == int(cnt.max())
         assert row["skew_e9"] == int(cnt.max()) * len(cnt) * 10**9 // len(v)
+
+
+def test_order_price_rank_vs_brute_force():
+    t = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    cents = np.rint(t["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    # brute min-rank: 1 + count of strictly smaller values
+    sv = np.sort(cents)
+    want = np.searchsorted(sv, cents, side="left") + 1
+    got = (stats.order_price_rank(SF).to_pandas()
+           .set_index("o_orderkey")["price_rank"])
+    for k, w in zip(t["o_orderkey"], want):
+        assert got[k] == w
+    # rank set covers 1..n with tie-compression (min rank per group)
+    assert got.min() == 1 and got.max() <= len(t)
