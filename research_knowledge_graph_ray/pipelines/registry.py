@@ -1069,5 +1069,17 @@ QUERIES.update(
         # two-step funnel with the 'B after A' constraint resolved per user
         "signup_purchase_funnel": (windows.signup_purchase_funnel,
                                    windows.SIGNUP_PURCHASE_FUNNEL_SQL),
+        # rolling 7-day distinct actives (windowed COUNT DISTINCT, one
+        # user exchange + constant-factor day expansion)
+        "rolling_active_users": (windows.rolling_active_users,
+                                 windows.ROLLING_ACTIVE_USERS_SQL),
+        # aggregated LAG: month-over-month revenue growth on the
+        # domain-bounded month table
+        "revenue_mom_growth": (relational.revenue_mom_growth,
+                               relational.REVENUE_MOM_GROWTH_SQL),
+        # CDC snapshot diff: added/removed/changed via one tagged key
+        # exchange (co-bucketed layouts skip even that)
+        "snapshot_diff": (relational.snapshot_diff,
+                          relational.SNAPSHOT_DIFF_SQL),
     }
 )

@@ -556,3 +556,162 @@ def props_k_stats(sf_dir: str) -> "ray.data.Dataset":
         fin,
         n_buckets=4,
     )
+
+
+def revenue_mom_growth(sf_dir: str) -> pd.DataFrame:
+    """(ym, rev_cents, prev_cents, growth_e9) — month-over-month revenue
+    growth: each calendar month's revenue, the previous month's, and the
+    relative change as an e9 fixed point (first month / non-positive prev
+    → −1).
+
+    Aggregated-LAG shape: the heavy work is the same month-domain-bounded
+    partial pass as :func:`orders_running_total` (every block collapses to
+    O(|months|) rows, one tiny combine); the LAG itself runs on the
+    domain-sized month table on the driver — a window function whose
+    partition count, not the row count, is the cost. Growth uses Python-int
+    division with DuckDB's truncate-toward-zero semantics exactly."""
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        s = pd.Series(batch["o_orderdate"].to_numpy(zero_copy_only=False))
+        out = pd.DataFrame(
+            {
+                "ym": (s.dt.year * 100 + s.dt.month).astype(np.int64),
+                "rev_cents": np.rint(
+                    batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+            }
+        )
+        return out.groupby("ym", as_index=False).agg(rev_cents=("rev_cents", "sum"))
+
+    months = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # O(blocks × |months|) — month-domain-bounded
+        .groupby("ym", as_index=False)
+        .agg(rev_cents=("rev_cents", "sum"))
+        .sort_values("ym")
+        .reset_index(drop=True)
+    )
+    prev_cents: list[int] = []
+    growth: list[int] = []
+    prev = -1
+    for rev in months["rev_cents"].tolist():
+        rev = int(rev)
+        prev_cents.append(prev)
+        if prev > 0:
+            num = (rev - prev) * 10**9
+            # DuckDB's integer `/`//`` truncates toward zero on a negative
+            # numerator; Python floors — mirror truncation exactly
+            growth.append(num // prev if num >= 0 else -((-num) // prev))
+        else:
+            growth.append(-1)
+        prev = rev
+    months["prev_cents"] = np.asarray(prev_cents, dtype=np.int64)
+    months["growth_e9"] = np.asarray(growth, dtype=np.int64)
+    return months
+
+
+REVENUE_MOM_GROWTH_SQL = """
+WITH m AS (SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+           FROM orders GROUP BY 1),
+l AS (SELECT ym, rev_cents,
+             LAG(rev_cents) OVER (ORDER BY ym) AS prev FROM m)
+SELECT CAST(ym AS BIGINT) AS ym, rev_cents,
+       CAST(COALESCE(prev, -1) AS BIGINT) AS prev_cents,
+       CAST(CASE WHEN prev IS NULL OR prev <= 0 THEN -1
+                 ELSE ((rev_cents - prev) * 1000000000) // prev
+            END AS BIGINT) AS growth_e9
+FROM l
+"""
+
+
+def snapshot_diff(sf_dir: str) -> "ray.data.Dataset":
+    """(o_orderkey, status, a_cents, b_cents) — CDC-style table diff between
+    two deterministic snapshots of ``orders``: A omits keys ≡0 (mod 7),
+    B omits keys ≡1 and bumps the price of keys ≡2 by one dollar. Output is
+    only the differences — ``added`` (B-only), ``removed`` (A-only),
+    ``changed`` (both, different value) — with −1 for a missing side.
+
+    One tagged exchange on the key: the map side derives both snapshots'
+    rows from a single scan (a real diff would read two snapshot tables into
+    the same exchange — or, co-bucketed via stages/bucketed.py layouts,
+    skip the exchange entirely); each key lands whole in one reducer, which
+    outer-merges the ≤2 rows per key locally and keeps the mismatches. Rows
+    leaving the exchange are ≤2× the table; the output is diff-sized."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(np.int64)
+        v = np.rint(df["o_totalprice"].to_numpy() * 100.0).astype(np.int64)
+        m = k % 7
+        a_mask = m != 0
+        b_mask = m != 1
+        bv = v + np.where(m == 2, 100, 0)
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate([k[a_mask], k[b_mask]]),
+                "side": np.concatenate(
+                    [
+                        np.zeros(int(a_mask.sum()), np.int64),
+                        np.ones(int(b_mask.sum()), np.int64),
+                    ]
+                ),
+                "v": np.concatenate([v[a_mask], bv[b_mask]]),
+            }
+        )
+
+    _EMPTY = pd.DataFrame(
+        {
+            "o_orderkey": pd.Series(dtype=np.int64),
+            "status": pd.Series(dtype=object),
+            "a_cents": pd.Series(dtype=np.int64),
+            "b_cents": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return _EMPTY.copy()
+        a = df[df["side"] == 0][["o_orderkey", "v"]].rename(columns={"v": "a_cents"})
+        b = df[df["side"] == 1][["o_orderkey", "v"]].rename(columns={"v": "b_cents"})
+        m = a.merge(b, on="o_orderkey", how="outer")
+        a_c, b_c = m["a_cents"], m["b_cents"]
+        keep = (a_c.isna() | b_c.isna() | (a_c != b_c)).to_numpy()
+        out = pd.DataFrame(
+            {
+                "o_orderkey": m["o_orderkey"].to_numpy(np.int64),
+                "status": np.where(
+                    a_c.isna(), "added", np.where(b_c.isna(), "removed", "changed")
+                ),
+                "a_cents": a_c.fillna(-1).astype(np.int64),
+                "b_cents": b_c.fillna(-1).astype(np.int64),
+            }
+        )[keep]
+        return out.reset_index(drop=True)
+
+    return bucketed_group_apply(orders, ["o_orderkey"], part, fin)
+
+
+SNAPSHOT_DIFF_SQL = """
+WITH a AS (SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+           FROM orders WHERE o_orderkey % 7 <> 0),
+b AS (SELECT o_orderkey AS k,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 7 = 2 THEN 100 ELSE 0 END AS v
+      FROM orders WHERE o_orderkey % 7 <> 1)
+SELECT CAST(COALESCE(a.k, b.k) AS BIGINT) AS o_orderkey,
+       CASE WHEN a.k IS NULL THEN 'added'
+            WHEN b.k IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(COALESCE(a.v, -1) AS BIGINT) AS a_cents,
+       CAST(COALESCE(b.v, -1) AS BIGINT) AS b_cents
+FROM a FULL OUTER JOIN b ON a.k = b.k
+WHERE a.k IS NULL OR b.k IS NULL OR a.v <> b.v
+"""

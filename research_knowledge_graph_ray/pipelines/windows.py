@@ -884,3 +884,59 @@ SELECT s.user_id, CAST(s.ta AS BIGINT) AS t_signup_us,
          AS converted
 FROM s LEFT JOIN p USING (user_id)
 """
+
+
+def rolling_active_users(sf_dir: str, window_days: int = 7) -> pd.DataFrame:
+    """(d, n_users) — rolling 7-day active users: for each report day ``d``
+    (up to the last observed day), the number of distinct users with ≥1
+    event in ``[d − window + 1, d]``.
+
+    Windowed COUNT DISTINCT without a window join: per-block partials shrink
+    to DISTINCT (user, day); ONE exchange on user_id co-locates each user's
+    whole day set, and the reducer expands every active day to the ``w``
+    report days it covers (np.repeat/np.tile — replication factor is the
+    constant window size, never data-dependent), dedups per (user, report
+    day) locally and emits per-day partial counts. Cross-bucket sums are
+    exact because each user contributes at most 1 per report day from
+    exactly one bucket. The driver combine is O(days) — calendar-bounded.
+    A tiny separate min/max pass pins the last report day (the
+    event_type_drift precedent)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    day_us = 86_400_000_000
+    mx_d = int(pd.Timestamp(ev.max("ts")).value // 1000 // day_us)
+    w = int(window_days)
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // day_us
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "d": d}).drop_duplicates()
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"d": pd.Series(dtype=np.int64),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        df = df.drop_duplicates(["user_id", "d"])
+        n = len(df)
+        r = np.repeat(df["d"].to_numpy(np.int64), w) + np.tile(
+            np.arange(w, dtype=np.int64), n)
+        u = np.repeat(df["user_id"].to_numpy(np.int64), w)
+        e = pd.DataFrame({"user_id": u, "d": r}).drop_duplicates()
+        e = e[e["d"] <= mx_d]
+        return e.groupby("d", as_index=False).agg(n_users=("user_id", "size"))
+
+    parts = bucketed_group_apply(ev, ["user_id"], part, fin).to_pandas()
+    return (parts.groupby("d", as_index=False)
+            .agg(n_users=("n_users", "sum"))
+            .sort_values("d").reset_index(drop=True))
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH dd AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d
+            FROM events),
+mx AS (SELECT MAX(d) AS m FROM dd),
+ex AS (SELECT DISTINCT user_id, d + i AS r
+       FROM dd CROSS JOIN range(7) t(i))
+SELECT CAST(r AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ex WHERE r <= (SELECT m FROM mx) GROUP BY r
+"""

@@ -1,0 +1,84 @@
+"""Brute-force twins for the round-3 operator batch: rolling distinct
+actives, aggregated-LAG MoM growth, and the CDC snapshot diff.
+
+DuckDB value-hash parity is covered by tests/test_queries_vs_duckdb.py;
+these pin semantics against independent pandas/pure-Python computations so
+a wrong-but-self-consistent SQL restatement can't hide a bug.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+from research_knowledge_graph_ray.pipelines import relational, windows
+
+SF = "/root/testdata/sf0.001"
+DAY_US = 86_400_000_000
+
+
+def test_rolling_active_users_vs_brute_force():
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    ev["d"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY_US
+    got = windows.rolling_active_users(SF).set_index("d")["n_users"]
+    mx = int(ev["d"].max())
+    dd = ev[["user_id", "d"]].drop_duplicates()
+    for r in range(int(dd["d"].min()), mx + 1):
+        want = dd[(dd["d"] >= r - 6) & (dd["d"] <= r)]["user_id"].nunique()
+        assert int(got.get(r, 0)) == want, r
+    # every reported day is within the observed range
+    assert got.index.max() == mx
+
+
+def test_rolling_active_users_window_param():
+    # window=1 degenerates to plain daily distinct actives
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    ev["d"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY_US
+    daily = ev.groupby("d")["user_id"].nunique()
+    got = windows.rolling_active_users(SF, window_days=1).set_index("d")["n_users"]
+    assert got.to_dict() == daily.to_dict()
+
+
+def test_revenue_mom_growth_vs_brute_force():
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderdate", "o_totalprice"]).to_pandas()
+    s = o["o_orderdate"]
+    o["ym"] = (s.dt.year * 100 + s.dt.month).astype(np.int64)
+    o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    m = o.groupby("ym")["cents"].sum().sort_index()
+    got = relational.revenue_mom_growth(SF).set_index("ym")
+    assert got["rev_cents"].to_dict() == m.to_dict()
+    prev = -1
+    for ym, rev in m.items():
+        rev = int(rev)
+        assert int(got.loc[ym, "prev_cents"]) == prev
+        if prev > 0:
+            num = (rev - prev) * 10**9
+            want = num // prev if num >= 0 else -((-num) // prev)
+        else:
+            want = -1
+        assert int(got.loc[ym, "growth_e9"]) == want, ym
+        prev = rev
+
+
+def test_snapshot_diff_vs_brute_force():
+    o = pq.read_table(f"{SF}/orders.parquet",
+                      columns=["o_orderkey", "o_totalprice"]).to_pandas()
+    o["v"] = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
+    a = {int(k): int(v) for k, v in zip(o["o_orderkey"], o["v"]) if k % 7 != 0}
+    b = {int(k): int(v) + (100 if k % 7 == 2 else 0)
+         for k, v in zip(o["o_orderkey"], o["v"]) if k % 7 != 1}
+    want = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            want[k] = ("added", -1, b[k])
+        elif k not in b:
+            want[k] = ("removed", a[k], -1)
+        elif a[k] != b[k]:
+            want[k] = ("changed", a[k], b[k])
+    got = relational.snapshot_diff(SF).to_pandas()
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        st, av, bv = want[int(r["o_orderkey"])]
+        assert (r["status"], int(r["a_cents"]), int(r["b_cents"])) == (st, av, bv)
+    # only keys ≡ 0/1/2 (mod 7) can differ by construction
+    assert set(got["o_orderkey"] % 7) <= {0, 1, 2}
