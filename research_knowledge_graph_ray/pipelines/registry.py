@@ -930,6 +930,11 @@ QUERIES: dict = {
     # graph analytics (stages/graphalgs.py) — distributed loops with exact
     # fixed-iteration SQL restatements
     "graph_pagerank": (graphalgs.pagerank, graphalgs.pagerank_sql()),
+    # iterative peeling to fixpoint (raises past the SQL's iteration bound,
+    # so the chained-CTE restatement is exact by construction)
+    "graph_kcore": (graphalgs.kcore, graphalgs.kcore_sql()),
+    # synchronous Bellman-Ford relaxation to fixpoint, same bound contract
+    "graph_sssp": (graphalgs.sssp, graphalgs.sssp_sql()),
     "graph_triangles": (graphalgs.triangle_counts, GRAPH_TRIANGLES_SQL),
     "graph_components": (graphalgs.components, GRAPH_COMPONENTS_SQL),
     # order statistics (stages/stats.py) — exact histogram rank-refinement

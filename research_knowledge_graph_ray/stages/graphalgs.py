@@ -469,3 +469,186 @@ def item_jaccard(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
         return df
 
     return co.map_batches(score, batch_format="pandas")
+
+
+_W_MAX = 5  # sparsifier: keep supplier–part edges whose min quantity ≤ this
+
+
+def _sp_weighted_edges(sf_dir: str, w_max: int = _W_MAX) -> "ray.data.Dataset":
+    """(src, dst, w) — weighted supplier–part edges: w = MIN(l_quantity) per
+    distinct pair, kept only when w ≤ ``w_max`` (sparsifies the otherwise
+    near-uniform bipartite graph so core/peeling structure exists). One
+    exchange on the pair key; per-block min partials shrink first."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_quantity"],
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "src": df["l_suppkey"].astype(np.int64),
+                "dst": df["l_partkey"].astype(np.int64) + _PART_OFFSET,
+                "w": np.rint(df["l_quantity"].to_numpy()).astype(np.int64),
+            }
+        )
+        return out.groupby(["src", "dst"], as_index=False).agg(w=("w", "min"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src", "dst"], as_index=False).agg(w=("w", "min"))
+        return out[out["w"] <= w_max].reset_index(drop=True)
+
+    return bucketed_group_apply(ds, ["src", "dst"], part, fin)
+
+
+def _symmetrize(edges: "ray.data.Dataset") -> "ray.data.Dataset":
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [
+                df.rename(columns={"src": "u", "dst": "v"})[["u", "v", "w"]],
+                df.rename(columns={"src": "v", "dst": "u"})[["u", "v", "w"]],
+            ],
+            ignore_index=True,
+        )
+
+    return edges.map_batches(both, batch_format="pandas")
+
+
+def kcore(sf_dir: str, k: int = 3, max_rounds: int = 8) -> pd.DataFrame:
+    """(node, deg) — the k-core of the weight-sparsified supplier–part graph:
+    the maximal subgraph where every node keeps degree ≥ k, with each
+    surviving node's degree inside the core.
+
+    Distributed iterative peeling: the edge set (materialized once) never
+    moves after build; each round is one streamed filter-to-alive pass +
+    degree exchange whose output is node-catalog-bound, and the alive set —
+    catalog-bound state, suppliers + parts — is re-broadcast via ray.put.
+    At corpus-sized node sets the alive flag would ride a hash semi-join
+    against the edges instead of a broadcast (same round structure). Runs to
+    FIXPOINT and raises if ``max_rounds`` doesn't reach it, so the
+    fixed-iteration SQL restatement (:func:`kcore_sql`) is exact by
+    construction."""
+    sym = _symmetrize(_sp_weighted_edges(sf_dir)).materialize()
+    alive: set | None = None  # None → all nodes alive
+    for _ in range(max_rounds):
+        alive_ref = ray.put(alive)
+
+        def deg_part(df: pd.DataFrame) -> pd.DataFrame:
+            a = ray.get(alive_ref)
+            if a is not None:
+                df = df[df["u"].isin(a) & df["v"].isin(a)]
+            return (df.groupby("u", as_index=False).size()
+                    .rename(columns={"size": "d"}))
+
+        def deg_fin(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("u", as_index=False).agg(d=("d", "sum"))
+
+        deg = bucketed_group_apply(sym, ["u"], deg_part, deg_fin).to_pandas()
+        new_alive = set(deg[deg["d"] >= k]["u"].astype(np.int64))
+        if alive is not None and new_alive == alive:
+            out = deg[deg["u"].isin(alive)].rename(columns={"u": "node", "d": "deg"})
+            out = out.astype({"node": np.int64, "deg": np.int64})
+            return out.sort_values("node").reset_index(drop=True)
+        alive = new_alive
+        if not alive:
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "deg": pd.Series(dtype=np.int64)})
+    raise RuntimeError(f"kcore did not reach fixpoint in {max_rounds} rounds")
+
+
+def kcore_sql(k: int = 3, iters: int = 8) -> str:
+    """Exact fixed-iteration chained-CTE restatement of :func:`kcore`
+    (``iters`` must be ≥ the peel fixpoint, which :func:`kcore` enforces)."""
+    head = f"""
+WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+            HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
+sym AS (SELECT s AS u, p AS v FROM e0 UNION ALL SELECT p, s FROM e0),
+a0 AS (SELECT DISTINCT u AS n FROM sym)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+a{t} AS MATERIALIZED (SELECT sym.u AS n FROM sym
+         JOIN a{t-1} x ON sym.u = x.n JOIN a{t-1} y ON sym.v = y.n
+         GROUP BY sym.u HAVING COUNT(*) >= {k})""")
+    tail = f"""
+SELECT CAST(sym.u AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
+FROM sym JOIN a{iters} x ON sym.u = x.n JOIN a{iters} y ON sym.v = y.n
+GROUP BY sym.u"""
+    return head + "," + ",".join(steps) + tail
+
+
+def sssp(sf_dir: str, max_rounds: int = 10) -> pd.DataFrame:
+    """(node, dist) — single-source shortest paths (Bellman-Ford layers) on
+    the weight-sparsified supplier–part graph from the smallest supplier
+    key, edge cost = the pair's min quantity.
+
+    Synchronous relaxation as a distributed dataflow: each round broadcasts
+    the catalog-bound distance map (ray.put), streams one pass over the
+    static edge set emitting relaxed candidates, and reduces per-node mins
+    through one exchange; the driver folds the node-catalog-bound result
+    into the next round's map. At corpus-sized node sets the distance table
+    would hash-join the edge set on ``u`` instead of broadcasting (frontier
+    join). Runs to FIXPOINT and raises past ``max_rounds``, making
+    :func:`sssp_sql`'s fixed iteration count exact."""
+    edges = _sp_weighted_edges(sf_dir)
+    src = int(edges.min("src"))
+    sym = _symmetrize(edges).materialize()
+    dist: dict[int, int] = {src: 0}
+    for _ in range(max_rounds):
+        dist_ref = ray.put(dist)
+
+        def relax(df: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(dist_ref)
+            du = df["u"].map(d)
+            hit = du.notna().to_numpy()
+            if not hit.any():
+                return pd.DataFrame({"v": pd.Series(dtype=np.int64),
+                                     "nd": pd.Series(dtype=np.int64)})
+            out = pd.DataFrame(
+                {
+                    "v": df["v"].to_numpy(np.int64)[hit],
+                    "nd": (du.to_numpy(np.float64)[hit]
+                           + df["w"].to_numpy(np.int64)[hit]).astype(np.int64),
+                }
+            )
+            return out.groupby("v", as_index=False).agg(nd=("nd", "min"))
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("v", as_index=False).agg(nd=("nd", "min"))
+
+        best = bucketed_group_apply(sym, ["v"], relax, fin).to_pandas()
+        changed = False
+        for v, nd in zip(best["v"].astype(np.int64), best["nd"].astype(np.int64)):
+            v, nd = int(v), int(nd)
+            if v not in dist or nd < dist[v]:
+                dist[v] = nd
+                changed = True
+        if not changed:
+            out = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
+            return out.astype({"node": np.int64, "dist": np.int64})
+    raise RuntimeError(f"sssp did not reach fixpoint in {max_rounds} rounds")
+
+
+def sssp_sql(iters: int = 10) -> str:
+    """Exact fixed-iteration Bellman-Ford restatement of :func:`sssp`."""
+    head = f"""
+WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+            HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
+sym AS (SELECT s AS u, p AS v, w FROM e0 UNION ALL SELECT p, s, w FROM e0),
+d0 AS (SELECT MIN(l_suppkey) AS n, CAST(0 AS BIGINT) AS d FROM lineitem)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+d{t} AS MATERIALIZED (SELECT n, MIN(d) AS d FROM (
+           SELECT n, d FROM d{t-1}
+           UNION ALL
+           SELECT sym.v AS n, d{t-1}.d + sym.w AS d
+           FROM sym JOIN d{t-1} ON sym.u = d{t-1}.n)
+         GROUP BY n)""")
+    tail = f"""
+SELECT CAST(n AS BIGINT) AS node, CAST(d AS BIGINT) AS dist FROM d{iters}"""
+    return head + "," + ",".join(steps) + tail

@@ -82,3 +82,62 @@ def test_snapshot_diff_vs_brute_force():
         assert (r["status"], int(r["a_cents"]), int(r["b_cents"])) == (st, av, bv)
     # only keys ≡ 0/1/2 (mod 7) can differ by construction
     assert set(got["o_orderkey"] % 7) <= {0, 1, 2}
+
+
+def _sp_edges_brute():
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey", "l_quantity"]).to_pandas()
+    li["w"] = np.rint(li["l_quantity"].to_numpy()).astype(np.int64)
+    e = (li.assign(p=li["l_partkey"].astype(np.int64) + 10_000_000)
+         .groupby(["l_suppkey", "p"], as_index=False).agg(w=("w", "min")))
+    e = e[e["w"] <= 5]
+    return [(int(s), int(p), int(w))
+            for s, p, w in zip(e["l_suppkey"], e["p"], e["w"])]
+
+
+def test_kcore_vs_brute_force_peel():
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    edges = _sp_edges_brute()
+    adj = {}
+    for s, p, _ in edges:
+        adj.setdefault(s, set()).add(p)
+        adj.setdefault(p, set()).add(s)
+    k = 3
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if len(adj[n] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    got = graphalgs.kcore(SF).set_index("node")["deg"].to_dict()
+    assert set(got) == alive
+    for n in alive:
+        assert got[n] == len(adj[n] & alive)
+        assert got[n] >= k  # core invariant
+
+
+def test_sssp_vs_dijkstra():
+    import heapq
+
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    edges = _sp_edges_brute()
+    adj = {}
+    for s, p, w in edges:
+        adj.setdefault(s, []).append((p, w))
+        adj.setdefault(p, []).append((s, w))
+    src = min(s for s, _, _ in edges)
+    dist = {src: 0}
+    pq_ = [(0, src)]
+    while pq_:
+        d, u = heapq.heappop(pq_)
+        if d > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj[u]:
+            nd = d + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq_, (nd, v))
+    got = graphalgs.sssp(SF).set_index("node")["dist"].to_dict()
+    assert got == dist
