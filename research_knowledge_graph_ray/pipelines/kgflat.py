@@ -449,3 +449,39 @@ def doc_terms_agg(sf_dir: str) -> "ray.data.Dataset":
 
     return _read_docs(sf_dir).map_batches(agg_terms, batch_format="pyarrow",
                                           zero_copy_batch=True)
+
+
+def cooccurrence_pmi(sf_dir: str) -> pd.DataFrame:
+    """(term_a, term_b, n_ab, n_a, n_b, lift_e9) — collocation strength for
+    every co-occurring term pair: the PMI lift ratio
+    P(a,b)/(P(a)·P(b)) = n_ab·N/(n_a·n_b) as an exact e9 integer (the log is
+    monotone in it, so ranking/thresholding is identical — and the integer
+    form is bit-exact where a float ln is not).
+
+    The heavy inputs ride existing exchanges — pair counts from
+    :func:`cooccurrence`, per-term doc counts from :func:`nodes_flat`, both
+    VOCABULARY-bound outputs — so the driver-side join/ratio step is
+    O(|vocab|²) worst case, independent of corpus size. Python-int products
+    mirror DuckDB's HUGEINT promotion exactly."""
+    pairs = cooccurrence(sf_dir).to_pandas()  # vocab²-bounded
+    terms = nodes_flat(sf_dir).to_pandas()[["label", "n_docs"]]  # vocab-bounded
+    n_total = int(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    )
+    cnt = dict(zip(terms["label"], terms["n_docs"].astype(int)))
+    n_a = [int(cnt[t]) for t in pairs["term_a"]]
+    n_b = [int(cnt[t]) for t in pairs["term_b"]]
+    lift = [
+        int(ab) * n_total * 10**9 // (a * b)
+        for ab, a, b in zip(pairs["n_docs"].astype(int), n_a, n_b)
+    ]
+    return pd.DataFrame(
+        {
+            "term_a": pairs["term_a"],
+            "term_b": pairs["term_b"],
+            "n_ab": pairs["n_docs"].astype(np.int64),
+            "n_a": np.asarray(n_a, dtype=np.int64),
+            "n_b": np.asarray(n_b, dtype=np.int64),
+            "lift_e9": np.asarray(lift, dtype=np.int64),
+        }
+    )

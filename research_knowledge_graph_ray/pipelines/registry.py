@@ -869,6 +869,33 @@ FROM c
 """
 
 
+DEDUP_KEEP_BEST_SQL = """
+SELECT md5(text) AS fp,
+       CAST(FIRST(doc_id ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS keep_doc_id,
+       CAST(FIRST(n_chars ORDER BY n_chars DESC, doc_id) AS BIGINT)
+         AS keep_n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_dupes
+FROM documents GROUP BY md5(text)
+"""
+
+COOCCURRENCE_PMI_SQL = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({_UNNEST})),
+co AS (SELECT a.term AS term_a, b.term AS term_b,
+              CAST(COUNT(*) AS BIGINT) AS n_ab
+       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY 1, 2),
+tc AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+       FROM dt GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT co.term_a, co.term_b, co.n_ab, ta.n AS n_a, tb.n AS n_b,
+       CAST(co.n_ab * (SELECT n FROM nn) * 1000000000 // (ta.n * tb.n)
+            AS BIGINT) AS lift_e9
+FROM co JOIN tc ta ON co.term_a = ta.term
+        JOIN tc tb ON co.term_b = tb.term
+"""
+
+
 # name -> (callable(sf_dir) -> result, oracle_sql | None)
 QUERIES: dict = {
     # knowledge-graph construction over the flat documents corpus
@@ -876,6 +903,8 @@ QUERIES: dict = {
     "kg_nodes": (kgflat.nodes_flat, KG_NODES_SQL),
     "kg_edges": (kgflat.edges_flat, KG_EDGES_SQL),
     "kg_cooccurrence": (kgflat.cooccurrence, KG_COOCCURRENCE_SQL),
+    # collocation strength: exact integer PMI lift over the same exchange
+    "cooccurrence_pmi": (kgflat.cooccurrence_pmi, COOCCURRENCE_PMI_SQL),
     "kg_top_entities": (kgflat.top_entities, KG_TOP_ENTITIES_SQL),
     "kg_entity_degree": (kgflat.entity_degree, KG_ENTITY_DEGREE_SQL),
     # full span-pipeline variants (adapter → extract → validate → canonicalize)
@@ -911,6 +940,8 @@ QUERIES: dict = {
     "corpus_filter": (textops.corpus_filter, CORPUS_FILTER_SQL),
     # dedup family
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
+    # representative selection: keep the longest member (min-id tiebreak)
+    "dedup_keep_best": (dedup.keep_best_dedup, DEDUP_KEEP_BEST_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, DEDUP_MINHASH_SQL),
     "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),
@@ -963,6 +994,9 @@ QUERIES: dict = {
     # on both sides → bit-exact e9 fixed points
     "price_qty_regression": (stats.price_qty_regression, PRICE_QTY_REGRESSION_SQL),
     "value_outliers": (stats.value_outliers, VALUE_OUTLIERS_SQL),
+    # grouped feature scaling: per-nation z-score, integer-isqrt exact
+    "customer_balance_zscore": (stats.customer_balance_zscore,
+                                stats.CUSTOMER_BALANCE_ZSCORE_SQL),
     "user_top_event": (stats.user_top_event, USER_TOP_EVENT_SQL),
     "order_price_histogram": (stats.order_price_histogram, ORDER_PRICE_HISTOGRAM_SQL),
     # weighted (proportional-to-size) Bernoulli sampling — all-integer keys

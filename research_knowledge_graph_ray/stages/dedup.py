@@ -683,3 +683,54 @@ def fuzzy_name_pairs(sf_dir: str, max_dist: int = 3) -> "ray.data.Dataset":
         ).astype({"name_a": "string", "name_b": "string"})
 
     return bucketed_group_apply(ds, ["blk"], part_fn, fin)
+
+
+_PACK_ID = 1 << 40  # doc ids below this pack losslessly beside n_chars
+
+
+def keep_best_dedup(sf_dir: str) -> "ray.data.Dataset":
+    """(fp, keep_doc_id, keep_n_chars, n_dupes) — exact-dup groups by content
+    hash with REPRESENTATIVE SELECTION: instead of min-id first-wins
+    (:func:`exact_dedup`), each group keeps its highest-quality member —
+    longest text, min doc_id tiebreak — the curation policy used when
+    near-identical crawls differ in truncation.
+
+    Same hash-partition shape as exact_dedup, argmax carried as ONE packed
+    int64 (n_chars ≪ 40 | ~doc_id) so partials stay a two-column aggregate —
+    the vectorized argmin-pack trick from canonicalize.build_edges."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "n_chars"])
+
+    def fp_pack(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "fp": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+                "pack": nc * _PACK_ID + (_PACK_ID - 1 - ids),
+                "n": np.int64(1),
+            }
+        )
+        return df.groupby("fp", as_index=False).agg(pack=("pack", "max"),
+                                                    n=("n", "sum"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("fp", as_index=False).agg(pack=("pack", "max"),
+                                                 n=("n", "sum"))
+        pack = g["pack"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "fp": g["fp"],
+                "keep_doc_id": _PACK_ID - 1 - (pack % _PACK_ID),
+                "keep_n_chars": pack // _PACK_ID,
+                "n_dupes": g["n"].astype(np.int64),
+            }
+        )
+
+    return bucketed_group_apply(
+        ds.map_batches(fp_pack, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"],
+        lambda df: df,
+        fin,
+    )

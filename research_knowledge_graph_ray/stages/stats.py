@@ -973,3 +973,83 @@ def order_price_rank(sf_dir: str, n_hist: int = 2048) -> "ray.data.Dataset":
         ds.map_batches(keyed, batch_format="pandas"), ["b"],
         lambda df: df, rank_bucket,
     )
+
+
+def customer_balance_zscore(sf_dir: str) -> "ray.data.Dataset":
+    """(c_custkey, c_nationkey, z_e6) — per-nation z-score normalization of
+    customer account balance (grouped feature scaling): z = (x − μ_g)/σ_g
+    expressed entirely in integers as (n·x − S)·10⁶ // isqrt(n·Q − S²),
+    with DuckDB's truncate-toward-zero division mirrored for negative z.
+    isqrt is exact on both sides (math.isqrt here; FLOOR(SQRT(double)) ± 1
+    correction in the oracle), so no float ever enters the comparison.
+
+    Two streaming passes: per-block (n, Σx, Σx², min, max) partials per
+    nation (group-domain-bounded, folded with Python ints on the driver),
+    then a broadcast vectorized map. Raises loudly if a group's n·10⁶·|n·x−S|
+    could exceed int64 (≈8M rows/group at cent scale) — the documented swap
+    is object-int partials as in linear_sufficient_stats."""
+    import math as _math
+
+    path = f"{sf_dir}/customer.parquet"
+    ds = ray.data.read_parquet(path, columns=["c_nationkey", "c_acctbal"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        g = pd.DataFrame({"nat": df["c_nationkey"].to_numpy().astype(np.int64),
+                          "x": x, "xx": x * x, "one": np.int64(1)})
+        return g.groupby("nat", as_index=False).agg(
+            n=("one", "sum"), s=("x", "sum"), q=("xx", "sum"),
+            lo=("x", "min"), hi=("x", "max"))
+
+    parts = (ds.map_batches(part, batch_format="pandas")
+             .to_pandas())  # O(blocks × |nations|) — group-domain-bounded
+    stats: dict[int, tuple[int, int, int]] = {}
+    for nat, g in parts.groupby("nat"):
+        n = int(g["n"].sum()); s = int(g["s"].sum()); q = int(g["q"].sum())
+        lo, hi = int(g["lo"].min()), int(g["hi"].max())
+        big = n * q - s * s
+        if big <= 0:
+            raise ValueError(f"degenerate variance for group {nat}")
+        worst = max(abs(n * lo - s), abs(n * hi - s)) * 10**6
+        if worst >= 1 << 62:
+            raise OverflowError(
+                "group too large for int64 z-score path; use object-int partials")
+        stats[int(nat)] = (n, s, _math.isqrt(big))
+
+    n_map = {k: v[0] for k, v in stats.items()}
+    s_map = {k: v[1] for k, v in stats.items()}
+    d_map = {k: v[2] for k, v in stats.items()}
+
+    def zmap(df: pd.DataFrame) -> pd.DataFrame:
+        nat = df["c_nationkey"].to_numpy().astype(np.int64)
+        x = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100.0).astype(np.int64)
+        n = pd.Series(nat).map(n_map).to_numpy(np.int64)
+        s = pd.Series(nat).map(s_map).to_numpy(np.int64)
+        d = pd.Series(nat).map(d_map).to_numpy(np.int64)
+        num = (n * x - s) * 10**6
+        z = np.sign(num) * (np.abs(num) // d)  # truncate toward zero
+        return pd.DataFrame({"c_custkey": df["c_custkey"].to_numpy(np.int64),
+                             "c_nationkey": nat,
+                             "z_e6": z.astype(np.int64)})
+
+    return ray.data.read_parquet(
+        path, columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    ).map_batches(zmap, batch_format="pandas")
+
+
+CUSTOMER_BALANCE_ZSCORE_SQL = """
+WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nat,
+                  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x FROM customer),
+g AS (SELECT nat, COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q
+      FROM c GROUP BY 1),
+g2 AS (SELECT nat, n, s, n * q - s * s AS big FROM g),
+g3 AS (SELECT nat, n, s, big,
+              CAST(FLOOR(SQRT(CAST(big AS DOUBLE))) AS BIGINT) AS d0 FROM g2),
+g4 AS (SELECT nat, n, s,
+              CASE WHEN (d0 + 1) * (d0 + 1) <= big THEN d0 + 1
+                   WHEN d0 * d0 > big THEN d0 - 1
+                   ELSE d0 END AS d FROM g3)
+SELECT c.c_custkey, c.nat AS c_nationkey,
+       CAST(((g4.n * c.x - g4.s) * 1000000) // g4.d AS BIGINT) AS z_e6
+FROM c JOIN g4 USING (nat)
+"""

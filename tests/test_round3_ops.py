@@ -141,3 +141,74 @@ def test_sssp_vs_dijkstra():
                 heapq.heappush(pq_, (nd, v))
     got = graphalgs.sssp(SF).set_index("node")["dist"].to_dict()
     assert got == dist
+
+
+def test_keep_best_dedup_vs_brute_force():
+    import hashlib
+
+    from research_knowledge_graph_ray.stages import dedup
+
+    d = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text", "n_chars"]).to_pandas()
+    d["fp"] = [hashlib.md5(t.encode()).hexdigest() for t in d["text"]]
+    got = dedup.keep_best_dedup(SF).to_pandas().set_index("fp")
+    assert len(got) == d["fp"].nunique()
+    for fp, g in d.groupby("fp"):
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        r = got.loc[fp]
+        assert int(r["keep_doc_id"]) == int(g.iloc[0]["doc_id"])
+        assert int(r["keep_n_chars"]) == int(g.iloc[0]["n_chars"])
+        assert int(r["n_dupes"]) == len(g)
+
+
+def test_cooccurrence_pmi_vs_brute_force():
+    import re
+
+    from research_knowledge_graph_ray.pipelines import kgflat
+
+    d = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    pat = re.compile(kgflat.TERM_PATTERN)
+    doc_terms = {int(r.doc_id): set(pat.findall(r.text.lower()))
+                 for r in d.itertuples()}
+    n_total = len(d)
+    from collections import Counter
+    tc = Counter()
+    pc_ = Counter()
+    for terms in doc_terms.values():
+        for t in terms:
+            tc[t] += 1
+        ts = sorted(terms)
+        for i in range(len(ts)):
+            for j in range(i + 1, len(ts)):
+                pc_[(ts[i], ts[j])] += 1
+    got = kgflat.cooccurrence_pmi(SF)
+    assert len(got) == len(pc_)
+    for _, r in got.iterrows():
+        a, b = r["term_a"], r["term_b"]
+        assert int(r["n_ab"]) == pc_[(a, b)]
+        assert int(r["n_a"]) == tc[a] and int(r["n_b"]) == tc[b]
+        assert int(r["lift_e9"]) == pc_[(a, b)] * n_total * 10**9 // (tc[a] * tc[b])
+
+
+def test_customer_balance_zscore_vs_brute_force():
+    import math
+
+    from research_knowledge_graph_ray.stages import stats
+
+    c = pq.read_table(f"{SF}/customer.parquet",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
+    c["x"] = np.rint(c["c_acctbal"].to_numpy() * 100).astype(np.int64)
+    got = stats.customer_balance_zscore(SF).to_pandas().set_index("c_custkey")
+    assert len(got) == len(c)
+    for nat, g in c.groupby("c_nationkey"):
+        n, s, q = len(g), int(g["x"].sum()), int((g["x"].astype(object) ** 2).sum())
+        d = math.isqrt(n * q - s * s)
+        for _, r in g.iterrows():
+            num = (n * int(r["x"]) - s) * 10**6
+            want = num // d if num >= 0 else -((-num) // d)
+            assert int(got.loc[int(r["c_custkey"]), "z_e6"]) == want
+    # normalization sanity: per-group z sums to ~0 (|Σz| < n due to truncation)
+    sums = got.groupby("c_nationkey")["z_e6"].sum().abs()
+    cnt = got.groupby("c_nationkey").size()
+    assert (sums <= cnt * 10**6).all()
