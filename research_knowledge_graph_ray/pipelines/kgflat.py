@@ -485,3 +485,59 @@ def cooccurrence_pmi(sf_dir: str) -> pd.DataFrame:
             "lift_e9": np.asarray(lift, dtype=np.int64),
         }
     )
+
+
+def top_terms_per_source(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """(source, term, n_docs, rnk) — grouped heavy hitters: each source's
+    top-k vocabulary terms by distinct-document count (count desc, term asc
+    tiebreak — a total order, so top-k is unique).
+
+    Per-block partials shrink to DISTINCT (source, term, doc) counts; ONE
+    exchange on source co-locates each source's vocab-bound count table and
+    the reducer ranks locally. Output is |sources|·k rows. The windowed
+    heavy-hitters shape: same dataflow serves trending-terms-per-day when
+    the group key is a time bucket."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source", "text"])
+
+    def part(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(np.int64)
+        sources = batch["source"].tolist()
+        texts = batch["text"].tolist()
+        src_o, term_o, doc_o = [], [], []
+        for did, src, text in zip(doc_ids, sources, texts):
+            for term in set(_TERM_RE.findall(text.lower())):
+                src_o.append(src)
+                term_o.append(term)
+                doc_o.append(did)
+        df = pd.DataFrame({"source": src_o, "term": term_o, "doc_id": doc_o})
+        # per-block partial: distinct already holds (one row per doc×term)
+        return df.groupby(["source", "term"], as_index=False).agg(
+            n_docs=("doc_id", "nunique"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "term"], as_index=False).agg(
+            n_docs=("n_docs", "sum"))
+        g = g.sort_values(["source", "n_docs", "term"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rnk"] = g.groupby("source", sort=False).cumcount() + 1
+        out = g[g["rnk"] <= k].reset_index(drop=True)
+        return out.astype({"n_docs": np.int64, "rnk": np.int64})
+
+    return bucketed_group_apply(docs, ["source"], part, fin, n_buckets=8)
+
+
+TOP_TERMS_PER_SOURCE_SQL_TEMPLATE = """
+WITH dt AS (SELECT DISTINCT d.source, t.term, d.doc_id
+            FROM documents d,
+                 unnest(regexp_extract_all(lower(d.text), '{pattern}')) t(term)),
+c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM dt GROUP BY 1, 2),
+r AS (SELECT source, term, n_docs,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_docs DESC, term) AS rnk
+      FROM c)
+SELECT source, term, n_docs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k}
+"""

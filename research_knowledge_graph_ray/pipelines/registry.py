@@ -905,6 +905,11 @@ QUERIES: dict = {
     "kg_cooccurrence": (kgflat.cooccurrence, KG_COOCCURRENCE_SQL),
     # collocation strength: exact integer PMI lift over the same exchange
     "cooccurrence_pmi": (kgflat.cooccurrence_pmi, COOCCURRENCE_PMI_SQL),
+    # grouped heavy hitters: per-source top-k terms (windowed-trending shape)
+    "top_terms_per_source": (
+        kgflat.top_terms_per_source,
+        kgflat.TOP_TERMS_PER_SOURCE_SQL_TEMPLATE.format(pattern=TERM_PATTERN, k=3),
+    ),
     "kg_top_entities": (kgflat.top_entities, KG_TOP_ENTITIES_SQL),
     "kg_entity_degree": (kgflat.entity_degree, KG_ENTITY_DEGREE_SQL),
     # full span-pipeline variants (adapter → extract → validate → canonicalize)
@@ -1120,5 +1125,11 @@ QUERIES.update(
         # exchange (co-bucketed layouts skip even that)
         "snapshot_diff": (relational.snapshot_diff,
                           relational.SNAPSHOT_DIFF_SQL),
+        # first-order Markov transition matrix over per-user event streams
+        "event_transitions": (windows.event_transitions,
+                              windows.EVENT_TRANSITIONS_SQL),
+        # ratio-to-report window: nation revenue share of the global total
+        "revenue_share_by_nation": (relational.revenue_share_by_nation,
+                                    relational.REVENUE_SHARE_BY_NATION_SQL),
     }
 )

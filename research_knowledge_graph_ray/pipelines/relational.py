@@ -715,3 +715,35 @@ SELECT CAST(COALESCE(a.k, b.k) AS BIGINT) AS o_orderkey,
 FROM a FULL OUTER JOIN b ON a.k = b.k
 WHERE a.k IS NULL OR b.k IS NULL OR a.v <> b.v
 """
+
+
+def revenue_share_by_nation(sf_dir: str) -> pd.DataFrame:
+    """(n_name, revenue_cents, share_e9) — ratio-to-report window: each
+    nation's revenue and its exact integer share of the global total
+    (rev·10⁹ // Σrev). One pass: the nation-domain-bounded aggregate from
+    :func:`revenue_by_nation` lands on the driver, where the total and the
+    per-row ratio are Python-int exact; nothing global is recomputed."""
+    agg = revenue_by_nation(sf_dir).to_pandas()  # |nations|-bounded
+    total = int(agg["revenue_cents"].sum())
+    share = [int(r) * 10**9 // total for r in agg["revenue_cents"]]
+    return pd.DataFrame(
+        {
+            "n_name": agg["n_name"],
+            "revenue_cents": agg["revenue_cents"].astype(np.int64),
+            "share_e9": np.asarray(share, dtype=np.int64),
+        }
+    ).sort_values("n_name").reset_index(drop=True)
+
+
+REVENUE_SHARE_BY_NATION_SQL = """
+WITH r AS (SELECT n_name,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name)
+SELECT n_name, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+       CAST(revenue_cents * 1000000000 // SUM(revenue_cents) OVER ()
+            AS BIGINT) AS share_e9
+FROM r
+"""

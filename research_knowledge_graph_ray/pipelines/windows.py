@@ -940,3 +940,57 @@ ex AS (SELECT DISTINCT user_id, d + i AS r
 SELECT CAST(r AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM ex WHERE r <= (SELECT m FROM mx) GROUP BY r
 """
+
+
+def event_transitions(sf_dir: str) -> pd.DataFrame:
+    """(prev_type, next_type, n) — first-order Markov transition counts over
+    each user's time-ordered event stream (ties broken by event_id; a
+    user's first event has prev_type='<start>').
+
+    Sequential-pattern mining as one exchange: each user's full (tiny)
+    history lands in one bucket, the reducer sorts by (user, ts, event_id)
+    and takes a grouped shift — no per-user Python loop — and emits
+    |types|²-bounded partial counts; the driver combine is
+    transition-matrix-sized, independent of corpus size."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id", "event_type"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "t": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"],
+        })
+
+    def trans(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"prev_type": pd.Series(dtype="string"),
+                                 "next_type": pd.Series(dtype="string"),
+                                 "n": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["user_id", "t", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        prev = (df.groupby("user_id", sort=False)["event_type"].shift(1)
+                .fillna("<start>"))
+        out = pd.DataFrame({"prev_type": prev, "next_type": df["event_type"],
+                            "n": np.int64(1)})
+        return out.groupby(["prev_type", "next_type"], as_index=False).agg(
+            n=("n", "sum"))
+
+    parts = bucketed_group_apply(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"], lambda df: df, trans, n_buckets=16).to_pandas()
+    return (parts.groupby(["prev_type", "next_type"], as_index=False)
+            .agg(n=("n", "sum"))
+            .sort_values(["prev_type", "next_type"]).reset_index(drop=True))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH s AS (SELECT event_type AS next_type,
+                  COALESCE(LAG(event_type) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id),
+                    '<start>') AS prev_type
+           FROM events)
+SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s GROUP BY 1, 2
+"""

@@ -212,3 +212,59 @@ def test_customer_balance_zscore_vs_brute_force():
     sums = got.groupby("c_nationkey")["z_e6"].sum().abs()
     cnt = got.groupby("c_nationkey").size()
     assert (sums <= cnt * 10**6).all()
+
+
+def test_event_transitions_vs_brute_force():
+    from collections import Counter
+
+    from research_knowledge_graph_ray.pipelines import windows
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    want = Counter()
+    for _, g in ev.groupby("user_id"):
+        prev = "<start>"
+        for t in g["event_type"]:
+            want[(prev, t)] += 1
+            prev = t
+    got = windows.event_transitions(SF)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert int(r["n"]) == want[(r["prev_type"], r["next_type"])]
+    # conservation: total transitions == total events
+    assert int(got["n"].sum()) == len(ev)
+
+
+def test_top_terms_per_source_vs_brute_force():
+    import re
+
+    from research_knowledge_graph_ray.pipelines import kgflat
+
+    d = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source", "text"]).to_pandas()
+    pat = re.compile(kgflat.TERM_PATTERN)
+    from collections import Counter
+    cnt = Counter()
+    for r in d.itertuples():
+        for t in set(pat.findall(r.text.lower())):
+            cnt[(r.source, t)] += 1
+    got = kgflat.top_terms_per_source(SF).to_pandas()
+    for src in d["source"].unique():
+        rows = got[got["source"] == src].sort_values("rnk")
+        ranked = sorted(((-n, t) for (s, t), n in cnt.items() if s == src))[:3]
+        assert [(r["term"], int(r["n_docs"])) for _, r in rows.iterrows()] == \
+            [(t, -negn) for negn, t in ranked]
+        assert list(rows["rnk"]) == [1, 2, 3]
+
+
+def test_revenue_share_by_nation_sums_to_one():
+    from research_knowledge_graph_ray.pipelines import relational
+
+    got = relational.revenue_share_by_nation(SF)
+    total = int(got["revenue_cents"].sum())
+    for _, r in got.iterrows():
+        assert int(r["share_e9"]) == int(r["revenue_cents"]) * 10**9 // total
+    # shares sum to 1e9 up to truncation loss < n_groups
+    s = int(got["share_e9"].sum())
+    assert 10**9 - len(got) < s <= 10**9
