@@ -131,6 +131,10 @@ def run_bench() -> dict:
         timed("char_diversity", textops.char_diversity)
         timed("doc_logprob_bigram", textops.doc_logprob_bigram)
         timed("knn_join", similarity.knn_join)
+        timed("rolling_active_users", windows.rolling_active_users)
+        timed("event_transitions", windows.event_transitions)
+        timed("graph_sssp", graphalgs.sssp)
+        timed("dedup_keep_best", dedup.keep_best_dedup)
 
     result = {
         "metric": "kg_construct_wall_sec",

@@ -402,29 +402,46 @@ def item_jaccard(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
     def distinct(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["l_orderkey", "l_partkey"])
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
-        out_a, out_b = [], []
-        for _, grp in df.groupby("l_orderkey"):
-            parts = np.sort(grp["l_partkey"].to_numpy())
-            k = len(parts)
-            if k > _BASKET_CAP:
-                raise ValueError(f"basket of {k} parts exceeds cap {_BASKET_CAP}")
-            if k < 2:
-                continue
-            ia, ib = np.triu_indices(k, 1)
-            out_a.append(parts[ia])
-            out_b.append(parts[ib])
-        if not out_a:
-            return pd.DataFrame({"pa": np.array([], dtype=np.int64),
+    _EMPTY_PAIRS = pd.DataFrame({"pa": np.array([], dtype=np.int64),
                                  "pb": np.array([], dtype=np.int64),
                                  "co": np.array([], dtype=np.int64)})
-        return (
-            pd.DataFrame({"pa": np.concatenate(out_a), "pb": np.concatenate(out_b)})
-            .groupby(["pa", "pb"], as_index=False)
-            .size()
-            .rename(columns={"size": "co"})
-        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # fully vectorized within-basket pair emission: no per-order Python
+        # loop — group offsets + repeat/cumsum index arithmetic generate all
+        # (i < j) index pairs for every basket in one shot
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        o = df["l_orderkey"].to_numpy(np.int64)
+        p = df["l_partkey"].to_numpy(np.int64)
+        n = len(p)
+        if n == 0:
+            return _EMPTY_PAIRS.copy()
+        if p.max() >= 1 << 31:
+            raise ValueError("partkey exceeds 2^31: widen the pair packing")
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = o[1:] != o[:-1]
+        gstart = np.flatnonzero(new)
+        sizes = np.diff(np.append(gstart, n))
+        if sizes.max(initial=0) > _BASKET_CAP:
+            raise ValueError(
+                f"basket of {sizes.max()} parts exceeds cap {_BASKET_CAP}")
+        g = np.cumsum(new) - 1
+        r = np.arange(n, dtype=np.int64) - gstart[g]
+        cnt = sizes[g] - r - 1  # pairs whose left element sits here
+        total = int(cnt.sum())
+        if total == 0:
+            return _EMPTY_PAIRS.copy()
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        block_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        b_idx = a_idx + (np.arange(total, dtype=np.int64) - block_start) + 1
+        # parts sorted within each basket ⇒ pa < pb by construction
+        key = (p[a_idx] << np.int64(32)) | p[b_idx]
+        uniq, counts = np.unique(key, return_counts=True)
+        return pd.DataFrame({"pa": (uniq >> np.int64(32)).astype(np.int64),
+                             "pb": (uniq & np.int64(0x7FFFFFFF)).astype(np.int64),
+                             "co": counts.astype(np.int64)})
 
     co = grouped_aggregate(
         bucketed_group_apply(ds, ["l_orderkey"], distinct, pairs),
