@@ -1131,5 +1131,13 @@ QUERIES.update(
         # ratio-to-report window: nation revenue share of the global total
         "revenue_share_by_nation": (relational.revenue_share_by_nation,
                                     relational.REVENUE_SHARE_BY_NATION_SQL),
+        # bucketize-by-learned-thresholds then join-through-aggregate
+        "revenue_by_balance_decile": (relational.revenue_by_balance_decile,
+                                      relational.REVENUE_BY_BALANCE_DECILE_SQL),
+        # engagement segmentation: distinct-days buckets in one exchange
+        "user_activity_segments": (windows.user_activity_segments,
+                                   windows.USER_ACTIVITY_SEGMENTS_SQL),
+        # referential-integrity report: key-only tagged exchanges
+        "fk_integrity": (stats.fk_integrity, stats.FK_INTEGRITY_SQL),
     }
 )

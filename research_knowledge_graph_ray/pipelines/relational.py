@@ -747,3 +747,81 @@ SELECT n_name, CAST(revenue_cents AS BIGINT) AS revenue_cents,
             AS BIGINT) AS share_e9
 FROM r
 """
+
+
+def revenue_by_balance_decile(sf_dir: str) -> pd.DataFrame:
+    """(decile, n_orders, revenue_cents) — orders aggregated by the balance
+    decile of their customer: bucketize-by-learned-thresholds then
+    join-through-aggregate (the feature-binning step of a training pipeline).
+
+    Three cheap distributed passes: exact percentile_disc deciles of
+    c_acctbal via the histogram rank-refinement operator (no sort), then a
+    broadcast customer→decile map (dimension-sized; swap for a hash join at
+    corpus-sized dimensions) applied inside the streamed orders aggregation.
+    Thresholds are actual data values, so both engines compare identical
+    doubles — no epsilon."""
+    import pyarrow.parquet as pq
+
+    from ..stages.stats import exact_group_quantiles
+
+    cust_ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                    columns=["c_acctbal"])
+    qs = [i / 10.0 for i in range(1, 10)]
+    qdf = exact_group_quantiles(cust_ds, "c_acctbal", None, qs)
+    thr = np.array([float(qdf.iloc[0][f"p{int(q * 100)}"]) for q in qs])
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_acctbal"])
+    bal = cust["c_acctbal"].to_numpy()
+    dec = 1 + (bal[:, None] > thr[None, :]).sum(axis=1).astype(np.int64)
+    c2d = dict(zip(cust["c_custkey"].to_pylist(), dec.tolist()))
+    ref = ray.put(c2d)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = pd.DataFrame(
+            {
+                "decile": [m[c] for c in batch["o_custkey"].to_pylist()],
+                "cents": _cents(batch["o_totalprice"]).to_numpy(),
+            }
+        )
+        return df.groupby("decile", as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+
+    parts = (ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_custkey", "o_totalprice"])
+             .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())  # ≤10 rows per block
+    out = (parts.groupby("decile", as_index=False)
+           .agg(n_orders=("n_orders", "sum"),
+                revenue_cents=("revenue_cents", "sum"))
+           .sort_values("decile").reset_index(drop=True))
+    return out.astype({"decile": np.int64, "n_orders": np.int64,
+                       "revenue_cents": np.int64})
+
+
+REVENUE_BY_BALANCE_DECILE_SQL = """
+WITH t AS (SELECT
+    percentile_disc(0.1) WITHIN GROUP (ORDER BY c_acctbal) AS t1,
+    percentile_disc(0.2) WITHIN GROUP (ORDER BY c_acctbal) AS t2,
+    percentile_disc(0.3) WITHIN GROUP (ORDER BY c_acctbal) AS t3,
+    percentile_disc(0.4) WITHIN GROUP (ORDER BY c_acctbal) AS t4,
+    percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal) AS t5,
+    percentile_disc(0.6) WITHIN GROUP (ORDER BY c_acctbal) AS t6,
+    percentile_disc(0.7) WITHIN GROUP (ORDER BY c_acctbal) AS t7,
+    percentile_disc(0.8) WITHIN GROUP (ORDER BY c_acctbal) AS t8,
+    percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal) AS t9
+  FROM customer),
+d AS (SELECT c_custkey,
+             1 + CAST(c_acctbal > t.t1 AS INT) + CAST(c_acctbal > t.t2 AS INT)
+               + CAST(c_acctbal > t.t3 AS INT) + CAST(c_acctbal > t.t4 AS INT)
+               + CAST(c_acctbal > t.t5 AS INT) + CAST(c_acctbal > t.t6 AS INT)
+               + CAST(c_acctbal > t.t7 AS INT) + CAST(c_acctbal > t.t8 AS INT)
+               + CAST(c_acctbal > t.t9 AS INT) AS decile
+      FROM customer, t)
+SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN d ON o_custkey = d.c_custkey
+GROUP BY decile
+"""

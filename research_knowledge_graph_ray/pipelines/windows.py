@@ -994,3 +994,51 @@ WITH s AS (SELECT event_type AS next_type,
 SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM s GROUP BY 1, 2
 """
+
+
+def user_activity_segments(sf_dir: str) -> pd.DataFrame:
+    """(segment, n_users) — engagement segmentation: users bucketed by their
+    count of distinct active days (≤24 / 25-26 / 27-28 / 29+ — edges sit
+    inside this corpus's 22-30-day activity spread so every scale exercises
+    multiple buckets).
+
+    distinct-then-bucket-then-count in ONE exchange: per-block partials are
+    DISTINCT (user, day); each user's day set lands whole in one bucket, so
+    the reducer counts days and buckets locally, emitting 4-row partials."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    day_us = 86_400_000_000
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // day_us
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "d": d}).drop_duplicates()
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"segment": pd.Series(dtype="string"),
+                                 "n_users": pd.Series(dtype=np.int64)})
+        days = (df.drop_duplicates(["user_id", "d"])
+                .groupby("user_id").size().to_numpy(np.int64))
+        seg = np.select([days <= 24, days <= 26, days <= 28],
+                        ["<=24", "25-26", "27-28"], default="29+")
+        out = (pd.DataFrame({"segment": seg})
+               .groupby("segment", as_index=False).size()
+               .rename(columns={"size": "n_users"}))
+        return out.astype({"n_users": np.int64})
+
+    parts = bucketed_group_apply(ev, ["user_id"], part, fin).to_pandas()
+    return (parts.groupby("segment", as_index=False)
+            .agg(n_users=("n_users", "sum"))
+            .sort_values("segment").reset_index(drop=True))
+
+
+USER_ACTIVITY_SEGMENTS_SQL = """
+WITH dd AS (SELECT user_id,
+                   COUNT(DISTINCT epoch_us(ts) // 86400000000) AS days
+            FROM events GROUP BY 1)
+SELECT CASE WHEN days <= 24 THEN '<=24' WHEN days <= 26 THEN '25-26'
+            WHEN days <= 28 THEN '27-28' ELSE '29+' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM dd GROUP BY 1
+"""

@@ -1053,3 +1053,122 @@ SELECT c.c_custkey, c.nat AS c_nationkey,
        CAST(((g4.n * c.x - g4.s) * 1000000) // g4.d AS BIGINT) AS z_e6
 FROM c JOIN g4 USING (nat)
 """
+
+
+_FK_RELATIONS: list[tuple[str, str, str, str, str]] = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def fk_integrity(sf_dir: str) -> pd.DataFrame:
+    """(relation, n_rows, n_keys, orphan_rows, orphan_keys) — referential-
+    integrity report over the schema's four FK relations: child rows/keys
+    plus how many reference a missing parent.
+
+    Per relation, ONE key-only exchange of a tagged union: child blocks
+    shrink to per-block (key, count) partials, parent blocks to distinct
+    keys — payloads never move. Each reducer resolves membership locally and
+    emits one summary row per bucket; the driver fold is O(relations ×
+    buckets). The semi/anti-join shape repurposed as a data-quality
+    aggregate."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from .shuffle import bucketed_group_apply
+
+    # dataset handles are created serially here — read_parquet's lazy
+    # filesystem-module imports are not thread-safe; the threads below only
+    # drive execution of already-constructed plans
+    specs = [
+        (rel, ckey,
+         ray.data.read_parquet(f"{sf_dir}/{ctab}.parquet", columns=[ckey]),
+         pkey,
+         ray.data.read_parquet(f"{sf_dir}/{ptab}.parquet", columns=[pkey]))
+        for rel, ctab, ckey, ptab, pkey in _FK_RELATIONS
+    ]
+
+    def one_relation(spec):
+        rel, ckey, child, pkey, parent = spec
+
+        def cpart(df: pd.DataFrame, ckey=ckey) -> pd.DataFrame:
+            g = (df.groupby(ckey, as_index=False).size()
+                 .rename(columns={ckey: "k", "size": "cnt"}))
+            g["side"] = np.int64(0)
+            return g.astype({"k": np.int64, "cnt": np.int64})
+
+        def ppart(df: pd.DataFrame, pkey=pkey) -> pd.DataFrame:
+            out = pd.DataFrame({"k": df[pkey].drop_duplicates().to_numpy(np.int64)})
+            out["cnt"] = np.int64(0)
+            out["side"] = np.int64(1)
+            return out
+
+        u = (child.map_batches(cpart, batch_format="pandas")
+             .union(parent.map_batches(ppart, batch_format="pandas")))
+
+        def fin(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame({"n_rows": [0], "n_keys": [0],
+                                     "orphan_rows": [0], "orphan_keys": [0]},
+                                    dtype=np.int64)
+            g = df.groupby("k").agg(cnt=("cnt", "sum"), par=("side", "max"))
+            is_child = g["cnt"] > 0
+            orphan = is_child & (g["par"] == 0)
+            return pd.DataFrame(
+                {
+                    "n_rows": [int(g["cnt"].sum())],
+                    "n_keys": [int(is_child.sum())],
+                    "orphan_rows": [int(g.loc[orphan, "cnt"].sum())],
+                    "orphan_keys": [int(orphan.sum())],
+                },
+                dtype=np.int64,
+            )
+
+        part_rows = bucketed_group_apply(u, ["k"], lambda df: df, fin).to_pandas()
+        s = part_rows.sum()
+        return (rel, int(s["n_rows"]), int(s["n_keys"]),
+                int(s["orphan_rows"]), int(s["orphan_keys"]))
+
+    # the four key-only exchanges are independent — overlap them (threads
+    # only drive scheduling; the work runs in Ray tasks)
+    with ThreadPoolExecutor(len(_FK_RELATIONS)) as ex:
+        rows = list(ex.map(one_relation, specs))
+    out = pd.DataFrame(rows, columns=["relation", "n_rows", "n_keys",
+                                      "orphan_rows", "orphan_keys"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+FK_INTEGRITY_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphan_rows,
+       CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN l_orderkey END)
+            AS BIGINT) AS orphan_keys
+FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_partkey) AS BIGINT),
+       CAST(SUM(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT CASE WHEN p.p_partkey IS NULL THEN l_partkey END)
+            AS BIGINT)
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT l_suppkey) AS BIGINT),
+       CAST(SUM(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT CASE WHEN s.s_suppkey IS NULL THEN l_suppkey END)
+            AS BIGINT)
+FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       CAST(COUNT(*) AS BIGINT), CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT CASE WHEN c.c_custkey IS NULL THEN o_custkey END)
+            AS BIGINT)
+FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+"""
