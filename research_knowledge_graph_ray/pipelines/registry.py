@@ -1139,5 +1139,7 @@ QUERIES.update(
                                    windows.USER_ACTIVITY_SEGMENTS_SQL),
         # referential-integrity report: key-only tagged exchanges
         "fk_integrity": (stats.fk_integrity, stats.FK_INTEGRITY_SQL),
+        # cross-signal time-series correlation (day-domain-bounded)
+        "daily_type_corr": (stats.daily_type_corr, stats.DAILY_TYPE_CORR_SQL),
     }
 )

@@ -1172,3 +1172,65 @@ SELECT 'orders.o_custkey->customer',
             AS BIGINT)
 FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
 """
+
+
+def daily_type_corr(sf_dir: str, type_x: str = "click",
+                    type_y: str = "purchase") -> pd.DataFrame:
+    """One row (n_days, corr_e9) — Pearson correlation of two event-type
+    daily time series (``type_x`` vs ``type_y`` counts per day, zero-filled
+    over every day with any event): the cross-signal monitoring query of an
+    event pipeline.
+
+    Day-domain-bounded throughout: per-block partials collapse to O(|days|)
+    rows (counts for the two types per day), the combine is calendar-sized,
+    and the six sufficient sums fold with Python ints; the corr is the same
+    identical-double expression both engines evaluate (the
+    price_qty_regression recipe)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"])
+    day_us = 86_400_000_000
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // day_us
+        et = df["event_type"].to_numpy()
+        out = pd.DataFrame({"d": d,
+                            "x": (et == type_x).astype(np.int64),
+                            "y": (et == type_y).astype(np.int64)})
+        return out.groupby("d", as_index=False).agg(x=("x", "sum"),
+                                                    y=("y", "sum"))
+
+    days = (ds.map_batches(part, batch_format="pandas")
+            .to_pandas()  # O(blocks × |days|)
+            .groupby("d", as_index=False).agg(x=("x", "sum"), y=("y", "sum")))
+    n = len(days)
+    xs = [int(v) for v in days["x"]]
+    ys = [int(v) for v in days["y"]]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    num = float(n * sxy - sx * sy)
+    den_x = float(n * sxx - sx * sx)
+    den_y = float(n * syy - sy * sy)
+    return pd.DataFrame({"n_days": [np.int64(n)],
+                         "corr_e9": [np.int64(_round_e9(
+                             num / math.sqrt(den_x * den_y)))]})
+
+
+DAILY_TYPE_CORR_SQL = """
+WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d,
+                  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS x,
+                  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS HUGEINT) AS y
+           FROM events GROUP BY 1),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy FROM c),
+t AS (SELECT CAST(n AS BIGINT) AS n_days,
+             CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+             CAST(n*sxx - sx*sx AS DOUBLE) AS den_x,
+             CAST(n*syy - sy*sy AS DOUBLE) AS den_y FROM s)
+SELECT n_days,
+       CAST(ROUND(num / sqrt(den_x * den_y) * 1000000000) AS BIGINT) AS corr_e9
+FROM t
+"""

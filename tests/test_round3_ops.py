@@ -341,3 +341,18 @@ def test_fk_integrity_clean_on_testdata():
     got = stats.fk_integrity(SF)
     assert (got["orphan_rows"] == 0).all() and (got["orphan_keys"] == 0).all()
     assert (got["n_rows"] > 0).all()
+
+
+def test_daily_type_corr_vs_numpy():
+    from research_knowledge_graph_ray.stages import stats
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["ts", "event_type"]).to_pandas()
+    ev["d"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY_US
+    days = ev.groupby("d").agg(
+        x=("event_type", lambda s: int((s == "click").sum())),
+        y=("event_type", lambda s: int((s == "purchase").sum())))
+    r = np.corrcoef(days["x"], days["y"])[0, 1]
+    got = stats.daily_type_corr(SF)
+    assert int(got["n_days"].iloc[0]) == len(days)
+    assert abs(int(got["corr_e9"].iloc[0]) / 1e9 - r) < 1e-6
