@@ -947,6 +947,9 @@ QUERIES: dict = {
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
     # representative selection: keep the longest member (min-id tiebreak)
     "dedup_keep_best": (dedup.keep_best_dedup, DEDUP_KEEP_BEST_SQL),
+    # storage-level dedup: content-defined chunking + content-addressed
+    # accounting (one chunk-hash exchange)
+    "cdc_chunk_dedup": (dedup.cdc_chunk_dedup, dedup.CDC_CHUNK_DEDUP_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, DEDUP_MINHASH_SQL),
     "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),

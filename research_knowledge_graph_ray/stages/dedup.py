@@ -734,3 +734,140 @@ def keep_best_dedup(sf_dir: str) -> "ray.data.Dataset":
         lambda df: df,
         fin,
     )
+
+
+_CDC_WIN = 8    # rolling-window width (bytes)
+_CDC_MOD = 61   # boundary: window byte-sum ≡ 0 (mod 61) → avg chunk ≈ 61 B
+
+
+def _cdc_chunks(texts_arr: pa.ChunkedArray | pa.Array) -> pd.DataFrame:
+    """Vectorized content-defined chunk split of a batch of documents.
+
+    Boundaries are position-stateless (a cut after byte i of a doc iff the
+    trailing 8-byte window sum ≡ 0 mod 61 and i ≥ 7), so identical content
+    produces identical chunks regardless of where it appears — the property
+    storage dedup needs — and the rule restates exactly in SQL (window SUM
+    over per-char rows). Window sums for EVERY doc come from one global
+    cumsum over the Arrow data buffer; only the per-chunk md5 is per-chunk
+    Python (chunk count ≈ bytes/61 ≪ bytes)."""
+    arr = texts_arr
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    base = off[0]
+    lens = np.diff(off)
+    slab = data[off[0] : off[-1]].astype(np.int64)
+    n = slab.size
+    csum = np.concatenate([[0], np.cumsum(slab)])
+    doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), lens)
+    starts = np.repeat(off[:-1] - base, lens)
+    local = np.arange(n, dtype=np.int64) - starts
+    # trailing-window sum at each global position (full windows only)
+    win = np.full(n, -1, dtype=np.int64)
+    full = local >= _CDC_WIN - 1
+    gpos = np.arange(n, dtype=np.int64)
+    win[full] = csum[gpos[full] + 1] - csum[gpos[full] + 1 - _CDC_WIN]
+    cut = full & (win % _CDC_MOD == 0)
+
+    hashes, sizes = [], []
+    cut_pos = np.flatnonzero(cut)
+    cut_doc = doc_idx[cut_pos]
+    texts = arr.to_pylist()
+    bounds_per_doc: list[list[int]] = [[] for _ in range(len(arr))]
+    for p, dix in zip(cut_pos, cut_doc):
+        bounds_per_doc[dix].append(int(p - (off[dix] - base)) + 1)
+    for dix, text in enumerate(texts):
+        prev = 0
+        for b in bounds_per_doc[dix]:
+            hashes.append(hashlib.md5(text[prev:b].encode()).hexdigest())
+            sizes.append(b - prev)
+            prev = b
+        if prev < len(text):
+            hashes.append(hashlib.md5(text[prev:].encode()).hexdigest())
+            sizes.append(len(text) - prev)
+    return pd.DataFrame({"h": hashes, "nb": np.asarray(sizes, dtype=np.int64)})
+
+
+def cdc_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """One row (n_chunks, n_distinct, dup_bytes) — storage-level dedup
+    accounting via content-defined chunking: split every document into
+    content-addressed chunks, count how many chunk instances exist, how many
+    are unique, and how many bytes a content-addressed store would save
+    (Σ (count−1)·size over distinct chunks).
+
+    Map side splits + hashes and shrinks each block to per-hash (count,
+    size) partials; ONE exchange on the chunk hash makes the distinct/dup
+    accounting local per bucket (equal hash ⇒ equal bytes ⇒ equal size);
+    each bucket emits a 3-int summary row and the driver folds O(buckets)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        df = _cdc_chunks(batch["text"])
+        return (df.groupby("h", as_index=False)
+                .agg(cnt=("nb", "size"), nb=("nb", "first")))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n_chunks": [0], "n_distinct": [0],
+                                 "dup_bytes": [0]}, dtype=np.int64)
+        g = df.groupby("h").agg(cnt=("cnt", "sum"), nb=("nb", "first"))
+        return pd.DataFrame(
+            {
+                "n_chunks": [int(g["cnt"].sum())],
+                "n_distinct": [len(g)],
+                "dup_bytes": [int(((g["cnt"] - 1) * g["nb"]).sum())],
+            },
+            dtype=np.int64,
+        )
+
+    parts = bucketed_group_apply(
+        ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True),
+        ["h"], lambda df: df, fin).to_pandas()
+    s = parts.sum()
+    return pd.DataFrame({"n_chunks": [np.int64(s["n_chunks"])],
+                         "n_distinct": [np.int64(s["n_distinct"])],
+                         "dup_bytes": [np.int64(s["dup_bytes"])]})
+
+
+CDC_CHUNK_DEDUP_SQL = """
+WITH p0 AS (
+  SELECT doc_id, text,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM documents),
+pos AS (
+  SELECT doc_id, text, i,
+         ascii(substring(text, CAST(i AS INT), 1)) AS code
+  FROM p0),
+w AS (
+  SELECT doc_id, text, i,
+         SUM(code) OVER (PARTITION BY doc_id ORDER BY i
+                         ROWS 7 PRECEDING) AS s,
+         COUNT(*) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS 7 PRECEDING) AS wn
+  FROM pos),
+b AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS e FROM w
+  WHERE wn = 8 AND s % 61 = 0
+  UNION ALL
+  SELECT doc_id, length(text) FROM documents
+  WHERE length(text) > 0),
+bd AS (SELECT DISTINCT doc_id, e FROM b),
+sp AS (
+  SELECT doc_id, e,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS st
+  FROM bd),
+chunks AS (
+  SELECT md5(substring(d.text, CAST(sp.st + 1 AS INT),
+                       CAST(sp.e - sp.st AS INT))) AS h,
+         sp.e - sp.st AS nb
+  FROM sp JOIN documents d USING (doc_id)
+  WHERE sp.e > sp.st),
+g AS (SELECT h, COUNT(*) AS cnt, MIN(nb) AS nb FROM chunks GROUP BY h)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM((cnt - 1) * nb) AS BIGINT) AS dup_bytes
+FROM g
+"""

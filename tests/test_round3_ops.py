@@ -356,3 +356,57 @@ def test_daily_type_corr_vs_numpy():
     got = stats.daily_type_corr(SF)
     assert int(got["n_days"].iloc[0]) == len(days)
     assert abs(int(got["corr_e9"].iloc[0]) / 1e9 - r) < 1e-6
+
+
+def _cdc_brute(text, win=8, mod=61):
+    codes = text.encode()
+    bounds = []
+    for i in range(win - 1, len(codes)):
+        if sum(codes[i - win + 1:i + 1]) % mod == 0:
+            bounds.append(i + 1)
+    chunks, prev = [], 0
+    for b in bounds:
+        chunks.append(text[prev:b])
+        prev = b
+    if prev < len(text):
+        chunks.append(text[prev:])
+    return chunks
+
+
+def test_cdc_chunk_dedup_vs_brute_force():
+    import hashlib
+    from collections import Counter
+
+    from research_knowledge_graph_ray.stages import dedup
+
+    d = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    cnt = Counter()
+    size = {}
+    for t in d["text"]:
+        for ch in _cdc_brute(t):
+            h = hashlib.md5(ch.encode()).hexdigest()
+            cnt[h] += 1
+            size[h] = len(ch)
+    got = dedup.cdc_chunk_dedup(SF).iloc[0]
+    assert int(got["n_chunks"]) == sum(cnt.values())
+    assert int(got["n_distinct"]) == len(cnt)
+    assert int(got["dup_bytes"]) == sum((c - 1) * size[h] for h, c in cnt.items())
+
+
+def test_cdc_chunking_is_content_defined():
+    # the same long substring embedded at DIFFERENT offsets in two documents
+    # must still produce shared chunks — the property fixed-size blocks lack
+    import pyarrow as pa
+
+    from research_knowledge_graph_ray.stages.dedup import _cdc_chunks
+
+    core = "the quick brown fox jumps over the lazy dog " * 8
+    a = "PREFIX-A " + core + " SUFFIX-A"
+    b = "a totally different and longer prefix here 123 " + core + " other tail"
+    df = _cdc_chunks(pa.chunked_array([pa.array([a, b])]))
+    # chunk multiset: shared chunks appear with count 2
+    dup = df.groupby("h").size()
+    assert (dup >= 2).any()
+    # and chunking is deterministic
+    df2 = _cdc_chunks(pa.chunked_array([pa.array([a, b])]))
+    assert sorted(df["h"]) == sorted(df2["h"])
