@@ -1131,6 +1131,9 @@ QUERIES.update(
         # first-order Markov transition matrix over per-user event streams
         "event_transitions": (windows.event_transitions,
                               windows.EVENT_TRANSITIONS_SQL),
+        # debounce (LAG-window duplicate-event) cleaning report
+        "events_debounced": (windows.events_debounced,
+                             windows.EVENTS_DEBOUNCED_SQL),
         # ratio-to-report window: nation revenue share of the global total
         "revenue_share_by_nation": (relational.revenue_share_by_nation,
                                     relational.REVENUE_SHARE_BY_NATION_SQL),

@@ -1042,3 +1042,62 @@ SELECT CASE WHEN days <= 24 THEN '<=24' WHEN days <= 26 THEN '25-26'
        CAST(COUNT(*) AS BIGINT) AS n_users
 FROM dd GROUP BY 1
 """
+
+
+def events_debounced(sf_dir: str, gap_s: int = 21_600) -> pd.DataFrame:
+    """(event_type, n_total, n_dropped) — debounce report: an event is a
+    duplicate when the same user fired the same type within ``gap_s``
+    seconds of the PREVIOUS such event (LAG semantics — each event compares
+    to its immediate predecessor, the stateless form of repeat-event
+    suppression; default 6 h, inside this corpus's 5 h+ same-(user,type)
+    gap floor so the rule fires at every scale).
+
+    One exchange on user_id; the reducer sorts each user's (type, ts,
+    event_id) stream once and takes a grouped diff — no per-user loop;
+    |types|-bounded partials out."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_id", "event_type"])
+    gap_us = gap_s * 1_000_000
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "t": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"],
+        })
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"event_type": pd.Series(dtype="string"),
+                                 "n_total": pd.Series(dtype=np.int64),
+                                 "n_dropped": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["user_id", "event_type", "t", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        prev = df.groupby(["user_id", "event_type"], sort=False)["t"].shift(1)
+        dropped = ((df["t"] - prev) <= gap_us).fillna(False)
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "one": np.int64(1),
+                            "drp": dropped.to_numpy().astype(np.int64)})
+        return (out.groupby("event_type", as_index=False)
+                .agg(n_total=("one", "sum"), n_dropped=("drp", "sum")))
+
+    parts = bucketed_group_apply(
+        ev.map_batches(prep, batch_format="pandas"),
+        ["user_id"], lambda df: df, fin, n_buckets=16).to_pandas()
+    return (parts.groupby("event_type", as_index=False)
+            .agg(n_total=("n_total", "sum"), n_dropped=("n_dropped", "sum"))
+            .sort_values("event_type").reset_index(drop=True))
+
+
+EVENTS_DEBOUNCED_SQL = """
+WITH s AS (SELECT event_type,
+                  epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS gap
+           FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN gap IS NOT NULL AND gap <= 21600000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM s GROUP BY 1
+"""

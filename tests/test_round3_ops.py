@@ -410,3 +410,22 @@ def test_cdc_chunking_is_content_defined():
     # and chunking is deterministic
     df2 = _cdc_chunks(pa.chunked_array([pa.array([a, b])]))
     assert sorted(df["h"]) == sorted(df2["h"])
+
+
+def test_events_debounced_vs_brute_force():
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
+    ev["t"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev = ev.sort_values(["user_id", "event_type", "t", "event_id"])
+    want_total, want_drop = {}, {}
+    for (_, et), g in ev.groupby(["user_id", "event_type"]):
+        ts = g["t"].tolist()
+        want_total[et] = want_total.get(et, 0) + len(ts)
+        for a, b in zip(ts, ts[1:]):
+            if b - a <= 21_600 * 1_000_000:
+                want_drop[et] = want_drop.get(et, 0) + 1
+    got = windows.events_debounced(SF).set_index("event_type")
+    for et in want_total:
+        assert int(got.loc[et, "n_total"]) == want_total[et]
+        assert int(got.loc[et, "n_dropped"]) == want_drop.get(et, 0)
+    assert int(got["n_dropped"].sum()) > 0  # rule fires at this scale
