@@ -1134,6 +1134,9 @@ QUERIES.update(
         # debounce (LAG-window duplicate-event) cleaning report
         "events_debounced": (windows.events_debounced,
                              windows.EVENTS_DEBOUNCED_SQL),
+        # multi-touch (linear) revenue attribution with exact integer splits
+        "linear_attribution": (windows.linear_attribution,
+                               windows.LINEAR_ATTRIBUTION_SQL),
         # ratio-to-report window: nation revenue share of the global total
         "revenue_share_by_nation": (relational.revenue_share_by_nation,
                                     relational.REVENUE_SHARE_BY_NATION_SQL),

@@ -1101,3 +1101,91 @@ SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_total,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM s GROUP BY 1
 """
+
+
+ATTRIB_WINDOW_US = 7 * 86_400_000_000
+
+
+def linear_attribution(sf_dir: str) -> pd.DataFrame:
+    """(click_event_id, user_id, attributed_cents) — multi-touch (linear)
+    revenue attribution: each purchase's value splits equally across the
+    same user's clicks in the prior 7 days (clicks at or before the
+    purchase), floor shares with the remainder credited to the EARLIEST
+    qualifying click (ts, event_id tiebreak) — exact integer conservation,
+    no float splits. Purchases with no qualifying click stay unattributed.
+
+    ONE exchange on user_id over the two filtered event types; the reducer
+    sorts each user's clicks once and binary-searches the window per
+    purchase (O(P log C) per user, all local), emitting per-click partial
+    credits that sum exactly to the attributable purchase total."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type", "value"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["event_type"].isin(["click", "purchase"]).to_numpy()
+        df = df[m]
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "t": df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64),
+            "is_p": (df["event_type"] == "purchase").to_numpy().astype(np.int64),
+            "cents": np.rint(df["value"].to_numpy(np.float64) * 100.0
+                             ).astype(np.int64),
+        })
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        out_c, out_u, out_a = [], [], []
+        if not df.empty:
+            for uid, g in df.groupby("user_id", sort=False):
+                clicks = (g[g["is_p"] == 0][["event_id", "t"]]
+                          .sort_values(["t", "event_id"]))
+                if clicks.empty:
+                    continue
+                ct = clicks["t"].to_numpy(np.int64)
+                cid = clicks["event_id"].to_numpy(np.int64)
+                credit = np.zeros(len(ct), dtype=np.int64)
+                touched = np.zeros(len(ct), dtype=bool)
+                for _, p in g[g["is_p"] == 1].iterrows():
+                    pt, cents = int(p["t"]), int(p["cents"])
+                    lo = int(np.searchsorted(ct, pt - ATTRIB_WINDOW_US,
+                                             side="right"))
+                    hi = int(np.searchsorted(ct, pt, side="right"))
+                    n = hi - lo
+                    if n == 0:
+                        continue
+                    credit[lo:hi] += cents // n
+                    credit[lo] += cents % n  # remainder → earliest click
+                    touched[lo:hi] = True
+                # a zero-share participant (floor share 0, not earliest)
+                # still appears — the SQL join keeps it with SUM 0
+                keep = touched
+                out_c.extend(cid[keep].tolist())
+                out_u.extend([int(uid)] * int(keep.sum()))
+                out_a.extend(credit[keep].tolist())
+        return pd.DataFrame({"click_event_id": np.asarray(out_c, np.int64),
+                             "user_id": np.asarray(out_u, np.int64),
+                             "attributed_cents": np.asarray(out_a, np.int64)})
+
+    parts = bucketed_group_apply(ev, ["user_id"], part, fin,
+                                 n_buckets=16).to_pandas()
+    return (parts.sort_values("click_event_id").reset_index(drop=True))
+
+
+LINEAR_ATTRIBUTION_SQL = """
+WITH p AS (SELECT event_id AS pid, user_id, epoch_us(ts) AS pt,
+                  CAST(ROUND(value * 100) AS BIGINT) AS cents
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id AS cid, user_id, epoch_us(ts) AS ct
+      FROM events WHERE event_type = 'click'),
+j AS (SELECT p.pid, p.cents, c.cid, c.ct, c.user_id
+      FROM p JOIN c ON p.user_id = c.user_id
+       AND c.ct <= p.pt AND c.ct > p.pt - 604800000000),
+j2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ct, cid) AS rn,
+               COUNT(*) OVER (PARTITION BY pid) AS n
+       FROM j)
+SELECT cid AS click_event_id, CAST(user_id AS BIGINT) AS user_id,
+       CAST(SUM(cents // n + CASE WHEN rn = 1 THEN cents % n ELSE 0 END)
+            AS BIGINT) AS attributed_cents
+FROM j2 GROUP BY cid, user_id
+"""

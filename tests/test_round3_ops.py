@@ -429,3 +429,30 @@ def test_events_debounced_vs_brute_force():
         assert int(got.loc[et, "n_total"]) == want_total[et]
         assert int(got.loc[et, "n_dropped"]) == want_drop.get(et, 0)
     assert int(got["n_dropped"].sum()) > 0  # rule fires at this scale
+
+
+def test_linear_attribution_conserves_and_matches_brute_force():
+    W = 7 * 86_400_000_000
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_id", "user_id", "ts", "event_type",
+                                "value"]).to_pandas()
+    ev["t"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    ev["cents"] = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    want = {}
+    attributable_total = 0
+    for uid, g in ev.groupby("user_id"):
+        clicks = g[g["event_type"] == "click"].sort_values(["t", "event_id"])
+        for _, p in g[g["event_type"] == "purchase"].iterrows():
+            win = clicks[(clicks["t"] <= p["t"]) & (clicks["t"] > p["t"] - W)]
+            n = len(win)
+            if n == 0:
+                continue
+            attributable_total += int(p["cents"])
+            share, rem = int(p["cents"]) // n, int(p["cents"]) % n
+            for j, (_, c) in enumerate(win.iterrows()):
+                want[int(c["event_id"])] = want.get(int(c["event_id"]), 0) + \
+                    share + (rem if j == 0 else 0)
+    got = windows.linear_attribution(SF)
+    assert got.set_index("click_event_id")["attributed_cents"].to_dict() == want
+    # exact conservation: every attributable cent lands on exactly one click
+    assert int(got["attributed_cents"].sum()) == attributable_total
