@@ -1103,6 +1103,9 @@ QUERIES.update(
         # salted (skew-resistant) join plan — same oracle as the plain join
         "customer_order_totals_salted": (windows.customer_order_totals_salted,
                                          windows.CUSTOMER_ORDER_TOTALS_SQL),
+        # ADAPTIVE join plan: probe-dispatched plain/salted, same oracle
+        "customer_order_totals_auto": (windows.customer_order_totals_auto,
+                                       windows.CUSTOMER_ORDER_TOTALS_SQL),
         # rank/dense-rank window family
         "order_rank_in_month": (windows.order_rank_in_month,
                                 windows.ORDER_RANK_IN_MONTH_SQL),

@@ -1189,3 +1189,21 @@ SELECT cid AS click_event_id, CAST(user_id AS BIGINT) AS user_id,
             AS BIGINT) AS attributed_cents
 FROM j2 GROUP BY cid, user_id
 """
+
+
+def customer_order_totals_auto(sf_dir: str) -> "ray.data.Dataset":
+    """customer_order_totals through the ADAPTIVE join planner
+    (stages/join.py::auto_hash_join): a key-distribution probe picks plain
+    vs salted at runtime. Shares the exchange join's SQL oracle — whichever
+    plan the probe picks must be row-identical."""
+    from ..stages.join import auto_hash_join
+
+    customers = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                      columns=["c_custkey", "c_name"])
+    joined, _plan = auto_hash_join(
+        _order_cents(sf_dir), customers,
+        left_on="o_custkey", right_on="c_custkey",
+        left_cols=["o_custkey", "cents"], right_cols=["c_custkey", "c_name"],
+    )
+    return bucketed_group_apply(joined, ["c_custkey"], _order_totals_agg,
+                                _order_totals_agg, n_buckets=8)

@@ -363,3 +363,65 @@ def hash_join_bloom(
     bloom = build_bloom(right, right_on)
     return hash_join(bloom_prefilter(left, left_on, bloom), right,
                      left_on, right_on, left_cols, right_cols, n_buckets)
+
+
+def probe_key_skew(ds: "ray.data.Dataset", key: str,
+                   n_buckets: int = 8) -> dict[str, int]:
+    """Exact key-distribution probe for join planning: one KEY-ONLY exchange
+    of per-block partial value counts (the key_skew_report machinery inlined
+    for a single column). Returns n_rows, n_distinct, top_cnt and the skew
+    factor ``top_cnt·n_distinct·1e9 // n_rows`` (1e9 ⇒ uniform)."""
+    from .shuffle import bucketed_group_apply
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = (df.groupby(key, as_index=False).size()
+               .rename(columns={"size": "n"}))
+        return out
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"rows": pd.Series(dtype=np.int64),
+                                 "distinct": pd.Series(dtype=np.int64),
+                                 "top": pd.Series(dtype=np.int64)})
+        g = df.groupby(key)["n"].sum()
+        return pd.DataFrame({"rows": [int(g.sum())], "distinct": [len(g)],
+                             "top": [int(g.max())]})
+
+    s = bucketed_group_apply(ds, [key], part, fin, n_buckets=n_buckets).to_pandas()
+    n_rows, n_distinct, top = int(s["rows"].sum()), int(s["distinct"].sum()), int(s["top"].max())
+    skew_e9 = top * n_distinct * 10**9 // n_rows if n_rows else 10**9
+    return {"n_rows": n_rows, "n_distinct": n_distinct, "top_cnt": top,
+            "skew_e9": skew_e9}
+
+
+def auto_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_on: str,
+    right_on: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    n_buckets: int = 32,
+    skew_threshold_e9: int = 4 * 10**9,
+    n_salts: int = 8,
+) -> tuple["ray.data.Dataset", dict]:
+    """Adaptive join planning: probe the big (left) side's key distribution
+    with :func:`probe_key_skew` and dispatch to the plain partitioned
+    :func:`hash_join` or the skew-resistant :func:`hash_join_salted` when
+    the hottest key exceeds ``skew_threshold_e9`` (default: 4× uniform —
+    below that, salting's build-side replication costs more than the hot
+    bucket). Returns (joined, plan) where ``plan`` records the probe stats
+    and the chosen strategy — the adaptive-execution step a 100 TB job runs
+    BEFORE funneling one reduce bucket. The probe re-executes the (lazy)
+    left plan once; cache/materialize upstream if that pass is expensive."""
+    stats = probe_key_skew(left.select_columns([left_on]), left_on)
+    salted = stats["skew_e9"] >= skew_threshold_e9
+    if salted:
+        joined = hash_join_salted(left, right, left_on, right_on,
+                                  left_cols, right_cols,
+                                  n_buckets=n_buckets, n_salts=n_salts)
+    else:
+        joined = hash_join(left, right, left_on, right_on,
+                           left_cols, right_cols, n_buckets=n_buckets)
+    return joined, {**stats, "strategy": "salted" if salted else "plain",
+                    "threshold_e9": skew_threshold_e9}

@@ -456,3 +456,31 @@ def test_linear_attribution_conserves_and_matches_brute_force():
     assert got.set_index("click_event_id")["attributed_cents"].to_dict() == want
     # exact conservation: every attributable cent lands on exactly one click
     assert int(got["attributed_cents"].sum()) == attributable_total
+
+
+def test_auto_hash_join_dispatch_and_parity(ray_session):
+    import ray.data
+
+    from research_knowledge_graph_ray.stages.join import (auto_hash_join,
+                                                          probe_key_skew)
+
+    # uniform keys → plain plan
+    left_u = ray.data.from_items([{"k": i % 50, "v": i} for i in range(2000)])
+    right = ray.data.from_items([{"rk": i, "name": f"n{i}"} for i in range(50)])
+    j, plan = auto_hash_join(left_u, right, "k", "rk", ["k", "v"], ["rk", "name"])
+    assert plan["strategy"] == "plain"
+    assert j.count() == 2000
+    # one hot key holding 60% of rows → salted plan, identical result set
+    rows = [{"k": 7, "v": i} for i in range(1200)] + \
+           [{"k": i % 50, "v": 10_000 + i} for i in range(800)]
+    left_h = ray.data.from_items(rows)
+    probe = probe_key_skew(left_h.select_columns(["k"]), "k")
+    assert probe["skew_e9"] >= 4 * 10**9
+    j2, plan2 = auto_hash_join(left_h, right, "k", "rk", ["k", "v"], ["rk", "name"])
+    assert plan2["strategy"] == "salted"
+    got = j2.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    from research_knowledge_graph_ray.stages.join import hash_join
+    want = (hash_join(left_h, right, "k", "rk", ["k", "v"], ["rk", "name"])
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "v", "name"]],
+                                  want[["k", "v", "name"]], check_dtype=False)
