@@ -969,6 +969,10 @@ QUERIES: dict = {
     # graph analytics (stages/graphalgs.py) — distributed loops with exact
     # fixed-iteration SQL restatements
     "graph_pagerank": (graphalgs.pagerank, graphalgs.pagerank_sql()),
+    # seed-teleport random walk (proximity scores) — same pinned-partition
+    # loop, teleport vector rides the node table
+    "graph_ppr": (graphalgs.personalized_pagerank,
+                  graphalgs.personalized_pagerank_sql()),
     # iterative peeling to fixpoint (raises past the SQL's iteration bound,
     # so the chained-CTE restatement is exact by construction)
     "graph_kcore": (graphalgs.kcore, graphalgs.kcore_sql()),

@@ -125,3 +125,23 @@ def write_lance_table(ds: "ray.data.Dataset", path: str) -> None:
             "installed in this environment; write_parquet is the stand-in"
         ) from e
     ds.write_lance(path)
+
+
+def write_jsonl(ds: "ray.data.Dataset", out_dir: str) -> None:
+    """Write a Dataset as partitioned JSON-Lines (the LLM-training-data
+    interchange format): one ``.jsonl`` file per block under ``out_dir``,
+    written by the workers in parallel — the same resumable many-files
+    layout as the parquet sinks, never one giant file. Uses Ray Data's
+    native JSON datasink (pandas ``to_json(lines=True)`` per block)."""
+    ds.write_json(out_dir)
+
+
+def read_jsonl(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Read a JSONL file/directory back as a Dataset. Column pruning happens
+    post-parse (JSON is row-major — unlike parquet there is no column
+    projection at the byte level; that asymmetry is WHY the pipeline's
+    internal format is parquet and JSONL is only the interchange edge)."""
+    ds = ray.data.read_json(path)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds

@@ -669,3 +669,114 @@ d{t} AS MATERIALIZED (SELECT n, MIN(d) AS d FROM (
     tail = f"""
 SELECT CAST(n AS BIGINT) AS node, CAST(d AS BIGINT) AS dist FROM d{iters}"""
     return head + "," + ",".join(steps) + tail
+
+
+_PPR_SEEDS = (1, 2, 3)  # deterministic seed suppliers (keys exist at every sf)
+
+
+@ray.remote
+def _ppr_apply(nodes_tab, damping: float, *pieces):
+    """Personalized gather: like _pr_apply but the teleport mass is a
+    per-node ``base`` column (non-zero only on the seed set)."""
+    import pyarrow as pa
+
+    nodes = nodes_tab.to_pandas()
+    valid = [p for p in pieces if p.num_columns > 0 and p.num_rows > 0]
+    if valid:
+        m = (pa.concat_tables(valid).to_pandas()
+             .groupby("node", as_index=False).agg(m=("m", "sum")))
+        nodes = nodes.merge(m, on="node", how="left", sort=False)
+        nodes["m"] = nodes["m"].fillna(0.0)
+    else:
+        nodes = nodes.assign(m=np.float64(0.0))
+    nodes["r"] = nodes["base"].to_numpy(np.float64) + damping * nodes["m"].to_numpy(np.float64)
+    return pa.Table.from_pandas(nodes[["node", "base", "r"]], preserve_index=False)
+
+
+def personalized_pagerank(sf_dir: str, iters: int = 5,
+                          n_buckets: int = 8) -> "ray.data.Dataset":
+    """(node, rank_e9) — personalized PageRank from a fixed seed set
+    (suppliers {1,2,3}): teleport mass returns only to the seeds, giving
+    proximity-to-seeds scores (the recommendation / related-entity random
+    walk) instead of global importance.
+
+    Identical pinned-partition Pregel loop to :func:`pagerank` — the ONLY
+    change is the teleport vector, which rides the co-partitioned node
+    table as a ``base`` column (non-zero on seeds), so the per-superstep
+    dataflow, edge pinning and cost are unchanged."""
+    edges = _supplier_part_edges(sf_dir).materialize()
+    ident = lambda t: t  # noqa: E731
+    e_bucketed = hash_exchange_apply(edges, ["src"], ident, ident,
+                                     n_buckets=n_buckets)
+    E = [_pr_prep_bucket.remote(ref) for ref in e_bucketed.to_arrow_refs()]
+
+    seeds = set(_PPR_SEEDS)
+    k = float(len(seeds))
+
+    def nodes_of(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {"node": pd.concat([df["src"], df["dst"]], ignore_index=True)}
+        ).drop_duplicates()
+        out["base"] = np.where(out["node"].isin(seeds), _TELEPORT / k, 0.0)
+        return out
+
+    def nodes_fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("node")
+
+    nodes_ds = grouped_aggregate(
+        edges.map_batches(nodes_of, batch_format="pandas"),
+        ["node"], nodes_fin, n_buckets=n_buckets,
+    ).materialize()
+    N = nodes_ds.to_arrow_refs()  # bucket b = block b, same hash as E
+
+    @ray.remote
+    def init_ranks(nodes_tab):
+        import pyarrow as pa
+
+        df = nodes_tab.to_pandas()
+        df["r"] = np.where(df["node"].isin(seeds), 1.0 / k, 0.0)
+        return pa.Table.from_pandas(df[["node", "base", "r"]],
+                                    preserve_index=False)
+
+    R = [init_ranks.remote(N[b]) for b in range(n_buckets)]
+    for _ in range(iters):
+        cps = [
+            _pr_contrib.options(num_returns=n_buckets).remote(E[b], R[b], n_buckets)
+            for b in range(n_buckets)
+        ]
+        if n_buckets == 1:
+            cps = [[c] for c in cps]
+        R = [
+            _ppr_apply.remote(N[b], _DAMPING,
+                              *[cps[src][b] for src in range(n_buckets)])
+            for b in range(n_buckets)
+        ]
+    return ray.data.from_arrow_refs([_pr_out.remote(r) for r in R])
+
+
+def personalized_pagerank_sql(iters: int = 5) -> str:
+    """Exact fixed-iteration restatement of :func:`personalized_pagerank`."""
+    seeds_list = ", ".join(str(s) for s in _PPR_SEEDS)
+    k = len(_PPR_SEEDS)
+    head = f"""
+WITH e AS (SELECT DISTINCT l_suppkey AS src,
+                  l_partkey + {_PART_OFFSET} AS dst FROM lineitem),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS c FROM e GROUP BY src),
+nb AS (SELECT node, CASE WHEN node IN ({seeds_list})
+                         THEN {_TELEPORT} / {k}.0 ELSE 0.0 END AS base
+       FROM nodes),
+r0 AS (SELECT node, CASE WHEN node IN ({seeds_list})
+                         THEN 1.0 / {k}.0 ELSE 0.0 END AS r FROM nodes)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+r{t} AS MATERIALIZED (SELECT nb.node, nb.base + {_DAMPING}*COALESCE(s.m, 0) AS r
+         FROM nb LEFT JOIN (
+           SELECT e.dst AS node, SUM(r{t-1}.r / deg.c) AS m
+           FROM e JOIN r{t-1} ON e.src = r{t-1}.node
+                  JOIN deg ON e.src = deg.src
+           GROUP BY e.dst) s ON nb.node = s.node)""")
+    tail = f"""
+SELECT node, CAST(ROUND(r * 1000000000) AS BIGINT) AS rank_e9 FROM r{iters}"""
+    return head + "," + ",".join(steps) + tail

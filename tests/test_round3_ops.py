@@ -484,3 +484,60 @@ def test_auto_hash_join_dispatch_and_parity(ray_session):
             .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got[["k", "v", "name"]],
                                   want[["k", "v", "name"]], check_dtype=False)
+
+
+def test_jsonl_round_trip(ray_session, tmp_path):
+    import ray.data
+
+    from research_knowledge_graph_ray.sources.files import (read_jsonl,
+                                                            write_jsonl)
+
+    src = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                columns=["doc_id", "lang", "n_chars"])
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(src, out)
+    import os
+    files = [f for f in os.listdir(out)]
+    assert len(files) >= 1 and all(f.endswith(".json") or ".json" in f for f in files)
+    back = read_jsonl(out, columns=["doc_id", "lang", "n_chars"]).to_pandas()
+    want = src.to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[sorted(back.columns)],
+                                  want[sorted(want.columns)], check_dtype=False)
+
+
+def test_personalized_pagerank_vs_numpy_power_iteration():
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey"]).to_pandas()
+    e = (li.assign(dst=li["l_partkey"].astype(np.int64) + 10_000_000)
+         .rename(columns={"l_suppkey": "src"})[["src", "dst"]]
+         .drop_duplicates())
+    nodes = sorted(set(e["src"]) | set(e["dst"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = e.groupby("src").size().to_dict()
+    seeds = [1, 2, 3]
+    base = np.zeros(len(nodes))
+    r = np.zeros(len(nodes))
+    for s in seeds:
+        base[idx[s]] = 0.15 / 3
+        r[idx[s]] = 1.0 / 3
+    for _ in range(5):
+        m = np.zeros(len(nodes))
+        for s, d in zip(e["src"], e["dst"]):
+            m[idx[d]] += r[idx[s]] / deg[s]
+        r = base + 0.85 * m
+    got = graphalgs.personalized_pagerank(SF).to_pandas().set_index("node")
+    assert len(got) == len(nodes)
+    for n in nodes:
+        # independent float path: agree to 1e-6 relative (e9 ints vs numpy)
+        assert abs(got.loc[n, "rank_e9"] / 1e9 - r[idx[n]]) < 1e-6
+    # seeds dominate their own neighborhood: every seed outranks all parts
+    part_max = got[got.index >= 10_000_000]["rank_e9"].max()
+    assert all(got.loc[s, "rank_e9"] > 0 for s in seeds)
+    # mass is concentrated: non-seed suppliers get 0 teleport, rank ≈ 0 at
+    # iteration parity (bipartite graph: odd hops land on parts)
+    nonseed_supp = [n for n in nodes if n < 10_000_000 and n not in seeds]
+    assert got.loc[nonseed_supp, "rank_e9"].sum() <= part_max * len(nonseed_supp)
