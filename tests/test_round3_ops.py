@@ -541,3 +541,40 @@ def test_personalized_pagerank_vs_numpy_power_iteration():
     # iteration parity (bipartite graph: odd hops land on parts)
     nonseed_supp = [n for n in nodes if n < 10_000_000 and n not in seeds]
     assert got.loc[nonseed_supp, "rank_e9"].sum() <= part_max * len(nonseed_supp)
+
+
+def test_sorted_layout_and_zone_pruned_read(ray_session, tmp_path):
+    import os
+
+    import ray.data
+
+    from research_knowledge_graph_ray.stages.layout import (pruned_files,
+                                                            read_pruned,
+                                                            write_sorted)
+
+    src = ray.data.read_parquet(f"{SF}/orders.parquet",
+                                columns=["o_orderkey", "o_totalprice"])
+    out = str(tmp_path / "orders_sorted")
+    manifest = write_sorted(src, "o_totalprice", out, n_files=8)
+    zones = manifest["zones"]
+    assert sum(z["rows"] for z in zones) == src.count()  # conservation
+    # zones are disjoint and ordered: each file's max ≤ next file's min
+    zs = sorted(zones, key=lambda z: z["zone"])
+    for a, b in zip(zs, zs[1:]):
+        assert a["max"] <= b["min"]
+    # each file is internally sorted and matches its manifest zone
+    for z in zs:
+        t = pq.read_table(os.path.join(out, z["file"])).to_pandas()
+        v = t["o_totalprice"].to_numpy()
+        assert (np.diff(v) >= 0).all()
+        assert v.min() == z["min"] and v.max() == z["max"]
+        assert len(t) == z["rows"]
+    # pruned read == full filter, and actually prunes files
+    full = src.to_pandas()
+    lo, hi = float(np.percentile(full["o_totalprice"], 40)), \
+        float(np.percentile(full["o_totalprice"], 60))
+    got = read_pruned(out, lo, hi).to_pandas()
+    want = full[(full["o_totalprice"] >= lo) & (full["o_totalprice"] <= hi)]
+    assert sorted(got["o_orderkey"]) == sorted(want["o_orderkey"])
+    hit, total = pruned_files(out, lo, hi)
+    assert hit < total  # the zone map skipped files
