@@ -1157,5 +1157,8 @@ QUERIES.update(
         "fk_integrity": (stats.fk_integrity, stats.FK_INTEGRITY_SQL),
         # cross-signal time-series correlation (day-domain-bounded)
         "daily_type_corr": (stats.daily_type_corr, stats.DAILY_TYPE_CORR_SQL),
+        # temporal anomaly flags: all-integer |z|>3 hourly spike test
+        "hourly_anomalies": (stats.hourly_anomalies,
+                             stats.HOURLY_ANOMALIES_SQL),
     }
 )

@@ -1234,3 +1234,67 @@ SELECT n_days,
        CAST(ROUND(num / sqrt(den_x * den_y) * 1000000000) AS BIGINT) AS corr_e9
 FROM t
 """
+
+
+def hourly_anomalies(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """(event_type, h, cnt) — temporal anomaly detection: hours whose event
+    count deviates more than ``k`` population standard deviations from that
+    type's hourly mean (over observed hours). The |z| > k test is evaluated
+    ENTIRELY in integers — (n·c − S)² > k²·(n·Q − S²) — so no sqrt, no
+    float, bit-exact oracle parity by construction.
+
+    One exchange on event_type of per-block (type, hour) partial counts;
+    each reducer holds a type's calendar-bounded hour table, folds the
+    sufficient sums with Python ints (HUGEINT-parity at any magnitude) and
+    emits only the flagged rows."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    hour_us = 3_600_000_000
+    k2 = k * k
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // hour_us
+        out = pd.DataFrame({"event_type": df["event_type"], "h": h,
+                            "cnt": np.int64(1)})
+        return out.groupby(["event_type", "h"], as_index=False).agg(
+            cnt=("cnt", "sum"))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if not df.empty:
+            g = df.groupby(["event_type", "h"], as_index=False).agg(
+                cnt=("cnt", "sum"))
+            for et, t in g.groupby("event_type"):
+                cs = [int(v) for v in t["cnt"]]
+                n, s = len(cs), sum(cs)
+                q = sum(c * c for c in cs)
+                d = n * q - s * s
+                for h, c in zip(t["h"], cs):
+                    num = n * c - s
+                    if num * num > k2 * d:
+                        rows.append((et, int(h), c))
+        return pd.DataFrame(rows, columns=["event_type", "h", "cnt"]).astype(
+            {"h": np.int64, "cnt": np.int64}) if rows else pd.DataFrame(
+            {"event_type": pd.Series(dtype="string"),
+             "h": pd.Series(dtype=np.int64),
+             "cnt": pd.Series(dtype=np.int64)})
+
+    from .shuffle import bucketed_group_apply
+
+    out = bucketed_group_apply(ds, ["event_type"], part, fin,
+                               n_buckets=4).to_pandas()
+    return out.sort_values(["event_type", "h"]).reset_index(drop=True)
+
+
+HOURLY_ANOMALIES_SQL = """
+WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+                  CAST(COUNT(*) AS HUGEINT) AS cnt
+           FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(cnt) AS sm, SUM(cnt * cnt) AS q
+      FROM c GROUP BY 1)
+SELECT c.event_type, CAST(c.h AS BIGINT) AS h, CAST(c.cnt AS BIGINT) AS cnt
+FROM c JOIN s USING (event_type)
+WHERE (s.n * c.cnt - s.sm) * (s.n * c.cnt - s.sm)
+      > 9 * (s.n * s.q - s.sm * s.sm)
+"""

@@ -578,3 +578,24 @@ def test_sorted_layout_and_zone_pruned_read(ray_session, tmp_path):
     assert sorted(got["o_orderkey"]) == sorted(want["o_orderkey"])
     hit, total = pruned_files(out, lo, hi)
     assert hit < total  # the zone map skipped files
+
+
+def test_hourly_anomalies_vs_brute_force():
+    from research_knowledge_graph_ray.stages import stats
+
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "ts"]).to_pandas()
+    ev["h"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) \
+        // 3_600_000_000
+    want = set()
+    for et, g in ev.groupby("event_type"):
+        cs = g.groupby("h").size()
+        n, s, q = len(cs), int(cs.sum()), int((cs.astype(object) ** 2).sum())
+        d = n * q - s * s
+        for h, c in cs.items():
+            if (n * int(c) - s) ** 2 > 9 * d:
+                want.add((et, int(h), int(c)))
+    got = stats.hourly_anomalies(SF)
+    assert {(r["event_type"], int(r["h"]), int(r["cnt"]))
+            for _, r in got.iterrows()} == want
+    assert len(want) > 0  # the detector fires at this scale
