@@ -541,3 +541,55 @@ r AS (SELECT source, term, n_docs,
       FROM c)
 SELECT source, term, n_docs, CAST(rnk AS BIGINT) AS rnk FROM r WHERE rnk <= {k}
 """
+
+
+_SEARCH_TERMS = ("hash", "join", "sort")  # conjunctive query: docs w/ ALL
+_SEARCH_K = 10
+
+
+def term_search(sf_dir: str, terms: tuple = _SEARCH_TERMS,
+                k: int = _SEARCH_K) -> pd.DataFrame:
+    """(doc_id, score) — conjunctive boolean retrieval: documents containing
+    ALL query terms, ranked by summed term frequency (integer score,
+    deterministic doc_id tiebreak), top ``k``.
+
+    Dataflow: one streamed scan — per-row regex counts of the query terms
+    (tiny closure constant, the broadcast side of a search); the conjunctive
+    test and tf-sum are row-local so no exchange exists anywhere, and only
+    matching docs — query-selective — reach the driver-side top-k. At
+    corpus scale the top-k becomes the per-block-heap + tiny-global-sort
+    pattern of similarity.knn_topk."""
+    pats = [re.compile(rf"\b{re.escape(t)}\b") for t in terms]
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_doc, out_score = [], []
+        for did, text in zip(doc_ids, texts):
+            low = text.lower()
+            counts = [len(p.findall(low)) for p in pats]
+            if all(counts):
+                out_doc.append(did)
+                out_score.append(sum(counts))
+        return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
+                             "score": np.asarray(out_score, dtype=np.int64)})
+
+    hits = _read_docs(sf_dir).map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    hits = hits.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return hits.reset_index(drop=True)
+
+
+TERM_SEARCH_SQL = f"""
+WITH m AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '{TERM_PATTERN}'))
+                    AS term
+           FROM documents),
+f AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS n FROM m
+      WHERE term IN ('hash', 'join', 'sort') GROUP BY doc_id, term),
+s AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS score FROM f
+      GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3)
+SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT {_SEARCH_K}
+"""

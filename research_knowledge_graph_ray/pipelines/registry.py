@@ -1160,5 +1160,22 @@ QUERIES.update(
         # temporal anomaly flags: all-integer |z|>3 hourly spike test
         "hourly_anomalies": (stats.hourly_anomalies,
                              stats.HOURLY_ANOMALIES_SQL),
+        # association-rule mining (support/confidence/lift) over baskets —
+        # shares the item_jaccard pair exchange
+        "assoc_rules": (graphalgs.assoc_rules, graphalgs.ASSOC_RULES_SQL),
+        # Pareto-frontier (skyline) dominance query: block-local frontier
+        # pruning, no exchange
+        "skyline_orders": (stats.skyline_orders, stats.SKYLINE_ORDERS_SQL),
+        # leading-digit (Benford) data-quality screen, exact integer shares
+        "benford_totalprice": (stats.benford_totalprice,
+                               stats.BENFORD_TOTALPRICE_SQL),
+        # correlated-subquery shape decorrelated: group stats broadcast +
+        # integer cross-multiplied filter
+        "above_nation_avg": (relational.above_nation_avg,
+                             relational.ABOVE_NATION_AVG_SQL),
+        # out-of-order-arrival monitor (watermark-lateness sizing signal)
+        "late_events": (windows.late_events, windows.LATE_EVENTS_SQL),
+        # conjunctive boolean retrieval over the corpus, integer tf ranking
+        "term_search": (kgflat.term_search, kgflat.TERM_SEARCH_SQL),
     }
 )

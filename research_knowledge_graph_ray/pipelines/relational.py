@@ -825,3 +825,66 @@ SELECT CAST(decile AS BIGINT) AS decile, CAST(COUNT(*) AS BIGINT) AS n_orders,
 FROM orders JOIN d ON o_custkey = d.c_custkey
 GROUP BY decile
 """
+
+
+def above_nation_avg(sf_dir: str) -> "ray.data.Dataset":
+    """(c_custkey, c_name, c_nationkey, acctbal_cents) — customers whose
+    balance strictly exceeds their nation's average: the correlated-subquery
+    shape, decorrelated into one tiny group aggregate + a broadcast filter.
+
+    The per-nation (Σcents, count) pairs — nation-domain-bounded — are
+    computed in one streamed partial-sum pass and broadcast; the filter then
+    streams the big side with the exact integer cross-multiplication
+    ``cents·n > Σcents`` (no float averages, no epsilon on either engine).
+    At corpus-sized group domains the broadcast swaps for a hash join on the
+    group key — same plan shape."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100).astype(np.int64)
+        out = pd.DataFrame({"k": df["c_nationkey"].astype(np.int64), "s": cents})
+        g = out.groupby("k", as_index=False).agg(s=("s", "sum"), n=("s", "size"))
+        return g
+
+    stats = (
+        ds.map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby("k", as_index=False)
+        .agg(s=("s", "sum"), n=("n", "sum"))
+    )
+    # dense-index the nation domain so the filter is pure fancy indexing
+    kmax = int(stats["k"].max())
+    s_arr = np.zeros(kmax + 1, dtype=np.int64)
+    n_arr = np.zeros(kmax + 1, dtype=np.int64)
+    s_arr[stats["k"].to_numpy(np.int64)] = stats["s"].to_numpy(np.int64)
+    n_arr[stats["k"].to_numpy(np.int64)] = stats["n"].to_numpy(np.int64)
+    sums_ref = ray.put((s_arr, n_arr))
+
+    def filt(df: pd.DataFrame) -> pd.DataFrame:
+        s_a, n_a = ray.get(sums_ref)
+        cents = np.rint(df["c_acctbal"].to_numpy(np.float64) * 100).astype(np.int64)
+        k = df["c_nationkey"].to_numpy(np.int64)
+        s = s_a[k]
+        n = n_a[k]
+        keep = cents * n > s
+        out = df.loc[keep, ["c_custkey", "c_name"]].copy()
+        out["c_nationkey"] = k[keep]
+        out["acctbal_cents"] = cents[keep]
+        return out
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
+ABOVE_NATION_AVG_SQL = """
+WITH n AS (SELECT c_nationkey,
+                  SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s,
+                  CAST(COUNT(*) AS BIGINT) AS k
+           FROM customer GROUP BY c_nationkey)
+SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer c JOIN n USING (c_nationkey)
+WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * n.k > n.s
+"""

@@ -1207,3 +1207,47 @@ def customer_order_totals_auto(sf_dir: str) -> "ray.data.Dataset":
     )
     return bucketed_group_apply(joined, ["c_custkey"], _order_totals_agg,
                                 _order_totals_agg, n_buckets=8)
+
+
+def late_events(sf_dir: str) -> "ray.data.Dataset":
+    """(user_id, n_late, n_events) — out-of-order-arrival monitor: per user,
+    how many events arrived (in event_id order, the ingest sequence) with a
+    timestamp behind the running maximum already seen for that user. The
+    streaming-ingest data-quality signal that sizes watermark lateness
+    allowances.
+
+    One user-key exchange; inside each bucket the scan is one sort +
+    grouped cummax/shift — no per-user Python loop."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts"])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"user_id": pd.Series(dtype=np.int64),
+                                 "n_late": pd.Series(dtype=np.int64),
+                                 "n_events": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+        g = df.groupby("user_id", sort=False)
+        prev_max = g["ts"].cummax().groupby(df["user_id"].to_numpy()).shift(1)
+        late = (df["ts"] < prev_max).to_numpy()
+        out = pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                            "late": late.astype(np.int64)})
+        return out.groupby("user_id", as_index=False).agg(
+            n_late=("late", "sum"), n_events=("late", "size")
+        ).astype({"n_late": np.int64, "n_events": np.int64})
+
+    return bucketed_group_apply(ev, ["user_id"], lambda df: df, final,
+                                n_buckets=8)
+
+
+LATE_EVENTS_SQL = """
+WITH x AS (
+  SELECT user_id, ts,
+         MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM events)
+SELECT user_id,
+       CAST(SUM(CASE WHEN ts < mx THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM x GROUP BY user_id
+"""

@@ -381,6 +381,82 @@ SELECT node, CAST(ROUND(r * 1000000000) AS BIGINT) AS rank_e9 FROM r{iters}"""
 
 _BASKET_CAP = 4096  # parts per order before pair emission goes loudly quadratic
 
+_EMPTY_PAIRS = pd.DataFrame({"pa": np.array([], dtype=np.int64),
+                             "pb": np.array([], dtype=np.int64),
+                             "co": np.array([], dtype=np.int64)})
+
+
+def _basket_distinct(df: pd.DataFrame) -> pd.DataFrame:
+    return df.drop_duplicates(["l_orderkey", "l_partkey"])
+
+
+def _basket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    # fully vectorized within-basket pair emission: no per-order Python
+    # loop — group offsets + repeat/cumsum index arithmetic generate all
+    # (i < j) index pairs for every basket in one shot
+    df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+    df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+    o = df["l_orderkey"].to_numpy(np.int64)
+    p = df["l_partkey"].to_numpy(np.int64)
+    n = len(p)
+    if n == 0:
+        return _EMPTY_PAIRS.copy()
+    if p.max() >= 1 << 31:
+        raise ValueError("partkey exceeds 2^31: widen the pair packing")
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = o[1:] != o[:-1]
+    gstart = np.flatnonzero(new)
+    sizes = np.diff(np.append(gstart, n))
+    if sizes.max(initial=0) > _BASKET_CAP:
+        raise ValueError(
+            f"basket of {sizes.max()} parts exceeds cap {_BASKET_CAP}")
+    g = np.cumsum(new) - 1
+    r = np.arange(n, dtype=np.int64) - gstart[g]
+    cnt = sizes[g] - r - 1  # pairs whose left element sits here
+    total = int(cnt.sum())
+    if total == 0:
+        return _EMPTY_PAIRS.copy()
+    a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    block_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
+    b_idx = a_idx + (np.arange(total, dtype=np.int64) - block_start) + 1
+    # parts sorted within each basket ⇒ pa < pb by construction
+    key = (p[a_idx] << np.int64(32)) | p[b_idx]
+    uniq, counts = np.unique(key, return_counts=True)
+    return pd.DataFrame({"pa": (uniq >> np.int64(32)).astype(np.int64),
+                         "pb": (uniq & np.int64(0x7FFFFFFF)).astype(np.int64),
+                         "co": counts.astype(np.int64)})
+
+
+def _basket_pair_stats(sf_dir: str):
+    """(co Dataset, deg DataFrame) — exact pair co-occurrence counts over
+    order baskets plus per-part distinct-order degrees (catalog-bound)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    co = grouped_aggregate(
+        bucketed_group_apply(ds, ["l_orderkey"], _basket_distinct, _basket_pairs),
+        ["pa", "pb"],
+        lambda df: df.groupby(["pa", "pb"], as_index=False).agg(co=("co", "sum")),
+    )
+    # part degrees: |N(part)| = distinct orders per part (catalog-bound table,
+    # broadcast once — swap for a hash join if the catalog outgrows memory)
+    deg = (
+        bucketed_group_apply(
+            ds,
+            ["l_partkey"],
+            _basket_distinct,  # per-block shrink; global dedup post-exchange
+            lambda df: (
+                df.drop_duplicates(["l_orderkey", "l_partkey"])
+                .groupby("l_partkey", as_index=False)
+                .size()
+                .rename(columns={"size": "d"})
+            ),
+        )
+        .to_pandas()
+    )
+    return co, deg
+
 
 def item_jaccard(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
     """(pa, pb, co, jaccard_e9) — item-item Jaccard similarity over the
@@ -395,76 +471,7 @@ def item_jaccard(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
     e9 fixed point is computed from exact integers on both sides."""
     from .stats import _round_e9
 
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    )
-
-    def distinct(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["l_orderkey", "l_partkey"])
-
-    _EMPTY_PAIRS = pd.DataFrame({"pa": np.array([], dtype=np.int64),
-                                 "pb": np.array([], dtype=np.int64),
-                                 "co": np.array([], dtype=np.int64)})
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # fully vectorized within-basket pair emission: no per-order Python
-        # loop — group offsets + repeat/cumsum index arithmetic generate all
-        # (i < j) index pairs for every basket in one shot
-        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
-        df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
-        o = df["l_orderkey"].to_numpy(np.int64)
-        p = df["l_partkey"].to_numpy(np.int64)
-        n = len(p)
-        if n == 0:
-            return _EMPTY_PAIRS.copy()
-        if p.max() >= 1 << 31:
-            raise ValueError("partkey exceeds 2^31: widen the pair packing")
-        new = np.empty(n, dtype=bool)
-        new[0] = True
-        new[1:] = o[1:] != o[:-1]
-        gstart = np.flatnonzero(new)
-        sizes = np.diff(np.append(gstart, n))
-        if sizes.max(initial=0) > _BASKET_CAP:
-            raise ValueError(
-                f"basket of {sizes.max()} parts exceeds cap {_BASKET_CAP}")
-        g = np.cumsum(new) - 1
-        r = np.arange(n, dtype=np.int64) - gstart[g]
-        cnt = sizes[g] - r - 1  # pairs whose left element sits here
-        total = int(cnt.sum())
-        if total == 0:
-            return _EMPTY_PAIRS.copy()
-        a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
-        block_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
-        b_idx = a_idx + (np.arange(total, dtype=np.int64) - block_start) + 1
-        # parts sorted within each basket ⇒ pa < pb by construction
-        key = (p[a_idx] << np.int64(32)) | p[b_idx]
-        uniq, counts = np.unique(key, return_counts=True)
-        return pd.DataFrame({"pa": (uniq >> np.int64(32)).astype(np.int64),
-                             "pb": (uniq & np.int64(0x7FFFFFFF)).astype(np.int64),
-                             "co": counts.astype(np.int64)})
-
-    co = grouped_aggregate(
-        bucketed_group_apply(ds, ["l_orderkey"], distinct, pairs),
-        ["pa", "pb"],
-        lambda df: df.groupby(["pa", "pb"], as_index=False).agg(co=("co", "sum")),
-    )
-
-    # part degrees: |N(part)| = distinct orders per part (catalog-bound table,
-    # broadcast once — swap for a hash join if the catalog outgrows memory)
-    deg = (
-        bucketed_group_apply(
-            ds,
-            ["l_partkey"],
-            distinct,  # per-block shrink; global dedup happens post-exchange
-            lambda df: (
-                df.drop_duplicates(["l_orderkey", "l_partkey"])
-                .groupby("l_partkey", as_index=False)
-                .size()
-                .rename(columns={"size": "d"})
-            ),
-        )
-        .to_pandas()
-    )
+    co, deg = _basket_pair_stats(sf_dir)
     deg_ref = ray.put(dict(zip(deg["l_partkey"], deg["d"])))
 
     def score(df: pd.DataFrame) -> pd.DataFrame:
@@ -486,6 +493,97 @@ def item_jaccard(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
         return df
 
     return co.map_batches(score, batch_format="pandas")
+
+
+def assoc_rules(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
+    """(ante, cons, support, n_ante, n_cons, n_orders, conf_e9, lift_e9) —
+    association-rule mining over order baskets: for each directional rule
+    ante→cons with pair support ≥ ``min_co``, confidence = support/|N(ante)|
+    and lift = support·n_orders / (|N(ante)|·|N(cons)|), both as e9 fixed
+    points derived from exact integers (products stay < 2^53, so the single
+    IEEE division matches DuckDB bit-for-bit).
+
+    Reuses the item-Jaccard pair exchange (one basket pass + one pair
+    exchange); the basket count and part degrees are catalog-bound
+    broadcasts. Reference parity note: no counterpart in the reference —
+    brief-mandated analytics family (co-occurrence mining is the
+    market-basket twin of the KG co-occurrence operator)."""
+    from .stats import _round_e9
+
+    co, deg = _basket_pair_stats(sf_dir)
+    # n_orders: distinct basket count — reuse the degree identity
+    # Σ_parts |N(part)| counts each (order, part) once, so distinct orders
+    # need their own tiny exchange
+    n_orders = int(
+        grouped_aggregate(
+            ray.data.read_parquet(
+                f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+            ),
+            ["l_orderkey"],
+            lambda df: df.drop_duplicates(["l_orderkey"]),
+        ).count()
+    )
+    deg_ref = ray.put(dict(zip(deg["l_partkey"], deg["d"])))
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        d = ray.get(deg_ref)
+        df = df[df["co"] >= min_co]
+        both = pd.concat(
+            [
+                df.rename(columns={"pa": "ante", "pb": "cons"}),
+                df.rename(columns={"pa": "cons", "pb": "ante"}),
+            ],
+            ignore_index=True,
+        )[["ante", "cons", "co"]]
+        if not len(both):
+            return pd.DataFrame({c: np.array([], dtype=np.int64)
+                                 for c in ["ante", "cons", "support", "n_ante",
+                                           "n_cons", "n_orders", "conf_e9",
+                                           "lift_e9"]})
+        na = both["ante"].map(d).to_numpy(np.int64)
+        nc = both["cons"].map(d).to_numpy(np.int64)
+        sup = both["co"].to_numpy(np.int64)
+        conf = [_round_e9(float(s) / float(a)) for s, a in zip(sup, na)]
+        lift = [
+            _round_e9(float(s * n_orders) / float(a * c))
+            for s, a, c in zip(sup, na, nc)
+        ]
+        return pd.DataFrame(
+            {
+                "ante": both["ante"].to_numpy(np.int64),
+                "cons": both["cons"].to_numpy(np.int64),
+                "support": sup,
+                "n_ante": na,
+                "n_cons": nc,
+                "n_orders": np.int64(n_orders),
+                "conf_e9": np.asarray(conf, dtype=np.int64),
+                "lift_e9": np.asarray(lift, dtype=np.int64),
+            }
+        )
+
+    return co.map_batches(rules, batch_format="pandas")
+
+
+ASSOC_RULES_SQL = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+co AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+              CAST(COUNT(*) AS BIGINT) AS co
+       FROM op a JOIN op b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+deg AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS d FROM op GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem),
+dir AS (SELECT pa AS ante, pb AS cons, co FROM co
+        UNION ALL SELECT pb, pa, co FROM co)
+SELECT dir.ante, dir.cons, dir.co AS support,
+       da.d AS n_ante, db.d AS n_cons, (SELECT n FROM n) AS n_orders,
+       CAST(ROUND(dir.co / CAST(da.d AS DOUBLE) * 1000000000.0)
+            AS BIGINT) AS conf_e9,
+       CAST(ROUND(CAST(dir.co * (SELECT n FROM n) AS DOUBLE)
+                  / (da.d * db.d) * 1000000000.0) AS BIGINT) AS lift_e9
+FROM dir JOIN deg da ON dir.ante = da.l_partkey
+         JOIN deg db ON dir.cons = db.l_partkey
+"""
 
 
 _W_MAX = 5  # sparsifier: keep supplier–part edges whose min quantity ≤ this

@@ -1298,3 +1298,120 @@ FROM c JOIN s USING (event_type)
 WHERE (s.n * c.cnt - s.sm) * (s.n * c.cnt - s.sm)
       > 9 * (s.n * s.q - s.sm * s.sm)
 """
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto frontier) — dominance query
+# ---------------------------------------------------------------------------
+
+_SKYLINE_CAP = 2_000_000  # local-skyline union rows before final selection
+
+
+def _skyline_2d(df: pd.DataFrame) -> pd.DataFrame:
+    """Rows not dominated under (maximize ``p``, maximize ``d``).
+
+    A row survives iff its ``d`` equals its price group's max AND strictly
+    exceeds every strictly-higher price group's max; ties on (p, d) all
+    survive (neither dominates the other). Vectorized: per-price max, then a
+    shifted running max down the price-descending order."""
+    if not len(df):
+        return df
+    gmax = df.groupby("p")["d"].max().sort_index(ascending=False)
+    run = gmax.cummax().shift(1)  # best d among strictly higher prices
+    keep_price = gmax.index[(run.isna() | (gmax > run)).to_numpy()]
+    kp = df["p"].isin(set(keep_price))
+    kd = df["d"].to_numpy() == df["p"].map(gmax).to_numpy()
+    return df[kp & kd]
+
+
+def skyline_orders(sf_dir: str) -> pd.DataFrame:
+    """(o_orderkey, o_totalprice, o_orderdate) — the Pareto frontier of
+    orders maximizing both price and recency: no other order is ≥ on both
+    axes and > on one.
+
+    Distributed dominance pruning: every global skyline point is a skyline
+    point of its own block, so a per-block vectorized skyline shrinks each
+    block to its frontier (typically O(log n) rows for non-degenerate data)
+    and only that union — capped loudly — reaches the final single-task
+    selection. No all-to-all exchange; one streamed pass. Reference parity
+    note: no counterpart — brief-mandated analytics family (multi-criteria
+    top-k / dominance pruning)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"o_totalprice": "p", "o_orderdate": "d"})
+        return _skyline_2d(df)
+
+    cand = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if len(cand) > _SKYLINE_CAP:
+        raise ValueError(
+            f"local-skyline union {len(cand)} rows exceeds cap {_SKYLINE_CAP};"
+            " data is anti-correlated on the two axes — use a grid-partition"
+            " skyline instead"
+        )
+    out = _skyline_2d(cand).rename(columns={"p": "o_totalprice",
+                                            "d": "o_orderdate"})
+    out = out[["o_orderkey", "o_totalprice", "o_orderdate"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SKYLINE_ORDERS_SQL = """
+WITH pts AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders),
+grp AS (SELECT o_totalprice, MAX(o_orderdate) AS dmax
+        FROM pts GROUP BY o_totalprice),
+run AS (SELECT o_totalprice, dmax,
+               MAX(dmax) OVER (ORDER BY o_totalprice DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS better_d
+        FROM grp)
+SELECT pts.o_orderkey, pts.o_totalprice, pts.o_orderdate
+FROM pts JOIN run USING (o_totalprice)
+WHERE pts.o_orderdate = run.dmax
+  AND (run.better_d IS NULL OR run.dmax > run.better_d)
+"""
+
+
+def benford_totalprice(sf_dir: str) -> pd.DataFrame:
+    """(digit, cnt, share_e9) — leading-digit distribution of the integer
+    part of o_totalprice (Benford data-quality screen). One streamed pass of
+    integer digit extraction + a 9-row partial-count reduce; the share is an
+    integer floor division so both sides are exact."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.floor(df["o_totalprice"].to_numpy(np.float64)).astype(np.int64)
+        v = v[v > 0]
+        # strip trailing decimal digits until one remains
+        while True:
+            big = v >= 10
+            if not big.any():
+                break
+            v = np.where(big, v // 10, v)
+        digit, cnt = np.unique(v, return_counts=True)
+        return pd.DataFrame({"digit": digit.astype(np.int64),
+                             "cnt": cnt.astype(np.int64)})
+
+    counts = (
+        ds.map_batches(part, batch_format="pandas")
+        .to_pandas()
+        .groupby("digit", as_index=False)
+        .agg(cnt=("cnt", "sum"))
+    )
+    total = int(counts["cnt"].sum())
+    counts["share_e9"] = (counts["cnt"] * 1_000_000_000 // total).astype(np.int64)
+    return counts.sort_values("digit").reset_index(drop=True)
+
+
+BENFORD_TOTALPRICE_SQL = """
+WITH d AS (SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS cnt FROM d GROUP BY digit)
+SELECT digit, cnt,
+       CAST(cnt * 1000000000 // (SELECT SUM(cnt) FROM c) AS BIGINT) AS share_e9
+FROM c
+"""

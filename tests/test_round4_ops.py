@@ -1,0 +1,71 @@
+"""Targeted invariants for the dominance / mining / monitoring operators
+(the oracle gate in test_queries_vs_duckdb covers value parity; these pin
+the algorithmic properties on adversarial inputs)."""
+
+import numpy as np
+import pandas as pd
+
+from research_knowledge_graph_ray.stages.stats import _skyline_2d
+
+
+def _brute_skyline(df: pd.DataFrame) -> set:
+    pts = list(df[["p", "d"]].itertuples(index=False, name=None))
+    out = set()
+    for i, (p, d) in enumerate(pts):
+        dominated = any(
+            (p2 >= p and d2 >= d and (p2 > p or d2 > d))
+            for j, (p2, d2) in enumerate(pts) if j != i
+        )
+        if not dominated:
+            out.add((p, d))
+    return out
+
+
+def test_skyline_matches_bruteforce_with_ties():
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "p": rng.integers(0, 20, 300).astype(float),
+        "d": rng.integers(0, 20, 300),
+    })
+    # plant exact duplicates on the frontier: both must survive
+    df = pd.concat([df, pd.DataFrame({"p": [100.0, 100.0], "d": [50, 50]})],
+                   ignore_index=True)
+    got = set(map(tuple, _skyline_2d(df)[["p", "d"]].to_numpy()))
+    assert got == _brute_skyline(df)
+    # duplicates kept as rows, not collapsed
+    sky = _skyline_2d(df)
+    assert len(sky[(sky["p"] == 100.0) & (sky["d"] == 50)]) == 2
+
+
+def test_skyline_block_union_is_lossless():
+    # distributed contract: global skyline ⊆ union of block-local skylines
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"p": rng.integers(0, 50, 500).astype(float),
+                       "d": rng.integers(0, 50, 500)})
+    blocks = np.array_split(df, 7)
+    union = pd.concat([_skyline_2d(b) for b in blocks], ignore_index=True)
+    got = set(map(tuple, _skyline_2d(union)[["p", "d"]].to_numpy()))
+    assert got == _brute_skyline(df)
+
+
+def test_assoc_rules_invariants(sf_dir):
+    from research_knowledge_graph_ray.stages.graphalgs import assoc_rules
+
+    df = assoc_rules(sf_dir).to_pandas()
+    assert (df["support"] >= 2).all()
+    # confidence ∈ (0, 1]; support never exceeds either item's degree
+    assert (df["support"] <= df["n_ante"]).all()
+    assert (df["support"] <= df["n_cons"]).all()
+    assert (df["conf_e9"] > 0).all() and (df["conf_e9"] <= 10**9).all()
+    # each unordered pair appears exactly twice (both rule directions)
+    key = df.apply(lambda r: (min(r["ante"], r["cons"]),
+                              max(r["ante"], r["cons"])), axis=1)
+    assert (key.value_counts() == 2).all()
+
+
+def test_late_events_bounds(sf_dir):
+    from research_knowledge_graph_ray.pipelines.windows import late_events
+
+    df = late_events(sf_dir).to_pandas()
+    assert (df["n_late"] >= 0).all()
+    assert (df["n_late"] < df["n_events"]).all()  # first event is never late
