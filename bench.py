@@ -135,6 +135,10 @@ def run_bench() -> dict:
         timed("event_transitions", windows.event_transitions)
         timed("graph_sssp", graphalgs.sssp)
         timed("dedup_keep_best", dedup.keep_best_dedup)
+        timed("assoc_rules", graphalgs.assoc_rules)
+        timed("skyline_orders", stats.skyline_orders)
+        timed("late_events", windows.late_events)
+        timed("term_search", kgflat.term_search)
 
     result = {
         "metric": "kg_construct_wall_sec",

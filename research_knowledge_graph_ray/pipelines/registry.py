@@ -1177,5 +1177,14 @@ QUERIES.update(
         "late_events": (windows.late_events, windows.LATE_EVENTS_SQL),
         # conjunctive boolean retrieval over the corpus, integer tf ranking
         "term_search": (kgflat.term_search, kgflat.TERM_SEARCH_SQL),
+        # forward as-of join (time-to-conversion lookahead) — same exchange
+        # as the backward variant, merge_asof direction flipped
+        "events_next_purchase": (windows.events_next_purchase,
+                                 windows.EVENTS_NEXT_PURCHASE_SQL),
+        # top-k session journeys (ordered event-type paths per session)
+        "user_journeys": (windows.user_journeys, windows.USER_JOURNEYS_SQL),
+        # UNPIVOT/melt: the daily pivot folded back to long form (row-local)
+        "events_unpivot": (relational.events_unpivot,
+                           relational.EVENTS_UNPIVOT_SQL),
     }
 )

@@ -888,3 +888,27 @@ SELECT c.c_custkey, c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
 FROM customer c JOIN n USING (c_nationkey)
 WHERE CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * n.k > n.s
 """
+
+
+def events_unpivot(sf_dir: str) -> "ray.data.Dataset":
+    """(ymd, event_type, n) — UNPIVOT/melt: the wide daily pivot folded back
+    to long form, one row per (day, type) with n > 0. Round-trips the PIVOT
+    operator: melt is row-local (each wide row explodes to ≤ |types| long
+    rows in place), so the only exchange is the one already inside
+    events_daily_pivot."""
+    wide = events_daily_pivot(sf_dir)
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        long = df.melt(id_vars=["ymd"], var_name="event_type", value_name="n")
+        long["event_type"] = long["event_type"].str.removeprefix("n_")
+        long = long[long["n"] > 0]
+        return long.astype({"ymd": np.int64, "n": np.int64})
+
+    return wide.map_batches(melt, batch_format="pandas")
+
+
+EVENTS_UNPIVOT_SQL = """
+SELECT CAST(YEAR(ts)*10000 + MONTH(ts)*100 + DAY(ts) AS BIGINT) AS ymd,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2
+"""

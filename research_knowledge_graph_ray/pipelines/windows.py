@@ -1251,3 +1251,134 @@ SELECT user_id,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM x GROUP BY user_id
 """
+
+
+def events_next_purchase(sf_dir: str) -> "ray.data.Dataset":
+    """Forward as-of enrichment: each event joined to the same user's NEXT
+    purchase event at or after its time (inner; a purchase matches itself) —
+    the time-to-conversion lookahead, exercising
+    ``asof_join(direction="forward")`` through the same single key exchange
+    as the backward variant."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def as_left(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "ts"]]
+
+    # right side: purchases, unique per (user, ts) — keep max event_id
+    def as_purchases(df: pd.DataFrame) -> pd.DataFrame:
+        p = df[df["event_type"] == "purchase"]
+        p = p.groupby(["user_id", "ts"], as_index=False).agg(
+            purchase_event_id=("event_id", "max"))
+        return pd.DataFrame({"p_user": p["user_id"], "p_ts": p["ts"],
+                             "purchase_event_id": p["purchase_event_id"]})
+
+    left = ev.map_batches(as_left, batch_format="pandas")
+    purchases = bucketed_group_apply(
+        ev.map_batches(as_purchases, batch_format="pandas"),
+        ["p_user"],
+        lambda df: df,
+        lambda df: df.groupby(["p_user", "p_ts"], as_index=False).agg(
+            purchase_event_id=("purchase_event_id", "max")),
+        n_buckets=8,
+    )
+
+    out = asof_join(
+        left, purchases,
+        by_left="user_id", by_right="p_user",
+        ts_left="ts", ts_right="p_ts",
+        left_cols=["event_id", "user_id", "ts"],
+        right_cols=["p_user", "p_ts", "purchase_event_id"],
+        direction="forward",
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype(np.int64),
+                "user_id": df["user_id"].astype(np.int64),
+                "purchase_event_id": df["purchase_event_id"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+EVENTS_NEXT_PURCHASE_SQL = """
+WITH p AS (SELECT user_id AS p_user, ts AS p_ts,
+                  MAX(event_id) AS purchase_event_id
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, p.purchase_event_id
+FROM events e
+ASOF JOIN p ON e.user_id = p.p_user AND e.ts <= p.p_ts
+"""
+
+
+_JOURNEY_K = 20
+
+
+def user_journeys(sf_dir: str, gap_minutes: int = SESSION_GAP_MIN,
+                  k: int = _JOURNEY_K) -> pd.DataFrame:
+    """(path, n_sessions) — the top-k most common session journeys: each
+    session's ordered event-type sequence joined with '>', counted across
+    all sessions. The product-analytics "common paths" report.
+
+    One user-key exchange (the same sessionization scan as events_sessions);
+    path strings are built per bucket with an ordered groupby join, partial
+    path counts shrink before the driver-side final count + top-k (path
+    vocabulary is report-sized; at web scale the final count becomes one
+    more exchange on the path hash)."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_id", "ts",
+                                        "event_type"])
+    gap = np.timedelta64(gap_minutes, "m")
+
+    def paths(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"path": pd.Series(dtype=object),
+                                 "n_sessions": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        brk = new_user | (df["ts"].diff() > gap)
+        path = (
+            df.assign(_g=brk.cumsum())
+            .groupby("_g", sort=False)["event_type"]
+            .agg(">".join)
+        )
+        return (
+            path.value_counts()
+            .rename_axis("path")
+            .reset_index(name="n_sessions")
+            .astype({"n_sessions": np.int64})
+        )
+
+    parts = bucketed_group_apply(ev, ["user_id"], lambda df: df, paths,
+                                 n_buckets=8).to_pandas()
+    out = parts.groupby("path", as_index=False).agg(
+        n_sessions=("n_sessions", "sum"))
+    out = out.sort_values(["n_sessions", "path"],
+                          ascending=[False, True]).head(k)
+    return out.reset_index(drop=True).astype({"n_sessions": np.int64})
+
+
+USER_JOURNEYS_SQL = f"""
+WITH x AS (
+  SELECT user_id, event_id, ts, event_type,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTES
+         THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+  FROM x),
+p AS (
+  SELECT user_id, sid,
+         STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, sid)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {_JOURNEY_K}
+"""

@@ -169,9 +169,11 @@ def asof_join(
     left_cols: list[str],
     right_cols: list[str],
     n_buckets: int = 16,
+    direction: str = "backward",
 ) -> "ray.data.Dataset":
-    """As-of (backward) join: for each left row, the right row with the
-    greatest ``ts_right ≤ ts_left`` for the same key. Inner semantics
+    """As-of join: for each left row, the nearest right row for the same key
+    — ``direction="backward"`` takes the greatest ``ts_right ≤ ts_left``,
+    ``"forward"`` the smallest ``ts_right ≥ ts_left``. Inner semantics
     (unmatched left rows dropped). Right side must be unique per
     (key, ts_right) for determinism — pre-aggregate if not.
 
@@ -196,7 +198,7 @@ def asof_join(
         rt = rt.sort_values([ts_right]).reset_index(drop=True)
         out = pd.merge_asof(
             lt, rt, left_on=ts_left, right_on=ts_right, left_by="__key",
-            right_by="__key", direction="backward",
+            right_by="__key", direction=direction,
         )
         out = out.dropna(subset=[c for c in right_cols if c != by_right][:1])
         out = out.drop(columns=["__key", ts_right], errors="ignore")
