@@ -1186,5 +1186,9 @@ QUERIES.update(
         # UNPIVOT/melt: the daily pivot folded back to long form (row-local)
         "events_unpivot": (relational.events_unpivot,
                            relational.EVENTS_UNPIVOT_SQL),
+        # streaming-watermark drop audit: global arrival-order prefix max
+        # via range buckets + one exchange (late_events' global companion)
+        "watermark_drops": (windows.watermark_drops,
+                            windows.WATERMARK_DROPS_SQL),
     }
 )

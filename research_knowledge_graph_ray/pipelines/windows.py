@@ -1382,3 +1382,104 @@ SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
 FROM p GROUP BY path
 ORDER BY n_sessions DESC, path LIMIT {_JOURNEY_K}
 """
+
+
+_WM_LATE_US = 3_600_000_000  # 1 h allowed lateness
+_WM_BUCKETS = 32
+_WM_SEED = -(2 ** 62)  # "no watermark yet" sentinel (µs epoch, far below any ts)
+
+
+def watermark_drops(sf_dir: str, late_us: int = _WM_LATE_US) -> pd.DataFrame:
+    """(event_type, n_dropped, n_total) — streaming watermark semantics over
+    the ingest log: processing in event_id (arrival) order with watermark =
+    max(ts seen) − allowed lateness, how many events per type would a
+    streaming engine drop as too late. The companion to late_events (per-user
+    reorder counts): this is the GLOBAL drop decision a watermark policy
+    makes.
+
+    Distributed global prefix max at row granularity: events range-partition
+    into contiguous event_id buckets (order-preserving, like the layout
+    exchange), a cheap per-block stats pass gives each bucket's max ts so the
+    driver computes the K-bounded prefix-before offsets, and ONE exchange
+    co-locates each bucket where a vectorized running max (seeded with the
+    bucket's prefix) decides every row. Output is |types|-bounded."""
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type"])
+
+    import pyarrow.parquet as pq
+    ids = pq.read_table(f"{sf_dir}/events.parquet",
+                        columns=["event_id"])["event_id"].to_numpy()
+    lo, hi = int(ids.min()), int(ids.max())
+    span = max(1, hi - lo + 1)
+
+    def bucket_of(eid: np.ndarray) -> np.ndarray:
+        return (eid - lo) * _WM_BUCKETS // span
+
+    # pass 1: per-bucket max ts partials (blocks × K bounded)
+    def bmax(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucket_of(df["event_id"].to_numpy(np.int64))
+        t = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        out = pd.DataFrame({"b": b, "t": t})
+        return out.groupby("b", as_index=False).agg(t=("t", "max"))
+
+    bm = (ev.map_batches(bmax, batch_format="pandas").to_pandas()
+          .groupby("b", as_index=False).agg(t=("t", "max")).sort_values("b"))
+    # prefix[k] = max ts over all buckets < k
+    dense = np.full(_WM_BUCKETS, _WM_SEED, dtype=np.int64)
+    dense[bm["b"].to_numpy(np.int64)] = bm["t"].to_numpy(np.int64)
+    prefix = np.full(_WM_BUCKETS, _WM_SEED, dtype=np.int64)
+    prefix[1:] = np.maximum.accumulate(dense)[:-1]
+    prefix_ref = ray.put(prefix)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b"] = bucket_of(df["event_id"].to_numpy(np.int64))
+        return df
+
+    def count_drops(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"event_type": pd.Series(dtype=object),
+                                 "n_dropped": pd.Series(dtype=np.int64),
+                                 "n_total": pd.Series(dtype=np.int64)})
+        pre = ray.get(prefix_ref)
+        df = df.sort_values(["__b", "event_id"]).reset_index(drop=True)
+        t = df["ts"].astype("datetime64[us]").astype(np.int64).to_numpy()
+        b = df["__b"].to_numpy(np.int64)
+        # per-bucket running max seeded by the bucket's global prefix;
+        # ≤ _WM_BUCKETS segments per reducer, vectorized within each
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        wm = np.empty_like(t)
+        for s_i, s in enumerate(starts):
+            e = starts[s_i + 1] if s_i + 1 < len(starts) else len(t)
+            seg = t[s:e]
+            runmax = np.maximum.accumulate(np.r_[pre[b[s]], seg[:-1]])
+            wm[s:e] = runmax
+        dropped = t < wm - late_us
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "d": dropped.astype(np.int64)})
+        return out.groupby("event_type", as_index=False).agg(
+            n_dropped=("d", "sum"), n_total=("d", "size")
+        ).astype({"n_dropped": np.int64, "n_total": np.int64})
+
+    parts = bucketed_group_apply(
+        ev.map_batches(tag, batch_format="pandas"), ["__b"],
+        lambda df: df, count_drops, n_buckets=8,
+    ).to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(
+        n_dropped=("n_dropped", "sum"), n_total=("n_total", "sum"))
+    return out.sort_values("event_type").reset_index(drop=True).astype(
+        {"n_dropped": np.int64, "n_total": np.int64})
+
+
+WATERMARK_DROPS_SQL = """
+WITH x AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events)
+SELECT event_type,
+       CAST(SUM(CASE WHEN ts < wm - INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM x GROUP BY event_type
+"""

@@ -69,3 +69,36 @@ def test_late_events_bounds(sf_dir):
     df = late_events(sf_dir).to_pandas()
     assert (df["n_late"] >= 0).all()
     assert (df["n_late"] < df["n_events"]).all()  # first event is never late
+
+
+def test_watermark_drops_planted_late_rows(tmp_path):
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.pipelines.windows import (
+        WATERMARK_DROPS_SQL, watermark_drops)
+
+    d = str(tmp_path)
+    rng = np.random.default_rng(3)
+    n = 5000
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    ts = base + np.sort(rng.integers(0, 86_400_000_000, n))
+    # plant heavy disorder: 5% of rows arrive with a 1–6 h-old timestamp
+    late = rng.random(n) < 0.05
+    ts = np.where(late, ts - rng.integers(3_600_000_000, 6 * 3_600_000_000, n), ts)
+    pqw.write_table(pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+    }), f"{d}/events.parquet")
+
+    got = watermark_drops(d)
+    assert int(got["n_dropped"].sum()) > 0  # disorder actually exercised
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM read_parquet('{d}/events.parquet')")
+    exp = (con.execute(WATERMARK_DROPS_SQL).df()
+           .sort_values("event_type").reset_index(drop=True)
+           .astype({"n_dropped": np.int64, "n_total": np.int64}))
+    pd.testing.assert_frame_equal(got, exp)
