@@ -593,3 +593,101 @@ s AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS score FROM f
       GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3)
 SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT {_SEARCH_K}
 """
+
+
+_RRF_K = 60          # standard reciprocal-rank-fusion damping constant
+_RRF_LIST_N = 50     # per-signal candidate list depth
+_RRF_TOPK = 10
+
+
+def hybrid_search(sf_dir: str, terms: tuple = _SEARCH_TERMS,
+                  query_vec_id: int = 0, k: int = _RRF_TOPK) -> pd.DataFrame:
+    """(doc_id, rrf_e9, lex_rank, sem_rank) — hybrid retrieval: a lexical
+    term-frequency list and an embedding-cosine list fused by reciprocal-rank
+    fusion ``score = Σ 1/(60 + rank)`` (integer ``1e9 // (60+rank)`` for exact
+    oracle parity; rank 0 = absent from that list contributes nothing).
+
+    Completes the reference's retrieval story (qa_service semantic search +
+    boolean term search) the way production RAG stacks do — neither signal
+    alone ranks well; RRF needs only ranks so the two scores never need a
+    shared scale.
+
+    Dataflow: each list is an independent top-N — the lexical scan is
+    row-local tf counting with only matching docs leaving the scan, the
+    semantic scan is the broadcast-query per-batch partial top-k of
+    :func:`~..stages.similarity.knn_topk` — and the fusion joins two
+    N-row lists on the driver. Nothing corpus-sized moves."""
+    from ..stages.similarity import knn_topk
+
+    pats = [re.compile(rf"\b{re.escape(t)}\b") for t in terms]
+
+    def local(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        texts = batch["text"].to_pylist()
+        out_doc, out_tf = [], []
+        for did, text in zip(doc_ids, texts):
+            low = text.lower()
+            tf = sum(len(p.findall(low)) for p in pats)
+            if tf:
+                out_doc.append(did)
+                out_tf.append(tf)
+        return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
+                             "tf": np.asarray(out_tf, dtype=np.int64)})
+
+    lex = (_read_docs(sf_dir).map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas().sort_values(["tf", "doc_id"], ascending=[False, True])
+        .head(_RRF_LIST_N).reset_index(drop=True))
+    lex["lex_rank"] = np.arange(1, len(lex) + 1, dtype=np.int64)
+
+    sem = knn_topk(sf_dir, query_vec_id=query_vec_id,
+                   k=_RRF_LIST_N).to_pandas()
+    sem = sem.rename(columns={"vec_id": "doc_id"})
+    sem["sem_rank"] = np.arange(1, len(sem) + 1, dtype=np.int64)
+
+    f = lex[["doc_id", "lex_rank"]].merge(
+        sem[["doc_id", "sem_rank"]], on="doc_id", how="outer")
+    lr = f["lex_rank"].fillna(0).astype(np.int64)
+    sr = f["sem_rank"].fillna(0).astype(np.int64)
+    e9 = np.int64(10 ** 9)
+    rrf = (np.where(lr > 0, e9 // (_RRF_K + lr), 0)
+           + np.where(sr > 0, e9 // (_RRF_K + sr), 0))
+    out = pd.DataFrame({"doc_id": f["doc_id"].astype(np.int64),
+                        "rrf_e9": rrf.astype(np.int64),
+                        "lex_rank": lr, "sem_rank": sr})
+    out = out.sort_values(["rrf_e9", "doc_id"],
+                          ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
+
+
+HYBRID_SEARCH_SQL = f"""
+WITH m AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '{TERM_PATTERN}'))
+                    AS term
+           FROM documents),
+lex AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tf FROM m
+        WHERE term IN ('hash', 'join', 'sort') GROUP BY doc_id),
+lexr AS (SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS r
+         FROM lex QUALIFY r <= {_RRF_LIST_N}),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sem AS (SELECT vec_id AS doc_id,
+               CAST(ROUND(list_cosine_similarity(embedding::DOUBLE[],
+                    (SELECT qv FROM q)) * 1000000) AS BIGINT) AS sim_e6
+        FROM embeddings WHERE vec_id <> 0),
+semr AS (SELECT doc_id,
+                ROW_NUMBER() OVER (ORDER BY sim_e6 DESC, doc_id) AS r
+         FROM sem QUALIFY r <= {_RRF_LIST_N}),
+f AS (SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             COALESCE(l.r, 0) AS lex_rank, COALESCE(s.r, 0) AS sem_rank
+      FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id)
+SELECT doc_id,
+       CAST(CASE WHEN lex_rank > 0
+                 THEN 1000000000 // ({_RRF_K} + lex_rank) ELSE 0 END
+          + CASE WHEN sem_rank > 0
+                 THEN 1000000000 // ({_RRF_K} + sem_rank) ELSE 0 END
+            AS BIGINT) AS rrf_e9,
+       CAST(lex_rank AS BIGINT) AS lex_rank,
+       CAST(sem_rank AS BIGINT) AS sem_rank
+FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT {_RRF_TOPK}
+"""

@@ -1190,5 +1190,11 @@ QUERIES.update(
         # via range buckets + one exchange (late_events' global companion)
         "watermark_drops": (windows.watermark_drops,
                             windows.WATERMARK_DROPS_SQL),
+        # hybrid retrieval: lexical tf list ⊕ embedding-cosine list fused by
+        # reciprocal-rank fusion (integer 1e9//(60+rank) for exact parity)
+        "hybrid_search": (kgflat.hybrid_search, kgflat.HYBRID_SEARCH_SQL),
+        # Z-order (Morton) layout probe: write→2-D-zone-prune→read→aggregate
+        "orders_box_probe": (relational.orders_box_probe,
+                             relational.ORDERS_BOX_PROBE_SQL),
     }
 )

@@ -912,3 +912,62 @@ SELECT CAST(YEAR(ts)*10000 + MONTH(ts)*100 + DAY(ts) AS BIGINT) AS ymd,
        event_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM events GROUP BY 1, 2
 """
+
+
+_BOX_PRICE = (50_000.0, 150_000.0)
+_BOX_CUST = (10.0, 60.0)
+
+
+def orders_box_probe(sf_dir: str) -> pd.DataFrame:
+    """(o_orderstatus, n_orders, sum_cents) for a 2-D box predicate
+    (totalprice × custkey), answered THROUGH a Z-order layout: orders are
+    rewritten once as Morton-clustered zone-mapped parquet
+    (:func:`~..stages.layout.write_zorder`) and the box read opens only the
+    files whose 2-D envelope intersects — the multi-column analogue of the
+    sorted/zone-map layout query. The aggregate is integer-exact cents.
+
+    At 100 TB the write is a one-time layout job (one histogram pass + one
+    order-preserving exchange) amortized over every subsequent box probe;
+    here it runs inline so the oracle exercises the full write→prune→read
+    path every time."""
+    import tempfile
+
+    from ..stages.layout import read_pruned_box, write_zorder
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_custkey", "o_totalprice"])
+    out_dir = tempfile.mkdtemp(prefix="zorder_orders_")
+    write_zorder(ds, "o_totalprice", "o_custkey", out_dir, n_files=16)
+    box = read_pruned_box(out_dir, _BOX_PRICE[0], _BOX_PRICE[1],
+                          _BOX_CUST[0], _BOX_CUST[1])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"o_orderstatus": pd.Series(dtype=object),
+                                 "n_orders": pd.Series(dtype=np.int64),
+                                 "sum_cents": pd.Series(dtype=np.int64)})
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100.0
+                        ).astype(np.int64)
+        out = pd.DataFrame({"o_orderstatus": df["o_orderstatus"],
+                            "cents": cents})
+        return out.groupby("o_orderstatus", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+
+    parts = box.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("n_orders", "sum"), sum_cents=("sum_cents", "sum"))
+    return (out.sort_values("o_orderstatus").reset_index(drop=True)
+            .astype({"n_orders": np.int64, "sum_cents": np.int64}))
+
+
+ORDERS_BOX_PROBE_SQL = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders
+WHERE o_totalprice BETWEEN {_BOX_PRICE[0]} AND {_BOX_PRICE[1]}
+  AND o_custkey BETWEEN {_BOX_CUST[0]} AND {_BOX_CUST[1]}
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""

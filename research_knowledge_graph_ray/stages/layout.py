@@ -150,3 +150,159 @@ def pruned_files(out_dir: str, lo: float, hi: float) -> tuple[int, int]:
     zones = manifest["zones"]
     hit = sum(1 for z in zones if z["max"] >= lo and z["min"] <= hi)
     return hit, len(zones)
+
+
+# ---------------------------------------------------------------------------
+# 2-D Z-order (Morton) layout — multi-column pruning
+# ---------------------------------------------------------------------------
+
+_MANIFEST_2D = "_ZONES2D.json"
+
+
+def _spread_bits8(v: np.ndarray) -> np.ndarray:
+    """Spread an 8-bit value's bits to even positions (Morton interleave)."""
+    v = v.astype(np.uint32)
+    v = (v | (v << 4)) & np.uint32(0x0F0F0F0F)
+    v = (v | (v << 2)) & np.uint32(0x33333333)
+    v = (v | (v << 1)) & np.uint32(0x55555555)
+    return v
+
+
+def morton16(qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+    """16-bit Morton code from two 8-bit quantized coordinates."""
+    return (_spread_bits8(qx) | (_spread_bits8(qy) << np.uint32(1))).astype(np.int64)
+
+
+def write_zorder(ds: "ray.data.Dataset", col_x: str, col_y: str,
+                 out_dir: str, n_files: int = 16, n_q: int = 256) -> dict:
+    """Write ``ds`` as ``n_files`` Z-order-clustered parquet files: rows are
+    quantized to equi-depth (col_x, col_y) cells, interleaved into a 16-bit
+    Morton code, and range-partitioned on that code — so each file covers a
+    compact RECTANGLE-ish region of the 2-D value space and a box predicate
+    on EITHER or BOTH columns prunes files. ``_ZONES2D.json`` records every
+    file's per-column (min, max) envelope.
+
+    This is the multi-column companion to :func:`write_sorted`: a layout
+    sorted on col_x alone cannot prune a col_y predicate at all; Z-order
+    prunes both at a small cost to single-column locality. Dataflow: per-
+    column equi-depth quantizers from the same streamed histogram pass as
+    :func:`_boundaries`, one streamed 65536-bin Morton histogram to pick
+    balanced file boundaries (partials are tiny: bincount arrays, not rows),
+    then ONE order-preserving exchange routes each row to its file — no
+    global sort ever runs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .shuffle import hash_exchange_apply
+
+    os.makedirs(out_dir, exist_ok=True)
+    cuts_x = _boundaries(ds, col_x, n_q)
+    cuts_y = _boundaries(ds, col_y, n_q)
+
+    def code(df: pd.DataFrame) -> np.ndarray:
+        qx = np.searchsorted(cuts_x, df[col_x].to_numpy(np.float64),
+                             side="right").astype(np.uint32)
+        qy = np.searchsorted(cuts_y, df[col_y].to_numpy(np.float64),
+                             side="right").astype(np.uint32)
+        return morton16(qx, qy)
+
+    # balanced z-range file boundaries from an exact 65536-bin histogram
+    def zhist(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = np.bincount(code(df), minlength=n_q * n_q)
+        nz = np.flatnonzero(cnt)
+        return pd.DataFrame({"z": nz, "cnt": cnt[nz]})
+
+    h = (ds.map_batches(zhist, batch_format="pandas").to_pandas()
+         .groupby("z")["cnt"].sum())
+    counts = np.zeros(n_q * n_q, dtype=np.int64)
+    counts[h.index.to_numpy(np.int64)] = h.to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    targets = [total * k // n_files for k in range(1, n_files)]
+    zcuts = np.searchsorted(cum, targets, side="left").astype(np.int64)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        z = code(df)
+        df["__z"] = z
+        df["__zone"] = np.searchsorted(zcuts, z, side="right").astype(np.int64)
+        return df
+
+    def write_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ["zone", "xmin", "xmax", "ymin", "ymax", "rows", "file"]
+        if df.empty:
+            return pd.DataFrame(
+                {"zone": pd.Series(dtype=np.int64),
+                 "xmin": pd.Series(dtype=np.float64),
+                 "xmax": pd.Series(dtype=np.float64),
+                 "ymin": pd.Series(dtype=np.float64),
+                 "ymax": pd.Series(dtype=np.float64),
+                 "rows": pd.Series(dtype=np.int64),
+                 "file": pd.Series(dtype="string")})
+        outs = []
+        for zone, g in df.groupby("__zone"):
+            g = g.sort_values("__z", kind="mergesort").drop(
+                columns=["__z", "__zone"])
+            fname = f"zpart-{int(zone):05d}.parquet"
+            pq.write_table(pa.Table.from_pandas(g, preserve_index=False),
+                           os.path.join(out_dir, fname))
+            outs.append((int(zone),
+                         float(g[col_x].min()), float(g[col_x].max()),
+                         float(g[col_y].min()), float(g[col_y].max()),
+                         len(g), fname))
+        return pd.DataFrame(outs, columns=cols)
+
+    zones = hash_exchange_apply(
+        ds.map_batches(tag, batch_format="pandas"),
+        ["__zone"], lambda df: df, write_bucket,
+        n_buckets=n_files, fmt="pandas",
+    ).to_pandas().sort_values("zone")
+    manifest = {
+        "col_x": col_x, "col_y": col_y,
+        "zones": [
+            {"zone": int(r["zone"]),
+             "xmin": float(r["xmin"]), "xmax": float(r["xmax"]),
+             "ymin": float(r["ymin"]), "ymax": float(r["ymax"]),
+             "rows": int(r["rows"]), "file": str(r["file"])}
+            for _, r in zones.iterrows()
+        ],
+    }
+    tmp = os.path.join(out_dir, _MANIFEST_2D + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(out_dir, _MANIFEST_2D))
+    return manifest
+
+
+def _box_files(out_dir: str, x_lo: float, x_hi: float,
+               y_lo: float, y_hi: float) -> tuple[list, str, str, int]:
+    with open(os.path.join(out_dir, _MANIFEST_2D)) as f:
+        m = json.load(f)
+    files = [os.path.join(out_dir, z["file"]) for z in m["zones"]
+             if z["xmax"] >= x_lo and z["xmin"] <= x_hi
+             and z["ymax"] >= y_lo and z["ymin"] <= y_hi]
+    return files, m["col_x"], m["col_y"], len(m["zones"])
+
+
+def read_pruned_box(out_dir: str, x_lo: float, x_hi: float,
+                    y_lo: float, y_hi: float) -> "ray.data.Dataset":
+    """Box-predicate read over a :func:`write_zorder` layout: open ONLY the
+    files whose 2-D envelope intersects the box, filter exactly inside."""
+    files, col_x, col_y, _ = _box_files(out_dir, x_lo, x_hi, y_lo, y_hi)
+    if not files:
+        return ray.data.from_items([])
+    ds = ray.data.read_parquet(files)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        x = df[col_x].to_numpy(np.float64)
+        y = df[col_y].to_numpy(np.float64)
+        return df[(x >= x_lo) & (x <= x_hi) & (y >= y_lo) & (y <= y_hi)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def pruned_box_files(out_dir: str, x_lo: float, x_hi: float,
+                     y_lo: float, y_hi: float) -> tuple[int, int]:
+    """(files opened, files total) for a box predicate — the Z-order win."""
+    files, _, _, n = _box_files(out_dir, x_lo, x_hi, y_lo, y_hi)
+    return len(files), n

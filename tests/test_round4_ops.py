@@ -102,3 +102,67 @@ def test_watermark_drops_planted_late_rows(tmp_path):
            .sort_values("event_type").reset_index(drop=True)
            .astype({"n_dropped": np.int64, "n_total": np.int64}))
     pd.testing.assert_frame_equal(got, exp)
+
+
+def test_morton16_locality_and_bounds():
+    from research_knowledge_graph_ray.stages.layout import morton16
+
+    qx = np.arange(256, dtype=np.uint32)
+    qy = np.arange(256, dtype=np.uint32)
+    z = morton16(qx, qy)
+    assert z.min() >= 0 and z.max() < 65536
+    # bit interleave is a bijection on the 256x256 grid
+    gx, gy = np.meshgrid(qx, qy)
+    zz = morton16(gx.ravel(), gy.ravel())
+    assert len(np.unique(zz)) == 65536
+    # locality: one step in either coordinate moves z by a bounded amount
+    assert morton16(np.array([5]), np.array([7]))[0] != \
+           morton16(np.array([7]), np.array([5]))[0]
+
+
+def test_zorder_box_parity_and_pruning(ray_session, tmp_path, sf_dir):
+    import ray.data
+
+    from research_knowledge_graph_ray.stages.layout import (
+        pruned_box_files, read_pruned_box, write_zorder)
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    d = str(tmp_path / "z")
+    m = write_zorder(ds, "o_totalprice", "o_custkey", d, n_files=16)
+    # layout is lossless
+    assert sum(z["rows"] for z in m["zones"]) == ds.count()
+
+    full = ds.to_pandas()
+    box = (80_000.0, 200_000.0, 20.0, 70.0)
+    want = full[(full["o_totalprice"] >= box[0]) & (full["o_totalprice"] <= box[1])
+                & (full["o_custkey"] >= box[2]) & (full["o_custkey"] <= box[3])]
+    got = read_pruned_box(d, *box).to_pandas()
+    assert sorted(got["o_orderkey"]) == sorted(want["o_orderkey"])
+    # the Z-order win: a small box must NOT open every file
+    opened, total = pruned_box_files(d, *box)
+    assert total == 16 and opened < total
+
+
+def test_hybrid_search_rrf_invariants(sf_dir):
+    from research_knowledge_graph_ray.pipelines.kgflat import (
+        _RRF_K, hybrid_search, term_search)
+    from research_knowledge_graph_ray.stages.similarity import knn_topk
+
+    df = hybrid_search(sf_dir)
+    assert list(df.columns) == ["doc_id", "rrf_e9", "lex_rank", "sem_rank"]
+    assert (df["rrf_e9"] > 0).all()
+    assert df["rrf_e9"].is_monotonic_decreasing
+    # a doc present in both lists outranks rank-sum-equal single-list docs:
+    # score decomposition is exactly 1e9//(60+r) per present list
+    e9 = 10 ** 9
+    for _, r in df.iterrows():
+        want = (e9 // (_RRF_K + r["lex_rank"]) if r["lex_rank"] else 0) \
+             + (e9 // (_RRF_K + r["sem_rank"]) if r["sem_rank"] else 0)
+        assert int(r["rrf_e9"]) == want
+    # semantic rank 1 must be the knn_topk winner
+    top_sem = knn_topk(sf_dir, k=1).to_pandas()["vec_id"].iloc[0]
+    sem1 = df[df["sem_rank"] == 1]
+    if len(sem1):
+        assert int(sem1["doc_id"].iloc[0]) == int(top_sem)
