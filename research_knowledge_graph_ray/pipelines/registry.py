@@ -1196,5 +1196,9 @@ QUERIES.update(
         # Z-order (Morton) layout probe: write→2-D-zone-prune→read→aggregate
         "orders_box_probe": (relational.orders_box_probe,
                              relational.ORDERS_BOX_PROBE_SQL),
+        # GROUP BY ROLLUP lattice: one streamed finest-grain pass, coarser
+        # levels re-aggregated from the domain-bounded grain table
+        "revenue_rollup": (relational.revenue_rollup,
+                           relational.REVENUE_ROLLUP_SQL),
     }
 )

@@ -971,3 +971,85 @@ WHERE o_totalprice BETWEEN {_BOX_PRICE[0]} AND {_BOX_PRICE[1]}
   AND o_custkey BETWEEN {_BOX_CUST[0]} AND {_BOX_CUST[1]}
 GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """(n_name, o_year, lvl, n_orders, revenue_cents) — GROUP BY
+    ROLLUP(nation, year): the (nation, year) grain plus the per-nation and
+    grand-total subtotal levels, integer-exact money. ``lvl`` is the standard
+    grouping id (0 = finest, 1 = nation subtotal, 3 = grand total); rolled-up
+    dimensions render as 'ALL' / 0.
+
+    Dataflow: the rollup lattice NEVER needs extra passes — one broadcast
+    dimension lookup + per-batch partial aggregation produces the finest
+    grain (nations × years, domain-bounded), and every coarser level is a
+    re-aggregation of that tiny table on the driver. At 100 TB the single
+    streamed pass over orders is the only corpus-sized work."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk = dict(zip(nation["n_nationkey"].to_pylist(),
+                  nation["n_name"].to_pylist()))
+    c2n = {c: nk[n] for c, n in zip(cust["c_custkey"].to_pylist(),
+                                    cust["c_nationkey"].to_pylist())}
+    ref = ray.put(c2n)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        m = ray.get(ref)
+        df = pd.DataFrame({
+            "n_name": [m[c] for c in batch["o_custkey"].to_pylist()],
+            "o_year": pc.year(batch["o_orderdate"]).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "cents": _cents(batch["o_totalprice"]).to_numpy(),
+        })
+        return df.groupby(["n_name", "o_year"], as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+
+    fine = (ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .groupby(["n_name", "o_year"], as_index=False)
+        .agg(n_orders=("n_orders", "sum"),
+             revenue_cents=("revenue_cents", "sum")))
+
+    fine["lvl"] = np.int64(0)
+    by_nation = fine.groupby("n_name", as_index=False).agg(
+        n_orders=("n_orders", "sum"), revenue_cents=("revenue_cents", "sum"))
+    by_nation["o_year"] = np.int64(0)
+    by_nation["lvl"] = np.int64(1)
+    total = pd.DataFrame({
+        "n_name": ["ALL"], "o_year": np.array([0], dtype=np.int64),
+        "lvl": np.array([3], dtype=np.int64),
+        "n_orders": np.array([fine["n_orders"].sum()], dtype=np.int64),
+        "revenue_cents": np.array([fine["revenue_cents"].sum()],
+                                  dtype=np.int64)})
+    cols = ["n_name", "o_year", "lvl", "n_orders", "revenue_cents"]
+    out = pd.concat([fine[cols], by_nation[cols], total[cols]],
+                    ignore_index=True)
+    out = out.astype({"o_year": np.int64, "lvl": np.int64,
+                      "n_orders": np.int64, "revenue_cents": np.int64})
+    return (out.sort_values(["lvl", "n_name", "o_year"])
+            .reset_index(drop=True))
+
+
+REVENUE_ROLLUP_SQL = """
+WITH base AS (
+  SELECT n_name,
+         CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT COALESCE(n_name, 'ALL') AS n_name,
+       COALESCE(o_year, 0) AS o_year,
+       CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+FROM base GROUP BY ROLLUP(n_name, o_year)
+ORDER BY lvl, n_name, o_year
+"""

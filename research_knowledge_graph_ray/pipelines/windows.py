@@ -1115,9 +1115,12 @@ def linear_attribution(sf_dir: str) -> pd.DataFrame:
     no float splits. Purchases with no qualifying click stay unattributed.
 
     ONE exchange on user_id over the two filtered event types; the reducer
-    sorts each user's clicks once and binary-searches the window per
-    purchase (O(P log C) per user, all local), emitting per-click partial
-    credits that sum exactly to the attributable purchase total."""
+    is FULLY vectorized across every user in its bucket — one lexsort merges
+    purchases' window endpoints into the click stream (a running click count
+    gives each purchase's [lo, hi) window), interval credits apply via a
+    difference array + cumsum — no per-user or per-purchase Python loop,
+    emitting per-click partial credits that sum exactly to the attributable
+    purchase total."""
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
                                columns=["event_id", "user_id", "ts",
                                         "event_type", "value"])
@@ -1135,37 +1138,66 @@ def linear_attribution(sf_dir: str) -> pd.DataFrame:
         })
 
     def fin(df: pd.DataFrame) -> pd.DataFrame:
-        out_c, out_u, out_a = [], [], []
-        if not df.empty:
-            for uid, g in df.groupby("user_id", sort=False):
-                clicks = (g[g["is_p"] == 0][["event_id", "t"]]
-                          .sort_values(["t", "event_id"]))
-                if clicks.empty:
-                    continue
-                ct = clicks["t"].to_numpy(np.int64)
-                cid = clicks["event_id"].to_numpy(np.int64)
-                credit = np.zeros(len(ct), dtype=np.int64)
-                touched = np.zeros(len(ct), dtype=bool)
-                for _, p in g[g["is_p"] == 1].iterrows():
-                    pt, cents = int(p["t"]), int(p["cents"])
-                    lo = int(np.searchsorted(ct, pt - ATTRIB_WINDOW_US,
-                                             side="right"))
-                    hi = int(np.searchsorted(ct, pt, side="right"))
-                    n = hi - lo
-                    if n == 0:
-                        continue
-                    credit[lo:hi] += cents // n
-                    credit[lo] += cents % n  # remainder → earliest click
-                    touched[lo:hi] = True
-                # a zero-share participant (floor share 0, not earliest)
-                # still appears — the SQL join keeps it with SUM 0
-                keep = touched
-                out_c.extend(cid[keep].tolist())
-                out_u.extend([int(uid)] * int(keep.sum()))
-                out_a.extend(credit[keep].tolist())
-        return pd.DataFrame({"click_event_id": np.asarray(out_c, np.int64),
-                             "user_id": np.asarray(out_u, np.int64),
-                             "attributed_cents": np.asarray(out_a, np.int64)})
+        empty = pd.DataFrame(
+            {"click_event_id": pd.Series(dtype=np.int64),
+             "user_id": pd.Series(dtype=np.int64),
+             "attributed_cents": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        clk = df[df["is_p"] == 0].sort_values(["user_id", "t", "event_id"])
+        pur = df[df["is_p"] == 1]
+        if clk.empty or pur.empty:
+            return empty
+        cu = clk["user_id"].to_numpy(np.int64)
+        ct = clk["t"].to_numpy(np.int64)
+        cid = clk["event_id"].to_numpy(np.int64)
+        users, counts = np.unique(cu, return_counts=True)
+        ustart = np.r_[0, np.cumsum(counts)]
+        # purchases of users with no clicks attribute nothing — drop early
+        pu = pur["user_id"].to_numpy(np.int64)
+        pos = np.searchsorted(users, pu)
+        has = (pos < len(users)) & (users[np.minimum(pos, len(users) - 1)] == pu)
+        pu, pos = pu[has], pos[has]
+        pt = pur["t"].to_numpy(np.int64)[has]
+        cents = pur["cents"].to_numpy(np.int64)[has]
+
+        # window endpoints as running click counts: merge each endpoint value
+        # into the (user, t)-sorted click stream (clicks BEFORE queries on
+        # ties = searchsorted side='right') and read off the cumulative
+        # click count — one lexsort for all users and both endpoints
+        def count_le(qt: np.ndarray) -> np.ndarray:
+            au = np.r_[cu, pu]
+            at = np.r_[ct, qt]
+            isq = np.r_[np.zeros(len(cu), np.int8), np.ones(len(pu), np.int8)]
+            order = np.lexsort((isq, at, au))
+            run = np.cumsum(isq[order] == 0)
+            out = np.empty(len(au), dtype=np.int64)
+            out[order] = run
+            return out[len(cu):] - ustart[pos]
+
+        hi = count_le(pt)
+        lo = count_le(pt - ATTRIB_WINDOW_US)
+        n = hi - lo
+        v = n > 0
+        g_lo = ustart[pos[v]] + lo[v]
+        g_hi = ustart[pos[v]] + hi[v]
+        share = cents[v] // n[v]
+        rem = cents[v] % n[v]
+        # interval adds via difference array + cumsum (remainder → earliest)
+        diff = np.zeros(len(ct) + 1, dtype=np.int64)
+        np.add.at(diff, g_lo, share)
+        np.add.at(diff, g_hi, -share)
+        credit = np.cumsum(diff[:-1])
+        np.add.at(credit, g_lo, rem)
+        tdiff = np.zeros(len(ct) + 1, dtype=np.int64)
+        np.add.at(tdiff, g_lo, 1)
+        np.add.at(tdiff, g_hi, -1)
+        # a zero-share participant (floor share 0, not earliest) still
+        # appears — the SQL join keeps it with SUM 0
+        keep = np.cumsum(tdiff[:-1]) > 0
+        return pd.DataFrame({"click_event_id": cid[keep],
+                             "user_id": cu[keep],
+                             "attributed_cents": credit[keep]})
 
     parts = bucketed_group_apply(ev, ["user_id"], part, fin,
                                  n_buckets=16).to_pandas()

@@ -166,3 +166,60 @@ def test_hybrid_search_rrf_invariants(sf_dir):
     sem1 = df[df["sem_rank"] == 1]
     if len(sem1):
         assert int(sem1["doc_id"].iloc[0]) == int(top_sem)
+
+
+def test_linear_attribution_vectorized_vs_brute(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.pipelines.windows import (
+        ATTRIB_WINDOW_US, linear_attribution)
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    base = pd.Timestamp("2024-03-01").value // 1000
+    ts = base + rng.integers(0, 20 * 86_400_000_000, n)
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 60, n).astype(np.int64),  # heavy overlap
+        "ts": ts,
+        "event_type": rng.choice(["click", "purchase", "view"], n,
+                                 p=[0.5, 0.3, 0.2]),
+        "value": np.round(rng.uniform(0, 500, n), 2),
+    })
+    # adversarial ties: duplicate timestamps inside users
+    df.loc[10:30, "ts"] = df.loc[10, "ts"]
+    d = str(tmp_path)
+    t = pa.table({**{c: df[c] for c in ["event_id", "user_id"]},
+                  "ts": pa.array(df["ts"], type=pa.timestamp("us")),
+                  "event_type": pa.array(df["event_type"]),
+                  "value": pa.array(df["value"])})
+    pqw.write_table(t, f"{d}/events.parquet")
+
+    got = linear_attribution(d)
+
+    # brute-force per-purchase reference
+    credit: dict[int, int] = {}
+    for uid, g in df.groupby("user_id"):
+        clicks = (g[g["event_type"] == "click"][["event_id", "ts"]]
+                  .sort_values(["ts", "event_id"]).reset_index(drop=True))
+        for _, p in g[g["event_type"] == "purchase"].iterrows():
+            w = clicks[(clicks["ts"] > p["ts"] - ATTRIB_WINDOW_US)
+                       & (clicks["ts"] <= p["ts"])]
+            if w.empty:
+                continue
+            cents = int(round(p["value"] * 100))
+            share, rem = divmod(cents, len(w))
+            for j, cid in enumerate(w["event_id"]):
+                credit[int(cid)] = credit.get(int(cid), 0) \
+                    + share + (rem if j == 0 else 0)
+    want = (pd.DataFrame({"click_event_id": list(credit),
+                          "attributed_cents": list(credit.values())})
+            .sort_values("click_event_id").reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["click_event_id"].to_numpy()
+            == want["click_event_id"].to_numpy()).all()
+    assert (got["attributed_cents"].to_numpy()
+            == want["attributed_cents"].to_numpy()).all()
+    # exact conservation: every attributable purchase total lands somewhere
+    assert int(got["attributed_cents"].sum()) == sum(credit.values())
