@@ -139,6 +139,11 @@ def run_bench() -> dict:
         timed("skyline_orders", stats.skyline_orders)
         timed("late_events", windows.late_events)
         timed("term_search", kgflat.term_search)
+        timed("watermark_drops", windows.watermark_drops)
+        timed("hybrid_search", kgflat.hybrid_search)
+        timed("orders_box_probe", relational.orders_box_probe)
+        timed("revenue_rollup", relational.revenue_rollup)
+        timed("linear_attribution", windows.linear_attribution)
 
     result = {
         "metric": "kg_construct_wall_sec",

@@ -159,6 +159,46 @@ def pruned_files(out_dir: str, lo: float, hi: float) -> tuple[int, int]:
 _MANIFEST_2D = "_ZONES2D.json"
 
 
+def _boundaries2(ds: "ray.data.Dataset", col_x: str, col_y: str,
+                 n_q: int, n_hist: int = 4096) -> tuple[np.ndarray, np.ndarray]:
+    """Equi-depth cut points for TWO columns from ONE fused min/max aggregate
+    and ONE fused histogram pass (halves the fixed per-execution overhead of
+    calling :func:`_boundaries` twice)."""
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(col_x), Max(col_x), Min(col_y), Max(col_y))
+    lims = {c: (float(agg[f"min({c})"]), float(agg[f"max({c})"]))
+            for c in (col_x, col_y)}
+    scales = {c: n_hist / ((hi - lo) or 1.0) for c, (lo, hi) in lims.items()}
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for ci, c in enumerate((col_x, col_y)):
+            lo = lims[c][0]
+            b = np.clip(((df[c].to_numpy(np.float64) - lo) * scales[c])
+                        .astype(np.int64), 0, n_hist - 1)
+            cnt = np.bincount(b, minlength=n_hist)
+            nz = np.flatnonzero(cnt)
+            outs.append(pd.DataFrame({"c": np.int64(ci), "b": nz,
+                                      "cnt": cnt[nz]}))
+        return pd.concat(outs, ignore_index=True)
+
+    h = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+         .groupby(["c", "b"])["cnt"].sum())
+    cuts = []
+    for ci, c in enumerate((col_x, col_y)):
+        counts = np.zeros(n_hist, dtype=np.int64)
+        sub = h.loc[ci]
+        counts[sub.index.to_numpy(np.int64)] = sub.to_numpy(np.int64)
+        cum = np.cumsum(counts)
+        total = int(cum[-1])
+        targets = [total * k // n_q for k in range(1, n_q)]
+        pos = np.searchsorted(cum, targets, side="left")
+        cuts.append(lims[c][0]
+                    + (np.asarray(pos, dtype=np.float64) + 1.0) / scales[c])
+    return cuts[0], cuts[1]
+
+
 def _spread_bits8(v: np.ndarray) -> np.ndarray:
     """Spread an 8-bit value's bits to even positions (Morton interleave)."""
     v = v.astype(np.uint32)
@@ -196,8 +236,7 @@ def write_zorder(ds: "ray.data.Dataset", col_x: str, col_y: str,
     from .shuffle import hash_exchange_apply
 
     os.makedirs(out_dir, exist_ok=True)
-    cuts_x = _boundaries(ds, col_x, n_q)
-    cuts_y = _boundaries(ds, col_y, n_q)
+    cuts_x, cuts_y = _boundaries2(ds, col_x, col_y, n_q)
 
     def code(df: pd.DataFrame) -> np.ndarray:
         qx = np.searchsorted(cuts_x, df[col_x].to_numpy(np.float64),
