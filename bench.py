@@ -144,6 +144,8 @@ def run_bench() -> dict:
         timed("orders_box_probe", relational.orders_box_probe)
         timed("revenue_rollup", relational.revenue_rollup)
         timed("linear_attribution", windows.linear_attribution)
+        timed("q3_shipping_priority", relational.q3_shipping_priority)
+        timed("q4_order_priority", relational.q4_order_priority)
 
     result = {
         "metric": "kg_construct_wall_sec",

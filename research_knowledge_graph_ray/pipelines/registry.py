@@ -1200,5 +1200,14 @@ QUERIES.update(
         # levels re-aggregated from the domain-bounded grain table
         "revenue_rollup": (relational.revenue_rollup,
                            relational.REVENUE_ROLLUP_SQL),
+        # TPC-H Q3 shape: two BIG-BIG joins (customer⋈orders exchange join,
+        # then per-orderkey-pre-aggregated lineitem ⋈ orders in ONE more
+        # exchange) with per-bucket local top-10
+        "q3_shipping_priority": (relational.q3_shipping_priority,
+                                 relational.Q3_SHIPPING_PRIORITY_SQL),
+        # TPC-H Q4 shape: EXISTS as a big-big SEMI-join — key-only distinct
+        # lineitem partials union the quarter's orders through one exchange
+        "q4_order_priority": (relational.q4_order_priority,
+                              relational.Q4_ORDER_PRIORITY_SQL),
     }
 )

@@ -1053,3 +1053,194 @@ SELECT COALESCE(n_name, 'ALL') AS n_name,
 FROM base GROUP BY ROLLUP(n_name, o_year)
 ORDER BY lvl, n_name, o_year
 """
+
+
+_Q3_DATE = "1995-03-15"
+_Q3_SEGMENT = "BUILDING"
+
+
+def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """(l_orderkey, revenue_de4, o_orderdate) — TPC-H Q3 shape adapted to the
+    testdata schema (no o_shippriority column): top-10 unshipped orders of
+    one market segment by discounted revenue, integer-exact money
+    (cents × (10000 − discount_bp), the q1 convention).
+
+    Both joins are BIG-BIG at corpus scale, so neither side broadcasts:
+    (1) orders ⋈ building-segment customers through the tagged one-exchange
+    hash join; (2) lineitem partials — pre-aggregated per orderkey INSIDE the
+    scan batch before anything moves — union the order rows through ONE
+    exchange on orderkey, and each reducer finishes the per-order revenue and
+    keeps only its local top-10, so the driver ranks n_buckets × 10 rows."""
+    from ..stages.join import hash_join
+    from ..stages.shuffle import bucketed_group_apply
+
+    cutoff = np.datetime64(_Q3_DATE, "us")
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], _Q3_SEGMENT))
+        .select(["c_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))).select(
+            ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    obld = hash_join(orders, cust, "o_custkey", "c_custkey",
+                     ["o_orderkey", "o_custkey", "o_orderdate"],
+                     ["c_custkey"])
+
+    def li_partial(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        cents = _cents(t["l_extendedprice"])
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(10000, pa.int64()), bp))
+        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
+                           "rev": rev.to_numpy()})
+        out = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        out["__side"] = "li"
+        return out
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True
+                  ).map_batches(lambda df: df.assign(
+                      __key=df["l_orderkey"].astype(str)),
+                      batch_format="pandas")
+
+    def ob_view(df: pd.DataFrame) -> pd.DataFrame:
+        # hash_join may emit float-upcast keys out of empty buckets — pin
+        # int64 BEFORE stringifying or "90.0" never matches li's "90"
+        ok = df["o_orderkey"].astype(np.int64)
+        return pd.DataFrame({"l_orderkey": ok, "o_orderdate": df["o_orderdate"],
+                             "__side": "o", "__key": ok.astype(str)})
+
+    ob = obld.map_batches(ob_view, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                              "revenue_de4": pd.Series(dtype=np.int64),
+                              "o_orderdate": pd.Series(dtype="datetime64[us]")})
+        if df.empty:
+            return empty
+        lt = df[df["__side"] == "li"]
+        ot = df[df["__side"] == "o"]
+        if lt.empty or ot.empty:
+            return empty
+        rev = (lt.groupby("l_orderkey", as_index=False).agg(
+            revenue_de4=("rev", "sum")))
+        ot = ot.drop_duplicates("l_orderkey")[["l_orderkey", "o_orderdate"]]
+        out = rev.merge(ot, on="l_orderkey", how="inner")
+        out = out.sort_values(["revenue_de4", "l_orderkey"],
+                              ascending=[False, True]).head(10)
+        return out.astype({"l_orderkey": np.int64, "revenue_de4": np.int64})
+
+    parts = bucketed_group_apply(li.union(ob), ["__key"], lambda df: df,
+                                 final, n_buckets=16).to_pandas()
+    if "revenue_de4" not in parts.columns:  # all-empty → schema-less
+        return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
+                             "revenue_de4": pd.Series(dtype=np.int64),
+                             "o_orderdate": pd.Series(dtype="datetime64[us]")})
+    out = parts.sort_values(["revenue_de4", "l_orderkey"],
+                            ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)[["l_orderkey", "revenue_de4",
+                                       "o_orderdate"]]
+
+
+Q3_SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_de4,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{_Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{_Q3_DATE} 00:00:00'
+  AND l_shipdate > TIMESTAMP '{_Q3_DATE} 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_de4 DESC, l_orderkey LIMIT 10
+"""
+
+
+_Q4_LO = "1995-07-01"  # testdata order dates start 1995-01-01
+_Q4_HI = "1995-10-01"
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """(o_orderpriority, n_orders) — TPC-H Q4 shape adapted to the testdata
+    schema (no commit/receipt dates): orders of one quarter that have at
+    least one RETURNED lineitem (l_returnflag = 'R'), counted by priority.
+
+    The EXISTS is a big-big SEMI-JOIN: lineitem collapses to distinct
+    returned orderkeys inside each scan batch (key-only partials), unions
+    with the quarter's order rows through ONE exchange on orderkey, and each
+    reducer emits |priorities|-bounded counts — the driver sums ≤
+    n_buckets × |priorities| rows."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    lo = np.datetime64(_Q4_LO, "us")
+    hi = np.datetime64(_Q4_HI, "us")
+
+    def orders_f(t: pa.Table) -> pd.DataFrame:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pd.DataFrame({"k": t["o_orderkey"].to_numpy(),
+                             "o_orderpriority": t["o_orderpriority"]
+                             .to_numpy(zero_copy_only=False),
+                             "__side": "o"})
+
+    def li_keys(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        keys = np.unique(t["l_orderkey"].to_numpy())
+        return pd.DataFrame({"k": keys, "o_orderpriority": "",
+                             "__side": "li"})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(li_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                              "n_orders": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        ot = df[df["__side"] == "o"]
+        has = set(df.loc[df["__side"] == "li", "k"].to_numpy())
+        if ot.empty or not has:
+            return empty
+        keep = ot[ot["k"].isin(has)]
+        return keep.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("k", "size")).astype({"n_orders": np.int64})
+
+    parts = bucketed_group_apply(orders.union(li), ["k"], lambda df: df,
+                                 final, n_buckets=16).to_pandas()
+    if "o_orderpriority" not in parts.columns:  # all-empty → schema-less
+        return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                             "n_orders": pd.Series(dtype=np.int64)})
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum")).astype({"n_orders": np.int64})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+Q4_ORDER_PRIORITY_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{_Q4_HI} 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
