@@ -553,26 +553,29 @@ def term_search(sf_dir: str, terms: tuple = _SEARCH_TERMS,
     ALL query terms, ranked by summed term frequency (integer score,
     deterministic doc_id tiebreak), top ``k``.
 
-    Dataflow: one streamed scan — per-row regex counts of the query terms
-    (tiny closure constant, the broadcast side of a search); the conjunctive
-    test and tf-sum are row-local so no exchange exists anywhere, and only
-    matching docs — query-selective — reach the driver-side top-k. At
-    corpus scale the top-k becomes the per-block-heap + tiny-global-sort
-    pattern of similarity.knn_topk."""
-    pats = [re.compile(rf"\b{re.escape(t)}\b") for t in terms]
+    Dataflow: one streamed scan — per-term match counts via the VECTORIZED
+    Arrow kernel ``pc.count_substring_regex`` (RE2, non-overlapping = Python
+    ``findall`` counts; no per-row loop); the conjunctive test and tf-sum
+    are row-local so no exchange exists anywhere, and only matching docs —
+    query-selective — reach the driver-side top-k. At corpus scale the top-k
+    becomes the per-block-heap + tiny-global-sort pattern of
+    similarity.knn_topk."""
 
     def local(batch: pa.Table) -> pd.DataFrame:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        out_doc, out_score = [], []
-        for did, text in zip(doc_ids, texts):
-            low = text.lower()
-            counts = [len(p.findall(low)) for p in pats]
-            if all(counts):
-                out_doc.append(did)
-                out_score.append(sum(counts))
-        return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
-                             "score": np.asarray(out_score, dtype=np.int64)})
+        low = pc.utf8_lower(batch["text"])
+        tf = None
+        conj = None
+        for t in terms:
+            c = pc.count_substring_regex(low, rf"\b{re.escape(t)}\b")
+            c = c.cast(pa.int64())
+            hit = pc.greater(c, 0)
+            tf = c if tf is None else pc.add(tf, c)
+            conj = hit if conj is None else pc.and_(conj, hit)
+        return pd.DataFrame(
+            {"doc_id": pc.filter(batch["doc_id"], conj).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+             "score": pc.filter(tf, conj).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
 
     hits = _read_docs(sf_dir).map_batches(
         local, batch_format="pyarrow", zero_copy_batch=True
@@ -613,26 +616,26 @@ def hybrid_search(sf_dir: str, terms: tuple = _SEARCH_TERMS,
     shared scale.
 
     Dataflow: each list is an independent top-N — the lexical scan is
-    row-local tf counting with only matching docs leaving the scan, the
-    semantic scan is the broadcast-query per-batch partial top-k of
+    vectorized Arrow tf counting (``pc.count_substring_regex``, no per-row
+    loop) with only matching docs leaving the scan, the semantic scan is the
+    broadcast-query per-batch partial top-k of
     :func:`~..stages.similarity.knn_topk` — and the fusion joins two
     N-row lists on the driver. Nothing corpus-sized moves."""
     from ..stages.similarity import knn_topk
 
-    pats = [re.compile(rf"\b{re.escape(t)}\b") for t in terms]
-
     def local(batch: pa.Table) -> pd.DataFrame:
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        texts = batch["text"].to_pylist()
-        out_doc, out_tf = [], []
-        for did, text in zip(doc_ids, texts):
-            low = text.lower()
-            tf = sum(len(p.findall(low)) for p in pats)
-            if tf:
-                out_doc.append(did)
-                out_tf.append(tf)
-        return pd.DataFrame({"doc_id": np.asarray(out_doc, dtype=np.int64),
-                             "tf": np.asarray(out_tf, dtype=np.int64)})
+        low = pc.utf8_lower(batch["text"])
+        tf = None
+        for t in terms:
+            c = pc.count_substring_regex(low, rf"\b{re.escape(t)}\b")
+            c = c.cast(pa.int64())
+            tf = c if tf is None else pc.add(tf, c)
+        hit = pc.greater(tf, 0)
+        return pd.DataFrame(
+            {"doc_id": pc.filter(batch["doc_id"], hit).to_numpy(
+                zero_copy_only=False).astype(np.int64),
+             "tf": pc.filter(tf, hit).to_numpy(
+                zero_copy_only=False).astype(np.int64)})
 
     lex = (_read_docs(sf_dir).map_batches(
         local, batch_format="pyarrow", zero_copy_batch=True
