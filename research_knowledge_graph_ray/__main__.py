@@ -289,6 +289,20 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    """Run the composed curation pipeline and print the funnel report."""
+    import json as _json
+
+    from .pipelines.curate import curate_corpus
+
+    report = curate_corpus(
+        args.sf_dir, args.out,
+        keep_langs=tuple(s for s in args.langs.split(",") if s),
+        budget=args.budget, n_parts=args.parts)
+    print(_json.dumps(report))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="research_knowledge_graph_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -322,6 +336,19 @@ def main(argv=None) -> int:
     pv.add_argument("--html", required=True)
     pv.add_argument("--limit", type=int, default=300)
     pv.set_defaults(fn=cmd_visualize)
+
+    pc_ = sub.add_parser(
+        "curate", help="full training-corpus curation: quality → lang → "
+        "exact dedup → near-dup dedup → pack → partitioned parquet")
+    pc_.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pc_.add_argument("--out", required=True)
+    pc_.add_argument("--budget", type=int, default=512,
+                     help="token budget per packed sequence")
+    pc_.add_argument("--langs", default="en",
+                     help="comma-separated predicted languages to keep")
+    pc_.add_argument("--parts", type=int, default=8,
+                     help="output partition count")
+    pc_.set_defaults(fn=cmd_curate)
 
     pr = sub.add_parser("run", help="run any registry query over an sf_dir")
     pr.add_argument("name", nargs="?", default="",

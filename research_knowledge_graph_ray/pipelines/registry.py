@@ -1072,7 +1072,7 @@ QUERIES: dict = {
 }
 
 # windowed / join operators (registered after module init to avoid cycles)
-from . import windows  # noqa: E402
+from . import curate, windows  # noqa: E402
 
 QUERIES.update(
     {
@@ -1209,5 +1209,9 @@ QUERIES.update(
         # lineitem partials union the quarter's orders through one exchange
         "q4_order_priority": (relational.q4_order_priority,
                               relational.Q4_ORDER_PRIORITY_SQL),
+        # curation funnel (quality → lang → exact-dedup sequential gates) —
+        # the SQL-checkable prefix of the composed curate_corpus pipeline
+        "curation_funnel": (curate.curation_funnel,
+                            curate.CURATION_FUNNEL_SQL),
     }
 )

@@ -152,6 +152,30 @@ LANG_PROFILES = {
 }
 
 
+_LANG_WORD_RE = re.compile(r"[a-zA-Z]+")
+
+
+def pred_langs(texts: list[str]) -> list[str]:
+    """Heuristic stopword language-ID (argmax, first-wins tie order
+    en>fr>de>es; token-free text → 'zh'). The single source of the scoring
+    semantic — LangId and the curation pipeline both call it, and
+    registry.LANG_ID_SQL restates it exactly."""
+    profiles = {k: v for k, v in LANG_PROFILES.items() if v}
+    preds = []
+    for t in texts:
+        toks = set(w.lower() for w in _LANG_WORD_RE.findall(t))
+        if not toks:
+            preds.append("zh")
+            continue
+        best, best_score = "en", -1
+        for lang, stops in profiles.items():
+            score = len(toks & stops)
+            if score > best_score:
+                best, best_score = lang, score
+        preds.append(best)
+    return preds
+
+
 class LangId:
     """Actor-pool language-ID stage (heuristic stopword/charset scorer).
 
@@ -161,26 +185,12 @@ class LangId:
     """
 
     def __init__(self):
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.profiles = {k: v for k, v in LANG_PROFILES.items() if v}
+        pass
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
-        texts = batch["text"].to_pylist()
-        preds = []
-        for t in texts:
-            toks = set(w.lower() for w in self.word.findall(t))
-            if not toks:
-                preds.append("zh")
-                continue
-            best, best_score = "en", -1
-            for lang, stops in self.profiles.items():
-                score = len(toks & stops)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
         return pd.DataFrame(
             {"doc_id": batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
-             "pred_lang": preds}
+             "pred_lang": pred_langs(batch["text"].to_pylist())}
         )
 
 
