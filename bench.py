@@ -147,6 +147,19 @@ def run_bench() -> dict:
         timed("q3_shipping_priority", relational.q3_shipping_priority)
         timed("q4_order_priority", relational.q4_order_priority)
 
+        # composed curation flagship: quality -> lang -> exact dedup ->
+        # minhash near-dup -> pack -> partitioned parquet, one timed run
+        import shutil
+        import tempfile
+
+        from research_knowledge_graph_ray.pipelines import curate
+
+        cdir = tempfile.mkdtemp(prefix="rkg_curate_bench_")
+        t = time.perf_counter()
+        curate.curate_corpus(SF_DIR, cdir, n_parts=16)
+        timings["curate_corpus"] = round(time.perf_counter() - t, 3)
+        shutil.rmtree(cdir, ignore_errors=True)
+
     result = {
         "metric": "kg_construct_wall_sec",
         "value": round(headline, 3),
