@@ -193,7 +193,11 @@ def curate_corpus(sf_dir: str, out_dir: str,
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "text", "lang", "source"])
-    v = _gated_verdicts(sf_dir, keep_langs)
+    # the verdict table drops the text (~1% of corpus bytes: ids + flags +
+    # fp + token count) — materialize it ONCE so its three consumers (gate
+    # counts, exact-dedup exchange, final bucket exchange) don't each re-run
+    # the corpus scan; at extreme scale the object store spills it to disk
+    v = _gated_verdicts(sf_dir, keep_langs).materialize()
     exact = _exact_survivors(v, keep_langs)
     # near-dup clusters computed over the full corpus (sketch exchanges
     # only); the drop applies to docs surviving every earlier gate
@@ -294,11 +298,23 @@ def curate_corpus(sf_dir: str, out_dir: str,
         ["__bucket"], lambda df: df, fin, n_buckets=n_parts,
     ).to_pandas()
 
-    funnel = curation_funnel(sf_dir, keep_langs)
+    # gate-prefix counts come from the already-materialized verdicts —
+    # no second corpus read (curation_funnel recomputes from scratch; here
+    # the identical semantic is a tiny partial-count aggregate over v)
+    def counts(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["q_ok"].to_numpy()
+        lang_ok = df["pred_lang"].isin(langs).to_numpy()
+        return pd.DataFrame({
+            "n_raw": [len(df)],
+            "q_drop": [int((~q).sum())],
+            "lang_drop": [int((q & ~lang_ok).sum())],
+        })
+
+    agg = v.map_batches(counts, batch_format="pandas").to_pandas().sum()
     report = {
-        "n_raw": int(funnel.loc[0, "n_in"]),
-        "n_quality_drop": int(funnel.loc[0, "n_drop"]),
-        "n_lang_drop": int(funnel.loc[1, "n_drop"]),
+        "n_raw": int(agg["n_raw"]),
+        "n_quality_drop": int(agg["q_drop"]),
+        "n_lang_drop": int(agg["lang_drop"]),
         "n_exact_drop": int(parts["n_exact_drop"].sum()) if len(parts) else 0,
         "n_neardup_drop": int(parts["n_neardup_drop"].sum()) if len(parts) else 0,
         "n_kept": int(parts["n_kept"].sum()) if len(parts) else 0,
