@@ -987,7 +987,10 @@ QUERIES: dict = {
     "approx_distinct_custkey": (stats.approx_distinct_custkey, None),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
-    "knn_topk_ivf": (similarity.knn_topk_ivf, None),  # approximate — rows-only
+    # full-probe IVF config: exact by construction (knn_join_ivf contract),
+    # so the brute-force oracle gates the whole IVF dataflow; sub-full
+    # nprobe recall is covered by pytest
+    "knn_topk_ivf": (similarity.knn_topk_ivf_exact, KNN_TOPK_SQL),
     # relational / aggregate coverage
     "q1_pricing_summary": (relational.q1_pricing_summary, relational.Q1_SQL),
     "revenue_by_nation": (relational.revenue_by_nation, relational.REVENUE_BY_NATION_SQL),

@@ -131,8 +131,11 @@ def knn_topk_ivf(
     at the cost of ``iters`` passes over the embeddings).
 
     At cluster scale the centroid matrix is broadcast and the non-probed
-    buckets are pruned before any distance work. Recall vs exact top-k is
-    validated in pytest; not SQL-expressible → rows-only oracle."""
+    buckets are pruned before any distance work. With ``nprobe ==
+    n_centroids`` every bucket is scanned and the result is EXACT — that
+    configuration (:func:`knn_topk_ivf_exact`) is the SQL oracle gate, same
+    contract as :func:`knn_join_ivf`; recall at smaller ``nprobe`` is
+    validated in pytest."""
     if centroid_mode == "kmeans":
         ds0 = ray.data.read_parquet(
             f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
@@ -175,6 +178,16 @@ def knn_topk_ivf(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(["sim_e6", "vec_id"], descending=[True, False]).limit(k)
+
+
+def knn_topk_ivf_exact(sf_dir: str, query_vec_id: int = 0,
+                       k: int = 10) -> "ray.data.Dataset":
+    """:func:`knn_topk_ivf` at ``nprobe == n_centroids`` — the full IVF
+    dataflow (centroid assign → bucket prune → per-bucket matmul top-k →
+    tiny global sort) with every bucket probed, so the answer equals the
+    brute-force top-k and the ``knn_topk`` SQL oracle gates it exactly."""
+    return knn_topk_ivf(sf_dir, query_vec_id=query_vec_id, k=k,
+                        n_centroids=16, nprobe=16)
 
 
 _KEY_SHIFT = np.int64(1) << np.int64(32)  # lexicographic (−sim_e6, nn_id) key
