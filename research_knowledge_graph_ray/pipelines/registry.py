@@ -950,6 +950,9 @@ QUERIES: dict = {
     # storage-level dedup: content-defined chunking + content-addressed
     # accounting (one chunk-hash exchange)
     "cdc_chunk_dedup": (dedup.cdc_chunk_dedup, dedup.CDC_CHUNK_DEDUP_SQL),
+    # sub-document cleaning: repeated w-word passages removed corpus-wide,
+    # docs reassembled from survivors (key-only fp exchange + doc exchange)
+    "passage_dedup": (dedup.passage_dedup, dedup.PASSAGE_DEDUP_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, DEDUP_MINHASH_SQL),
     "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),

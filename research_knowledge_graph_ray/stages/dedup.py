@@ -871,3 +871,140 @@ SELECT CAST(SUM(cnt) AS BIGINT) AS n_chunks,
        CAST(SUM((cnt - 1) * nb) AS BIGINT) AS dup_bytes
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup with document reassembly
+# ---------------------------------------------------------------------------
+
+PASSAGE_W = 20
+
+
+def passage_dedup_ds(docs: "ray.data.Dataset", w: int = PASSAGE_W,
+                     n_buckets: int = 32) -> "ray.data.Dataset":
+    """(doc_id, clean_text, n_passages, n_dropped) — cross-corpus
+    passage-level dedup with document reassembly: every globally-repeated
+    passage except its first occurrence (min (doc_id, idx)) is removed and
+    the document re-joined from its surviving passages (the CCNet /
+    RefinedWeb-style sub-document cleaning step; passages are fixed
+    ``w``-word windows since this corpus has no paragraph breaks).
+
+    Dataflow (100 TB shape):
+    - map: split each doc into ``w``-word passages, emit KEY-ONLY rows
+      (fp = md5(passage), doc_id, idx) — passage text never leaves its
+      block.
+    - exchange 1 (fp): first occurrence survives; only LOSER coordinates
+      (doc_id, idx) leave the reducers — traffic bounded by the duplicate
+      count, not the corpus.
+    - exchange 2 (doc_id): documents co-located with their loser lists;
+      each reducer re-splits its docs locally and drops losing windows.
+    Nothing corpus-sized reaches the driver; both exchanges reuse the
+    standard hash-exchange primitive.
+    """
+
+    def passages(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps, dids, idxs = [], [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            words = [x for x in t.split(" ") if x]
+            for i in range(0, (len(words) + w - 1) // w):
+                fps.append(hashlib.md5(
+                    " ".join(words[i * w:(i + 1) * w]).encode()).hexdigest())
+                dids.append(did)
+                idxs.append(i)
+        return pd.DataFrame({"fp": fps,
+                             "doc_id": np.asarray(dids, dtype=np.int64),
+                             "idx": np.asarray(idxs, dtype=np.int64)})
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "idx": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["fp", "doc_id", "idx"], kind="stable")
+        lose = df.duplicated("fp", keep="first")
+        return df.loc[lose, ["doc_id", "idx"]]
+
+    keys = docs.map_batches(passages, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    lost = bucketed_group_apply(keys, ["fp"], lambda df: df, losers,
+                                n_buckets=n_buckets)
+
+    def tag(name):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__t"] = name
+            return df
+        return add
+
+    u = (docs.map_batches(tag("d"), batch_format="pandas")
+         .union(lost.map_batches(tag("x"), batch_format="pandas")))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "clean_text": pd.Series(dtype="string"),
+                              "n_passages": pd.Series(dtype=np.int64),
+                              "n_dropped": pd.Series(dtype=np.int64)})
+        if df.empty or "__t" not in df.columns:
+            return empty
+        d = df[df["__t"] == "d"]
+        if d.empty:
+            return empty
+        xx = df[df["__t"] == "x"]
+        lost_by_doc = {did: set(g["idx"].astype(np.int64))
+                       for did, g in xx.groupby("doc_id")} if len(xx) else {}
+        out_id, out_txt, out_np, out_nd = [], [], [], []
+        for did, t in zip(d["doc_id"].astype(np.int64), d["text"]):
+            words = [x for x in t.split(" ") if x]
+            n_p = (len(words) + w - 1) // w
+            drop = lost_by_doc.get(did, ())
+            kept = [" ".join(words[i * w:(i + 1) * w])
+                    for i in range(n_p) if i not in drop]
+            out_id.append(did)
+            out_txt.append(" ".join(kept))
+            out_np.append(n_p)
+            out_nd.append(len(drop))
+        return pd.DataFrame({"doc_id": np.asarray(out_id, dtype=np.int64),
+                             "clean_text": pd.Series(out_txt, dtype="string"),
+                             "n_passages": np.asarray(out_np, dtype=np.int64),
+                             "n_dropped": np.asarray(out_nd, dtype=np.int64)})
+
+    return bucketed_group_apply(u, ["doc_id"], lambda df: df, rebuild,
+                                n_buckets=n_buckets)
+
+
+def passage_dedup(sf_dir: str, w: int = PASSAGE_W) -> "ray.data.Dataset":
+    """Registry entry point for :func:`passage_dedup_ds` over the documents
+    table (exactly restated in ``PASSAGE_DEDUP_SQL``)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return passage_dedup_ds(docs, w=w)
+
+
+PASSAGE_DEDUP_SQL = f"""
+WITH s AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+n AS (SELECT doc_id, ws,
+             CAST((len(ws) + {PASSAGE_W} - 1) // {PASSAGE_W} AS BIGINT) AS np
+      FROM s),
+p AS (SELECT doc_id, unnest(range(np)) AS idx, ws FROM n WHERE np > 0),
+q AS (SELECT doc_id, idx,
+             array_to_string(
+               ws[idx * {PASSAGE_W} + 1 : idx * {PASSAGE_W} + {PASSAGE_W}],
+               ' ') AS para
+      FROM p),
+r AS (SELECT doc_id, idx, para,
+        ROW_NUMBER() OVER (PARTITION BY md5(para)
+                           ORDER BY doc_id, idx) AS rn
+      FROM q),
+k AS (SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' '
+                            ORDER BY idx), '') AS clean_text,
+        CAST(COUNT(*) AS BIGINT) AS n_passages,
+        CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+      FROM r GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text,
+       COALESCE(k.n_passages, 0) AS n_passages,
+       COALESCE(k.n_dropped, 0) AS n_dropped
+FROM documents d LEFT JOIN k USING (doc_id)
+"""

@@ -163,3 +163,28 @@ def test_embedding_clusters_consistent_with_pairs(sf_dir):
     assert (g["vec_id"].min() == g["vec_id"].min().index).all()
     assert (g["is_canonical"].sum() == 1).all()
     assert ((clus["vec_id"] == clus["component"]) == (clus["is_canonical"] == 1)).all()
+
+
+def test_passage_dedup_planted(ray_session):
+    """Planted shared 20-word window: doc 1 repeats doc 0's first passage;
+    only the first global occurrence survives, docs are reassembled."""
+    import ray.data
+
+    from research_knowledge_graph_ray.stages.dedup import passage_dedup_ds
+
+    w0 = " ".join(f"alpha{i}" for i in range(20))     # shared window
+    tail0 = " ".join(f"beta{i}" for i in range(15))   # unique tails
+    tail1 = " ".join(f"gamma{i}" for i in range(25))
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": f"{w0} {tail0}"},
+        {"doc_id": 1, "text": f"{w0} {tail1}"},
+        {"doc_id": 2, "text": ""},
+    ])
+    out = passage_dedup_ds(docs).to_pandas().set_index("doc_id").sort_index()
+    assert out.loc[0, "n_dropped"] == 0
+    assert out.loc[0, "clean_text"] == f"{w0} {tail0}"
+    # doc 1 loses the shared window but keeps both of its own passages' tail
+    assert out.loc[1, "n_dropped"] == 1
+    assert out.loc[1, "n_passages"] == 3
+    assert out.loc[1, "clean_text"] == tail1
+    assert out.loc[2, "n_passages"] == 0 and out.loc[2, "clean_text"] == ""
