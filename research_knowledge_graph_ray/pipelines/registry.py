@@ -968,6 +968,9 @@ QUERIES: dict = {
     "sample_hash": (sampling.hash_sample, SAMPLE_HASH_SQL),
     "sample_stratified": (sampling.stratified_sample, SAMPLE_STRATIFIED_SQL),
     "corpus_mix": (sampling.corpus_mix, CORPUS_MIX_SQL),
+    # deterministic per-epoch global training order (rank-attach pattern,
+    # no global sort; seed change reshuffles reproducibly)
+    "epoch_shuffle": (sampling.epoch_shuffle, sampling.EPOCH_SHUFFLE_SQL),
     "sample_char_budget": (sampling.sample_char_budget, SAMPLE_CHAR_BUDGET_SQL),
     # graph analytics (stages/graphalgs.py) — distributed loops with exact
     # fixed-iteration SQL restatements
@@ -1036,6 +1039,9 @@ QUERIES: dict = {
     # unigram-LM document scoring (perplexity-filter shape); integer
     # log-probs make the per-doc sum order-independent ⇒ exact SQL parity
     "doc_logprob": (textops.doc_logprob, DOC_LOGPROB_SQL),
+    # DSIR-style importance weights: target-vs-source unigram log-ratio
+    # sums (quality subset as the target domain), one vocab-bound exchange
+    "dsir_weights": (textops.dsir_weights, textops.DSIR_WEIGHTS_SQL),
     # semi-structured JSON field extraction + aggregate
     "props_k_stats": (relational.props_k_stats, PROPS_K_STATS_SQL),
     # value-based NTILE via the exact-quantile operator

@@ -209,3 +209,74 @@ def sample_weighted(sf_dir: str) -> "ray.data.Dataset":
     return _read_docs(sf_dir, cols).map_batches(
         pick, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle (global training order)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SEED = 7
+
+
+def epoch_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED,
+                  n_hist: int = 4096, n_buckets: int = 32) -> "ray.data.Dataset":
+    """(doc_id, pos) — the deterministic global training order for one epoch:
+    every document's exact 0-based position under ORDER BY md5(doc_id-seed).
+
+    The distributed rank-attach pattern (same recipe as the exact global
+    RANK operator): the seeded hash key is uniform by construction, so the
+    first 8 hex chars bucket the keyspace order-preservingly (hex sorts
+    lexicographically and '0'-'9' < 'a'-'f' in ASCII); one tiny histogram
+    pass pins each bucket's global offset, ONE key-only exchange co-locates
+    buckets, and each reducer sorts just its own slice — no global sort,
+    no text shipped, positions exact at any parallelism. Changing ``seed``
+    reshuffles every epoch reproducibly."""
+
+    def keyed(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = [hashlib.md5(f"{d}-{seed}".encode()).hexdigest() for d in ids]
+        pref = np.array([int(k[:8], 16) for k in keys], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "skey": keys,
+            "b": (pref * n_hist) >> 32,
+        })
+
+    ds = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(df["b"].to_numpy(np.int64), minlength=n_hist)
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame({"b": nz, "cnt": c[nz]})
+
+    counts = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+              .groupby("b", as_index=False).agg(cnt=("cnt", "sum")))
+    full = np.zeros(n_hist, dtype=np.int64)
+    full[counts["b"].to_numpy(np.int64)] = counts["cnt"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64)})
+        outs = []
+        for b, g in df.groupby("b"):
+            g = g.sort_values(["skey", "doc_id"], kind="stable")
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "pos": offsets[int(b)] + np.arange(len(g), dtype=np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(ds, ["b"], lambda df: df, rank,
+                                n_buckets=n_buckets)
+
+
+EPOCH_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+              ORDER BY md5(CAST(doc_id AS VARCHAR) || '-{SHUFFLE_SEED}'),
+                       doc_id) - 1 AS BIGINT) AS pos
+FROM documents
+"""

@@ -663,6 +663,83 @@ def doc_logprob(sf_dir: str) -> "ray.data.Dataset":
                                           zero_copy_batch=True)
 
 
+def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, sum_llr_e9) — DSIR-style importance weight per
+    document: Σ over its tokens of ln(p_target(w) / p_source(w)), where the
+    target domain is the quality-passing subset (the same _word_stats gate
+    the corpus filter uses) and the source is the whole corpus. High-weight
+    docs look like the target domain — the data-selection score of
+    importance-resampling pipelines (Xie et al., DSIR), with the hashed-
+    n-gram feature LM reduced to an exact unigram LM.
+
+    ONE corpus pass emits (token, ns, nt) partials — source count and
+    conditional target count together — so the two LMs cost a single
+    vocabulary-bound exchange; Laplace-smoothed integer e9 log-ratios are
+    broadcast and the scoring pass is a zero-shuffle map (the
+    :func:`doc_logprob` recipe, with the same order-independent integer-sum
+    ⇒ exact SQL parity). Docs with zero tokens are excluded."""
+    from .shuffle import hash_exchange_apply
+    from .stats import _round_e9
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_words, _nd, bp = _word_stats(batch)
+        q_ok = (n_words >= MIN_WORDS) & (bp <= MAX_DUP_BP)
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        words = flat.to_numpy(zero_copy_only=False)[keep]
+        tq = q_ok[parent[keep]].astype(np.int64)
+        g = (pd.DataFrame({"token": words, "ns": np.int64(1), "nt": tq})
+             .groupby("token", as_index=False).agg(ns=("ns", "sum"),
+                                                   nt=("nt", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = hash_exchange_apply(
+        _read_docs(sf_dir), ["token"], partial,
+        lambda tab: tab.group_by("token").aggregate([("ns", "sum"),
+                                                     ("nt", "sum")])
+        .rename_columns(["token", "ns", "nt"]),
+        n_buckets=16,
+    ).to_pandas()  # vocabulary-bound
+    s_tot = float(counts["ns"].sum())
+    t_tot = float(counts["nt"].sum())
+    v = float(len(counts))
+    llr = np.asarray(
+        [_round_e9(math.log((float(nt) + 1.0) / (t_tot + v))
+                   - math.log((float(ns) + 1.0) / (s_tot + v)))
+         for ns, nt in zip(counts["ns"], counts["nt"])],
+        dtype=np.int64,
+    )
+    vocab_ref = ray.put((pa.array(counts["token"], type=pa.string()), llr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab, llr_arr = ray.get(vocab_ref)
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=vocab)
+        if idx.null_count:
+            raise ValueError("token outside the corpus vocabulary")
+        idx = idx.to_numpy(zero_copy_only=False)
+        n_rows = len(batch)
+        sums = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(sums, parent[keep], llr_arr[idx[keep]])
+        ntok = np.bincount(parent[keep], minlength=n_rows).astype(np.int64)
+        m = ntok > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].combine_chunks().filter(pa.array(m)),
+                "n_tokens": pa.array(ntok[m]),
+                "sum_llr_e9": pa.array(sums[m]),
+            }
+        )
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 def char_diversity(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, n_bytes, n_distinct, sum_sq, top_cnt) — exact byte-level
     character-distribution stats per document; empty documents excluded.
@@ -907,3 +984,34 @@ def source_quality_report(sf_dir: str) -> "ray.data.Dataset":
         f"{sf_dir}/documents.parquet", columns=["source", "lang", "text"]
     ).map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed_group_apply(ds, ["source"], lambda df: df, fin, n_buckets=8)
+
+
+DSIR_WEIGHTS_SQL = f"""
+WITH w AS (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+s AS (SELECT doc_id, text, len(ws) AS n,
+        (len(ws) - len(list_distinct(ws))) * 10000
+            // GREATEST(len(ws), 1) AS bp
+      FROM w),
+q AS (SELECT doc_id, text,
+             (n >= {MIN_WORDS} AND bp <= {MAX_DUP_BP}) AS q_ok FROM s),
+toks AS (SELECT doc_id, q_ok, unnest(string_split(text, ' ')) AS tok FROM q),
+nz AS (SELECT doc_id, q_ok, tok FROM toks WHERE tok <> ''),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS ns,
+               CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS nt
+        FROM nz GROUP BY 1),
+tots AS (SELECT CAST(SUM(ns) AS DOUBLE) AS s_tot,
+                CAST(SUM(nt) AS DOUBLE) AS t_tot,
+                CAST(COUNT(*) AS DOUBLE) AS v FROM cnt),
+llr AS (SELECT tok,
+          CAST(ROUND((ln(CAST(nt + 1 AS DOUBLE)
+                         / ((SELECT t_tot FROM tots) + (SELECT v FROM tots)))
+                      - ln(CAST(ns + 1 AS DOUBLE)
+                           / ((SELECT s_tot FROM tots) + (SELECT v FROM tots))))
+                     * 1000000000) AS BIGINT) AS llr
+        FROM cnt)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(llr) AS BIGINT) AS sum_llr_e9
+FROM nz JOIN llr USING (tok) GROUP BY doc_id
+"""

@@ -102,3 +102,34 @@ def test_char_budget_zero_and_huge(sf_dir, docs):
     everything = sampling.sample_char_budget(sf_dir, budget=10**12).to_pandas()
     assert len(everything) == len(docs)
     assert everything["cum_chars"].max() == docs["n_chars"].sum()
+
+
+def test_epoch_shuffle_permutation_and_seed(ray_session, sf_dir):
+    """Positions form an exact 0..n-1 permutation; a different seed produces
+    a different (reproducible) order."""
+    from research_knowledge_graph_ray.stages.sampling import epoch_shuffle
+
+    a = epoch_shuffle(sf_dir).to_pandas().sort_values("doc_id")
+    assert sorted(a["pos"]) == list(range(len(a)))
+    b = epoch_shuffle(sf_dir, seed=8).to_pandas().sort_values("doc_id")
+    assert sorted(b["pos"]) == list(range(len(b)))
+    assert not (a["pos"].to_numpy() == b["pos"].to_numpy()).all()
+    a2 = epoch_shuffle(sf_dir).to_pandas().sort_values("doc_id")
+    assert (a["pos"].to_numpy() == a2["pos"].to_numpy()).all()
+
+
+def test_dsir_weights_separate_domains(ray_session, sf_dir):
+    """Quality-passing (target-domain) docs must score higher on average than
+    the rest — the defining property of the importance weight."""
+    import pandas as pd
+
+    from research_knowledge_graph_ray.stages.textops import (
+        MAX_DUP_BP, MIN_WORDS, dsir_weights, repetition_stats)
+
+    w = dsir_weights(sf_dir).to_pandas()
+    r = repetition_stats(sf_dir).to_pandas()
+    m = w.merge(r, on="doc_id")
+    target = (m["n_words"] >= MIN_WORDS) & (m["dup_frac_bp"] <= MAX_DUP_BP)
+    per_tok_t = (m.loc[target, "sum_llr_e9"] / m.loc[target, "n_tokens"]).mean()
+    per_tok_s = (m.loc[~target, "sum_llr_e9"] / m.loc[~target, "n_tokens"]).mean()
+    assert per_tok_t > per_tok_s
