@@ -953,6 +953,8 @@ QUERIES: dict = {
     # sub-document cleaning: repeated w-word passages removed corpus-wide,
     # docs reassembled from survivors (key-only fp exchange + doc exchange)
     "passage_dedup": (dedup.passage_dedup, dedup.PASSAGE_DEDUP_SQL),
+    # train/eval-leakage audit: distinct shared passages per source pair
+    "source_overlap": (dedup.source_overlap, dedup.SOURCE_OVERLAP_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, DEDUP_MINHASH_SQL),
     "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),

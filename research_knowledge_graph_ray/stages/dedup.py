@@ -1008,3 +1008,84 @@ SELECT d.doc_id, COALESCE(k.clean_text, '') AS clean_text,
        COALESCE(k.n_dropped, 0) AS n_dropped
 FROM documents d LEFT JOIN k USING (doc_id)
 """
+
+
+def source_overlap(sf_dir: str, w: int = PASSAGE_W,
+                   n_buckets: int = 32) -> pd.DataFrame:
+    """(source_a, source_b, n_shared) — cross-source contamination matrix:
+    for every unordered pair of sources, how many distinct ``w``-word
+    passages appear in BOTH (the train/eval-leakage and between-crawl
+    overlap audit; passage granularity because this corpus has no exact
+    whole-document duplicates).
+
+    Dataflow: per-block distinct (fp, source) key rows (passage text never
+    ships) → ONE fp exchange where each reducer self-joins its fp groups
+    into ordered source pairs and pre-counts them → |sources|²-bounded
+    partials folded on the driver. Output is |sources|²-sized by
+    construction."""
+
+    def fps(batch: pa.Table) -> pd.DataFrame:
+        srcs = batch["source"].to_pylist()
+        out_fp, out_src = [], []
+        for src, t in zip(srcs, batch["text"].to_pylist()):
+            words = [x for x in t.split(" ") if x]
+            for i in range(0, (len(words) + w - 1) // w):
+                out_fp.append(hashlib.md5(
+                    " ".join(words[i * w:(i + 1) * w]).encode()).hexdigest())
+                out_src.append(src)
+        return (pd.DataFrame({"fp": out_fp, "source": out_src})
+                .drop_duplicates())
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"source_a": pd.Series(dtype="string"),
+                              "source_b": pd.Series(dtype="string"),
+                              "n_shared": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        df = df.drop_duplicates(["fp", "source"])
+        m = df.merge(df, on="fp")
+        m = m[m["source_x"] < m["source_y"]]
+        if m.empty:
+            return empty
+        g = (m.groupby(["source_x", "source_y"], as_index=False)
+             .agg(n_shared=("fp", "count")))
+        return pd.DataFrame({"source_a": g["source_x"].astype("string"),
+                             "source_b": g["source_y"].astype("string"),
+                             "n_shared": g["n_shared"].astype(np.int64)})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    parts = bucketed_group_apply(
+        docs.map_batches(fps, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"], lambda df: df.drop_duplicates(["fp", "source"]), pair_counts,
+        n_buckets=n_buckets).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"source_a": pd.Series(dtype="string"),
+                             "source_b": pd.Series(dtype="string"),
+                             "n_shared": pd.Series(dtype=np.int64)})
+    return (parts.groupby(["source_a", "source_b"], as_index=False)
+            .agg(n_shared=("n_shared", "sum"))
+            .astype({"n_shared": np.int64})
+            .sort_values(["source_a", "source_b"]).reset_index(drop=True))
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH s AS (SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+n AS (SELECT doc_id, source, ws,
+             CAST((len(ws) + {PASSAGE_W} - 1) // {PASSAGE_W} AS BIGINT) AS np
+      FROM s),
+p AS (SELECT doc_id, source, unnest(range(np)) AS idx, ws FROM n
+      WHERE np > 0),
+q AS (SELECT DISTINCT
+        md5(array_to_string(
+          ws[idx * {PASSAGE_W} + 1 : idx * {PASSAGE_W} + {PASSAGE_W}],
+          ' ')) AS fp,
+        source
+      FROM p)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM q a JOIN q b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
