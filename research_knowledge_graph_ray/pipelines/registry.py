@@ -973,6 +973,9 @@ QUERIES: dict = {
     # deterministic per-epoch global training order (rank-attach pattern,
     # no global sort; seed change reshuffles reproducibly)
     "epoch_shuffle": (sampling.epoch_shuffle, sampling.EPOCH_SHUFFLE_SQL),
+    # token-balanced training shards: longest-first serpentine deal via the
+    # same rank-attach machinery (no global sort)
+    "shard_plan": (sampling.shard_plan, sampling.SHARD_PLAN_SQL),
     "sample_char_budget": (sampling.sample_char_budget, SAMPLE_CHAR_BUDGET_SQL),
     # graph analytics (stages/graphalgs.py) — distributed loops with exact
     # fixed-iteration SQL restatements

@@ -25,6 +25,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import pyarrow.compute as pc
+
 import ray.data
 
 from .shuffle import bucketed_group_apply, grouped_aggregate
@@ -279,4 +281,108 @@ SELECT doc_id,
               ORDER BY md5(CAST(doc_id AS VARCHAR) || '-{SHUFFLE_SEED}'),
                        doc_id) - 1 AS BIGINT) AS pos
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced shard planning
+# ---------------------------------------------------------------------------
+
+N_SHARDS = 8
+
+
+def shard_plan(sf_dir: str, n_shards: int = N_SHARDS,
+               n_hist: int = 2048, n_buckets: int = 32) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, shard_id) — deterministic token-balanced shard
+    assignment: docs ranked longest-first (ties by doc_id) and dealt
+    serpentine across ``n_shards`` (0..N-1 then N-1..0), the classic
+    balance heuristic for pre-planning training shards so no worker drags a
+    token-heavy tail.
+
+    The global longest-first rank reuses the rank-attach pattern: a
+    histogram over (negated) token counts pins per-bucket offsets (value →
+    bucket is order-preserving, equal counts share a bucket so ties stay
+    local), ONE key-only exchange co-locates buckets, each reducer sorts
+    its slice and deals its ranks. Nothing corpus-sized reaches the driver;
+    output is one small row per doc (no text)."""
+
+    def toks(batch: pa.Table) -> pd.DataFrame:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(
+            pc.replace_substring(text, pattern=" ", replacement=""))
+        nt = pc.add(pc.subtract(n_chars, no_space.cast(pa.int64())), 1)
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "n_tokens": nt.to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ray.data.aggregate import Max, Min
+    agg = ds.aggregate(Min("n_tokens"), Max("n_tokens"))
+    lo, hi = -int(agg["max(n_tokens)"]), -int(agg["min(n_tokens)"])
+    width = (hi - lo) or 1
+    scale = n_hist / width
+
+    def bucket_of(neg: np.ndarray) -> np.ndarray:
+        return np.clip(((neg - lo) * scale).astype(np.int64), 0, n_hist - 1)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucket_of(-df["n_tokens"].to_numpy(np.int64))
+        c = np.bincount(b, minlength=n_hist)
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame({"b": nz, "cnt": c[nz]})
+
+    counts = (ds.map_batches(hist, batch_format="pandas").to_pandas()
+              .groupby("b", as_index=False).agg(cnt=("cnt", "sum")))
+    full = np.zeros(n_hist, dtype=np.int64)
+    full[counts["b"].to_numpy(np.int64)] = counts["cnt"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_of(-df["n_tokens"].to_numpy(np.int64))
+        return df
+
+    def deal(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "n_tokens": pd.Series(dtype=np.int64),
+                                 "shard_id": pd.Series(dtype=np.int64)})
+        outs = []
+        for b, g in df.groupby("b"):
+            g = g.assign(neg=-g["n_tokens"].to_numpy(np.int64)).sort_values(
+                ["neg", "doc_id"], kind="stable")
+            rn = offsets[int(b)] + np.arange(len(g), dtype=np.int64)
+            pos = rn % n_shards
+            shard = np.where((rn // n_shards) % 2 == 0, pos,
+                             n_shards - 1 - pos)
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": g["n_tokens"].to_numpy(np.int64),
+                "shard_id": shard.astype(np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return bucketed_group_apply(ds.map_batches(keyed, batch_format="pandas"),
+                                ["b"], lambda df: df, deal,
+                                n_buckets=n_buckets)
+
+
+SHARD_PLAN_SQL = f"""
+WITH t AS (SELECT doc_id,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+           FROM documents),
+r AS (SELECT doc_id, n_tokens,
+        ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rn
+      FROM t)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN (rn // {N_SHARDS}) % 2 = 0 THEN rn % {N_SHARDS}
+                 ELSE {N_SHARDS} - 1 - rn % {N_SHARDS} END AS BIGINT)
+         AS shard_id
+FROM r
 """

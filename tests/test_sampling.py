@@ -133,3 +133,16 @@ def test_dsir_weights_separate_domains(ray_session, sf_dir):
     per_tok_t = (m.loc[target, "sum_llr_e9"] / m.loc[target, "n_tokens"]).mean()
     per_tok_s = (m.loc[~target, "sum_llr_e9"] / m.loc[~target, "n_tokens"]).mean()
     assert per_tok_t > per_tok_s
+
+
+def test_shard_plan_balance(ray_session, sf_dir):
+    """Serpentine longest-first dealing keeps per-shard token totals within a
+    tight band (each shard's total differs from the mean by at most the
+    largest single document)."""
+    from research_knowledge_graph_ray.stages.sampling import shard_plan
+
+    out = shard_plan(sf_dir, n_shards=8).to_pandas()
+    assert len(out) == out["doc_id"].nunique()
+    tot = out.groupby("shard_id")["n_tokens"].sum()
+    assert set(tot.index) == set(range(8))
+    assert tot.max() - tot.min() <= out["n_tokens"].max()
