@@ -955,6 +955,9 @@ QUERIES: dict = {
     "passage_dedup": (dedup.passage_dedup, dedup.PASSAGE_DEDUP_SQL),
     # train/eval-leakage audit: distinct shared passages per source pair
     "source_overlap": (dedup.source_overlap, dedup.SOURCE_OVERLAP_SQL),
+    # corpus-wide duplicated-passage fraction per doc (boilerplate flag)
+    "dup_passage_share": (dedup.dup_passage_share,
+                          dedup.DUP_PASSAGE_SHARE_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, DEDUP_MINHASH_SQL),
     "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),

@@ -1089,3 +1089,98 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM q a JOIN q b ON a.fp = b.fp AND a.source < b.source
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def dup_passage_share(sf_dir: str, w: int = PASSAGE_W,
+                      n_buckets: int = 32) -> "ray.data.Dataset":
+    """(doc_id, n_passages, n_dup, dup_share_bp) — per document, how many of
+    its ``w``-word passages are duplicated ANYWHERE in the corpus (count > 1
+    globally, first occurrences included), as a basis-point share. The
+    corpus-wide counterpart of the within-doc repetition filter — the
+    RefinedWeb/Gopher "duplicated line fraction" rule at web scale flags
+    boilerplate/templated pages this way.
+
+    Two key-only exchanges, no text shipped: (fp, doc_id) rows → fp
+    exchange marks passages whose global count exceeds one and emits
+    per-doc partial dup counts; a doc_id exchange folds partials and joins
+    the per-doc passage totals (carried as partials from the same first
+    pass)."""
+
+    def keys(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps, dids = [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            words = [x for x in t.split(" ") if x]
+            for i in range(0, (len(words) + w - 1) // w):
+                fps.append(hashlib.md5(
+                    " ".join(words[i * w:(i + 1) * w]).encode()).hexdigest())
+                dids.append(did)
+        return pd.DataFrame({"fp": fps,
+                             "doc_id": np.asarray(dids, dtype=np.int64)})
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    keyed = docs.map_batches(keys, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def dup_partials(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-bucket: per-doc counts of total passages and of passages whose
+        fp repeats corpus-wide (fps are co-located here, so the global
+        count is exact)."""
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "n_passages": pd.Series(dtype=np.int64),
+                                 "n_dup": pd.Series(dtype=np.int64)})
+        cnt = df.groupby("fp")["doc_id"].transform("size")
+        g = (df.assign(dup=(cnt > 1).astype(np.int64))
+             .groupby("doc_id", as_index=False)
+             .agg(n_passages=("fp", "size"), n_dup=("dup", "sum")))
+        return g.astype({"doc_id": np.int64, "n_passages": np.int64,
+                         "n_dup": np.int64})
+
+    partials = bucketed_group_apply(keyed, ["fp"], lambda df: df,
+                                    dup_partials, n_buckets=n_buckets)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "n_passages": pd.Series(dtype=np.int64),
+                                 "n_dup": pd.Series(dtype=np.int64),
+                                 "dup_share_bp": pd.Series(dtype=np.int64)})
+        g = (df.groupby("doc_id", as_index=False)
+             .agg(n_passages=("n_passages", "sum"), n_dup=("n_dup", "sum")))
+        np_ = g["n_passages"].to_numpy(np.int64)
+        nd = g["n_dup"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_passages": np_,
+            "n_dup": nd,
+            "dup_share_bp": nd * 10000 // np.maximum(np_, 1),
+        })
+
+    return grouped_aggregate(partials, ["doc_id"], fold, n_buckets=n_buckets)
+
+
+DUP_PASSAGE_SHARE_SQL = f"""
+WITH s AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+n AS (SELECT doc_id, ws,
+             CAST((len(ws) + {PASSAGE_W} - 1) // {PASSAGE_W} AS BIGINT) AS np
+      FROM s),
+p AS (SELECT doc_id, unnest(range(np)) AS idx, ws FROM n WHERE np > 0),
+q AS (SELECT doc_id,
+             md5(array_to_string(
+               ws[idx * {PASSAGE_W} + 1 : idx * {PASSAGE_W} + {PASSAGE_W}],
+               ' ')) AS fp
+      FROM p),
+c AS (SELECT fp, COUNT(*) AS cnt FROM q GROUP BY 1),
+d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_passages,
+             CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup
+      FROM q JOIN c USING (fp) GROUP BY doc_id)
+SELECT doc_id, n_passages, n_dup,
+       CAST(n_dup * 10000 // GREATEST(n_passages, 1) AS BIGINT)
+         AS dup_share_bp
+FROM d
+"""
