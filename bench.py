@@ -146,6 +146,14 @@ def run_bench() -> dict:
         timed("linear_attribution", windows.linear_attribution)
         timed("q3_shipping_priority", relational.q3_shipping_priority)
         timed("q4_order_priority", relational.q4_order_priority)
+        from research_knowledge_graph_ray.stages import sampling
+
+        timed("passage_dedup", dedup.passage_dedup)
+        timed("dup_passage_share", dedup.dup_passage_share)
+        timed("source_overlap", dedup.source_overlap)
+        timed("dsir_weights", textops.dsir_weights)
+        timed("epoch_shuffle", sampling.epoch_shuffle)
+        timed("shard_plan", sampling.shard_plan)
 
         # composed curation flagship: quality -> lang -> exact dedup ->
         # minhash near-dup -> pack -> partitioned parquet, one timed run
