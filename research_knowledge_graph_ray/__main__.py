@@ -298,7 +298,8 @@ def cmd_curate(args) -> int:
     report = curate_corpus(
         args.sf_dir, args.out,
         keep_langs=tuple(s for s in args.langs.split(",") if s),
-        budget=args.budget, n_parts=args.parts)
+        budget=args.budget, n_parts=args.parts,
+        order_seed=args.order_seed)
     print(_json.dumps(report))
     return 0
 
@@ -348,6 +349,9 @@ def main(argv=None) -> int:
                      help="comma-separated predicted languages to keep")
     pc_.add_argument("--parts", type=int, default=8,
                      help="output partition count")
+    pc_.add_argument("--order-seed", type=int, default=None,
+                     help="also write order-<seed>.parquet: the "
+                     "deterministic epoch training order over kept docs")
     pc_.set_defaults(fn=cmd_curate)
 
     pr = sub.add_parser("run", help="run any registry query over an sf_dir")

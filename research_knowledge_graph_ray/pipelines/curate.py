@@ -178,7 +178,8 @@ SELECT * FROM (
 def curate_corpus(sf_dir: str, out_dir: str,
                   keep_langs: tuple = KEEP_LANGS,
                   budget: int = PACK_BUDGET,
-                  n_parts: int = 8) -> dict:
+                  n_parts: int = 8,
+                  order_seed: int | None = None) -> dict:
     """Run the full curation pipeline and write the curated, sequence-packed
     corpus as ``n_parts`` parquet files under ``out_dir``. Returns the funnel
     report dict (raw → quality → lang → exact → near-dup → kept, plus packed
@@ -323,4 +324,19 @@ def curate_corpus(sf_dir: str, out_dir: str,
         "files": sorted(f for f in parts.get("file", pd.Series(dtype="string"))
                         .tolist() if f),
     }
+
+    if order_seed is not None and report["files"]:
+        # compose the training-order plan over the curated output: the
+        # deterministic epoch shuffle runs on the written parts (doc_id
+        # only) and lands as its own parquet next to them
+        from ..stages.sampling import epoch_shuffle_ds
+
+        kept_ds = ray.data.read_parquet(
+            [os.path.join(out_dir, f) for f in report["files"]],
+            columns=["doc_id"])
+        order = epoch_shuffle_ds(kept_ds, seed=order_seed).to_pandas()
+        opath = os.path.join(out_dir, f"order-{order_seed}.parquet")
+        pq.write_table(pa.Table.from_pandas(
+            order.sort_values("pos"), preserve_index=False), opath)
+        report["order_file"] = os.path.basename(opath)
     return report

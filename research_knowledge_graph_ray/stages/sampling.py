@@ -220,8 +220,9 @@ def sample_weighted(sf_dir: str) -> "ray.data.Dataset":
 SHUFFLE_SEED = 7
 
 
-def epoch_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED,
-                  n_hist: int = 4096, n_buckets: int = 32) -> "ray.data.Dataset":
+def epoch_shuffle_ds(docs: "ray.data.Dataset", seed: int = SHUFFLE_SEED,
+                     n_hist: int = 4096,
+                     n_buckets: int = 32) -> "ray.data.Dataset":
     """(doc_id, pos) — the deterministic global training order for one epoch:
     every document's exact 0-based position under ORDER BY md5(doc_id-seed).
 
@@ -232,7 +233,8 @@ def epoch_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED,
     pass pins each bucket's global offset, ONE key-only exchange co-locates
     buckets, and each reducer sorts just its own slice — no global sort,
     no text shipped, positions exact at any parallelism. Changing ``seed``
-    reshuffles every epoch reproducibly."""
+    reshuffles every epoch reproducibly. Works over any Dataset with a
+    ``doc_id`` column (the curate CLI runs it over the curated output)."""
 
     def keyed(batch: pa.Table) -> pd.DataFrame:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -244,8 +246,7 @@ def epoch_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED,
             "b": (pref * n_hist) >> 32,
         })
 
-    ds = _read_docs(sf_dir, ["doc_id"]).map_batches(
-        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    ds = docs.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         c = np.bincount(df["b"].to_numpy(np.int64), minlength=n_hist)
@@ -273,6 +274,15 @@ def epoch_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED,
 
     return bucketed_group_apply(ds, ["b"], lambda df: df, rank,
                                 n_buckets=n_buckets)
+
+
+def epoch_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED,
+                  n_hist: int = 4096,
+                  n_buckets: int = 32) -> "ray.data.Dataset":
+    """Registry entry point for :func:`epoch_shuffle_ds` over the documents
+    table (exactly restated in ``EPOCH_SHUFFLE_SQL``)."""
+    return epoch_shuffle_ds(_read_docs(sf_dir, ["doc_id"]), seed=seed,
+                            n_hist=n_hist, n_buckets=n_buckets)
 
 
 EPOCH_SHUFFLE_SQL = f"""

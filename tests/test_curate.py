@@ -67,3 +67,20 @@ def test_no_exact_duplicate_texts_survive(report, sf_dir):
                     glob.glob(os.path.join(out, "curated-*.parquet"))],
                    ignore_index=True)
     assert not df["text"].duplicated().any()
+
+
+def test_curate_order_seed(sf_dir, tmp_path):
+    """--order-seed writes a training-order plan: an exact permutation of the
+    kept doc_ids."""
+    import glob
+
+    from research_knowledge_graph_ray.pipelines.curate import curate_corpus
+
+    out = str(tmp_path / "c")
+    rep = curate_corpus(sf_dir, out, n_parts=4, order_seed=3)
+    assert rep["order_file"] == "order-3.parquet"
+    o = pd.read_parquet(os.path.join(out, "order-3.parquet"))
+    kept = pd.concat([pd.read_parquet(f, columns=["doc_id"]) for f in
+                      glob.glob(os.path.join(out, "curated-*.parquet"))])
+    assert sorted(o["pos"]) == list(range(rep["n_kept"]))
+    assert set(o["doc_id"]) == set(kept["doc_id"])
