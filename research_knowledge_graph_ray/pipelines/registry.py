@@ -1229,6 +1229,10 @@ QUERIES.update(
         # lineitem partials union the quarter's orders through one exchange
         "q4_order_priority": (relational.q4_order_priority,
                               relational.Q4_ORDER_PRIORITY_SQL),
+        # TPC-H Q2 shape: per-part cheapest supplier by exact integer avg
+        # (two-level grouped argmin, combiner before the one exchange)
+        "cheapest_supplier": (relational.cheapest_supplier_per_part,
+                              relational.CHEAPEST_SUPPLIER_SQL),
         # curation funnel (quality → lang → exact-dedup sequential gates) —
         # the SQL-checkable prefix of the composed curate_corpus pipeline
         "curation_funnel": (curate.curation_funnel,

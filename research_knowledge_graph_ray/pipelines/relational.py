@@ -1244,3 +1244,75 @@ WHERE o_orderdate >= TIMESTAMP '{_Q4_LO} 00:00:00'
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+
+def cheapest_supplier_per_part(sf_dir: str) -> "ray.data.Dataset":
+    """(l_partkey, l_suppkey, avg_price_e4) — TPC-H Q2 shape adapted to the
+    testdata schema (no partsupp table): for every part, the supplier with
+    the lowest average extended price across its lineitems (ties → lowest
+    suppkey).
+
+    Two-level grouped argmin at lineitem scale: each scan batch pre-collapses
+    to (partkey, suppkey, cents_sum, n) partials — the combiner-before-
+    shuffle rule, so the exchange moves one row per (part, supplier, block),
+    never raw lineitems; each reducer finishes its partkeys locally. The
+    average is the exact integer cents·10⁴//n, so the argmin and the SQL
+    oracle compare identical integers (no float boundary)."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        df = pd.DataFrame({
+            "l_partkey": t["l_partkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "l_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "cents": cents,
+            "n": np.int64(1),
+        })
+        return (df.groupby(["l_partkey", "l_suppkey"], as_index=False)
+                .agg(cents=("cents", "sum"), n=("n", "sum")))
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"l_partkey": pd.Series(dtype=np.int64),
+                              "l_suppkey": pd.Series(dtype=np.int64),
+                              "avg_price_e4": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        g = (df.groupby(["l_partkey", "l_suppkey"], as_index=False)
+             .agg(cents=("cents", "sum"), n=("n", "sum")))
+        g["avg_price_e4"] = (g["cents"].to_numpy(np.int64) * 10000
+                             // g["n"].to_numpy(np.int64))
+        g = g.sort_values(["l_partkey", "avg_price_e4", "l_suppkey"],
+                          kind="stable")
+        best = g.drop_duplicates("l_partkey", keep="first")
+        return pd.DataFrame({
+            "l_partkey": best["l_partkey"].to_numpy(np.int64),
+            "l_suppkey": best["l_suppkey"].to_numpy(np.int64),
+            "avg_price_e4": best["avg_price_e4"].to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(ds, ["l_partkey"], lambda df: df, argmin,
+                                n_buckets=16)
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH ps AS (SELECT l_partkey, l_suppkey,
+              SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents,
+              CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY 1, 2),
+a AS (SELECT l_partkey, l_suppkey, cents * 10000 // n AS avg_price_e4,
+        ROW_NUMBER() OVER (PARTITION BY l_partkey
+                           ORDER BY cents * 10000 // n, l_suppkey) AS rn
+      FROM ps)
+SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+       CAST(l_suppkey AS BIGINT) AS l_suppkey,
+       CAST(avg_price_e4 AS BIGINT) AS avg_price_e4
+FROM a WHERE rn = 1
+"""
