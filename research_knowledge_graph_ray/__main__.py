@@ -51,7 +51,9 @@ def cmd_ingest(args) -> int:
     from .sources.corpus import generate_documents
     from .sources.files import read_json_corpus, read_text_corpus
 
-    if args.synthetic:
+    if getattr(args, "remove", ""):
+        docs = None  # removal re-finishes from the checkpoint, no input read
+    elif args.synthetic:
         docs = ray.data.from_arrow(generate_documents(
             args.synthetic, seed=42, start=getattr(args, "synthetic_start", 0)))
     elif args.json:
@@ -90,7 +92,23 @@ def cmd_ingest(args) -> int:
                 stat = f"{st.st_size}:{int(st.st_mtime)}"
         fingerprint = f"{mode}:{ident}:{stat}"
 
-    if getattr(args, "append", False):
+    if getattr(args, "remove", ""):
+        # exact removal from the extraction checkpoint: filter cached
+        # records, re-finish the graph — byte-identical to a full rebuild of
+        # the reduced corpus (pipelines/incremental.py::rebuild_without)
+        if not args.checkpoint or not os.path.isdir(
+                os.path.join(args.checkpoint, "validated")):
+            print("--remove requires --checkpoint with a prior ingest's "
+                  "validated records", file=sys.stderr)
+            return 2
+        from .pipelines.incremental import rebuild_without
+
+        gone = [s for s in args.remove.split(",") if s]
+        res = rebuild_without(
+            args.checkpoint, gone,
+            entity_linking=not args.no_entity_linking,
+            link=not args.no_link)
+    elif getattr(args, "append", False):
         # incremental update: docs are the INCREMENT; the existing graph in
         # --out is extended without reprocessing old documents (requires a
         # prior non-append ingest with --no-entity-linking; see
@@ -318,6 +336,10 @@ def main(argv=None) -> int:
     pi.add_argument("--json", action="store_true", help="input is JSON paper dicts")
     pi.add_argument("--text", action="store_true", help="input is a text file")
     pi.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs")
+    pi.add_argument("--remove", default="",
+                    help="comma-separated doc_ids to remove: re-finishes the "
+                    "graph from the extraction checkpoint without "
+                    "reprocessing (byte-identical to a reduced rebuild)")
     pi.add_argument("--append", action="store_true",
                     help="treat input as an increment to the existing graph in --out")
     pi.add_argument("--synthetic-start", type=int, default=0,

@@ -165,6 +165,37 @@ def build_graph(
             with_meta=paper_node_attrs,
         ).materialize()
 
+    return finish_from_validated(
+        validated, docs,
+        aliases=aliases, entity_linking=entity_linking,
+        frozen_mapping=frozen_mapping, link=link, link_mode=link_mode,
+        link_k_neighbors=link_k_neighbors, tau=tau,
+        max_docs_per_entity=max_docs_per_entity, embed_docs=embed_docs,
+    )
+
+
+def finish_from_validated(
+    validated: "ray.data.Dataset",
+    docs: "ray.data.Dataset | None" = None,
+    *,
+    aliases: dict | None = None,
+    entity_linking: bool = True,
+    frozen_mapping: dict | None = None,
+    link: bool = True,
+    link_mode: str = "entity",
+    link_k_neighbors: int = 10,
+    tau: float = DEFAULT_COSINE_TAU,
+    max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
+    embed_docs: bool = False,
+) -> GraphResult:
+    """Everything downstream of extraction: canonicalization, node/edge
+    materialization, cross-doc linking, optional embeddings. Factored out so
+    a cached record stream (the extraction checkpoint) can be re-finished
+    without touching the corpus — the removal path (:func:`rebuild_without`)
+    and any re-linking with different knobs enter here. ``docs`` is needed
+    only for semantic link_mode and embed_docs."""
+    if docs is None and (embed_docs or (link and link_mode == "semantic")):
+        raise ValueError("semantic linking / embeddings need the span docs")
     mapping: dict = {}
     if entity_linking:
         alias_key_map = build_alias_key_map(ALIASES if aliases is None else aliases)

@@ -303,3 +303,46 @@ def update_graph(
     return GraphResult(nodes=nodes, edges=edges, base_edges=base,
                        cross_edges=cross,
                        canonical_mapping=dict(frozen_mapping or {}))
+
+
+def rebuild_without(
+    checkpoint_dir: str,
+    removed_doc_ids,
+    *,
+    entity_linking: bool = False,
+    frozen_mapping: dict | None = None,
+    link: bool = True,
+    max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
+):
+    """Exact document REMOVAL without reprocessing the corpus: filter the
+    checkpointed extraction records (the expensive stage's cached output)
+    and re-finish the graph from them. Extraction is per-document and
+    deterministic, so the filtered record stream equals what a full rebuild
+    of the reduced corpus would extract — every downstream exchange is
+    order-independent, making the result BYTE-IDENTICAL to that rebuild
+    (pytest-gated) at the cost of the cheap aggregation/linking stages only.
+
+    Completes the update story next to append (:func:`update_graph`): the
+    reference reprocesses everything on any change (reference
+    README.md:400-405); here append touches only the increment and removal
+    touches only cached records."""
+    from .construct import finish_from_validated
+
+    validated = ray.data.read_parquet(f"{checkpoint_dir}/validated",
+                                      file_extensions=["parquet"])
+    gone = pa.array(sorted({str(d) for d in removed_doc_ids}),
+                    type=pa.string())
+    gone_ref = ray.put(gone)
+
+    def drop(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch["doc_id"],
+                                  value_set=ray.get(gone_ref)))
+        return batch.filter(keep)
+
+    filtered = validated.map_batches(drop, batch_format="pyarrow",
+                                     zero_copy_batch=True).materialize()
+    return finish_from_validated(
+        filtered, None, entity_linking=entity_linking,
+        frozen_mapping=frozen_mapping, link=link,
+        max_docs_per_entity=max_docs_per_entity,
+    )

@@ -108,3 +108,28 @@ def test_init_ray_attaches_to_cluster_under_job_server(monkeypatch):
     monkeypatch.delenv("RAY_JOB_ID")
     cli._init_ray()
     assert calls["address"] == "local"
+
+
+def test_cli_remove_from_checkpoint(tmp_path):
+    """ingest --remove re-finishes from the checkpoint: removed docs vanish
+    from the graph; without a checkpoint the command refuses."""
+    import glob
+
+    import pandas as pd
+
+    out, out2 = str(tmp_path / "g"), str(tmp_path / "g2")
+    ck = str(tmp_path / "ck")
+    r = _run("ingest", "--synthetic", "40", "--out", out, "--checkpoint", ck)
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run("ingest", "--remove", "doc-000001,doc-000005", "--out", out2,
+             "--checkpoint", ck)
+    assert r.returncode == 0, r.stderr[-2000:]
+    e = pd.concat([pd.read_parquet(f) for f in
+                   glob.glob(f"{out2}/edges/*.parquet")])
+    assert "doc-000001" not in set(e["doc_id"])
+    e0 = pd.concat([pd.read_parquet(f) for f in
+                    glob.glob(f"{out}/edges/*.parquet")])
+    assert len(e0) > len(e)
+
+    r = _run("ingest", "--remove", "doc-000001", "--out", out2)
+    assert r.returncode == 2

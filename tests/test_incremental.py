@@ -7,6 +7,7 @@ node/edge tables a from-scratch rebuild over the combined corpus produces
 (content-hash ids + associative reduces + increment-only linking)."""
 
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 import ray.data
@@ -96,3 +97,45 @@ def test_frozen_mapping_incremental_equals_full_linked(corpus_split):
         _sorted(res.nodes.to_pandas()), _sorted(full.nodes.to_pandas()))
     pd.testing.assert_frame_equal(
         _sorted(res.edges.to_pandas()), _sorted(full.edges.to_pandas()))
+
+
+def test_rebuild_without_equals_reduced_rebuild(ray_session, tmp_path):
+    """Removing docs via the extraction checkpoint must be byte-identical to
+    a full rebuild of the reduced corpus — extraction is per-doc
+    deterministic and every downstream exchange is order-independent."""
+    import pandas as pd
+    import ray.data
+
+    from research_knowledge_graph_ray.pipelines.construct import build_graph
+    from research_knowledge_graph_ray.pipelines.incremental import rebuild_without
+    from research_knowledge_graph_ray.sources.corpus import generate_documents
+
+    full = generate_documents(60, seed=42)
+    docs = ray.data.from_arrow(full)
+    ck = str(tmp_path / "ck")
+    res_full = build_graph(docs, entity_linking=False, link=True,
+                           checkpoint_dir=ck, checkpoint_fingerprint="t60")
+
+    all_ids = sorted(set(full["doc_id"].to_pylist()))
+    gone = set(all_ids[::7])  # remove every 7th doc
+    got = rebuild_without(ck, gone, entity_linking=False, link=True)
+
+    kept_tbl = full.filter(
+        pa.compute.invert(pa.compute.is_in(
+            full["doc_id"], value_set=pa.array(sorted(gone)))))
+    want = build_graph(ray.data.from_arrow(kept_tbl),
+                       entity_linking=False, link=True)
+
+    def canon(ds, keys):
+        df = ds.to_pandas()
+        return df.sort_values(keys).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(
+        canon(got.nodes, ["node_id"]), canon(want.nodes, ["node_id"]))
+    pd.testing.assert_frame_equal(
+        canon(got.edges, ["src_id", "dst_id", "edge_type", "doc_id"]),
+        canon(want.edges, ["src_id", "dst_id", "edge_type", "doc_id"]))
+    # and the removed docs truly left the graph
+    gdf = got.edges.to_pandas()
+    assert not set(gdf["doc_id"]) & gone
+    assert len(res_full.edges.to_pandas()) > len(gdf)
