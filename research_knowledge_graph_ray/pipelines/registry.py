@@ -959,6 +959,9 @@ QUERIES: dict = {
     "dup_passage_share": (dedup.dup_passage_share,
                           dedup.DUP_PASSAGE_SHARE_SQL),
     "dedup_ngram_jaccard": (dedup.ngram_jaccard_pairs, DEDUP_NGRAM_JACCARD_SQL),
+    # similarity-join top-k: the worst near-duplicate pairs by exact Jaccard
+    "top_similar_pairs": (dedup.top_similar_pairs,
+                          dedup.TOP_SIMILAR_PAIRS_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, DEDUP_MINHASH_SQL),
     "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),
     # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,

@@ -1184,3 +1184,36 @@ SELECT doc_id, n_passages, n_dup,
          AS dup_share_bp
 FROM d
 """
+
+
+def top_similar_pairs(sf_dir: str, topk: int = 20,
+                      max_doc_id: int = 100) -> "ray.data.Dataset":
+    """(doc_a, doc_b, jac_bp) — the ``topk`` most similar document pairs
+    corpus-wide by EXACT 3-word-shingle Jaccard (similarity-join top-k, the
+    'show me the worst near-duplicates' audit view). Rides the
+    :func:`ngram_jaccard_pairs` dataflow with the threshold opened to every
+    co-shingled pair, then one tiny global sort over the (already
+    shingle-bounded) pair set; ties break on (doc_a, doc_b) so the cut is
+    deterministic. Production swap: MinHash candidates feed the exact
+    rescoring instead of all co-shingled pairs."""
+    pairs = ngram_jaccard_pairs(sf_dir, threshold_bp=1,
+                                max_doc_id=max_doc_id)
+    return pairs.sort(["jac_bp", "doc_a", "doc_b"],
+                      descending=[True, False, False]).limit(topk)
+
+
+TOP_SIMILAR_PAIRS_SQL = r"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE doc_id < 100),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       CAST((i * 10000) // (sa.n + sb.n - i) AS BIGINT) AS jac_bp
+FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+WHERE (i * 10000) // (sa.n + sb.n - i) >= 1
+ORDER BY jac_bp DESC, doc_a, doc_b LIMIT 20
+"""
