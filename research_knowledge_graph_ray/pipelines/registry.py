@@ -982,6 +982,9 @@ QUERIES: dict = {
     # token-balanced training shards: longest-first serpentine deal via the
     # same rank-attach machinery (no global sort)
     "shard_plan": (sampling.shard_plan, sampling.SHARD_PLAN_SQL),
+    # domain rebalancing: deterministic per-source cap (hash pick)
+    "source_cap_sample": (sampling.source_cap_sample,
+                          sampling.SOURCE_CAP_SAMPLE_SQL),
     "sample_char_budget": (sampling.sample_char_budget, SAMPLE_CHAR_BUDGET_SQL),
     # graph analytics (stages/graphalgs.py) — distributed loops with exact
     # fixed-iteration SQL restatements

@@ -396,3 +396,55 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          AS shard_id
 FROM r
 """
+
+
+SOURCE_CAP = 20
+
+
+def source_cap_sample(sf_dir: str, cap: int = SOURCE_CAP,
+                      n_buckets: int = 16) -> "ray.data.Dataset":
+    """(doc_id, source) — deterministic per-source cap: each source keeps its
+    ``cap`` docs with the smallest seeded hash (ties by doc_id). The
+    domain-rebalancing step of corpus mixing — over-represented sources are
+    down-sampled reproducibly, and because the pick is a pure function of
+    doc_id the same docs survive at any parallelism or corpus order.
+
+    Grouped top-k by hash: each block keeps ≤cap rows per source (partial
+    top-k), ONE exchange on source moves ≤cap×blocks key rows, reducers
+    re-apply the same rule. Never ships text, never sorts globally."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["hk"] = [hashlib.md5(f"{d}-cap".encode()).hexdigest()
+                    for d in df["doc_id"].astype(np.int64)]
+        return (df.sort_values(["source", "hk", "doc_id"], kind="stable")
+                .groupby("source", as_index=False, sort=False).head(cap))
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "source": pd.Series(dtype="string")})
+        kept = (df.sort_values(["source", "hk", "doc_id"], kind="stable")
+                .groupby("source", as_index=False, sort=False).head(cap))
+        return pd.DataFrame({
+            "doc_id": kept["doc_id"].to_numpy(np.int64),
+            "source": kept["source"].astype("string"),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    return bucketed_group_apply(
+        ds.map_batches(part, batch_format="pandas"),
+        ["source"], lambda df: df, fin, n_buckets=n_buckets)
+
+
+SOURCE_CAP_SAMPLE_SQL = f"""
+WITH h AS (SELECT doc_id, source,
+             md5(CAST(doc_id AS VARCHAR) || '-cap') AS hk
+           FROM documents),
+r AS (SELECT doc_id, source,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn
+      FROM h)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, source
+FROM r WHERE rn <= {SOURCE_CAP}
+"""
