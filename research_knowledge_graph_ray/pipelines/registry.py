@@ -1056,6 +1056,8 @@ QUERIES: dict = {
     # DSIR-style importance weights: target-vs-source unigram log-ratio
     # sums (quality subset as the target domain), one vocab-bound exchange
     "dsir_weights": (textops.dsir_weights, textops.DSIR_WEIGHTS_SQL),
+    # domain-overlap diagnostic: tokens by number of sources they span
+    "vocab_sharing": (textops.vocab_sharing, textops.VOCAB_SHARING_SQL),
     # semi-structured JSON field extraction + aggregate
     "props_k_stats": (relational.props_k_stats, PROPS_K_STATS_SQL),
     # value-based NTILE via the exact-quantile operator

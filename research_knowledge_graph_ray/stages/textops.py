@@ -1015,3 +1015,65 @@ SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(SUM(llr) AS BIGINT) AS sum_llr_e9
 FROM nz JOIN llr USING (tok) GROUP BY doc_id
 """
+
+
+def vocab_sharing(sf_dir: str) -> "ray.data.Dataset":
+    """(n_sources, n_tokens) — the vocabulary-sharing profile: for k = 1..
+    |sources|, how many distinct tokens appear in exactly k sources. The
+    domain-overlap diagnostic of a corpus mix — a spike at k=1 means sources
+    contribute private vocabulary (novel text), mass at k=|sources| means
+    the mix is lexically redundant. (On this synthetic corpus the k=1 bin is
+    empty — the closed vocabulary is shared — which is itself the signal.)
+
+    One pass emits per-block distinct (token, source) key rows; ONE token
+    exchange co-locates each token's sources and emits |sources|-bounded
+    (k, count) partials; tiny driver-sized fold. Text never ships."""
+    from .shuffle import bucketed_group_apply, grouped_aggregate
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        srcs = batch["source"].to_numpy(zero_copy_only=False)
+        return (pd.DataFrame({"token": flat.to_numpy(zero_copy_only=False)[keep],
+                              "source": srcs[parent[keep]]})
+                .drop_duplicates())
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"n_sources": pd.Series(dtype=np.int64),
+                              "n_tokens": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        ns = (df.drop_duplicates(["token", "source"])
+              .groupby("token")["source"].nunique())
+        g = ns.value_counts().sort_index()
+        return pd.DataFrame({"n_sources": g.index.to_numpy(np.int64),
+                             "n_tokens": g.to_numpy(np.int64)})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    parts = bucketed_group_apply(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["token"], lambda df: df.drop_duplicates(["token", "source"]), fin,
+        n_buckets=16)
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"n_sources": pd.Series(dtype=np.int64),
+                                 "n_tokens": pd.Series(dtype=np.int64)})
+        g = df.groupby("n_sources", as_index=False).agg(
+            n_tokens=("n_tokens", "sum"))
+        return g.astype({"n_sources": np.int64, "n_tokens": np.int64})
+
+    return grouped_aggregate(parts, ["n_sources"], fold, n_buckets=4)
+
+
+VOCAB_SHARING_SQL = """
+WITH t AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok
+           FROM documents),
+nz AS (SELECT source, tok FROM t WHERE tok <> ''),
+c AS (SELECT tok, COUNT(DISTINCT source) AS ns FROM nz GROUP BY 1)
+SELECT CAST(ns AS BIGINT) AS n_sources, CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM c GROUP BY ns
+"""
