@@ -154,6 +154,8 @@ def run_bench() -> dict:
         timed("dsir_weights", textops.dsir_weights)
         timed("epoch_shuffle", sampling.epoch_shuffle)
         timed("shard_plan", sampling.shard_plan)
+        timed("cheapest_supplier", relational.cheapest_supplier_per_part)
+        timed("vocab_sharing", textops.vocab_sharing)
 
         # composed curation flagship: quality -> lang -> exact dedup ->
         # minhash near-dup -> pack -> partitioned parquet, one timed run
