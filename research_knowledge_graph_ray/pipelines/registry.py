@@ -1058,6 +1058,8 @@ QUERIES: dict = {
     "dsir_weights": (textops.dsir_weights, textops.DSIR_WEIGHTS_SQL),
     # domain-overlap diagnostic: tokens by number of sources they span
     "vocab_sharing": (textops.vocab_sharing, textops.VOCAB_SHARING_SQL),
+    # RFM marketing segmentation: median-threshold 3-bit codes
+    "rfm_segments": (stats.rfm_segments, stats.RFM_SEGMENTS_SQL),
     # semi-structured JSON field extraction + aggregate
     "props_k_stats": (relational.props_k_stats, PROPS_K_STATS_SQL),
     # value-based NTILE via the exact-quantile operator

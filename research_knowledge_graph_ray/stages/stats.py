@@ -1415,3 +1415,78 @@ SELECT digit, cnt,
        CAST(cnt * 1000000000 // (SELECT SUM(cnt) FROM c) AS BIGINT) AS share_e9
 FROM c
 """
+
+
+def rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """(segment, n_customers) — classic RFM segmentation: each customer's
+    recency (last order date), frequency (order count) and monetary (total
+    cents) are compared to the corpus medians, yielding a 3-bit segment code
+    (R=4, F=2, M=1 when at/above the median). The marketing-analytics
+    workload shape: big-table grouped aggregate → tiny exact order
+    statistics → broadcast thresholds → bounded histogram.
+
+    Per-customer partials are associative (max, count-sum, cents-sum), so
+    blocks pre-combine before the ONE custkey exchange; the per-customer
+    table is customer-bound (the documented broadcast class) and the three
+    medians mirror DuckDB percentile_disc exactly (sorted index
+    ceil(n/2)-1). Output is 8 rows."""
+    from .shuffle import grouped_aggregate
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        # serves as partial AND final combine (associative): raw order rows
+        # on the first call, already-partial (last_d, f, m) rows after
+        if "o_orderdate" in df.columns:
+            df = pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "last_d": df["o_orderdate"].to_numpy("datetime64[us]"),
+                "f": np.ones(len(df), dtype=np.int64),
+                "m": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                             * 100.0).astype(np.int64),
+            })
+        else:
+            df = df[["o_custkey", "last_d", "f", "m"]]
+        return (df.groupby("o_custkey", as_index=False)
+                .agg(last_d=("last_d", "max"), f=("f", "sum"),
+                     m=("m", "sum")))
+
+    per_cust = grouped_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+        ["o_custkey"], part, n_buckets=16,
+    ).to_pandas()  # customer-bound
+
+    def disc_median(v: np.ndarray) -> np.int64:
+        s = np.sort(v)
+        return s[int(np.ceil(0.5 * len(s))) - 1]
+
+    rd = disc_median(per_cust["last_d"].to_numpy("datetime64[us]")
+                     .astype(np.int64))
+    fd = disc_median(per_cust["f"].to_numpy(np.int64))
+    md = disc_median(per_cust["m"].to_numpy(np.int64))
+
+    seg = ((per_cust["last_d"].to_numpy("datetime64[us]").astype(np.int64)
+            >= rd).astype(np.int64) * 4
+           + (per_cust["f"].to_numpy(np.int64) >= fd).astype(np.int64) * 2
+           + (per_cust["m"].to_numpy(np.int64) >= md).astype(np.int64))
+    g = pd.Series(seg).value_counts().sort_index()
+    return pd.DataFrame({"segment": g.index.to_numpy(np.int64),
+                         "n_customers": g.to_numpy(np.int64)})
+
+
+RFM_SEGMENTS_SQL = """
+WITH c AS (SELECT o_custkey, MAX(o_orderdate) AS last_d,
+                  CAST(COUNT(*) AS BIGINT) AS f,
+                  SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS m
+           FROM orders GROUP BY 1),
+t AS (SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY last_d) AS rd,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY f) AS fd,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY m) AS md
+      FROM c)
+SELECT CAST((CASE WHEN last_d >= (SELECT rd FROM t) THEN 4 ELSE 0 END)
+          + (CASE WHEN f >= (SELECT fd FROM t) THEN 2 ELSE 0 END)
+          + (CASE WHEN m >= (SELECT md FROM t) THEN 1 ELSE 0 END)
+        AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM c GROUP BY 1
+"""
