@@ -1060,6 +1060,8 @@ QUERIES: dict = {
     "vocab_sharing": (textops.vocab_sharing, textops.VOCAB_SHARING_SQL),
     # RFM marketing segmentation: median-threshold 3-bit codes
     "rfm_segments": (stats.rfm_segments, stats.RFM_SEGMENTS_SQL),
+    # acquisition-cohort lifetime value (first-order-year rollup)
+    "clv_by_cohort": (stats.clv_by_cohort, stats.CLV_BY_COHORT_SQL),
     # semi-structured JSON field extraction + aggregate
     "props_k_stats": (relational.props_k_stats, PROPS_K_STATS_SQL),
     # value-based NTILE via the exact-quantile operator

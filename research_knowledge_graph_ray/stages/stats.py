@@ -1490,3 +1490,58 @@ SELECT CAST((CASE WHEN last_d >= (SELECT rd FROM t) THEN 4 ELSE 0 END)
        CAST(COUNT(*) AS BIGINT) AS n_customers
 FROM c GROUP BY 1
 """
+
+
+def clv_by_cohort(sf_dir: str) -> pd.DataFrame:
+    """(cohort_year, n_customers, total_cents, avg_cents) — customer
+    lifetime value grouped by acquisition cohort (the year of the
+    customer's FIRST order): how much revenue each signup generation has
+    produced, and per-customer average as an exact integer floor-division.
+
+    Associative per-customer partials (min year, cents sum) combine inside
+    blocks before ONE custkey exchange; the cohort rollup is
+    |years|-bounded."""
+    from .shuffle import grouped_aggregate
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if "o_orderdate" in df.columns:
+            df = pd.DataFrame({
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "y": df["o_orderdate"].to_numpy("datetime64[Y]")
+                .astype(np.int64) + 1970,
+                "cents": np.rint(df["o_totalprice"].to_numpy(np.float64)
+                                 * 100.0).astype(np.int64),
+            })
+        else:
+            df = df[["o_custkey", "y", "cents"]]
+        return (df.groupby("o_custkey", as_index=False)
+                .agg(y=("y", "min"), cents=("cents", "sum")))
+
+    per_cust = grouped_aggregate(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderdate", "o_totalprice"]),
+        ["o_custkey"], part, n_buckets=16,
+    ).to_pandas()  # customer-bound
+
+    g = (per_cust.groupby("y", as_index=False)
+         .agg(n_customers=("o_custkey", "count"), total_cents=("cents", "sum")))
+    return pd.DataFrame({
+        "cohort_year": g["y"].to_numpy(np.int64),
+        "n_customers": g["n_customers"].to_numpy(np.int64),
+        "total_cents": g["total_cents"].to_numpy(np.int64),
+        "avg_cents": (g["total_cents"].to_numpy(np.int64)
+                      // g["n_customers"].to_numpy(np.int64)),
+    }).sort_values("cohort_year").reset_index(drop=True)
+
+
+CLV_BY_COHORT_SQL = """
+WITH c AS (SELECT o_custkey,
+             MIN(CAST(year(o_orderdate) AS BIGINT)) AS y,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1)
+SELECT y AS cohort_year, CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+FROM c GROUP BY y ORDER BY y
+"""
