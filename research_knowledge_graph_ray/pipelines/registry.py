@@ -1062,6 +1062,9 @@ QUERIES: dict = {
     "rfm_segments": (stats.rfm_segments, stats.RFM_SEGMENTS_SQL),
     # acquisition-cohort lifetime value (first-order-year rollup)
     "clv_by_cohort": (stats.clv_by_cohort, stats.CLV_BY_COHORT_SQL),
+    # market-concentration screen: supplier-revenue HHI per nation
+    "nation_supplier_hhi": (stats.nation_supplier_hhi,
+                            stats.NATION_SUPPLIER_HHI_SQL),
     # semi-structured JSON field extraction + aggregate
     "props_k_stats": (relational.props_k_stats, PROPS_K_STATS_SQL),
     # value-based NTILE via the exact-quantile operator

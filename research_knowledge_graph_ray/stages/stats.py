@@ -1545,3 +1545,71 @@ SELECT y AS cohort_year, CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
 FROM c GROUP BY y ORDER BY y
 """
+
+
+def nation_supplier_hhi(sf_dir: str) -> pd.DataFrame:
+    """(n_name, n_suppliers, hhi_e8) — supplier revenue concentration per
+    nation as a Herfindahl–Hirschman index over exact integer basis-point
+    shares (share_e4 = supplier_cents·10⁴ // nation_cents; HHI = Σ share²,
+    ≤ 10⁸). The market-concentration screen: a nation whose supply revenue
+    sits with few suppliers is a fragility/skew flag — the same shape as a
+    hot-key diagnostic over any partitioning column.
+
+    Lineitem collapses to per-supplier cent partials inside each scan block
+    before ONE suppkey exchange (supplier-bound output); the
+    supplier→nation map broadcasts (catalog-bound) and the nation rollup is
+    |suppliers|-sized driver work. Floor-division shares are mirrored
+    exactly in SQL."""
+    import pyarrow.parquet as pq
+    from .shuffle import grouped_aggregate
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if "l_extendedprice" in df.columns:
+            df = pd.DataFrame({
+                "l_suppkey": df["l_suppkey"].to_numpy(np.int64),
+                "cents": np.rint(df["l_extendedprice"]
+                                 .to_numpy(np.float64) * 100.0)
+                .astype(np.int64),
+            })
+        else:
+            df = df[["l_suppkey", "cents"]]
+        return df.groupby("l_suppkey", as_index=False).agg(
+            cents=("cents", "sum"))
+
+    per_supp = grouped_aggregate(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_suppkey", "l_extendedprice"]),
+        ["l_suppkey"], part, n_buckets=16,
+    ).to_pandas()  # supplier-bound
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"]).to_pandas()
+    m = (per_supp.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+         .merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
+    tot = m.groupby("n_name")["cents"].transform("sum").to_numpy(np.int64)
+    share_e4 = m["cents"].to_numpy(np.int64) * 10000 // tot
+    m = m.assign(sq=share_e4 * share_e4)
+    g = m.groupby("n_name", as_index=False).agg(
+        n_suppliers=("l_suppkey", "count"), hhi_e8=("sq", "sum"))
+    return (pd.DataFrame({"n_name": g["n_name"].astype(str),
+                          "n_suppliers": g["n_suppliers"]
+                          .to_numpy(np.int64),
+                          "hhi_e8": g["hhi_e8"].to_numpy(np.int64)})
+            .sort_values("n_name").reset_index(drop=True))
+
+
+NATION_SUPPLIER_HHI_SQL = """
+WITH s AS (SELECT l_suppkey,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents
+           FROM lineitem GROUP BY 1),
+j AS (SELECT n_name, cents,
+        SUM(cents) OVER (PARTITION BY n_name) AS tot
+      FROM s JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey),
+sh AS (SELECT n_name, cents * 10000 // tot AS share_e4 FROM j)
+SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(share_e4 * share_e4) AS BIGINT) AS hhi_e8
+FROM sh GROUP BY n_name ORDER BY n_name
+"""
