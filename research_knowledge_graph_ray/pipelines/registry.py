@@ -967,7 +967,10 @@ QUERIES: dict = {
     # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,
     # so the threshold is lowered to exercise the operator end-to-end
     "dedup_embedding_pairs": (lambda sf: dedup.embedding_near_dups(sf, tau=0.25), None),
-    "dedup_embedding_exact": (dedup.embedding_exact_pairs, DEDUP_EMBEDDING_EXACT_SQL),
+    # registered exact path = the DISTRIBUTED block-nested self-join (no
+    # broadcast matrix); the broadcast kernel survives as a pytest gate only
+    "dedup_embedding_exact": (dedup.embedding_exact_pairs_blocked,
+                              DEDUP_EMBEDDING_EXACT_SQL),
     "dedup_embedding_clusters": (
         dedup.embedding_dedup_clusters,
         DEDUP_EMBEDDING_CLUSTERS_SQL,

@@ -516,17 +516,15 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> "ray.data.Dataset":
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         sub = group.drop_duplicates(subset=["vec_id"]).sort_values("vec_id")
-        rows = {"vec_a": [], "vec_b": [], "sim_e6": []}
-        ids = sub["vec_id"].to_numpy()
-        vecs = np.stack([np.frombuffer(v, dtype=np.float64) for v in sub["vec"]])
+        ids = sub["vec_id"].to_numpy(np.int64)
+        vecs = np.frombuffer(b"".join(sub["vec"]), dtype=np.float64)
+        vecs = vecs.reshape(len(ids), -1) if len(ids) else vecs.reshape(0, 0)
         sims = vecs @ vecs.T
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= tau:
-                    rows["vec_a"].append(ids[i])
-                    rows["vec_b"].append(ids[j])
-                    rows["sim_e6"].append(int(round(sims[i, j] * 1e6)))
-        return pd.DataFrame({k: np.asarray(v, dtype=np.int64) for k, v in rows.items()})
+        ii, jj = np.nonzero(np.triu(sims >= tau, k=1))
+        return pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": ids[jj],
+             "sim_e6": np.round(sims[ii, jj] * 1e6).astype(np.int64)}
+        )
 
     def bucket_final(df: pd.DataFrame) -> pd.DataFrame:
         sizes = df["bucket"].map(df["bucket"].value_counts())
@@ -548,15 +546,17 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> "ray.data.Dataset":
 
 def embedding_exact_pairs(sf_dir: str, tau: float = 0.4) -> "ray.data.Dataset":
     """(vec_a, vec_b, sim_e6) — EXACT cosine pairs with sim ≥ τ: the
-    brute-force baseline for embedding near-dup (the sign-LSH variant above
-    is the approximate scale path).
+    brute-force broadcast baseline, kept as the PYTEST GATE ONLY (the
+    registered exact operator is :func:`embedding_exact_pairs_blocked`, which
+    distributes the same answer with no broadcast; the sub-quadratic scale
+    path is the sign-LSH :func:`embedding_near_dups`).
 
     The normalized matrix is broadcast once (``ray.put``), each batch does a
     single matmul against it, and a pair is emitted only from the batch
     holding its smaller vec_id — exactly-once without a dedup pass.
     Partitioning assumption: O(n·dim) embedding matrix fits one worker
-    (valid when dedup runs per shard / per LSH block); past that, the LSH
-    path is the answer. sim_e6 = floor(sim·1e6 + 0.5), matching SQL ROUND."""
+    (valid when dedup runs per shard / per LSH block).
+    sim_e6 = floor(sim·1e6 + 0.5), matching SQL ROUND."""
     import ray as _ray
     import pyarrow.parquet as pq
 
@@ -588,15 +588,110 @@ def embedding_exact_pairs(sf_dir: str, tau: float = 0.4) -> "ray.data.Dataset":
     ).map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def embedding_dedup_clusters(sf_dir: str, tau: float = 0.4) -> "ray.data.Dataset":
-    """(vec_id, component, is_canonical) — cluster-mode dedup over the EXACT
-    cosine pair graph, resolved by the fully distributed min-label-propagation
-    CC (`canonicalize.connected_components_ds`): neither edges nor labels ever
-    land on the driver. Every vector appears; singletons are their own
-    component; is_canonical=1 marks the kept representative (min vec_id)."""
+def embedding_exact_pairs_blocked(
+    sf_dir: str, tau: float = 0.4, n_blocks: int = 8,
+) -> "ray.data.Dataset":
+    """(vec_a, vec_b, sim_e6) — EXACT cosine pairs with sim ≥ τ as a
+    DISTRIBUTED block-nested self-join: no driver matrix, no broadcast.
+
+    Each vector hashes to one of ``n_blocks`` blocks and fans out to the
+    ``n_blocks`` block-pair buckets it participates in; one exchange
+    co-locates each (block_i ≤ block_j) bucket, whose kernel is a single
+    cross-block matmul emitting (min_id, max_id) pairs exactly once (upper
+    triangle for the diagonal bucket). Total compute is the inherent O(n²·d)
+    of an exact similarity self-join, but per-task memory is 2·(n/B)·d and
+    every bucket runs in parallel — the scale-safe exact path. The broadcast
+    kernel (:func:`embedding_exact_pairs`) remains only as the pytest gate;
+    the sub-quadratic scale path is :func:`embedding_near_dups` (sign-LSH).
+    sim_e6 = floor(sim·1e6 + 0.5), matching SQL ROUND."""
+    tau_e6 = int(round(tau * 1e6))
+    nb = n_blocks
+
+    def fanout(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        # splitmix-style id hash → block, so sorted/clustered ids still spread
+        h = (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        blk = (h % np.uint64(nb)).astype(np.int64)
+        n = len(ids)
+        other = np.arange(nb, dtype=np.int64)
+        lo = np.minimum(blk[:, None], other[None, :])
+        hi = np.maximum(blk[:, None], other[None, :])
+        bucket = (lo * nb + hi).ravel()
+        rep = np.repeat(np.arange(n), nb)
+        vb = [row.tobytes() for row in unit]
+        return pd.DataFrame(
+            {"bucket": bucket, "blk": blk[rep], "vid": ids[rep],
+             "v": [vb[i] for i in rep]}
+        )
+
+    def bucket_sims(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                              "vec_b": pd.Series(dtype=np.int64),
+                              "sim_e6": pd.Series(dtype=np.int64)})
+        if df.empty:
+            return empty
+        out = []
+        for bkt, g in df.groupby("bucket", sort=False):
+            g = g.drop_duplicates("vid")
+            lo_b, hi_b = int(bkt) // nb, int(bkt) % nb
+            if lo_b == hi_b:  # diagonal: within-block upper triangle
+                g = g.sort_values("vid")
+                ids = g["vid"].to_numpy(np.int64)
+                m = np.frombuffer(b"".join(g["v"]), np.float64).reshape(len(g), -1)
+                e6 = np.floor(m @ m.T * 1e6 + 0.5).astype(np.int64)
+                ii, jj = np.nonzero(np.triu(e6 >= tau_e6, k=1))
+                out.append(pd.DataFrame(
+                    {"vec_a": ids[ii], "vec_b": ids[jj], "sim_e6": e6[ii, jj]}))
+            else:
+                a = g[g["blk"] == lo_b]
+                b = g[g["blk"] == hi_b]
+                if a.empty or b.empty:
+                    continue
+                a_ids = a["vid"].to_numpy(np.int64)
+                b_ids = b["vid"].to_numpy(np.int64)
+                a_m = np.frombuffer(b"".join(a["v"]), np.float64).reshape(len(a), -1)
+                b_m = np.frombuffer(b"".join(b["v"]), np.float64).reshape(len(b), -1)
+                e6 = np.floor(a_m @ b_m.T * 1e6 + 0.5).astype(np.int64)
+                ii, jj = np.nonzero(e6 >= tau_e6)
+                va, vb_ = a_ids[ii], b_ids[jj]
+                out.append(pd.DataFrame(
+                    {"vec_a": np.minimum(va, vb_), "vec_b": np.maximum(va, vb_),
+                     "sim_e6": e6[ii, jj]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(ds, ["bucket"], lambda df: df, bucket_sims)
+
+
+def embedding_dedup_clusters(
+    sf_dir: str, tau: float = 0.4, mode: str = "exact", n_blocks: int = 8,
+) -> "ray.data.Dataset":
+    """(vec_id, component, is_canonical) — cluster-mode embedding dedup,
+    resolved by the fully distributed min-label-propagation CC
+    (`canonicalize.connected_components_ds`): neither the edge set, the label
+    table, nor any embedding matrix ever lands on the driver.
+
+    ``mode="exact"`` (registered, oracle-gated) builds CC edges from the
+    distributed block-nested exact join (:func:`embedding_exact_pairs_blocked`)
+    — exact by construction, O(n²·d) total compute spread across block-pair
+    buckets. ``mode="lsh"`` rides the sign-LSH near-dup pairs
+    (:func:`embedding_near_dups`) — sub-quadratic, the true 100-TB path;
+    its recall vs the exact graph is pinned in pytest. Every vector appears;
+    singletons are their own component; is_canonical=1 marks the kept
+    representative (min vec_id)."""
     from .canonicalize import connected_components_ds
 
-    pair_edges = embedding_exact_pairs(sf_dir, tau).map_batches(
+    if mode == "lsh":
+        raw = embedding_near_dups(sf_dir, tau=tau)
+    else:
+        raw = embedding_exact_pairs_blocked(sf_dir, tau=tau, n_blocks=n_blocks)
+    pair_edges = raw.map_batches(
         lambda df: pd.DataFrame({"a": df["vec_a"], "b": df["vec_b"]}),
         batch_format="pandas",
     )

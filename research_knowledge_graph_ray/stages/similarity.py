@@ -55,11 +55,12 @@ def knn_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> "ray.data.Datas
         norms = np.linalg.norm(vecs, axis=1)
         norms[norms == 0] = 1.0
         sims = (vecs @ qv) / norms
-        top = np.argsort(-sims, kind="stable")[:k]
-        return pd.DataFrame(
-            {"vec_id": ids[top],
-             "sim_e6": np.round(sims[top] * 1e6).astype(np.int64)}
-        )
+        # Pre-cut on the ORACLE's order — (round(sim*1e6) DESC, vec_id ASC) —
+        # not raw floats, so two vectors rounding to the same sim_e6 that
+        # straddle a block's k-boundary can't diverge from the SQL gate.
+        sims_e6 = np.round(sims * 1e6).astype(np.int64)
+        top = np.argsort(_topk_keys(sims_e6, ids), kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[top], "sim_e6": sims_e6[top]})
 
     scored = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
@@ -169,10 +170,10 @@ def knn_topk_ivf(
             return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
                                  "sim_e6": pd.Series(dtype=np.int64)})
         sims = unit @ qv
-        top = np.argsort(-sims, kind="stable")[:k]
-        return pd.DataFrame(
-            {"vec_id": ids[top], "sim_e6": np.round(sims[top] * 1e6).astype(np.int64)}
-        )
+        # same oracle-order pre-cut as knn_topk: rounded sim + vec_id tie-break
+        sims_e6 = np.round(sims * 1e6).astype(np.int64)
+        top = np.argsort(_topk_keys(sims_e6, ids), kind="stable")[:k]
+        return pd.DataFrame({"vec_id": ids[top], "sim_e6": sims_e6[top]})
 
     scored = ray.data.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]

@@ -144,6 +144,38 @@ def test_embedding_exact_pairs_is_bruteforce(sf_dir):
     assert not out.duplicated(["vec_a", "vec_b"]).any()
 
 
+def test_embedding_exact_pairs_blocked_matches_brute(sf_dir):
+    """The distributed block-nested join (registered operator) must equal the
+    broadcast brute kernel pair-for-pair, including sim_e6 values."""
+    brute = dedup.embedding_exact_pairs(sf_dir, tau=0.35).to_pandas()
+    blocked = dedup.embedding_exact_pairs_blocked(sf_dir, tau=0.35).to_pandas()
+    key = lambda df: df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    a, b = key(brute), key(blocked)
+    assert len(a) == len(b) > 0
+    assert (a["vec_a"].to_numpy() == b["vec_a"].to_numpy()).all()
+    assert (a["vec_b"].to_numpy() == b["vec_b"].to_numpy()).all()
+    assert (a["sim_e6"].to_numpy() == b["sim_e6"].to_numpy()).all()
+    assert not b.duplicated(["vec_a", "vec_b"]).any()
+
+
+def test_embedding_clusters_lsh_mode(sf_dir):
+    """mode='lsh' (the sub-quadratic 100-TB path) rides sign-LSH edges: its
+    components must REFINE the exact components (LSH only misses edges, never
+    invents them) and recover a healthy share of the true non-singletons."""
+    tau = 0.30
+    exact = dedup.embedding_dedup_clusters(sf_dir, tau=tau).to_pandas()
+    lsh = dedup.embedding_dedup_clusters(sf_dir, tau=tau, mode="lsh").to_pandas()
+    assert set(lsh["vec_id"]) == set(exact["vec_id"])  # full coverage
+    e_comp = dict(zip(exact["vec_id"], exact["component"]))
+    # two vectors in one LSH component are in one exact component (refinement)
+    for _, grp in lsh.groupby("component"):
+        assert len({e_comp[v] for v in grp["vec_id"]}) == 1
+    e_nonsingleton = (exact["vec_id"] != exact["component"]).sum()
+    l_nonsingleton = (lsh["vec_id"] != lsh["component"]).sum()
+    if e_nonsingleton:
+        assert l_nonsingleton / e_nonsingleton >= 0.5  # recall pin at this τ
+
+
 def test_embedding_clusters_consistent_with_pairs(sf_dir):
     tau = 0.4
     pairs = dedup.embedding_exact_pairs(sf_dir, tau).to_pandas()
