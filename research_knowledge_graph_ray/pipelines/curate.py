@@ -175,6 +175,65 @@ SELECT * FROM (
 """
 
 
+def _neardup_survivor_verdicts(clusters: "ray.data.Dataset",
+                               exact: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(doc_id, keep) for near-dup cluster members with the canonical
+    RE-ELECTED among gate survivors.
+
+    Clusters are sketched over the full corpus (cheap — sketch exchanges
+    only, no text), but a cluster whose sketch-canonical (min doc_id) was
+    quality/lang/exact-dropped must still keep exactly one SURVIVING member —
+    sequential-gate semantics, the same rule exact dedup applies. Two
+    id-sized exchanges: (1) key doc_id — attach the gate-survivor flag to
+    cluster membership rows; (2) key cluster_id — elect min surviving doc_id
+    per cluster. Non-surviving members get keep=False (they are already gone
+    by earlier gates, the flag is never read)."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    c = clusters.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64),
+             "cluster_id": df["cluster_id"].astype(np.int64),
+             "is_member": True}),
+        batch_format="pandas")
+    s = exact.map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"][df["exact_ok"]].astype(np.int64),
+             "cluster_id": np.int64(-1),
+             "is_member": False}),
+        batch_format="pandas")
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"cluster_id": pd.Series(dtype=np.int64),
+                              "doc_id": pd.Series(dtype=np.int64),
+                              "surv": pd.Series(dtype=bool)})
+        if df.empty or "is_member" not in df.columns:
+            return empty
+        sm = set(df.loc[~df["is_member"].fillna(True), "doc_id"])
+        m = df[df["is_member"].fillna(False)]
+        return pd.DataFrame({"cluster_id": m["cluster_id"].astype(np.int64),
+                             "doc_id": m["doc_id"].astype(np.int64),
+                             "surv": m["doc_id"].isin(sm).to_numpy()})
+
+    members = bucketed_group_apply(c.union(s), ["doc_id"],
+                                   lambda df: df, attach, n_buckets=16)
+
+    def elect(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "keep": pd.Series(dtype=bool)})
+        if df.empty:
+            return empty
+        win = (df[df["surv"]].groupby("cluster_id", as_index=False)["doc_id"]
+               .min().rename(columns={"doc_id": "win"}))
+        out = df.merge(win, on="cluster_id", how="left")
+        keep = out["surv"] & (out["doc_id"] == out["win"])
+        return pd.DataFrame({"doc_id": out["doc_id"].astype(np.int64),
+                             "keep": keep.to_numpy(bool)})
+
+    return bucketed_group_apply(members, ["cluster_id"],
+                                lambda df: df, elect, n_buckets=16)
+
+
 def curate_corpus(sf_dir: str, out_dir: str,
                   keep_langs: tuple = KEEP_LANGS,
                   budget: int = PACK_BUDGET,
@@ -199,10 +258,14 @@ def curate_corpus(sf_dir: str, out_dir: str,
     # counts, exact-dedup exchange, final bucket exchange) don't each re-run
     # the corpus scan; at extreme scale the object store spills it to disk
     v = _gated_verdicts(sf_dir, keep_langs).materialize()
-    exact = _exact_survivors(v, keep_langs)
-    # near-dup clusters computed over the full corpus (sketch exchanges
-    # only); the drop applies to docs surviving every earlier gate
-    clusters = minhash_dedup_clusters(docs)
+    # exact verdicts now feed two consumers (the final bucket exchange and
+    # the near-dup canonical election) — pin the id-sized table once
+    exact = _exact_survivors(v, keep_langs).materialize()
+    # near-dup clusters are sketched over the full corpus (sketch exchanges
+    # only), then each cluster's kept representative is RE-ELECTED among the
+    # gate survivors so a dropped sketch-canonical never suppresses a cluster
+    # that still has a surviving member (sequential-gate semantics)
+    clusters = _neardup_survivor_verdicts(minhash_dedup_clusters(docs), exact)
 
     def tag(name):
         def add(df: pd.DataFrame) -> pd.DataFrame:

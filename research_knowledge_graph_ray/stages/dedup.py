@@ -1291,8 +1291,11 @@ def top_similar_pairs(sf_dir: str, topk: int = 20,
     shingle-bounded) pair set; ties break on (doc_a, doc_b) so the cut is
     deterministic. Production swap: MinHash candidates feed the exact
     rescoring instead of all co-shingled pairs."""
+    # the SQL oracle models NO hot-shingle cap, so the cap must never bind:
+    # a shingle can co-occur in at most max_doc_id docs here
     pairs = ngram_jaccard_pairs(sf_dir, threshold_bp=1,
-                                max_doc_id=max_doc_id)
+                                max_doc_id=max_doc_id,
+                                max_docs_per_shingle=max(512, max_doc_id))
     return pairs.sort(["jac_bp", "doc_a", "doc_b"],
                       descending=[True, False, False]).limit(topk)
 

@@ -246,7 +246,12 @@ def epoch_shuffle_ds(docs: "ray.data.Dataset", seed: int = SHUFFLE_SEED,
             "b": (pref * n_hist) >> 32,
         })
 
-    ds = docs.map_batches(keyed, batch_format="pyarrow", zero_copy_batch=True)
+    # pin the keyed projection: it feeds BOTH the histogram pass and the
+    # exchange, and un-materialized Ray lineage recomputes the full upstream
+    # read per consumer. The projection is id-sized (no text), so
+    # materializing it is cheap at any corpus scale.
+    ds = docs.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
 
     def hist(df: pd.DataFrame) -> pd.DataFrame:
         c = np.bincount(df["b"].to_numpy(np.int64), minlength=n_hist)
@@ -328,9 +333,12 @@ def shard_plan(sf_dir: str, n_shards: int = N_SHARDS,
             "n_tokens": nt.to_numpy(zero_copy_only=False).astype(np.int64),
         })
 
+    # materialized: the toks projection feeds THREE consumers (min/max
+    # aggregate, histogram, exchange) — without pinning, Ray lineage re-runs
+    # the full text read per consumer. Two int64 columns, corpus-safe.
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).map_batches(toks, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(toks, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     from ray.data.aggregate import Max, Min
     agg = ds.aggregate(Min("n_tokens"), Max("n_tokens"))

@@ -641,14 +641,18 @@ def doc_logprob(sf_dir: str) -> "ray.data.Dataset":
         lists = pc.split_pattern(batch["text"], " ")
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        idx = pc.index_in(flat, value_set=vocab)
+        keep_arr = pc.not_equal(flat, "")
+        keep = keep_arr.to_numpy(zero_copy_only=False)
+        # empties were filtered when the vocabulary was built, so membership
+        # is checked on the kept tokens only (consecutive/leading/trailing
+        # spaces must not crash the score pass)
+        idx = pc.index_in(flat.filter(keep_arr), value_set=vocab)
         if idx.null_count:
             raise ValueError("token outside the unigram vocabulary")
         idx = idx.to_numpy(zero_copy_only=False)
         n_rows = len(batch)
         sums = np.zeros(n_rows, dtype=np.int64)
-        np.add.at(sums, parent[keep], lp_arr[idx[keep]])
+        np.add.at(sums, parent[keep], lp_arr[idx])
         ntok = np.bincount(parent[keep], minlength=n_rows).astype(np.int64)
         m = ntok > 0
         return pa.table(
@@ -718,14 +722,17 @@ def dsir_weights(sf_dir: str) -> "ray.data.Dataset":
         lists = pc.split_pattern(batch["text"], " ")
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        idx = pc.index_in(flat, value_set=vocab)
+        keep_arr = pc.not_equal(flat, "")
+        keep = keep_arr.to_numpy(zero_copy_only=False)
+        # membership checked on non-empty tokens only (vocab was built with
+        # empties filtered; whitespace runs must not crash the score pass)
+        idx = pc.index_in(flat.filter(keep_arr), value_set=vocab)
         if idx.null_count:
             raise ValueError("token outside the corpus vocabulary")
         idx = idx.to_numpy(zero_copy_only=False)
         n_rows = len(batch)
         sums = np.zeros(n_rows, dtype=np.int64)
-        np.add.at(sums, parent[keep], llr_arr[idx[keep]])
+        np.add.at(sums, parent[keep], llr_arr[idx])
         ntok = np.bincount(parent[keep], minlength=n_rows).astype(np.int64)
         m = ntok > 0
         return pa.table(

@@ -1,601 +1,121 @@
-"""Brute-force twins for the round-3 operator batch: rolling distinct
-actives, aggregated-LAG MoM growth, and the CDC snapshot diff.
-
-DuckDB value-hash parity is covered by tests/test_queries_vs_duckdb.py;
-these pin semantics against independent pandas/pure-Python computations so
-a wrong-but-self-consistent SQL restatement can't hide a bug.
-"""
+"""Round-3 regression tests: ADVICE.md defects + new scale-path operators."""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pyarrow.parquet as pq
-
-from research_knowledge_graph_ray.pipelines import relational, windows
+import pytest
 
 SF = "/root/testdata/sf0.001"
-DAY_US = 86_400_000_000
 
 
-def test_rolling_active_users_vs_brute_force():
-    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
-    ev["d"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY_US
-    got = windows.rolling_active_users(SF).set_index("d")["n_users"]
-    mx = int(ev["d"].max())
-    dd = ev[["user_id", "d"]].drop_duplicates()
-    for r in range(int(dd["d"].min()), mx + 1):
-        want = dd[(dd["d"] >= r - 6) & (dd["d"] <= r)]["user_id"].nunique()
-        assert int(got.get(r, 0)) == want, r
-    # every reported day is within the observed range
-    assert got.index.max() == mx
+@pytest.fixture()
+def whitespace_corpus(tmp_path, ray_session):
+    """Docs with leading/trailing/consecutive spaces — the empty-token shapes
+    pc.split_pattern produces that must not crash any scorer."""
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [
+                "  the quick  brown fox  ",           # leading/double/trailing
+                "the the the quick quick fox jumps",  # normal
+                " lazy  dog   sat ",                  # runs of spaces
+                "quick brown fox " * 20,              # long, quality-passing
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s0"] * 4,
+            "n_chars": np.int64([24, 33, 18, 320]),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_curate_neardup_canonical_reelected(tmp_path, ray_session):
+    """A near-dup cluster whose sketch-canonical (min doc_id) was
+    quality-dropped must still keep exactly one SURVIVING member — the
+    sequential-gate semantic (ADVICE r2): previously the whole cluster
+    vanished because the dropped canonical suppressed its duplicates."""
+    from research_knowledge_graph_ray.pipelines.curate import curate_corpus
+
+    base = "the and of " + " ".join(
+        f"alpha{i} beta{i} gamma{i}" for i in range(10))  # 33 words, distinct
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype=np.int64),
+            "text": [
+                "the and of alpha0",          # doc 0: < MIN_WORDS → dropped
+                base,                         # doc 1: near-dup of doc 2
+                base + " deltax",             # doc 2: 1-word tail
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s0"] * 3,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = tmp_path / "curated"
+    rep = curate_corpus(str(tmp_path), str(out), n_parts=2)
+    import glob
+    kept = pd.concat(
+        [pq.read_table(f).to_pandas()
+         for f in glob.glob(str(out / "curated-*.parquet"))],
+        ignore_index=True)
+    # docs 1 and 2 are near-dups of each other; exactly ONE must survive,
+    # and it must be doc 1 (the min surviving member)
+    assert set(kept["doc_id"]) == {1}
+    assert rep["n_neardup_drop"] == 1
+
+
+def test_curate_neardup_dropped_canonical_does_not_suppress(tmp_path,
+                                                            ray_session):
+    """Planted ADVICE case: the min member of the near-dup cluster fails the
+    quality gate, the other member passes — the survivor must be kept."""
+    from research_knowledge_graph_ray.pipelines.curate import curate_corpus
+
+    base = "the and of " + " ".join(
+        f"alpha{i} beta{i} gamma{i}" for i in range(10))
+    repet = "dup dup dup " * 40  # repetitive prefix → dup_bp over threshold
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(2, dtype=np.int64),
+            # doc 0 shares all of doc 1's shingles but its repeated prefix
+            # pushes dup_bp past the gate → quality-dropped cluster canonical
+            "text": [repet + base, base],
+            "lang": ["en"] * 2,
+            "source": ["s0"] * 2,
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   str(tmp_path / "documents.parquet"))
+    out = tmp_path / "curated"
+    rep = curate_corpus(str(tmp_path), str(out), n_parts=2)
+    import glob
+    files = glob.glob(str(out / "curated-*.parquet"))
+    kept = (pd.concat([pq.read_table(f).to_pandas() for f in files],
+                      ignore_index=True)
+            if files else pd.DataFrame({"doc_id": []}))
+    # whether or not the sketches cluster the two docs, doc 1 passes every
+    # gate and must never be suppressed by the quality-dropped doc 0
+    assert 1 in set(kept["doc_id"])
+    assert rep["n_quality_drop"] >= 1
+
+
+def test_dsir_weights_survives_whitespace_runs(whitespace_corpus):
+    from research_knowledge_graph_ray.stages.textops import dsir_weights
+
+    out = dsir_weights(whitespace_corpus).to_pandas()
+    assert set(out["doc_id"]) == {0, 1, 2, 3}
+    # token counts ignore the empty splits
+    assert out.set_index("doc_id").loc[0, "n_tokens"] == 4
 
 
-def test_rolling_active_users_window_param():
-    # window=1 degenerates to plain daily distinct actives
-    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
-    ev["d"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY_US
-    daily = ev.groupby("d")["user_id"].nunique()
-    got = windows.rolling_active_users(SF, window_days=1).set_index("d")["n_users"]
-    assert got.to_dict() == daily.to_dict()
+def test_doc_logprob_survives_whitespace_runs(whitespace_corpus):
+    from research_knowledge_graph_ray.stages.textops import doc_logprob
 
-
-def test_revenue_mom_growth_vs_brute_force():
-    o = pq.read_table(f"{SF}/orders.parquet",
-                      columns=["o_orderdate", "o_totalprice"]).to_pandas()
-    s = o["o_orderdate"]
-    o["ym"] = (s.dt.year * 100 + s.dt.month).astype(np.int64)
-    o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
-    m = o.groupby("ym")["cents"].sum().sort_index()
-    got = relational.revenue_mom_growth(SF).set_index("ym")
-    assert got["rev_cents"].to_dict() == m.to_dict()
-    prev = -1
-    for ym, rev in m.items():
-        rev = int(rev)
-        assert int(got.loc[ym, "prev_cents"]) == prev
-        if prev > 0:
-            num = (rev - prev) * 10**9
-            want = num // prev if num >= 0 else -((-num) // prev)
-        else:
-            want = -1
-        assert int(got.loc[ym, "growth_e9"]) == want, ym
-        prev = rev
-
-
-def test_snapshot_diff_vs_brute_force():
-    o = pq.read_table(f"{SF}/orders.parquet",
-                      columns=["o_orderkey", "o_totalprice"]).to_pandas()
-    o["v"] = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
-    a = {int(k): int(v) for k, v in zip(o["o_orderkey"], o["v"]) if k % 7 != 0}
-    b = {int(k): int(v) + (100 if k % 7 == 2 else 0)
-         for k, v in zip(o["o_orderkey"], o["v"]) if k % 7 != 1}
-    want = {}
-    for k in set(a) | set(b):
-        if k not in a:
-            want[k] = ("added", -1, b[k])
-        elif k not in b:
-            want[k] = ("removed", a[k], -1)
-        elif a[k] != b[k]:
-            want[k] = ("changed", a[k], b[k])
-    got = relational.snapshot_diff(SF).to_pandas()
-    assert len(got) == len(want)
-    for _, r in got.iterrows():
-        st, av, bv = want[int(r["o_orderkey"])]
-        assert (r["status"], int(r["a_cents"]), int(r["b_cents"])) == (st, av, bv)
-    # only keys ≡ 0/1/2 (mod 7) can differ by construction
-    assert set(got["o_orderkey"] % 7) <= {0, 1, 2}
-
-
-def _sp_edges_brute():
-    li = pq.read_table(f"{SF}/lineitem.parquet",
-                       columns=["l_suppkey", "l_partkey", "l_quantity"]).to_pandas()
-    li["w"] = np.rint(li["l_quantity"].to_numpy()).astype(np.int64)
-    e = (li.assign(p=li["l_partkey"].astype(np.int64) + 10_000_000)
-         .groupby(["l_suppkey", "p"], as_index=False).agg(w=("w", "min")))
-    e = e[e["w"] <= 5]
-    return [(int(s), int(p), int(w))
-            for s, p, w in zip(e["l_suppkey"], e["p"], e["w"])]
-
-
-def test_kcore_vs_brute_force_peel():
-    from research_knowledge_graph_ray.stages import graphalgs
-
-    edges = _sp_edges_brute()
-    adj = {}
-    for s, p, _ in edges:
-        adj.setdefault(s, set()).add(p)
-        adj.setdefault(p, set()).add(s)
-    k = 3
-    alive = set(adj)
-    while True:
-        drop = {n for n in alive if len(adj[n] & alive) < k}
-        if not drop:
-            break
-        alive -= drop
-    got = graphalgs.kcore(SF).set_index("node")["deg"].to_dict()
-    assert set(got) == alive
-    for n in alive:
-        assert got[n] == len(adj[n] & alive)
-        assert got[n] >= k  # core invariant
-
-
-def test_sssp_vs_dijkstra():
-    import heapq
-
-    from research_knowledge_graph_ray.stages import graphalgs
-
-    edges = _sp_edges_brute()
-    adj = {}
-    for s, p, w in edges:
-        adj.setdefault(s, []).append((p, w))
-        adj.setdefault(p, []).append((s, w))
-    src = min(s for s, _, _ in edges)
-    dist = {src: 0}
-    pq_ = [(0, src)]
-    while pq_:
-        d, u = heapq.heappop(pq_)
-        if d > dist.get(u, 1 << 62):
-            continue
-        for v, w in adj[u]:
-            nd = d + w
-            if nd < dist.get(v, 1 << 62):
-                dist[v] = nd
-                heapq.heappush(pq_, (nd, v))
-    got = graphalgs.sssp(SF).set_index("node")["dist"].to_dict()
-    assert got == dist
-
-
-def test_keep_best_dedup_vs_brute_force():
-    import hashlib
-
-    from research_knowledge_graph_ray.stages import dedup
-
-    d = pq.read_table(f"{SF}/documents.parquet",
-                      columns=["doc_id", "text", "n_chars"]).to_pandas()
-    d["fp"] = [hashlib.md5(t.encode()).hexdigest() for t in d["text"]]
-    got = dedup.keep_best_dedup(SF).to_pandas().set_index("fp")
-    assert len(got) == d["fp"].nunique()
-    for fp, g in d.groupby("fp"):
-        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
-        r = got.loc[fp]
-        assert int(r["keep_doc_id"]) == int(g.iloc[0]["doc_id"])
-        assert int(r["keep_n_chars"]) == int(g.iloc[0]["n_chars"])
-        assert int(r["n_dupes"]) == len(g)
-
-
-def test_cooccurrence_pmi_vs_brute_force():
-    import re
-
-    from research_knowledge_graph_ray.pipelines import kgflat
-
-    d = pq.read_table(f"{SF}/documents.parquet",
-                      columns=["doc_id", "text"]).to_pandas()
-    pat = re.compile(kgflat.TERM_PATTERN)
-    doc_terms = {int(r.doc_id): set(pat.findall(r.text.lower()))
-                 for r in d.itertuples()}
-    n_total = len(d)
-    from collections import Counter
-    tc = Counter()
-    pc_ = Counter()
-    for terms in doc_terms.values():
-        for t in terms:
-            tc[t] += 1
-        ts = sorted(terms)
-        for i in range(len(ts)):
-            for j in range(i + 1, len(ts)):
-                pc_[(ts[i], ts[j])] += 1
-    got = kgflat.cooccurrence_pmi(SF)
-    assert len(got) == len(pc_)
-    for _, r in got.iterrows():
-        a, b = r["term_a"], r["term_b"]
-        assert int(r["n_ab"]) == pc_[(a, b)]
-        assert int(r["n_a"]) == tc[a] and int(r["n_b"]) == tc[b]
-        assert int(r["lift_e9"]) == pc_[(a, b)] * n_total * 10**9 // (tc[a] * tc[b])
-
-
-def test_customer_balance_zscore_vs_brute_force():
-    import math
-
-    from research_knowledge_graph_ray.stages import stats
-
-    c = pq.read_table(f"{SF}/customer.parquet",
-                      columns=["c_custkey", "c_nationkey", "c_acctbal"]).to_pandas()
-    c["x"] = np.rint(c["c_acctbal"].to_numpy() * 100).astype(np.int64)
-    got = stats.customer_balance_zscore(SF).to_pandas().set_index("c_custkey")
-    assert len(got) == len(c)
-    for nat, g in c.groupby("c_nationkey"):
-        n, s, q = len(g), int(g["x"].sum()), int((g["x"].astype(object) ** 2).sum())
-        d = math.isqrt(n * q - s * s)
-        for _, r in g.iterrows():
-            num = (n * int(r["x"]) - s) * 10**6
-            want = num // d if num >= 0 else -((-num) // d)
-            assert int(got.loc[int(r["c_custkey"]), "z_e6"]) == want
-    # normalization sanity: per-group z sums to ~0 (|Σz| < n due to truncation)
-    sums = got.groupby("c_nationkey")["z_e6"].sum().abs()
-    cnt = got.groupby("c_nationkey").size()
-    assert (sums <= cnt * 10**6).all()
-
-
-def test_event_transitions_vs_brute_force():
-    from collections import Counter
-
-    from research_knowledge_graph_ray.pipelines import windows
-
-    ev = pq.read_table(f"{SF}/events.parquet",
-                       columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
-    ev = ev.sort_values(["user_id", "ts", "event_id"])
-    want = Counter()
-    for _, g in ev.groupby("user_id"):
-        prev = "<start>"
-        for t in g["event_type"]:
-            want[(prev, t)] += 1
-            prev = t
-    got = windows.event_transitions(SF)
-    assert len(got) == len(want)
-    for _, r in got.iterrows():
-        assert int(r["n"]) == want[(r["prev_type"], r["next_type"])]
-    # conservation: total transitions == total events
-    assert int(got["n"].sum()) == len(ev)
-
-
-def test_top_terms_per_source_vs_brute_force():
-    import re
-
-    from research_knowledge_graph_ray.pipelines import kgflat
-
-    d = pq.read_table(f"{SF}/documents.parquet",
-                      columns=["doc_id", "source", "text"]).to_pandas()
-    pat = re.compile(kgflat.TERM_PATTERN)
-    from collections import Counter
-    cnt = Counter()
-    for r in d.itertuples():
-        for t in set(pat.findall(r.text.lower())):
-            cnt[(r.source, t)] += 1
-    got = kgflat.top_terms_per_source(SF).to_pandas()
-    for src in d["source"].unique():
-        rows = got[got["source"] == src].sort_values("rnk")
-        ranked = sorted(((-n, t) for (s, t), n in cnt.items() if s == src))[:3]
-        assert [(r["term"], int(r["n_docs"])) for _, r in rows.iterrows()] == \
-            [(t, -negn) for negn, t in ranked]
-        assert list(rows["rnk"]) == [1, 2, 3]
-
-
-def test_revenue_share_by_nation_sums_to_one():
-    from research_knowledge_graph_ray.pipelines import relational
-
-    got = relational.revenue_share_by_nation(SF)
-    total = int(got["revenue_cents"].sum())
-    for _, r in got.iterrows():
-        assert int(r["share_e9"]) == int(r["revenue_cents"]) * 10**9 // total
-    # shares sum to 1e9 up to truncation loss < n_groups
-    s = int(got["share_e9"].sum())
-    assert 10**9 - len(got) < s <= 10**9
-
-
-def test_revenue_by_balance_decile_vs_brute_force():
-    c = pq.read_table(f"{SF}/customer.parquet",
-                      columns=["c_custkey", "c_acctbal"]).to_pandas()
-    o = pq.read_table(f"{SF}/orders.parquet",
-                      columns=["o_custkey", "o_totalprice"]).to_pandas()
-    thr = [np.sort(c["c_acctbal"].to_numpy())[
-        max(1, int(np.ceil(q * len(c)))) - 1] for q in
-        [i / 10 for i in range(1, 10)]]
-    c["decile"] = 1 + sum((c["c_acctbal"] > t).astype(int) for t in thr)
-    o = o.merge(c[["c_custkey", "decile"]], left_on="o_custkey",
-                right_on="c_custkey")
-    o["cents"] = np.rint(o["o_totalprice"].to_numpy() * 100).astype(np.int64)
-    want = o.groupby("decile").agg(n_orders=("cents", "size"),
-                                   revenue_cents=("cents", "sum"))
-    got = relational.revenue_by_balance_decile(SF).set_index("decile")
-    assert got["n_orders"].to_dict() == want["n_orders"].to_dict()
-    assert got["revenue_cents"].to_dict() == want["revenue_cents"].to_dict()
-    assert len(got) >= 8  # deciles materially populated
-
-
-def test_user_activity_segments_vs_brute_force():
-    ev = pq.read_table(f"{SF}/events.parquet",
-                       columns=["user_id", "ts"]).to_pandas()
-    ev["d"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY_US
-    days = ev.drop_duplicates(["user_id", "d"]).groupby("user_id").size()
-
-    def seg(n):
-        return "<=24" if n <= 24 else "25-26" if n <= 26 else \
-            "27-28" if n <= 28 else "29+"
-
-    want = days.map(seg).value_counts().to_dict()
-    got = windows.user_activity_segments(SF).set_index("segment")["n_users"]
-    assert got.to_dict() == want
-    assert len(got) >= 2  # non-degenerate bucketing at this scale
-
-
-def test_fk_integrity_detects_planted_orphans(tmp_path):
-    import pyarrow as pa
-    import pyarrow.parquet as pqw
-
-    from research_knowledge_graph_ray.stages import stats
-
-    d = str(tmp_path)
-    # child tables referencing parents, with planted orphans
-    pqw.write_table(pa.table({"o_orderkey": [1, 2, 3],
-                              "o_custkey": [10, 10, 99]}), f"{d}/orders.parquet")
-    pqw.write_table(pa.table({"c_custkey": [10, 11]}), f"{d}/customer.parquet")
-    pqw.write_table(pa.table({"l_orderkey": [1, 1, 2, 7, 7, 8],
-                              "l_partkey": [100, 101, 100, 100, 101, 200],
-                              "l_suppkey": [5, 5, 5, 5, 5, 6]}),
-                    f"{d}/lineitem.parquet")
-    pqw.write_table(pa.table({"p_partkey": [100, 101]}), f"{d}/part.parquet")
-    pqw.write_table(pa.table({"s_suppkey": [5]}), f"{d}/supplier.parquet")
-    got = stats.fk_integrity(d).set_index("relation")
-    r = got.loc["lineitem.l_orderkey->orders"]
-    assert (int(r["n_rows"]), int(r["n_keys"]),
-            int(r["orphan_rows"]), int(r["orphan_keys"])) == (6, 4, 3, 2)
-    r = got.loc["lineitem.l_partkey->part"]
-    assert (int(r["orphan_rows"]), int(r["orphan_keys"])) == (1, 1)
-    r = got.loc["lineitem.l_suppkey->supplier"]
-    assert (int(r["orphan_rows"]), int(r["orphan_keys"])) == (1, 1)
-    r = got.loc["orders.o_custkey->customer"]
-    assert (int(r["orphan_rows"]), int(r["orphan_keys"])) == (1, 1)
-
-
-def test_fk_integrity_clean_on_testdata():
-    from research_knowledge_graph_ray.stages import stats
-
-    got = stats.fk_integrity(SF)
-    assert (got["orphan_rows"] == 0).all() and (got["orphan_keys"] == 0).all()
-    assert (got["n_rows"] > 0).all()
-
-
-def test_daily_type_corr_vs_numpy():
-    from research_knowledge_graph_ray.stages import stats
-
-    ev = pq.read_table(f"{SF}/events.parquet",
-                       columns=["ts", "event_type"]).to_pandas()
-    ev["d"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) // DAY_US
-    days = ev.groupby("d").agg(
-        x=("event_type", lambda s: int((s == "click").sum())),
-        y=("event_type", lambda s: int((s == "purchase").sum())))
-    r = np.corrcoef(days["x"], days["y"])[0, 1]
-    got = stats.daily_type_corr(SF)
-    assert int(got["n_days"].iloc[0]) == len(days)
-    assert abs(int(got["corr_e9"].iloc[0]) / 1e9 - r) < 1e-6
-
-
-def _cdc_brute(text, win=8, mod=61):
-    codes = text.encode()
-    bounds = []
-    for i in range(win - 1, len(codes)):
-        if sum(codes[i - win + 1:i + 1]) % mod == 0:
-            bounds.append(i + 1)
-    chunks, prev = [], 0
-    for b in bounds:
-        chunks.append(text[prev:b])
-        prev = b
-    if prev < len(text):
-        chunks.append(text[prev:])
-    return chunks
-
-
-def test_cdc_chunk_dedup_vs_brute_force():
-    import hashlib
-    from collections import Counter
-
-    from research_knowledge_graph_ray.stages import dedup
-
-    d = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
-    cnt = Counter()
-    size = {}
-    for t in d["text"]:
-        for ch in _cdc_brute(t):
-            h = hashlib.md5(ch.encode()).hexdigest()
-            cnt[h] += 1
-            size[h] = len(ch)
-    got = dedup.cdc_chunk_dedup(SF).iloc[0]
-    assert int(got["n_chunks"]) == sum(cnt.values())
-    assert int(got["n_distinct"]) == len(cnt)
-    assert int(got["dup_bytes"]) == sum((c - 1) * size[h] for h, c in cnt.items())
-
-
-def test_cdc_chunking_is_content_defined():
-    # the same long substring embedded at DIFFERENT offsets in two documents
-    # must still produce shared chunks — the property fixed-size blocks lack
-    import pyarrow as pa
-
-    from research_knowledge_graph_ray.stages.dedup import _cdc_chunks
-
-    core = "the quick brown fox jumps over the lazy dog " * 8
-    a = "PREFIX-A " + core + " SUFFIX-A"
-    b = "a totally different and longer prefix here 123 " + core + " other tail"
-    df = _cdc_chunks(pa.chunked_array([pa.array([a, b])]))
-    # chunk multiset: shared chunks appear with count 2
-    dup = df.groupby("h").size()
-    assert (dup >= 2).any()
-    # and chunking is deterministic
-    df2 = _cdc_chunks(pa.chunked_array([pa.array([a, b])]))
-    assert sorted(df["h"]) == sorted(df2["h"])
-
-
-def test_events_debounced_vs_brute_force():
-    ev = pq.read_table(f"{SF}/events.parquet",
-                       columns=["user_id", "ts", "event_id", "event_type"]).to_pandas()
-    ev["t"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    ev = ev.sort_values(["user_id", "event_type", "t", "event_id"])
-    want_total, want_drop = {}, {}
-    for (_, et), g in ev.groupby(["user_id", "event_type"]):
-        ts = g["t"].tolist()
-        want_total[et] = want_total.get(et, 0) + len(ts)
-        for a, b in zip(ts, ts[1:]):
-            if b - a <= 21_600 * 1_000_000:
-                want_drop[et] = want_drop.get(et, 0) + 1
-    got = windows.events_debounced(SF).set_index("event_type")
-    for et in want_total:
-        assert int(got.loc[et, "n_total"]) == want_total[et]
-        assert int(got.loc[et, "n_dropped"]) == want_drop.get(et, 0)
-    assert int(got["n_dropped"].sum()) > 0  # rule fires at this scale
-
-
-def test_linear_attribution_conserves_and_matches_brute_force():
-    W = 7 * 86_400_000_000
-    ev = pq.read_table(f"{SF}/events.parquet",
-                       columns=["event_id", "user_id", "ts", "event_type",
-                                "value"]).to_pandas()
-    ev["t"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-    ev["cents"] = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
-    want = {}
-    attributable_total = 0
-    for uid, g in ev.groupby("user_id"):
-        clicks = g[g["event_type"] == "click"].sort_values(["t", "event_id"])
-        for _, p in g[g["event_type"] == "purchase"].iterrows():
-            win = clicks[(clicks["t"] <= p["t"]) & (clicks["t"] > p["t"] - W)]
-            n = len(win)
-            if n == 0:
-                continue
-            attributable_total += int(p["cents"])
-            share, rem = int(p["cents"]) // n, int(p["cents"]) % n
-            for j, (_, c) in enumerate(win.iterrows()):
-                want[int(c["event_id"])] = want.get(int(c["event_id"]), 0) + \
-                    share + (rem if j == 0 else 0)
-    got = windows.linear_attribution(SF)
-    assert got.set_index("click_event_id")["attributed_cents"].to_dict() == want
-    # exact conservation: every attributable cent lands on exactly one click
-    assert int(got["attributed_cents"].sum()) == attributable_total
-
-
-def test_auto_hash_join_dispatch_and_parity(ray_session):
-    import ray.data
-
-    from research_knowledge_graph_ray.stages.join import (auto_hash_join,
-                                                          probe_key_skew)
-
-    # uniform keys → plain plan
-    left_u = ray.data.from_items([{"k": i % 50, "v": i} for i in range(2000)])
-    right = ray.data.from_items([{"rk": i, "name": f"n{i}"} for i in range(50)])
-    j, plan = auto_hash_join(left_u, right, "k", "rk", ["k", "v"], ["rk", "name"])
-    assert plan["strategy"] == "plain"
-    assert j.count() == 2000
-    # one hot key holding 60% of rows → salted plan, identical result set
-    rows = [{"k": 7, "v": i} for i in range(1200)] + \
-           [{"k": i % 50, "v": 10_000 + i} for i in range(800)]
-    left_h = ray.data.from_items(rows)
-    probe = probe_key_skew(left_h.select_columns(["k"]), "k")
-    assert probe["skew_e9"] >= 4 * 10**9
-    j2, plan2 = auto_hash_join(left_h, right, "k", "rk", ["k", "v"], ["rk", "name"])
-    assert plan2["strategy"] == "salted"
-    got = j2.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
-    from research_knowledge_graph_ray.stages.join import hash_join
-    want = (hash_join(left_h, right, "k", "rk", ["k", "v"], ["rk", "name"])
-            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
-    pd.testing.assert_frame_equal(got[["k", "v", "name"]],
-                                  want[["k", "v", "name"]], check_dtype=False)
-
-
-def test_jsonl_round_trip(ray_session, tmp_path):
-    import ray.data
-
-    from research_knowledge_graph_ray.sources.files import (read_jsonl,
-                                                            write_jsonl)
-
-    src = ray.data.read_parquet(f"{SF}/documents.parquet",
-                                columns=["doc_id", "lang", "n_chars"])
-    out = str(tmp_path / "docs_jsonl")
-    write_jsonl(src, out)
-    import os
-    files = [f for f in os.listdir(out)]
-    assert len(files) >= 1 and all(f.endswith(".json") or ".json" in f for f in files)
-    back = read_jsonl(out, columns=["doc_id", "lang", "n_chars"]).to_pandas()
-    want = src.to_pandas()
-    back = back.sort_values("doc_id").reset_index(drop=True)
-    want = want.sort_values("doc_id").reset_index(drop=True)
-    pd.testing.assert_frame_equal(back[sorted(back.columns)],
-                                  want[sorted(want.columns)], check_dtype=False)
-
-
-def test_personalized_pagerank_vs_numpy_power_iteration():
-    from research_knowledge_graph_ray.stages import graphalgs
-
-    li = pq.read_table(f"{SF}/lineitem.parquet",
-                       columns=["l_suppkey", "l_partkey"]).to_pandas()
-    e = (li.assign(dst=li["l_partkey"].astype(np.int64) + 10_000_000)
-         .rename(columns={"l_suppkey": "src"})[["src", "dst"]]
-         .drop_duplicates())
-    nodes = sorted(set(e["src"]) | set(e["dst"]))
-    idx = {n: i for i, n in enumerate(nodes)}
-    deg = e.groupby("src").size().to_dict()
-    seeds = [1, 2, 3]
-    base = np.zeros(len(nodes))
-    r = np.zeros(len(nodes))
-    for s in seeds:
-        base[idx[s]] = 0.15 / 3
-        r[idx[s]] = 1.0 / 3
-    for _ in range(5):
-        m = np.zeros(len(nodes))
-        for s, d in zip(e["src"], e["dst"]):
-            m[idx[d]] += r[idx[s]] / deg[s]
-        r = base + 0.85 * m
-    got = graphalgs.personalized_pagerank(SF).to_pandas().set_index("node")
-    assert len(got) == len(nodes)
-    for n in nodes:
-        # independent float path: agree to 1e-6 relative (e9 ints vs numpy)
-        assert abs(got.loc[n, "rank_e9"] / 1e9 - r[idx[n]]) < 1e-6
-    # seeds dominate their own neighborhood: every seed outranks all parts
-    part_max = got[got.index >= 10_000_000]["rank_e9"].max()
-    assert all(got.loc[s, "rank_e9"] > 0 for s in seeds)
-    # mass is concentrated: non-seed suppliers get 0 teleport, rank ≈ 0 at
-    # iteration parity (bipartite graph: odd hops land on parts)
-    nonseed_supp = [n for n in nodes if n < 10_000_000 and n not in seeds]
-    assert got.loc[nonseed_supp, "rank_e9"].sum() <= part_max * len(nonseed_supp)
-
-
-def test_sorted_layout_and_zone_pruned_read(ray_session, tmp_path):
-    import os
-
-    import ray.data
-
-    from research_knowledge_graph_ray.stages.layout import (pruned_files,
-                                                            read_pruned,
-                                                            write_sorted)
-
-    src = ray.data.read_parquet(f"{SF}/orders.parquet",
-                                columns=["o_orderkey", "o_totalprice"])
-    out = str(tmp_path / "orders_sorted")
-    manifest = write_sorted(src, "o_totalprice", out, n_files=8)
-    zones = manifest["zones"]
-    assert sum(z["rows"] for z in zones) == src.count()  # conservation
-    # zones are disjoint and ordered: each file's max ≤ next file's min
-    zs = sorted(zones, key=lambda z: z["zone"])
-    for a, b in zip(zs, zs[1:]):
-        assert a["max"] <= b["min"]
-    # each file is internally sorted and matches its manifest zone
-    for z in zs:
-        t = pq.read_table(os.path.join(out, z["file"])).to_pandas()
-        v = t["o_totalprice"].to_numpy()
-        assert (np.diff(v) >= 0).all()
-        assert v.min() == z["min"] and v.max() == z["max"]
-        assert len(t) == z["rows"]
-    # pruned read == full filter, and actually prunes files
-    full = src.to_pandas()
-    lo, hi = float(np.percentile(full["o_totalprice"], 40)), \
-        float(np.percentile(full["o_totalprice"], 60))
-    got = read_pruned(out, lo, hi).to_pandas()
-    want = full[(full["o_totalprice"] >= lo) & (full["o_totalprice"] <= hi)]
-    assert sorted(got["o_orderkey"]) == sorted(want["o_orderkey"])
-    hit, total = pruned_files(out, lo, hi)
-    assert hit < total  # the zone map skipped files
-
-
-def test_hourly_anomalies_vs_brute_force():
-    from research_knowledge_graph_ray.stages import stats
-
-    ev = pq.read_table(f"{SF}/events.parquet",
-                       columns=["event_type", "ts"]).to_pandas()
-    ev["h"] = ev["ts"].to_numpy().astype("datetime64[us]").astype(np.int64) \
-        // 3_600_000_000
-    want = set()
-    for et, g in ev.groupby("event_type"):
-        cs = g.groupby("h").size()
-        n, s, q = len(cs), int(cs.sum()), int((cs.astype(object) ** 2).sum())
-        d = n * q - s * s
-        for h, c in cs.items():
-            if (n * int(c) - s) ** 2 > 9 * d:
-                want.add((et, int(h), int(c)))
-    got = stats.hourly_anomalies(SF)
-    assert {(r["event_type"], int(r["h"]), int(r["cnt"]))
-            for _, r in got.iterrows()} == want
-    assert len(want) > 0  # the detector fires at this scale
+    out = doc_logprob(whitespace_corpus).to_pandas()
+    assert set(out["doc_id"]) == {0, 1, 2, 3}
+    assert out.set_index("doc_id").loc[2, "n_tokens"] == 3
+    # every log-prob is negative, so the sums must be too
+    assert (out["sum_logp_e9"] < 0).all()
