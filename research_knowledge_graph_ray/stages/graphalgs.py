@@ -694,56 +694,123 @@ GROUP BY sym.u"""
     return head + "," + ",".join(steps) + tail
 
 
-def sssp(sf_dir: str, max_rounds: int = 10) -> pd.DataFrame:
-    """(node, dist) — single-source shortest paths (Bellman-Ford layers) on
-    the weight-sparsified supplier–part graph from the smallest supplier
-    key, edge cost = the pair's min quantity.
+@ray.remote
+def _sssp_scatter(edges_tab, frontier_tab, n_buckets: int):
+    """One relaxation round, scatter side: join the pinned edge bucket with
+    its co-partitioned FRONTIER (nodes improved last round only), emit
+    (v, nd=d+w) candidates pre-minned per v and split by v bucket."""
+    import pyarrow as pa
 
-    Synchronous relaxation as a distributed dataflow: each round broadcasts
-    the catalog-bound distance map (ray.put), streams one pass over the
-    static edge set emitting relaxed candidates, and reduces per-node mins
-    through one exchange; the driver folds the node-catalog-bound result
-    into the next round's map. At corpus-sized node sets the distance table
-    would hash-join the edge set on ``u`` instead of broadcasting (frontier
-    join). Runs to FIXPOINT and raises past ``max_rounds``, making
-    :func:`sssp_sql`'s fixed iteration count exact."""
+    from .shuffle import _split_by_bucket
+
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "nd": pa.array([], pa.int64())})
+    if (edges_tab.num_rows == 0 or frontier_tab.num_rows == 0
+            or frontier_tab.num_columns == 0):
+        return tuple([empty] * n_buckets) if n_buckets > 1 else empty
+    e = edges_tab.to_pandas()
+    f = frontier_tab.to_pandas()
+    j = e.merge(f, left_on="u", right_on="node", how="inner", sort=False)
+    if j.empty:
+        return tuple([empty] * n_buckets) if n_buckets > 1 else empty
+    out = (pd.DataFrame({"v": j["v"].astype(np.int64),
+                         "nd": (j["d"].to_numpy(np.int64)
+                                + j["w"].to_numpy(np.int64))})
+           .groupby("v", as_index=False).agg(nd=("nd", "min")))
+    pieces = _split_by_bucket(pa.Table.from_pandas(out, preserve_index=False),
+                              ["v"], n_buckets)
+    return tuple(pieces) if n_buckets > 1 else pieces[0]
+
+
+@ray.remote(num_returns=3)
+def _sssp_gather(dist_tab, *pieces):
+    """One relaxation round, gather side: min-merge this bucket's incoming
+    candidates into its distance slice. Returns (new_dist, new_frontier,
+    n_improved) — the scalar count is all the driver ever reads."""
+    import pyarrow as pa
+
+    d = (dist_tab.to_pandas() if dist_tab.num_columns
+         else pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                            "d": pd.Series(dtype=np.int64)}))
+    valid = [p for p in pieces if p.num_columns > 0 and p.num_rows > 0]
+    empty_f = pa.table({"node": pa.array([], pa.int64()),
+                        "d": pa.array([], pa.int64())})
+    if not valid:
+        return (pa.Table.from_pandas(d, preserve_index=False), empty_f, 0)
+    cand = (pa.concat_tables(valid).to_pandas()
+            .groupby("v", as_index=False).agg(nd=("nd", "min"))
+            .rename(columns={"v": "node"}))
+    m = d.merge(cand, on="node", how="outer", sort=False)
+    old = m["d"].to_numpy(np.float64)   # NaN where unseen
+    new = m["nd"].to_numpy(np.float64)  # NaN where no candidate
+    better = ~np.isnan(new) & (np.isnan(old) | (new < old))
+    m["d"] = np.where(better, new, old).astype(np.int64)
+    front = m[better][["node", "d"]].astype({"node": np.int64, "d": np.int64})
+    dist = m[["node", "d"]].astype({"node": np.int64, "d": np.int64})
+    return (pa.Table.from_pandas(dist, preserve_index=False),
+            pa.Table.from_pandas(front, preserve_index=False),
+            int(better.sum()))
+
+
+def sssp_ds(sym: "ray.data.Dataset", src: int, max_rounds: int = 10,
+            n_buckets: int = 8) -> "ray.data.Dataset":
+    """(node, dist) — single-source shortest paths over a symmetric weighted
+    edge Dataset ``(u, v, w)`` as a pinned-partition FRONTIER JOIN (the same
+    Pregel shape as :func:`pagerank`): the edge set is hash-bucketed by ``u``
+    once and never moves again; distances live as co-partitioned per-bucket
+    slices in the object store; each round scatters only the FRONTIER (nodes
+    improved last round) through a B×B exchange of pre-minned candidate
+    pieces and gathers per-bucket min-merges. The driver touches nothing but
+    B scalar improved-counts per round — no distance map, no node table, no
+    per-round broadcast — so the node set can exceed any driver-side bound.
+    Runs to FIXPOINT and raises past ``max_rounds``."""
+    from .shuffle import _split_by_bucket
+
+    ident = lambda t: t  # noqa: E731
+    e_bucketed = hash_exchange_apply(sym, ["u"], ident, ident,
+                                     n_buckets=n_buckets)
+    E = e_bucketed.to_arrow_refs()
+    n_buckets = len(E)  # degenerate inputs may yield fewer blocks
+
+    import pyarrow as pa
+    seed = pa.table({"node": pa.array([src], pa.int64()),
+                     "d": pa.array([0], pa.int64())})
+    seed_pieces = _split_by_bucket(seed, ["node"], n_buckets)
+    D = [ray.put(p) for p in seed_pieces]
+    F = list(D)
+
+    for _ in range(max_rounds):
+        cps = [
+            _sssp_scatter.options(num_returns=n_buckets).remote(
+                E[b], F[b], n_buckets)
+            for b in range(n_buckets)
+        ]
+        if n_buckets == 1:
+            cps = [[c] for c in cps]
+        outs = [
+            _sssp_gather.remote(D[b], *[cps[s][b] for s in range(n_buckets)])
+            for b in range(n_buckets)
+        ]
+        D = [o[0] for o in outs]
+        F = [o[1] for o in outs]
+        if sum(ray.get([o[2] for o in outs])) == 0:  # scalar-only fixpoint
+            return ray.data.from_arrow_refs(D)
+    raise RuntimeError(f"sssp did not reach fixpoint in {max_rounds} rounds")
+
+
+def sssp(sf_dir: str, max_rounds: int = 10) -> pd.DataFrame:
+    """(node, dist) — SSSP (Bellman-Ford layers) on the weight-sparsified
+    supplier–part graph from the smallest supplier key, edge cost = the
+    pair's min quantity. Thin wrapper over the distributed frontier-join
+    core (:func:`sssp_ds`); only the node-catalog-bound RESULT lands on the
+    driver, sorted for the oracle compare."""
     edges = _sp_weighted_edges(sf_dir)
     src = int(edges.min("src"))
-    sym = _symmetrize(edges).materialize()
-    dist: dict[int, int] = {src: 0}
-    for _ in range(max_rounds):
-        dist_ref = ray.put(dist)
-
-        def relax(df: pd.DataFrame) -> pd.DataFrame:
-            d = ray.get(dist_ref)
-            du = df["u"].map(d)
-            hit = du.notna().to_numpy()
-            if not hit.any():
-                return pd.DataFrame({"v": pd.Series(dtype=np.int64),
-                                     "nd": pd.Series(dtype=np.int64)})
-            out = pd.DataFrame(
-                {
-                    "v": df["v"].to_numpy(np.int64)[hit],
-                    "nd": (du.to_numpy(np.float64)[hit]
-                           + df["w"].to_numpy(np.int64)[hit]).astype(np.int64),
-                }
-            )
-            return out.groupby("v", as_index=False).agg(nd=("nd", "min"))
-
-        def fin(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("v", as_index=False).agg(nd=("nd", "min"))
-
-        best = bucketed_group_apply(sym, ["v"], relax, fin).to_pandas()
-        changed = False
-        for v, nd in zip(best["v"].astype(np.int64), best["nd"].astype(np.int64)):
-            v, nd = int(v), int(nd)
-            if v not in dist or nd < dist[v]:
-                dist[v] = nd
-                changed = True
-        if not changed:
-            out = pd.DataFrame(sorted(dist.items()), columns=["node", "dist"])
-            return out.astype({"node": np.int64, "dist": np.int64})
-    raise RuntimeError(f"sssp did not reach fixpoint in {max_rounds} rounds")
+    sym = _symmetrize(edges)
+    out = sssp_ds(sym, src, max_rounds=max_rounds).to_pandas()
+    out = out.rename(columns={"d": "dist"}).astype(
+        {"node": np.int64, "dist": np.int64})
+    return out.sort_values("node").reset_index(drop=True)
 
 
 def sssp_sql(iters: int = 10) -> str:

@@ -102,6 +102,33 @@ def test_curate_neardup_dropped_canonical_does_not_suppress(tmp_path,
     assert rep["n_quality_drop"] >= 1
 
 
+def test_sssp_frontier_join_large_node_set(ray_session):
+    """SSSP on a 100k-node tree — a node set well past any per-round
+    driver-side distance map one would accept. The frontier-join core keeps
+    distances as co-partitioned object-store slices; the driver reads only
+    scalar improved-counts. Distances on a unit-weight tree are exactly the
+    node depths."""
+    import ray.data
+    from research_knowledge_graph_ray.stages.graphalgs import sssp_ds
+
+    n, branch = 100_000, 10
+    child = np.arange(1, n, dtype=np.int64)
+    parent = (child - 1) // branch
+    edges = pd.DataFrame({
+        "u": np.concatenate([parent, child]),
+        "v": np.concatenate([child, parent]),
+        "w": np.ones(2 * (n - 1), dtype=np.int64),
+    })
+    sym = ray.data.from_pandas(edges).repartition(8)
+    out = sssp_ds(sym, src=0, max_rounds=12).to_pandas()
+    assert len(out) == n
+    depth = np.zeros(n, dtype=np.int64)
+    for i in range(1, n):
+        depth[i] = depth[(i - 1) // branch] + 1
+    got = out.sort_values("node")["d"].to_numpy(np.int64)
+    assert (got == depth).all()
+
+
 def test_dsir_weights_survives_whitespace_runs(whitespace_corpus):
     from research_knowledge_graph_ray.stages.textops import dsir_weights
 
