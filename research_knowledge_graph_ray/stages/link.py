@@ -222,11 +222,15 @@ def knn_neighbor_pairs(
     """
     import ray as _ray
 
-    head = embeddings.limit(n_centroids).to_pandas()
-    cents = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
-    norms = np.linalg.norm(cents, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    cents = cents / norms
+    from .similarity import kmeans_centroids
+
+    # pinned: the embedding table feeds the centroid passes AND the assign
+    # scan — without materializing, Ray lineage recomputes the upstream
+    # embedder per consumer
+    embeddings = embeddings.materialize()
+    # content-hash-sampled + Lloyd-refined coarse quantizer (first-N rows
+    # degenerate on sorted/clustered corpora: one hot bucket ≈ brute force)
+    cents = kmeans_centroids(embeddings, k=n_centroids, iters=2)
     n_c = len(cents)
     probe_n = n_c if nprobe is None else min(nprobe, n_c)
     c_ref = _ray.put(cents)

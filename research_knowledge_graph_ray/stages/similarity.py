@@ -30,8 +30,13 @@ def _batch_vecs(batch: pa.Table) -> np.ndarray:
     emb = batch["embedding"]
     if isinstance(emb, pa.ChunkedArray):
         emb = emb.combine_chunks()
-    flat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False), dtype=np.float64)
-    return flat.reshape(batch.num_rows, -1)
+    if (pa.types.is_list(emb.type) or pa.types.is_large_list(emb.type)
+            or pa.types.is_fixed_size_list(emb.type)):
+        flat = np.asarray(emb.flatten().to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        return flat.reshape(batch.num_rows, -1)
+    # Ray tensor extension array (in-pipeline embedder output)
+    return np.asarray(emb.to_numpy(zero_copy_only=False), dtype=np.float64)
 
 
 def knn_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> "ray.data.Dataset":
@@ -68,17 +73,38 @@ def knn_topk(sf_dir: str, query_vec_id: int = 0, k: int = 10) -> "ray.data.Datas
     return scored.sort(["sim_e6", "vec_id"], descending=[True, False]).limit(k)
 
 
+def hash_sample_vectors(ds: "ray.data.Dataset", k: int) -> np.ndarray:
+    """Deterministic content-hash sample of ``k`` vectors from an
+    ``embedding`` column: each block keeps its k smallest md5(vector-bytes)
+    rows, the driver merges the tiny partials. Hashing the CONTENT (not the
+    row position) spreads the sample uniformly even when the table is sorted
+    or clustered — the failure mode of first-N initialization, where every
+    seed lands in one cluster and one IVF bucket degenerates to brute force."""
+    import hashlib
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        vecs = _batch_vecs(batch)
+        keys = [hashlib.md5(row.tobytes()).hexdigest()[:16] for row in vecs]
+        df = pd.DataFrame({"hkey": keys, "v": [row.tobytes() for row in vecs]})
+        return df.sort_values("hkey").head(k)
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    sel = parts.sort_values("hkey").drop_duplicates("hkey").head(k)
+    return np.stack([np.frombuffer(b, np.float64) for b in sel["v"]])
+
+
 def kmeans_centroids(
     ds: "ray.data.Dataset", k: int = 16, iters: int = 5,
 ) -> np.ndarray:
     """Distributed Lloyd's k-means over an ``embedding`` column (the
-    production coarse quantizer for IVF). Deterministic: init = first ``k``
-    vectors, unit-normalized. Each iteration broadcasts the (tiny) centroid
-    matrix, computes per-batch partial (sum, count) per centroid with one
-    matmul, and reduces the k×(dim+1) partials on the driver — the classic
+    production coarse quantizer for IVF). Deterministic: init = content-hash
+    sample (:func:`hash_sample_vectors` — robust to sorted/clustered input),
+    unit-normalized. Each iteration broadcasts the (tiny) centroid matrix,
+    computes per-batch partial (sum, count) per centroid with one matmul,
+    and reduces the k×(dim+1) partials on the driver — the classic
     broadcast-partials pattern; no shuffle, data never leaves its blocks."""
-    head = ds.limit(k).to_pandas()
-    cents = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    cents = hash_sample_vectors(ds, k)
     n = np.linalg.norm(cents, axis=1, keepdims=True)
     n[n == 0] = 1.0
     cents = cents / n
@@ -120,16 +146,18 @@ def kmeans_centroids(
 
 def knn_topk_ivf(
     sf_dir: str, query_vec_id: int = 0, k: int = 10,
-    n_centroids: int = 16, nprobe: int = 4, centroid_mode: str = "head",
-    kmeans_iters: int = 5,
+    n_centroids: int = 16, nprobe: int = 4, centroid_mode: str = "kmeans",
+    kmeans_iters: int = 3,
 ) -> "ray.data.Dataset":
     """Approximate IVF top-k: vectors bucketed to their nearest centroid;
     only the query's ``nprobe`` nearest buckets are scanned.
 
-    ``centroid_mode="head"`` uses the first ``n_centroids`` stored vectors as
-    the deterministic coarse quantizer (cheap default); ``"kmeans"`` trains
-    :func:`kmeans_centroids` (the production path — better-balanced buckets
-    at the cost of ``iters`` passes over the embeddings).
+    ``centroid_mode="kmeans"`` (default — the production path) trains
+    :func:`kmeans_centroids`: content-hash-sampled init + ``kmeans_iters``
+    Lloyd passes, giving balanced buckets even on sorted/clustered tables;
+    ``"head"`` keeps the first ``n_centroids`` stored vectors as a cheap
+    quantizer for comparison (degenerates on clustered data — pinned by
+    ``test_ivf_kmeans_beats_head_on_clustered``).
 
     At cluster scale the centroid matrix is broadcast and the non-probed
     buckets are pruned before any distance work. With ``nprobe ==
@@ -255,6 +283,7 @@ def knn_join(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
 
 def knn_join_ivf(
     sf_dir: str, k: int = 3, n_centroids: int = 16, nprobe: int = 16,
+    centroid_mode: str = "kmeans", kmeans_iters: int = 3,
 ) -> "ray.data.Dataset":
     """(vec_id, nn_id, nn_rank, sim_e6) — the DISTRIBUTED kNN self-join: IVF
     bucketing with nprobe probing, no broadcast of the build side.
@@ -271,12 +300,17 @@ def knn_join_ivf(
     pruned candidate set — pinned by pytest against the brute join."""
     from .shuffle import bucketed_group_apply
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
-    head = t.slice(0, n_centroids)
-    cents = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in head["embedding"].to_pylist()])
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    emb_ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+    if centroid_mode == "kmeans":
+        cents = kmeans_centroids(emb_ds, k=n_centroids, iters=kmeans_iters)
+    else:
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+        head = t.slice(0, n_centroids)
+        cents = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in head["embedding"].to_pylist()])
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
     c_ref = ray.put(cents)
     nprobe = min(nprobe, n_centroids)
 
@@ -337,9 +371,8 @@ def knn_join_ivf(
         return pd.concat(out, ignore_index=True) if out else empty
 
     partials = bucketed_group_apply(
-        ray.data.read_parquet(
-            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-        ).map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True),
+        emb_ds.map_batches(fanout, batch_format="pyarrow",
+                           zero_copy_batch=True),
         ["bucket"],
         lambda df: df,
         bucket_knn,
