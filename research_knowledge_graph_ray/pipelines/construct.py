@@ -60,18 +60,25 @@ def extract_validated(
     concurrency=None,
     use_actor_pool: bool = False,
     with_meta: bool = False,
+    backend: str = "rule",
+    llm_transport=None,
+    llm_model: str = "det-extractor-v1",
 ) -> "ray.data.Dataset":
     """Extraction + validation, as one streamed sub-pipeline.
 
-    Two execution modes for the extraction stage:
+    Execution modes for the extraction stage:
 
     - ``use_actor_pool=False`` (default for the deterministic backend): a
       stateless task with a per-worker compiled-pattern cache, fused with
       validation into one map stage — runs on Ray's pre-started workers with
       zero actor cold-start.
-    - ``use_actor_pool=True``: the :class:`TripleExtractor` callable-class
-      actor pool — the mode a heavy-state (LLM/model) backend uses; state
-      builds once per actor in ``__init__``.
+    - ``use_actor_pool=True, backend="rule"``: the :class:`TripleExtractor`
+      callable-class actor pool — state builds once per actor in ``__init__``.
+    - ``use_actor_pool=True, backend="llm"``: the
+      :class:`~..stages.llm_client.LLMTripleExtractor` actor pool — the
+      production LLM shape: rate-limited async client per actor, pluggable
+      ``llm_transport`` (deterministic in tests), per-document quarantine
+      (``EXTRACTION_FAILED`` provenance rows) on transport failure.
     """
     if use_actor_pool:
         if concurrency is None:
@@ -80,9 +87,18 @@ def extract_validated(
 
             n_cpus = int(ray.cluster_resources().get("CPU", 4))
             concurrency = max(2, (3 * n_cpus) // 4)
+        if backend == "llm":
+            from ..stages.llm_client import LLMTripleExtractor
+
+            cls: type = LLMTripleExtractor
+            kwargs = {"vocab": vocab, "with_meta": with_meta,
+                      "model": llm_model, "transport": llm_transport}
+        else:
+            cls = TripleExtractor
+            kwargs = {"vocab": vocab, "with_meta": with_meta}
         records = docs.map_batches(
-            TripleExtractor,
-            fn_constructor_kwargs={"vocab": vocab, "with_meta": with_meta},
+            cls,
+            fn_constructor_kwargs=kwargs,
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
@@ -123,6 +139,8 @@ def build_graph(
     extract_batch_size: int = 256,
     extract_concurrency=None,
     extract_actor_pool: bool = False,
+    extract_backend: str = "rule",
+    extract_transport=None,
     embed_docs: bool = False,
     paper_node_attrs: bool = True,
     checkpoint_dir: str | None = None,
@@ -152,7 +170,8 @@ def build_graph(
             lambda d: extract_validated(
                 d, vocab=vocab, batch_size=extract_batch_size,
                 concurrency=extract_concurrency, use_actor_pool=extract_actor_pool,
-                with_meta=paper_node_attrs,
+                with_meta=paper_node_attrs, backend=extract_backend,
+                llm_transport=extract_transport,
             ),
             f"{checkpoint_dir}/validated",
             n_partitions=checkpoint_partitions,
@@ -162,7 +181,8 @@ def build_graph(
         validated = extract_validated(
             docs, vocab=vocab, batch_size=extract_batch_size,
             concurrency=extract_concurrency, use_actor_pool=extract_actor_pool,
-            with_meta=paper_node_attrs,
+            with_meta=paper_node_attrs, backend=extract_backend,
+            llm_transport=extract_transport,
         ).materialize()
 
     return finish_from_validated(

@@ -160,6 +160,67 @@ def test_ivf_kmeans_beats_head_on_clustered(tmp_path, ray_session):
     assert r_km >= 0.9    # and the kmeans path is actually good
 
 
+def test_llm_actor_pool_quarantines_poison(ray_session):
+    """Fault injection through the flagship: poisoned docs become
+    EXTRACTION_FAILED provenance rows, transiently-flaky docs succeed via
+    retry, and the graph over the surviving docs matches the rule-path graph
+    over the same corpus."""
+    import ray.data
+    from research_knowledge_graph_ray.pipelines.construct import build_graph
+    from research_knowledge_graph_ray.sources.corpus import generate_documents
+    from research_knowledge_graph_ray.stages.llm_client import (
+        FaultInjectionTransport)
+
+    table = generate_documents(24, seed=3)
+    all_ids = set(table["doc_id"].to_pylist())
+    poison = sorted(all_ids)[3:5]
+    flaky = sorted(all_ids)[7:9]
+
+    res = build_graph(
+        ray.data.from_arrow(table), entity_linking=False, link=True,
+        extract_actor_pool=True, extract_backend="llm",
+        extract_transport=FaultInjectionTransport(poison, flaky),
+        extract_concurrency=2, extract_batch_size=8,
+    )
+    from research_knowledge_graph_ray.functions.ids import paper_node_id
+
+    poison_ids = {paper_node_id(d) for d in poison}
+    edges = res.edges.to_pandas()
+    failed = edges[edges["edge_type"] == "EXTRACTION_FAILED"]
+    assert set(failed["src_id"]) == poison_ids  # quarantined, not fatal
+    assert (failed["confidence"] == 0.0).all()
+
+    # surviving graph == rule path over the SURVIVOR corpus (poisoned docs
+    # removed before extraction). Cross-doc inference depends on corpus-wide
+    # co-occurrence, so the reference must drop the docs, not filter edges.
+    # Flaky docs retried to success, so they must be present and identical.
+    import pyarrow.compute as pc
+
+    survivor = table.filter(
+        pc.invert(pc.is_in(table["doc_id"], pa.array(poison))))
+    ref = build_graph(ray.data.from_arrow(survivor), entity_linking=False,
+                      link=True)
+    key = lambda df: sorted(zip(df["src_id"], df["dst_id"], df["edge_type"]))
+    ok = edges[edges["edge_type"] != "EXTRACTION_FAILED"]
+    assert key(ok) == key(ref.edges.to_pandas())
+
+
+def test_llm_client_provider_routing_and_rpm():
+    from research_knowledge_graph_ray.stages.llm_client import (
+        RateLimitedLLMClient)
+
+    assert RateLimitedLLMClient(model="gpt-4o").provider == "openai"
+    assert RateLimitedLLMClient(model="o1-mini").provider == "openai"
+    assert RateLimitedLLMClient(model="llama-3-70b").provider == "together"
+    # rpm throttle admits exactly rpm calls without sleeping
+    import json as _json
+    c = RateLimitedLLMClient(requests_per_minute=1000, max_concurrency=4)
+    prompts = [_json.dumps({"doc_id": f"d{i}", "text": "NeRF uses DTU."})
+               for i in range(8)]
+    outs = c.complete_many(prompts)
+    assert all(not isinstance(o, Exception) for o in outs)
+
+
 def test_dsir_weights_survives_whitespace_runs(whitespace_corpus):
     from research_knowledge_graph_ray.stages.textops import dsir_weights
 
