@@ -97,6 +97,12 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
 
+APPROX_DISTINCT_GATED_SQL = """
+SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       CAST(1 AS INTEGER) AS hll_in_bound
+FROM orders
+"""
+
 PRICE_QUANTILES_SQL = """
 SELECT l_returnflag,
        percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS p50,
@@ -1005,9 +1011,12 @@ QUERIES: dict = {
     "graph_components": (graphalgs.components, GRAPH_COMPONENTS_SQL),
     # order statistics (stages/stats.py) — exact histogram rank-refinement
     "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
-    # approximate by construction (HLL sketch) — error bound pinned by
-    # tests/test_stats.py against the exact count
-    "approx_distinct_custkey": (stats.approx_distinct_custkey, None),
+    # HLL sketch, oracle-gated restatement: the Ray side computes the exact
+    # distinct distributedly AND certifies the deterministic HLL estimate
+    # sits within the documented ±500bp (~3 sigma at p=12) of it, so the SQL
+    # oracle can assert both columns exactly (the knn_topk_ivf precedent).
+    "approx_distinct_custkey": (stats.approx_distinct_custkey_gated,
+                                APPROX_DISTINCT_GATED_SQL),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
     # full-probe IVF config: exact by construction (knn_join_ivf contract),

@@ -187,6 +187,34 @@ def approx_distinct_custkey(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_approx": [int(round(hll_distinct(ds, "o_custkey")))]})
 
 
+# ~3-sigma relative error for HLL at p=12 (1.04/sqrt(4096) ≈ 1.6% per sigma),
+# in basis points — the bound the oracle-gated variant asserts as data.
+HLL_BOUND_BP = 500
+
+
+def approx_distinct_custkey_gated(sf_dir: str) -> pd.DataFrame:
+    """One row (n_exact, hll_in_bound) — the oracle-gatable restatement of the
+    HLL sketch (VERDICT r2 #7, the knn_topk_ivf precedent): n_exact is the
+    EXACT distinct count computed distributedly (key-only exchange: per-block
+    local uniques → grouped count, values never leave as rows), and
+    hll_in_bound certifies |HLL − exact| ≤ HLL_BOUND_BP/1e4 · exact. The
+    deterministic hash makes the estimate reproducible, so the gate is stable,
+    and DuckDB can restate both columns exactly."""
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    est = hll_distinct(ds, "o_custkey")
+
+    def local_unique(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"o_custkey": df["o_custkey"].unique()})
+
+    uniq = grouped_aggregate(
+        ds.map_batches(local_unique, batch_format="pandas"),
+        ["o_custkey"], local_unique, n_buckets=8)
+    n_exact = int(uniq.count())
+    in_bound = int(abs(est - n_exact) * 10_000 <= HLL_BOUND_BP * n_exact)
+    return pd.DataFrame({"n_exact": pd.array([n_exact], dtype="int64"),
+                         "hll_in_bound": pd.array([in_bound], dtype="int32")})
+
+
 # ---------------------------------------------------------------------------
 # Sufficient-statistics regression / correlation, grouped mode, histogram,
 # z-score outliers — dataset-profiling primitives for training-data curation.
