@@ -108,9 +108,14 @@ def run_bench() -> dict:
             out.count()
         timings[name] = round(time.perf_counter() - t, 3)
 
+    n_media_edges = 0
     if os.environ.get("GRAFT_BENCH_SUITE", "1") == "1":
         timed("kg_graph_edges", kgflat.graph_edges)
         timed("kg_cooccurrence", kgflat.cooccurrence)
+        # multimodal → KG: media inventory + caption-mention edges
+        t = time.perf_counter()
+        n_media_edges = int(kgflat.media_edges(SF_DIR).count())
+        timings["kg_media_edges"] = round(time.perf_counter() - t, 3)
         timed("q1_pricing_summary", relational.q1_pricing_summary)
         timed("revenue_by_nation", relational.revenue_by_nation)
         timed("top10_orders", relational.top10_orders)
@@ -182,6 +187,7 @@ def run_bench() -> dict:
         "kg_edges": n_edges,
         "kg_embeddings": n_emb,
         "neardup_docs": n_dup_docs,
+        "media_edges": n_media_edges,
         "docs_per_sec": round(KG_DOCS / headline, 2),
         "triples_per_sec": round(n_edges / headline, 2),
     }

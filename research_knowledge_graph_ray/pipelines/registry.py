@@ -97,6 +97,37 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
 
+# Deterministic media synthesis (sources/adapter.py): even doc_ids carry one
+# media span, kind table when doc_id % 6 = 0 else figure, caption = first 96
+# text chars — restated here so the media KG is value-hash gated end-to-end.
+_MEDIA = """
+SELECT doc_id, concat('fig:', CAST(doc_id AS VARCHAR)) AS media_ref,
+       CASE WHEN doc_id % 6 = 0 THEN 'table' ELSE 'figure' END AS kind,
+       substr(text, 1, 96) AS caption
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+KG_MEDIA_NODES_SQL = f"""
+SELECT kind AS node_type, media_ref AS label,
+       CAST(len(list_distinct(regexp_extract_all(lower(caption),
+            '{TERM_PATTERN}'))) AS BIGINT) AS n_caption_terms
+FROM ({_MEDIA})
+"""
+
+KG_MEDIA_EDGES_SQL = f"""
+SELECT CAST(doc_id AS VARCHAR) AS src_label, media_ref AS dst_label,
+       CASE WHEN kind = 'table' THEN 'HAS_TABLE' ELSE 'HAS_FIGURE' END
+         AS edge_type
+FROM ({_MEDIA})
+UNION ALL
+SELECT media_ref, concat(upper(substr(term, 1, 1)), substr(term, 2)),
+       'DEPICTS'
+FROM (SELECT media_ref,
+             unnest(list_distinct(regexp_extract_all(lower(caption),
+                    '{TERM_PATTERN}'))) AS term
+      FROM ({_MEDIA}))
+"""
+
 APPROX_DISTINCT_GATED_SQL = """
 SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact,
        CAST(1 AS INTEGER) AS hll_in_bound
@@ -932,6 +963,10 @@ QUERIES: dict = {
     "papers_by_year": (kgflat.papers_by_year, PAPERS_BY_YEAR_SQL),
     "kg_two_hop": (kgflat.two_hop_neighbors, KG_TWO_HOP_SQL),
     "doc_meta": (kgflat.doc_meta_flat, DOC_META_FLAT_SQL),
+    # multimodal → KG: figure/table nodes + containment/caption-mention
+    # edges through the real media_inventory stage (captions SQL-reachable)
+    "kg_media_nodes": (kgflat.media_nodes, KG_MEDIA_NODES_SQL),
+    "kg_media_edges": (kgflat.media_edges, KG_MEDIA_EDGES_SQL),
     "rag_top_doc": (kgflat.rag_top_doc, None),  # hash-embedder retrieval — rows-only
     # text analysis
     "text_stats": (textops.text_stats, TEXT_STATS_SQL),
@@ -1284,6 +1319,8 @@ _DRIVER_HEAD = [
     "kg_entity_degree", "kg_graph_nodes", "kg_graph_edges",
     "kg_cross_doc_edges", "kg_incremental_nodes", "kg_incremental_cross",
     "kg_node_properties", "papers_by_year", "kg_two_hop", "doc_meta",
+    # multimodal → KG (media nodes + containment/caption-mention edges)
+    "kg_media_nodes", "kg_media_edges",
     # text analysis
     "text_quality", "tfidf", "lang_id", "doc_logprob",
     # dedup families
@@ -1298,9 +1335,10 @@ _DRIVER_HEAD = [
     "price_quantiles", "rfm_segments", "fk_integrity", "hourly_anomalies",
     # relational / joins
     "q1_pricing_summary", "q3_shipping_priority", "revenue_by_nation",
-    "top10_orders", "nation_year_revenue",
-    # similarity search
-    "knn_topk", "knn_topk_ivf", "knn_join_ivf",
+    "nation_year_revenue",
+    # similarity search (knn_join_ivf rides the same oracle just past the
+    # head; top10_orders likewise — evicted to make room for the media KG)
+    "knn_topk", "knn_topk_ivf",
     # windows / sessions / attribution
     "events_sessions", "customer_order_totals", "rolling_active_users",
     # composed curation

@@ -47,3 +47,53 @@ def read_flat_documents_as_spans(sf_dir: str) -> "ray.data.Dataset":
     """
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return ds.map_batches(flat_batch_to_spans, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Deterministic media synthesis over the flat corpus (SQL-restatable so the
+# media KG is oracle-gatable): every even doc_id carries one media span whose
+# caption is the first MEDIA_CAPTION_CHARS characters of the text, kind
+# 'table' when doc_id % 6 == 0 else 'figure', media_ref 'fig:<doc_id>'.
+MEDIA_CAPTION_CHARS = 96
+
+
+def flat_batch_to_spans_with_media(batch: pa.Table) -> pa.Table:
+    """(doc_id:int64, text) batch → DOCS_SCHEMA batch where even doc_ids get
+    a second, media span (deterministic figure/table synthesis above)."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    kinds, span_texts, refs, offs, offsets = [], [], [], [], [0]
+    for did, text in zip(doc_ids, texts):
+        kinds.append("text")
+        span_texts.append(text)
+        refs.append("")
+        offs.append(0)
+        if did % 2 == 0:
+            kinds.append("table" if did % 6 == 0 else "figure")
+            span_texts.append(text[:MEDIA_CAPTION_CHARS])  # the caption
+            refs.append(f"fig:{did}")
+            offs.append(1)
+        offsets.append(len(kinds))
+    spans = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()),
+        pa.StructArray.from_arrays(
+            [
+                pa.array(kinds, type=pa.string()),
+                pa.array(span_texts, type=pa.string()),
+                pa.array(refs, type=pa.string()),
+                pa.array(offs, type=pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        ),
+    )
+    return pa.Table.from_arrays(
+        [pa.array([str(d) for d in doc_ids], type=pa.string()), spans],
+        schema=DOCS_SCHEMA,
+    )
+
+
+def read_flat_documents_with_media(sf_dir: str) -> "ray.data.Dataset":
+    """Span-form corpus with the deterministic media synthesis applied."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ds.map_batches(
+        flat_batch_to_spans_with_media, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -160,6 +160,39 @@ def test_ivf_kmeans_beats_head_on_clustered(tmp_path, ray_session):
     assert r_km >= 0.9    # and the kmeans path is actually good
 
 
+def test_media_kg_adapter_and_feature_plumbing(ray_session, sf_dir):
+    """The deterministic media synthesis: even doc_ids carry exactly one
+    media span (table when %6==0 else figure), captions are text prefixes,
+    and the decode→feature actor plumbing runs end-to-end over the same
+    inventory the kg_media_* queries use."""
+    from research_knowledge_graph_ray.pipelines.kgflat import media_edges, media_nodes
+    from research_knowledge_graph_ray.sources.adapter import (
+        MEDIA_CAPTION_CHARS, read_flat_documents_with_media)
+    from research_knowledge_graph_ray.stages.multimodal import media_feature_pipeline
+
+    docs = read_flat_documents_with_media(sf_dir)
+    nodes = media_nodes(sf_dir).to_pandas()
+    n_docs = int(pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    assert len(nodes) == (n_docs + 1) // 2  # one media node per even doc_id
+    assert set(nodes["node_type"]) == {"figure", "table"}
+    kinds = nodes.set_index("label")["node_type"]
+    assert kinds["fig:0"] == "table" and kinds["fig:2"] == "figure"
+
+    edges = media_edges(sf_dir).to_pandas()
+    has = edges[edges["edge_type"].isin(["HAS_FIGURE", "HAS_TABLE"])]
+    assert len(has) == len(nodes)  # exactly one containment edge per media
+    dep = edges[edges["edge_type"] == "DEPICTS"]
+    # caption term totals agree between the node and edge projections
+    assert len(dep) == int(nodes["n_caption_terms"].sum())
+
+    # decode (fake) → byte-histogram features over the same inventory
+    # (concurrency=1: two 2-actor pools would starve the 4-CPU test session's
+    # read tasks of a scheduling slot)
+    feats = media_feature_pipeline(docs, fake_decode=True, concurrency=1).to_pandas()
+    assert len(feats) == len(nodes)
+    assert all(len(f) == 32 for f in feats["feature"])
+
+
 def test_llm_actor_pool_quarantines_poison(ray_session):
     """Fault injection through the flagship: poisoned docs become
     EXTRACTION_FAILED provenance rows, transiently-flaky docs succeed via
