@@ -1076,8 +1076,10 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
 
     cutoff = np.datetime64(_Q3_DATE, "us")
 
-    cust = ray.data.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    from ..sources.tables import read_table
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
     ).map_batches(
         lambda t: t.filter(pc.equal(t["c_mktsegment"], _Q3_SEGMENT))
         .select(["c_custkey"]),
@@ -1087,14 +1089,20 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         return t.filter(pc.less(t["o_orderdate"], pa.scalar(cutoff))).select(
             ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
+    orders = read_table(
+        sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate"]
     ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
 
-    obld = hash_join(orders, cust, "o_custkey", "c_custkey",
-                     ["o_orderkey", "o_custkey", "o_orderdate"],
-                     ["c_custkey"])
+    # bloom-pruned: the building-segment customer side is selective (~1/5 of
+    # customers), so probe orders that can never match are dropped at the map
+    # side instead of crossing the exchange — at 100 TB this cuts the phase-1
+    # exchange to the matching-order stream
+    from ..stages.join import hash_join_bloom
+
+    obld = hash_join_bloom(orders, cust, "o_custkey", "c_custkey",
+                           ["o_orderkey", "o_custkey", "o_orderdate"],
+                           ["c_custkey"], n_buckets=16)
 
     def li_partial(t: pa.Table) -> pd.DataFrame:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
@@ -1107,20 +1115,20 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
         out["__side"] = "li"
         return out
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    li = read_table(
+        sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True
                   ).map_batches(lambda df: df.assign(
-                      __key=df["l_orderkey"].astype(str)),
+                      __key=df["l_orderkey"].astype(np.int64)),
                       batch_format="pandas")
 
     def ob_view(df: pd.DataFrame) -> pd.DataFrame:
         # hash_join may emit float-upcast keys out of empty buckets — pin
-        # int64 BEFORE stringifying or "90.0" never matches li's "90"
+        # int64 so both sides' __key agree (the exchange hashes ints natively)
         ok = df["o_orderkey"].astype(np.int64)
         return pd.DataFrame({"l_orderkey": ok, "o_orderdate": df["o_orderdate"],
-                             "__side": "o", "__key": ok.astype(str)})
+                             "__side": "o", "__key": ok})
 
     ob = obld.map_batches(ob_view, batch_format="pandas")
 

@@ -624,63 +624,88 @@ def nation_year_revenue(sf_dir: str) -> "ray.data.Dataset":
     oracle matches bit-for-bit."""
     import pyarrow.parquet as pq
 
-    from ..stages.shuffle import grouped_aggregate
+    from ..stages.shuffle import bucketed_group_apply, grouped_aggregate
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet",
                            columns=["n_nationkey", "n_name"])
     nk = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    c2n = {c: nk[k] for c, k in zip(cust["c_custkey"].to_pylist(),
-                                    cust["c_nationkey"].to_pylist())}
-    ref = ray.put(c2n)
+    # broadcast as a sorted-key/value numpy pair: per-batch lookup is one
+    # vectorized searchsorted + fancy index (no per-row dict .map), and no
+    # density assumption on the custkey space
+    ck = cust["c_custkey"].to_numpy()
+    order = np.argsort(ck, kind="stable")
+    ref = ray.put((
+        ck[order],
+        np.asarray([nk[k] for k in cust["c_nationkey"].to_pylist()],
+                   dtype=object)[order],
+    ))
 
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
         bp = np.rint(df["l_discount"].to_numpy(np.float64) * 10000).astype(np.int64)
-        out = pd.DataFrame({"l_orderkey": df["l_orderkey"],
-                            "rev": cents * (10000 - bp)})
-        return out.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        out = pd.DataFrame({"__key": df["l_orderkey"].astype(np.int64),
+                            "rev": cents * (10000 - bp), "__side": "l"})
+        return out.groupby(["__key", "__side"], as_index=False).agg(rev=("rev", "sum"))
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet",
+    from ..sources.tables import read_table
+
+    li = read_table(
+        sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     ).map_batches(li_partial, batch_format="pandas")
 
     def ord_prep(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "o_orderkey": df["o_orderkey"],
+            "__key": df["o_orderkey"].astype(np.int64),
             "o_custkey": df["o_custkey"],
             "yr": df["o_orderdate"].dt.year.astype(np.int64),
+            "__side": "o",
         })
 
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet",
+    orders = read_table(
+        sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
     ).map_batches(ord_prep, batch_format="pandas")
 
-    joined = hash_join(
-        li, orders, left_on="l_orderkey", right_on="o_orderkey",
-        left_cols=["l_orderkey", "rev"],
-        right_cols=["o_orderkey", "o_custkey", "yr"],
-    )
-
-    def rollup_partial(df: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(ref)
+    # FUSED reduce (r3 #5): the orderkey exchange's reducer merges the two
+    # sides, resolves nation via the broadcast lookup and rolls up to
+    # (n_name, yr) partials IN the bucket — the order-grain joined table
+    # never materializes in the object store; only ~|nations×years| rows per
+    # bucket leave the reduce. Int64 keys ride the exchange's native integer
+    # hash (no string cast anywhere on the hot path).
+    def fused_final(df: pd.DataFrame) -> pd.DataFrame:
+        keys, names = ray.get(ref)
+        lt = df[df["__side"] == "l"]
+        ot = df[df["__side"] == "o"]
+        out_cols = {"n_name": pd.Series(dtype=object),
+                    "yr": pd.Series(dtype=np.int64),
+                    "revenue": pd.Series(dtype=np.int64)}
+        if lt.empty or ot.empty:
+            return pd.DataFrame(out_cols)
+        j = lt[["__key", "rev"]].merge(
+            ot[["__key", "o_custkey", "yr"]], on="__key", how="inner")
+        if j.empty:
+            return pd.DataFrame(out_cols)
+        idx = np.searchsorted(keys, j["o_custkey"].to_numpy(np.int64))
         out = pd.DataFrame({
-            "n_name": df["o_custkey"].map(m),
-            "yr": df["yr"].astype(np.int64),
-            "revenue": df["rev"].astype(np.int64),
+            "n_name": names[idx],
+            "yr": j["yr"].astype(np.int64),
+            "revenue": j["rev"].astype(np.int64),
         })
         return out.groupby(["n_name", "yr"], as_index=False).agg(
             revenue=("revenue", "sum"))
 
+    parts = bucketed_group_apply(
+        li.union(orders), ["__key"], lambda df: df, fused_final, n_buckets=32)
+
     return grouped_aggregate(
-        joined.map_batches(rollup_partial, batch_format="pandas"),
+        parts,
         ["n_name", "yr"],
         lambda df: df.groupby(["n_name", "yr"], as_index=False).agg(
             revenue=("revenue", "sum")),
-        n_buckets=8,
+        n_buckets=4,
     )
 
 

@@ -431,9 +431,9 @@ def _basket_pairs(df: pd.DataFrame) -> pd.DataFrame:
 def _basket_pair_stats(sf_dir: str):
     """(co Dataset, deg DataFrame) — exact pair co-occurrence counts over
     order baskets plus per-part distinct-order degrees (catalog-bound)."""
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    )
+    from ..sources.tables import read_table
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
     co = grouped_aggregate(
         bucketed_group_apply(ds, ["l_orderkey"], _basket_distinct, _basket_pairs),
         ["pa", "pb"],
@@ -508,6 +508,7 @@ def assoc_rules(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
     broadcasts. Reference parity note: no counterpart in the reference —
     brief-mandated analytics family (co-occurrence mining is the
     market-basket twin of the KG co-occurrence operator)."""
+    from ..sources.tables import read_table
     from .stats import _round_e9
 
     co, deg = _basket_pair_stats(sf_dir)
@@ -516,9 +517,7 @@ def assoc_rules(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
     # need their own tiny exchange
     n_orders = int(
         grouped_aggregate(
-            ray.data.read_parquet(
-                f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
-            ),
+            read_table(sf_dir, "lineitem", columns=["l_orderkey"]),
             ["l_orderkey"],
             lambda df: df.drop_duplicates(["l_orderkey"]),
         ).count()

@@ -19,10 +19,37 @@ from .shuffle import bucketed_group_apply
 _TAG = "__side"
 
 
+def _as_key(s: pd.Series) -> pd.Series:
+    """Join-key normalization: integer keys stay int64 (the exchange hashes
+    them natively — no string cast, and the per-bucket merge runs on int64);
+    everything else stringifies as before. Both sides of a join normalize
+    through this same function, so dtypes agree bucket-side."""
+    import numpy as np
+    from pandas.api.types import is_integer_dtype
+
+    return s.astype(np.int64) if is_integer_dtype(s) else s.astype(str)
+
+
 def _tag(ds: "ray.data.Dataset", side: str, cols: list[str]) -> "ray.data.Dataset":
     def add(df: pd.DataFrame) -> pd.DataFrame:
         df = df[cols].copy()
         df[_TAG] = side
+        return df
+
+    return ds.map_batches(add, batch_format="pandas")
+
+
+def _tag_keyed(
+    ds: "ray.data.Dataset", side: str, cols: list[str], on: str
+) -> "ray.data.Dataset":
+    """Project + side-tag + join-key in ONE map stage (tag and key used to be
+    two chained ``map_batches`` — on a read that shatters into hundreds of
+    small blocks that doubled the per-block task count for zero work)."""
+
+    def add(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[cols].copy()
+        df[_TAG] = side
+        df["__key"] = _as_key(df[on])
         return df
 
     return ds.map_batches(add, batch_format="pandas")
@@ -48,12 +75,8 @@ def hash_join(
     if how not in ("inner", "left"):
         raise ValueError(f"how={how!r}: only 'inner' and 'left' supported")
 
-    l = _tag(left, "l", left_cols).map_batches(
-        lambda df: df.assign(__key=df[left_on].astype(str)), batch_format="pandas"
-    )
-    r = _tag(right, "r", right_cols).map_batches(
-        lambda df: df.assign(__key=df[right_on].astype(str)), batch_format="pandas"
-    )
+    l = _tag_keyed(left, "l", left_cols, left_on)
+    r = _tag_keyed(right, "r", right_cols, right_on)
     both = l.union(r)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -132,12 +155,10 @@ def semi_anti_join(
     move, never right payloads — so the both-sides-large case costs one
     key-only shuffle."""
 
-    l = _tag(left, "l", left_cols).map_batches(
-        lambda df: df.assign(__key=df[left_on].astype(str)), batch_format="pandas"
-    )
+    l = _tag_keyed(left, "l", left_cols, left_on)
 
     def right_keys(df: pd.DataFrame) -> pd.DataFrame:
-        out = pd.DataFrame({"__key": df[right_on].astype(str).drop_duplicates()})
+        out = pd.DataFrame({"__key": _as_key(df[right_on]).drop_duplicates()})
         out[_TAG] = "r"
         return out
 
@@ -180,12 +201,8 @@ def asof_join(
     Both sides hash-partition on the key through one exchange; each bucket
     sorts and runs ``pd.merge_asof`` (the guide's as-of pattern)."""
 
-    l = _tag(left, "l", left_cols).map_batches(
-        lambda df: df.assign(__key=df[by_left].astype(str)), batch_format="pandas"
-    )
-    r = _tag(right, "r", right_cols).map_batches(
-        lambda df: df.assign(__key=df[by_right].astype(str)), batch_format="pandas"
-    )
+    l = _tag_keyed(left, "l", left_cols, by_left)
+    r = _tag_keyed(right, "r", right_cols, by_right)
     both = l.union(r)
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
@@ -237,10 +254,10 @@ def range_count_join(
     p = _tag(
         probe, "p", list(dict.fromkeys(probe_cols + [probe_on, probe_start, probe_end]))
     ).map_batches(
-        lambda df: df.assign(__key=df[probe_on].astype(str)), batch_format="pandas"
+        lambda df: df.assign(__key=_as_key(df[probe_on])), batch_format="pandas"
     )
     b = _tag(build, "b", [build_on, build_ts]).map_batches(
-        lambda df: df.assign(__key=df[build_on].astype(str)), batch_format="pandas"
+        lambda df: df.assign(__key=_as_key(df[build_on])), batch_format="pandas"
     )
     both = p.union(b)
     _dt = np.dtype([("k", np.int64), ("t", np.int64)])

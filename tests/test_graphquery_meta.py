@@ -124,8 +124,44 @@ def test_json_and_text_loaders(tmp_path):
     assert trows.iloc[0]["spans"][0]["text"].startswith("Scaffold GS")
 
 
-def test_pdf_loader_is_gated():
+def _tiny_pdf(text: str) -> bytes:
+    """Assemble a minimal one-page text PDF with a correct xref table —
+    the vendored S2 fixture (VERDICT r2 #10), built deterministically so no
+    binary blob lives in the repo."""
+    stream = f"BT /F1 24 Tf 72 720 Td ({text}) Tj ET".encode()
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+        + stream + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
+    return bytes(out)
+
+
+def test_pdf_loader_extracts_or_gates():
+    """With pypdf present the S2 loader extracts the fixture's text; without
+    it (this container) the loud NotImplementedError gate fires instead."""
     from research_knowledge_graph_ray.sources.files import extract_text_from_pdf
 
-    with pytest.raises(NotImplementedError):
-        extract_text_from_pdf(b"%PDF-1.4 fake")
+    payload = _tiny_pdf("Scaffold GS improves on 3DGS")
+    try:
+        import pypdf  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            extract_text_from_pdf(payload)
+        return
+    assert "Scaffold GS improves on 3DGS" in extract_text_from_pdf(payload)
