@@ -154,6 +154,7 @@ def run_bench() -> dict:
         from research_knowledge_graph_ray.stages import sampling
 
         timed("passage_dedup", dedup.passage_dedup)
+        timed("substring_dedup", dedup.substring_dedup)
         timed("dup_passage_share", dedup.dup_passage_share)
         timed("source_overlap", dedup.source_overlap)
         timed("dsir_weights", textops.dsir_weights)

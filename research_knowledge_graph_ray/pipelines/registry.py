@@ -994,6 +994,10 @@ QUERIES: dict = {
     # sub-document cleaning: repeated w-word passages removed corpus-wide,
     # docs reassembled from survivors (key-only fp exchange + doc exchange)
     "passage_dedup": (dedup.passage_dedup, dedup.PASSAGE_DEDUP_SQL),
+    # ExactSubstr-style dedup: every duplicated stride-1 w-word window loses
+    # all but its global first occurrence; covered tokens removed (Lee et al.
+    # 2021 restated as two key-only hash exchanges)
+    "substring_dedup": (dedup.substring_dedup, dedup.SUBSTRING_DEDUP_SQL),
     # train/eval-leakage audit: distinct shared passages per source pair
     "source_overlap": (dedup.source_overlap, dedup.SOURCE_OVERLAP_SQL),
     # corpus-wide duplicated-passage fraction per doc (boilerplate flag)

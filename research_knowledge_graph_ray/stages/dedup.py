@@ -1281,6 +1281,149 @@ FROM d
 """
 
 
+# ---------------------------------------------------------------------------
+# Exact substring dedup (stride-1 sliding windows, ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+SUBSTR_W = 10
+
+
+def substring_dedup_ds(docs: "ray.data.Dataset", w: int = SUBSTR_W,
+                       n_buckets: int = 32) -> "ray.data.Dataset":
+    """(doc_id, clean_text, n_tokens, n_dup_tokens) — EXACT substring dedup:
+    every ``w``-consecutive-word window that occurs more than once corpus-wide
+    loses all occurrences except the global first (min (doc_id, pos)); tokens
+    covered by any losing window are removed and the document reassembled from
+    the survivors. The stride-1 counterpart of :func:`passage_dedup_ds` — the
+    suffix-array ExactSubstr rule of "Deduplicating Training Data Makes
+    Language Models Better" (Lee et al. 2021) restated as sliding-window
+    fingerprints so it runs as two key-only hash exchanges instead of a
+    global suffix sort.
+
+    Dataflow (100 TB shape):
+    - map: per doc emit (fp = md5(window), doc_id, pos) for every stride-1
+      window — ~1 key row per token; window text never leaves its block.
+    - exchange 1 (fp): first occurrence survives; only LOSER coordinates
+      (doc_id, pos) leave the reducers — traffic bounded by duplicate mass.
+    - exchange 2 (doc_id): docs co-located with their loser lists; each
+      reducer merges the loser intervals [pos, pos+w) into a token mask and
+      rebuilds the doc. Nothing corpus-sized reaches the driver.
+    """
+
+    def windows(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps, dids, poss = [], [], []
+        for did, t in zip(ids, batch["text"].to_pylist()):
+            words = [x for x in t.split(" ") if x]
+            for i in range(len(words) - w + 1):
+                fps.append(hashlib.md5(
+                    " ".join(words[i:i + w]).encode()).hexdigest())
+                dids.append(did)
+                poss.append(i)
+        return pd.DataFrame({"fp": fps,
+                             "doc_id": np.asarray(dids, dtype=np.int64),
+                             "pos": np.asarray(poss, dtype=np.int64)})
+
+    def losers(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "pos": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["fp", "doc_id", "pos"], kind="stable")
+        lose = df.duplicated("fp", keep="first")
+        return df.loc[lose, ["doc_id", "pos"]]
+
+    keys = docs.map_batches(windows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    lost = bucketed_group_apply(keys, ["fp"], lambda df: df, losers,
+                                n_buckets=n_buckets)
+
+    def tag(name):
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__t"] = name
+            return df
+        return add
+
+    u = (docs.map_batches(tag("d"), batch_format="pandas")
+         .union(lost.map_batches(tag("x"), batch_format="pandas")))
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                              "clean_text": pd.Series(dtype="string"),
+                              "n_tokens": pd.Series(dtype=np.int64),
+                              "n_dup_tokens": pd.Series(dtype=np.int64)})
+        if df.empty or "__t" not in df.columns:
+            return empty
+        d = df[df["__t"] == "d"]
+        if d.empty:
+            return empty
+        xx = df[df["__t"] == "x"]
+        lost_by_doc = ({did: g["pos"].to_numpy(np.int64)
+                        for did, g in xx.groupby("doc_id")}
+                       if len(xx) else {})
+        out_id, out_txt, out_nt, out_nd = [], [], [], []
+        for did, t in zip(d["doc_id"].astype(np.int64), d["text"]):
+            words = [x for x in t.split(" ") if x]
+            n = len(words)
+            mask = np.zeros(n, dtype=bool)
+            for p in lost_by_doc.get(did, ()):
+                mask[p:p + w] = True
+            out_id.append(did)
+            out_txt.append(" ".join(
+                wd for wd, m in zip(words, mask) if not m))
+            out_nt.append(n)
+            out_nd.append(int(mask.sum()))
+        return pd.DataFrame({"doc_id": np.asarray(out_id, dtype=np.int64),
+                             "clean_text": pd.Series(out_txt, dtype="string"),
+                             "n_tokens": np.asarray(out_nt, dtype=np.int64),
+                             "n_dup_tokens": np.asarray(out_nd,
+                                                        dtype=np.int64)})
+
+    return bucketed_group_apply(u, ["doc_id"], lambda df: df, rebuild,
+                                n_buckets=n_buckets)
+
+
+def substring_dedup(sf_dir: str, w: int = SUBSTR_W) -> "ray.data.Dataset":
+    """Registry entry point for :func:`substring_dedup_ds` over the documents
+    table (exactly restated in ``SUBSTRING_DEDUP_SQL``)."""
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return substring_dedup_ds(docs, w=w)
+
+
+SUBSTRING_DEDUP_SQL = f"""
+WITH s AS (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS ws
+           FROM documents),
+t AS (SELECT doc_id, ws, len(ws) AS n FROM s),
+win AS (SELECT doc_id, pos,
+          md5(array_to_string(ws[pos + 1 : pos + {SUBSTR_W}], ' ')) AS fp
+        FROM (SELECT doc_id, ws, unnest(range(n - {SUBSTR_W} + 1)) AS pos
+              FROM t WHERE n >= {SUBSTR_W})),
+r AS (SELECT doc_id, pos,
+        ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id, pos) AS rn
+      FROM win),
+dup_tok AS (SELECT DISTINCT r.doc_id, r.pos + u.i AS ti
+            FROM r, UNNEST(range({SUBSTR_W})) AS u(i)
+            WHERE r.rn > 1),
+tok AS (SELECT doc_id, unnest(range(len(ws))) AS ti, ws FROM t
+        WHERE len(ws) > 0),
+k AS (SELECT tok.doc_id,
+        COALESCE(string_agg(CASE WHEN d.ti IS NULL THEN ws[tok.ti + 1] END,
+                            ' ' ORDER BY tok.ti), '') AS clean_text,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN d.ti IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dup_tokens
+      FROM tok LEFT JOIN dup_tok d
+        ON tok.doc_id = d.doc_id AND tok.ti = d.ti
+      GROUP BY tok.doc_id)
+SELECT doc_id, COALESCE(k.clean_text, '') AS clean_text,
+       COALESCE(k.n_tokens, 0) AS n_tokens,
+       COALESCE(k.n_dup_tokens, 0) AS n_dup_tokens
+FROM documents LEFT JOIN k USING (doc_id)
+"""
+
+
 def top_similar_pairs(sf_dir: str, topk: int = 20,
                       max_doc_id: int = 100) -> "ray.data.Dataset":
     """(doc_a, doc_b, jac_bp) — the ``topk`` most similar document pairs

@@ -220,3 +220,33 @@ def test_passage_dedup_planted(ray_session):
     assert out.loc[1, "n_passages"] == 3
     assert out.loc[1, "clean_text"] == tail1
     assert out.loc[2, "n_passages"] == 0 and out.loc[2, "clean_text"] == ""
+
+
+def test_substring_dedup_planted(ray_session):
+    """Planted mid-document duplicated run: doc 1 embeds 12 consecutive words
+    of doc 0 at an arbitrary offset. With w=10, every stride-1 window inside
+    the run duplicates; doc 1 loses exactly the 12 covered tokens while doc 0
+    (the global first occurrence) keeps everything."""
+    import ray.data
+
+    from research_knowledge_graph_ray.stages.dedup import substring_dedup_ds
+
+    run = " ".join(f"alpha{i}" for i in range(12))    # shared 12-word run
+    pre0 = " ".join(f"beta{i}" for i in range(5))
+    post0 = " ".join(f"gamma{i}" for i in range(4))
+    pre1 = " ".join(f"delta{i}" for i in range(7))
+    post1 = " ".join(f"eps{i}" for i in range(6))
+    docs = ray.data.from_items([
+        {"doc_id": 0, "text": f"{pre0} {run} {post0}"},
+        {"doc_id": 1, "text": f"{pre1} {run} {post1}"},
+        {"doc_id": 2, "text": "short doc"},           # < w words: untouched
+    ])
+    out = substring_dedup_ds(docs, w=10).to_pandas().set_index(
+        "doc_id").sort_index()
+    assert out.loc[0, "n_dup_tokens"] == 0
+    assert out.loc[0, "clean_text"] == f"{pre0} {run} {post0}"
+    assert out.loc[1, "n_tokens"] == 25
+    assert out.loc[1, "n_dup_tokens"] == 12
+    assert out.loc[1, "clean_text"] == f"{pre1} {post1}"
+    assert out.loc[2, "n_dup_tokens"] == 0
+    assert out.loc[2, "clean_text"] == "short doc"
