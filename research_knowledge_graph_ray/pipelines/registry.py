@@ -971,6 +971,9 @@ QUERIES: dict = {
     # text analysis
     "text_stats": (textops.text_stats, TEXT_STATS_SQL),
     "text_quality": (textops.text_quality, TEXT_QUALITY_SQL),
+    # learned-quality-gate shape: linear classifier over doc features with
+    # fixed integer weights (fasttext/CCNet filter stand-in, exact SQL)
+    "quality_logreg": (textops.quality_logreg, textops.QUALITY_LOGREG_SQL),
     "doc_fingerprint": (textops.doc_fingerprint, DOC_FINGERPRINT_SQL),
     "text_tokens_bpe": (textops.text_tokens_bpe, TEXT_TOKENS_BPE_SQL),
     "doc_rolling_fingerprint": (textops.rolling_fingerprint, ROLLING_FINGERPRINT_SQL),

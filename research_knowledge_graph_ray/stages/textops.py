@@ -65,6 +65,90 @@ def text_quality(sf_dir: str) -> "ray.data.Dataset":
     return _read_docs(sf_dir).map_batches(quality, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Fixed integer weights for the linear quality classifier — the
+# fasttext-style "quality filter" shape (features → linear score →
+# threshold) with exact integer math so the SQL oracle matches bit-for-bit.
+# Trained-model stand-in: favors longer, stopword-bearing natural text with
+# low digit share and moderate word length.
+_QLR_BIAS = -7500
+_QLR_W_LEN = 14        # × min(n_tokens, 512)
+_QLR_W_STOP = 4        # × stopword ratio (bp)
+_QLR_W_DIGIT = -6      # × digit-char share of chars (bp)
+_QLR_W_WLEN = 10       # × mean word length (×100)
+_QLR_LEN_CAP = 512
+
+
+def quality_logreg(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, logit, keep) — linear quality-classifier filter: the
+    fasttext/CCNet-style learned quality gate restated with fixed integer
+    weights over four document features (capped token count, stopword ratio,
+    digit share, mean word length). ``logit`` is the exact integer score;
+    ``keep = 1`` iff logit ≥ 0. One vectorized Arrow pass, no shuffle —
+    embarrassingly parallel at any corpus size; swapping in real learned
+    weights (or a real fasttext model in the actor pool) changes only the
+    constants, not the dataflow."""
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(
+            pc.replace_substring(text, pattern=" ", replacement="")
+        ).cast(pa.int64())
+        n_space = pc.subtract(n_chars, no_space)
+        n_tokens = pc.add(n_space, 1)
+        n_stop = pc.count_substring_regex(
+            pc.utf8_lower(text), pattern=STOPWORD_PATTERN).cast(pa.int64())
+        n_digit = pc.count_substring_regex(text, pattern="[0-9]").cast(pa.int64())
+        safe_tok = pc.max_element_wise(n_tokens, 1)
+        safe_chr = pc.max_element_wise(n_chars, 1)
+        stop_bp = pc.divide(pc.multiply(n_stop, 10000), safe_tok)
+        digit_bp = pc.divide(pc.multiply(n_digit, 10000), safe_chr)
+        wlen100 = pc.divide(pc.multiply(no_space, 100), safe_tok)
+        len_cap = pc.min_element_wise(n_tokens, _QLR_LEN_CAP)
+        logit = pc.add(
+            pa.scalar(_QLR_BIAS, pa.int64()),
+            pc.add(
+                pc.add(pc.multiply(len_cap, _QLR_W_LEN),
+                       pc.multiply(stop_bp, _QLR_W_STOP)),
+                pc.add(pc.multiply(digit_bp, _QLR_W_DIGIT),
+                       pc.multiply(wlen100, _QLR_W_WLEN)),
+            ),
+        )
+        keep = pc.cast(pc.greater_equal(logit, 0), pa.int64())
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "logit": logit, "keep": keep})
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+QUALITY_LOGREG_SQL = rf"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_space,
+    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+      AS n_tokens,
+    CAST(COALESCE(len(regexp_extract_all(lower(text), '\b(the|a)\b')), 0)
+      AS BIGINT) AS n_stop,
+    CAST(COALESCE(len(regexp_extract_all(text, '[0-9]')), 0) AS BIGINT)
+      AS n_digit
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    {_QLR_BIAS}
+    + {_QLR_W_LEN} * LEAST(n_tokens, {_QLR_LEN_CAP})
+    + {_QLR_W_STOP} * (n_stop * 10000 // GREATEST(n_tokens, 1))
+    + ({_QLR_W_DIGIT}) * (n_digit * 10000 // GREATEST(n_chars, 1))
+    + {_QLR_W_WLEN} * ((n_chars - n_space) * 100 // GREATEST(n_tokens, 1))
+      AS logit
+  FROM f)
+SELECT doc_id, CAST(logit AS BIGINT) AS logit,
+       CAST(CASE WHEN logit >= 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM g
+"""
+
+
 def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, fp) — md5 content fingerprint per document."""
 
