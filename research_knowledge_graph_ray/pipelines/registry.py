@@ -1110,6 +1110,9 @@ QUERIES: dict = {
     # DSIR-style importance weights: target-vs-source unigram log-ratio
     # sums (quality subset as the target domain), one vocab-bound exchange
     "dsir_weights": (textops.dsir_weights, textops.DSIR_WEIGHTS_SQL),
+    # DSIR importance RESAMPLING: md5-deterministic Gumbel-top-k selection
+    # over the importance log-weights (the data-mixing selection step)
+    "dsir_resample": (textops.dsir_resample, textops.DSIR_RESAMPLE_SQL),
     # domain-overlap diagnostic: tokens by number of sources they span
     "vocab_sharing": (textops.vocab_sharing, textops.VOCAB_SHARING_SQL),
     # RFM marketing segmentation: median-threshold 3-bit codes

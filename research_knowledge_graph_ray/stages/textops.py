@@ -1108,6 +1108,62 @@ FROM nz JOIN llr USING (tok) GROUP BY doc_id
 """
 
 
+def dsir_resample(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, sum_llr_e9, gumbel_e9, key_e9) — DSIR importance
+    RESAMPLING: the k documents selected by Gumbel-top-k over the importance
+    log-weights of :func:`dsir_weights`. This is the second half of the DSIR
+    recipe (Xie et al.: score with the importance LM ratio, then sample
+    without replacement ∝ the weights via the Gumbel-max trick) — the
+    selection step a data-mixing pipeline actually materializes.
+
+    Determinism ⇒ exact oracle: the Gumbel noise is derived from
+    ``md5(doc_id)`` (the corpus-wide sampling-key convention,
+    ``sampling._hkeys``) — ``u = (hkey+1)/2^32 ∈ (0,1]``, ``g = −ln(−ln u)``
+    rounded to an e9 integer with DuckDB ROUND semantics, so the per-doc key
+    ``sum_llr_e9 + gumbel_e9`` is an integer both engines compute
+    bit-identically (parity spot-checked over the full uint32-derived range).
+
+    Scale shape: rides the dsir_weights output (doc-id-sized ints, text never
+    re-read), adds the key in a zero-shuffle map, and cuts the top k with the
+    distributed sort+limit — only (blocks × k)-bounded partials reach the
+    final merge. At 100 TB the weight table is ~#docs rows of 5 ints; the
+    sort is over ints, never text."""
+    from .sampling import _hkeys
+    from .stats import _round_e9
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hk = _hkeys(ids)
+        g_e9 = np.fromiter(
+            (_round_e9(-math.log(-math.log((int(h) + 1) / 4294967296.0)))
+             for h in hk),
+            dtype=np.int64, count=len(hk))
+        key = batch["sum_llr_e9"].to_numpy(zero_copy_only=False) + g_e9
+        return batch.append_column("gumbel_e9", pa.array(g_e9)).append_column(
+            "key_e9", pa.array(key))
+
+    return (
+        dsir_weights(sf_dir)
+        .map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["key_e9", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+
+
+DSIR_RESAMPLE_SQL = f"""
+WITH dsir AS ({DSIR_WEIGHTS_SQL}),
+keyed AS (
+  SELECT doc_id, n_tokens, sum_llr_e9,
+         CAST(ROUND(-ln(-ln(
+             (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+              + 1) / 4294967296.0)) * 1000000000) AS BIGINT) AS gumbel_e9
+  FROM dsir)
+SELECT doc_id, n_tokens, sum_llr_e9, gumbel_e9,
+       sum_llr_e9 + gumbel_e9 AS key_e9
+FROM keyed ORDER BY key_e9 DESC, doc_id LIMIT 50
+"""
+
+
 def vocab_sharing(sf_dir: str) -> "ray.data.Dataset":
     """(n_sources, n_tokens) — the vocabulary-sharing profile: for k = 1..
     |sources|, how many distinct tokens appear in exactly k sources. The
