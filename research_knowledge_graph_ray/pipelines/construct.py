@@ -216,14 +216,12 @@ def finish_from_validated(
     only for semantic link_mode and embed_docs."""
     if docs is None and (embed_docs or (link and link_mode == "semantic")):
         raise ValueError("semantic linking / embeddings need the span docs")
+    from ..stages.canonicalize import make_remap_fn
+
     mapping: dict = {}
     if entity_linking:
         alias_key_map = build_alias_key_map(ALIASES if aliases is None else aliases)
         mapping = compute_canonical_mapping_from_validated(validated, alias_key_map, tau=tau)
-        # applied lazily: the remap is a cheap broadcast lookup, so each
-        # consumer re-derives it from the single materialized record stream
-        # instead of pinning a second full copy in the object store
-        validated = apply_canonical_mapping(validated, mapping)
     elif frozen_mapping:
         # incremental update path (pipelines/incremental.py): REUSE a prior
         # run's canonical mapping on the increment instead of recomputing a
@@ -231,7 +229,11 @@ def finish_from_validated(
         # on their existing node ids; genuinely new entities keep content
         # hashes (they join the mapping at the next full canonicalization)
         mapping = dict(frozen_mapping)
-        validated = apply_canonical_mapping(validated, mapping)
+    # the remap is a cheap broadcast lookup FUSED into each consumer's first
+    # exchange partial (``pre`` hook): the record stream stays the single
+    # materialized intermediate — no second object-store copy, and no
+    # per-consumer map execution (~0.5s fixed latency each) for the rewrite
+    remap_fn = make_remap_fn(mapping)
 
     # The three downstream exchanges are independent consumers of the single
     # materialized record stream; their map/shuffle phases overlap via
@@ -244,19 +246,23 @@ def finish_from_validated(
     # scan, no broadcast; build_nodes consumes them through the same exchange
     embeddings = None
     with ThreadPoolExecutor(max_workers=4) as pool:
-        f_nodes = pool.submit(build_nodes, validated)
-        f_edges = pool.submit(build_edges, validated)
+        f_nodes = pool.submit(build_nodes, validated, remap_fn)
+        f_edges = pool.submit(build_edges, validated, remap_fn)
         if not link:
             f_cross = None
         elif link_mode == "semantic":
             # the reference's v1 pruned linker: embedding top-k blocking +
-            # shared-dataset filter (graph_service.py:70-165)
+            # shared-dataset filter (graph_service.py:70-165); consumes the
+            # record stream in several stages, so it takes the remap as a
+            # wrapped dataset rather than a fused pre hook
             f_cross = pool.submit(
-                link_cross_documents_semantic, validated, docs,
+                link_cross_documents_semantic,
+                apply_canonical_mapping(validated, mapping), docs,
                 link_k_neighbors, max_docs_per_entity,
             )
         else:
-            f_cross = pool.submit(link_cross_documents, validated, max_docs_per_entity)
+            f_cross = pool.submit(
+                link_cross_documents, validated, max_docs_per_entity, remap_fn)
         if embed_docs:
             # reference parity: every document gets an embedding vector
             # (ingestion step 5, src/services/ingestion_service.py:82-89) —

@@ -442,12 +442,17 @@ def compute_canonical_mapping(
     return connected_components_driver(zip(pdf["a"], pdf["b"]))
 
 
-def apply_canonical_mapping(
-    validated: "ray.data.Dataset", mapping: dict[str, str]
-) -> "ray.data.Dataset":
-    """Rewrite subj_id/obj_id through the canonical mapping (broadcast lookup)."""
+def make_remap_fn(mapping: dict[str, str]):
+    """Broadcast-lookup remap of subj_id/obj_id as a plain ``pa.Table →
+    pa.Table`` callable (None for an empty mapping).
+
+    Handed to the downstream consumers (:func:`build_nodes`,
+    :func:`build_edges`, linking) as their ``pre`` hook so the remap FUSES
+    into each consumer's first exchange partial — the record stream stays the
+    single materialized intermediate and no per-consumer map execution (or
+    second object-store copy) is spent on the rewrite."""
     if not mapping:
-        return validated
+        return None
     olds = pa.array(list(mapping.keys()), type=pa.string())
     news = pa.array(list(mapping.values()), type=pa.string())
     ref = ray.put((olds, news))
@@ -466,6 +471,16 @@ def apply_canonical_mapping(
             batch.schema.get_field_index("obj_id"), "obj_id", map_col(batch["obj_id"]))
         return batch
 
+    return remap
+
+
+def apply_canonical_mapping(
+    validated: "ray.data.Dataset", mapping: dict[str, str]
+) -> "ray.data.Dataset":
+    """Rewrite subj_id/obj_id through the canonical mapping (broadcast lookup)."""
+    remap = make_remap_fn(mapping)
+    if remap is None:
+        return validated
     return validated.map_batches(remap, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -517,9 +532,11 @@ def describe_node(props: str) -> str:
     return ""
 
 
-def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
+def build_nodes(validated: "ray.data.Dataset", pre=None) -> "ray.data.Dataset":
     """NODES_SCHEMA table: per canonical node — type, min display label,
-    min-doc description/properties, n_docs.
+    min-doc description/properties, n_docs. ``pre`` (optional) is a
+    table→table hook fused ahead of the first partial — the canonical remap
+    rides the exchange's map tasks instead of its own map stage.
 
     Salted two-phase aggregation (explicit hot-key handling): a domain-hot
     entity is mentioned by a large fraction of all docs, and its distinct
@@ -541,6 +558,8 @@ def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     def partial1(t: pa.Table) -> pa.Table:
         from .shuffle import _col_hash
 
+        if pre is not None:
+            t = pre(t)
         ex = _explode_endpoints(t, with_doc=True, with_attrs=True)
         salt_np = (_col_hash(ex["doc_id"]) % np.uint64(N_DOC_SALTS)).astype(np.int64)
         ex = ex.append_column("salt", pa.array(salt_np, type=pa.int64()))
@@ -599,16 +618,19 @@ def build_nodes(validated: "ray.data.Dataset") -> "ray.data.Dataset":
     return agg.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def build_edges(validated: "ray.data.Dataset") -> "ray.data.Dataset":
+def build_edges(validated: "ray.data.Dataset", pre=None) -> "ray.data.Dataset":
     """EDGES_SCHEMA table: exact triple dedup on (src, dst, type).
 
     Confidence = max over duplicates; provenance (doc_id, rationale, evidence)
     from the minimal doc_id — deterministic stand-in for the reference's
-    first-insert-wins UNIQUE constraint (sql/schema.sql:36).
+    first-insert-wins UNIQUE constraint (sql/schema.sql:36). ``pre``: optional
+    table→table hook fused ahead of the partial pass (the canonical remap).
     """
 
     def agg(t: pa.Table) -> pa.Table:
         if "subj_id" in t.column_names:  # first (partial) pass sees validated rows
+            if pre is not None:
+                t = pre(t)
             # paper-attr records are node metadata, not edges
             t = t.filter(pc.not_equal(t["pred"], "__PAPER_META__"))
             packed = pc.binary_join_element_wise(

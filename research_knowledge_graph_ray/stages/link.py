@@ -44,12 +44,16 @@ _EMPTY_PAIRS = {
 def candidate_pair_rows(
     validated: "ray.data.Dataset",
     max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
+    pre=None,
 ) -> "ray.data.Dataset":
     """One bucketed shuffle on entity_id: batches pre-shrink to distinct
     (entity_id, doc_id), the per-bucket pass builds each entity's sorted,
-    capped doc list and emits its (doc_a < doc_b) pairs."""
+    capped doc list and emits its (doc_a < doc_b) pairs. ``pre``: optional
+    table→table hook fused ahead of the partial (the canonical remap)."""
 
     def partial(t: pa.Table) -> pa.Table:
+        if pre is not None:
+            t = pre(t)
         mask = pc.and_(
             pc.equal(t["pred"], "INTRODUCES"),
             pc.is_in(t["obj_type"], value_set=pa.array(list(BLOCKING_TYPES))),
@@ -194,9 +198,11 @@ def judge_pairs(pairs: "ray.data.Dataset") -> "ray.data.Dataset":
 def link_cross_documents(
     validated: "ray.data.Dataset",
     max_docs_per_entity: int = DEFAULT_MAX_DOCS_PER_ENTITY,
+    pre=None,
 ) -> "ray.data.Dataset":
     """Full linking pass: blocking → capped pairs → judge → cross-doc edges."""
-    return judge_pairs(candidate_pairs(candidate_pair_rows(validated, max_docs_per_entity)))
+    return judge_pairs(candidate_pairs(
+        candidate_pair_rows(validated, max_docs_per_entity, pre=pre)))
 
 
 # ---------------------------------------------------------------------------

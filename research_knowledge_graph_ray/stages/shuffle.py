@@ -116,8 +116,22 @@ def _from_fmt(obj, fmt: str) -> pa.Table:
 
 
 @ray.remote
-def _map_stage(keys, n_buckets: int, *blocks: pa.Table):
+def _map_stage(keys, n_buckets: int, partial_fn, fmt: str, *blocks: pa.Table):
     blocks = tuple(b for b in blocks if b.num_columns > 0) or blocks[:1]
+    if partial_fn is not None and blocks[0].num_columns > 0:
+        # fused combine: the partial runs inside the exchange's map task, so
+        # an already-materialized input needs NO extra Dataset execution
+        # (each execution costs ~0.5s of fixed driver-side latency). Applied
+        # PER BLOCK before the concat, and ONLY to non-empty blocks — exactly
+        # the streamed path's semantics (map_batches never feeds empty
+        # blocks), since empty blocks from upstream exchanges/joins can carry
+        # drifted dtypes (pandas-roundtrip float upcast) that would poison
+        # the concat.
+        nonempty = tuple(b for b in blocks if b.num_rows > 0)
+        if not nonempty:
+            empty = pa.table({})  # columnless: reduce filters it against
+            return tuple([empty] * n_buckets) if n_buckets > 1 else empty
+        blocks = tuple(_from_fmt(partial_fn(_to_fmt(b, fmt)), fmt) for b in nonempty)
     merged = pa.concat_tables(blocks, promote_options="default") if len(blocks) > 1 else blocks[0]
     if merged.num_columns == 0:
         return tuple([merged] * n_buckets) if n_buckets > 1 else merged
@@ -156,17 +170,31 @@ def hash_exchange_apply(
     or a ``pandas.DataFrame`` (fmt="pandas"); the partial output must contain
     ``keys``.
 
-    The partial combine runs as a streamed ``map_batches`` stage (whole-block
-    batches), so only the *shrunk* partial outputs are pinned in the object
-    store for the exchange — the exchange never duplicates its full input."""
+    Two entry shapes, same exchange:
 
-    def partial(batch):
-        return partial_fn(batch)
+    - streaming input (lineage not yet executed): the partial combine runs as
+      a streamed ``map_batches`` stage (whole-block batches), so only the
+      *shrunk* partial outputs are pinned in the object store — the exchange
+      never duplicates its full input. This is the 100-TB path for exchanges
+      fed straight off a corpus scan.
+    - materialized input (``.materialize()`` output or a chained exchange's
+      ``from_arrow_refs`` result — blocks already pinned): the partial is
+      FUSED into the exchange's raw map tasks, skipping the per-stage Dataset
+      execution entirely (~0.5s fixed driver latency each; the flagship's
+      record stream feeds four consumers × multiple exchange phases, so the
+      fixed costs dominated the small-scale wall time)."""
+    from ray.data.dataset import MaterializedDataset
 
-    shrunk = ds.map_batches(
-        partial, batch_format=fmt, batch_size=None, zero_copy_batch=True
-    )
-    refs = shrunk.to_arrow_refs()
+    fused = isinstance(ds, MaterializedDataset)
+    if fused:
+        refs = ds.to_arrow_refs()  # free: blocks already exist
+        map_partial = partial_fn
+    else:
+        shrunk = ds.map_batches(
+            partial_fn, batch_format=fmt, batch_size=None, zero_copy_batch=True
+        )
+        refs = shrunk.to_arrow_refs()
+        map_partial = None
     if not refs:
         return ds
 
@@ -177,18 +205,30 @@ def hash_exchange_apply(
     groups = [refs[i : i + chunk] for i in range(0, len(refs), chunk)]
 
     piece_refs = [
-        _map_stage.options(num_returns=n_buckets).remote(keys, n_buckets, *g)
+        _map_stage.options(num_returns=n_buckets).remote(
+            keys, n_buckets, map_partial, fmt, *g)
         for g in groups
     ]
     if n_buckets == 1:
         piece_refs = [[r] for r in piece_refs]
     # partial-output schema lets empty buckets emit correctly-typed empties
-    # (no driver-side barrier; reduce outputs stream into the next stage)
-    try:
-        sch = shrunk.schema()
-        in_schema = pa.schema(list(zip(sch.names, sch.types)))
-    except Exception:  # noqa: BLE001 — schema unavailable on degenerate input
-        in_schema = None
+    # (no driver-side barrier; reduce outputs stream into the next stage).
+    # Derived after map submission: in the fused path it runs the partial on
+    # an empty typed table driver-side, which may block on the input's first
+    # block metadata — the map tasks are already in flight by then.
+    if fused:
+        try:
+            sch = ds.schema()
+            empty_in = pa.schema(list(zip(sch.names, sch.types))).empty_table()
+            in_schema = _from_fmt(partial_fn(_to_fmt(empty_in, fmt)), fmt).schema
+        except Exception:  # noqa: BLE001 — partial can't run on empty input
+            in_schema = None
+    else:
+        try:
+            sch = shrunk.schema()
+            in_schema = pa.schema(list(zip(sch.names, sch.types)))
+        except Exception:  # noqa: BLE001 — schema unavailable on degenerate input
+            in_schema = None
 
     out_refs = [
         _reduce_stage.remote(final_fn, fmt, in_schema, *[p[b] for p in piece_refs])
