@@ -507,6 +507,105 @@ def doc_terms_agg(sf_dir: str) -> "ray.data.Dataset":
                                           zero_copy_batch=True)
 
 
+def entity_trend(sf_dir: str) -> "ray.data.Dataset":
+    """(term, year, n_docs) — temporal KG: per vocabulary entity, how many
+    documents mention it in each (derived) publication year. The
+    research-trend query over the knowledge graph ("is attention rising or
+    falling?") — the reference's papers-by-year ordering
+    (src/db/repository.py:259-270) crossed with entity usage
+    (get_method_usage, repository.py:320-335).
+
+    One corpus pass: each batch emits per-(term, year) partial distinct-doc
+    counts (a doc lives in exactly one batch row, so per-batch counts are
+    distinct-safe and sum exactly); ONE vocabulary×years-bounded exchange.
+    Year stand-in = 1990 + n_chars % 30, identical to papers_by_year."""
+    from ..stages.shuffle import grouped_aggregate
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        years = (1990 + pc.utf8_length(batch["text"]).to_numpy(
+            zero_copy_only=False) % 30).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        out_t, out_y = [], []
+        for i, text in enumerate(texts):
+            for t in set(_TERM_RE.findall(text.lower())):
+                out_t.append(t)
+                out_y.append(years[i])
+        df = pd.DataFrame({"term": out_t, "year": np.asarray(out_y, np.int64)})
+        g = df.groupby(["term", "year"], as_index=False).size()
+        g.columns = ["term", "year", "n_docs"]
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["term", "year"], as_index=False).agg(
+            n_docs=("n_docs", "sum"))
+        g["year"] = g["year"].astype(np.int64)
+        g["n_docs"] = g["n_docs"].astype(np.int64)
+        return g
+
+    parts = _read_docs(sf_dir).map_batches(part, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    return grouped_aggregate(parts, ["term", "year"], fold, n_buckets=8)
+
+
+ENTITY_TREND_SQL_TEMPLATE = """
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({unnest})),
+yr AS (SELECT doc_id, 1990 + length(text) % 30 AS year FROM documents)
+SELECT term, CAST(year AS BIGINT) AS year, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM dt JOIN yr USING (doc_id) GROUP BY term, year
+"""
+
+
+def edge_growth(sf_dir: str) -> pd.DataFrame:
+    """(year, n_new_edges, n_cum_edges) — knowledge-graph growth curve: how
+    many distinct MENTIONS edges each (derived) publication year contributes,
+    and the cumulative graph size year over year — the KG-health dashboard
+    number an incremental ingest pipeline tracks.
+
+    Each (doc, term) edge belongs to exactly one doc → one year, so per-batch
+    per-year edge counts sum exactly through ONE |years|-bounded exchange;
+    the cumulative sum runs on the ≤30-row result driver-side."""
+    from ..stages.shuffle import grouped_aggregate
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        years = (1990 + pc.utf8_length(batch["text"]).to_numpy(
+            zero_copy_only=False) % 30).astype(np.int64)
+        texts = batch["text"].to_pylist()
+        m = np.asarray([len(set(_TERM_RE.findall(t.lower()))) for t in texts],
+                       dtype=np.int64)
+        df = pd.DataFrame({"year": years, "n_new_edges": m})
+        return df.groupby("year", as_index=False).agg(
+            n_new_edges=("n_new_edges", "sum"))
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("year", as_index=False).agg(
+            n_new_edges=("n_new_edges", "sum"))
+        g["year"] = g["year"].astype(np.int64)
+        g["n_new_edges"] = g["n_new_edges"].astype(np.int64)
+        return g
+
+    parts = _read_docs(sf_dir).map_batches(part, batch_format="pyarrow",
+                                           zero_copy_batch=True)
+    out = grouped_aggregate(parts, ["year"], fold, n_buckets=4).to_pandas()
+    out = out.sort_values("year").reset_index(drop=True)
+    out["n_cum_edges"] = out["n_new_edges"].cumsum().astype(np.int64)
+    out["year"] = out["year"].astype(np.int64)
+    out["n_new_edges"] = out["n_new_edges"].astype(np.int64)
+    return out
+
+
+EDGE_GROWTH_SQL_TEMPLATE = """
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({unnest})),
+yr AS (SELECT doc_id, 1990 + length(text) % 30 AS year FROM documents),
+per AS (SELECT year, COUNT(*) AS n_new FROM dt JOIN yr USING (doc_id)
+        GROUP BY year)
+SELECT CAST(year AS BIGINT) AS year, CAST(n_new AS BIGINT) AS n_new_edges,
+       CAST(SUM(n_new) OVER (ORDER BY year) AS BIGINT) AS n_cum_edges
+FROM per
+"""
+
+
 def cooccurrence_pmi(sf_dir: str) -> pd.DataFrame:
     """(term_a, term_b, n_ab, n_a, n_b, lift_e9) — collocation strength for
     every co-occurring term pair: the PMI lift ratio

@@ -937,6 +937,12 @@ FROM co JOIN tc ta ON co.term_a = ta.term
 QUERIES: dict = {
     # knowledge-graph construction over the flat documents corpus
     "kg_doc_mentions": (kgflat.doc_mentions, KG_DOC_MENTIONS_SQL),
+    # temporal KG: per-entity mention trend over derived publication years
+    "kg_entity_trend": (kgflat.entity_trend,
+                        kgflat.ENTITY_TREND_SQL_TEMPLATE.format(unnest=_UNNEST)),
+    # KG growth curve: new + cumulative MENTIONS edges per year
+    "kg_edge_growth": (kgflat.edge_growth,
+                       kgflat.EDGE_GROWTH_SQL_TEMPLATE.format(unnest=_UNNEST)),
     "kg_nodes": (kgflat.nodes_flat, KG_NODES_SQL),
     "kg_edges": (kgflat.edges_flat, KG_EDGES_SQL),
     "kg_cooccurrence": (kgflat.cooccurrence, KG_COOCCURRENCE_SQL),
