@@ -158,6 +158,8 @@ def run_bench() -> dict:
         timed("dup_passage_share", dedup.dup_passage_share)
         timed("source_overlap", dedup.source_overlap)
         timed("dsir_weights", textops.dsir_weights)
+        timed("dsir_resample", textops.dsir_resample)
+        timed("kg_entity_trend", kgflat.entity_trend)
         timed("epoch_shuffle", sampling.epoch_shuffle)
         timed("shard_plan", sampling.shard_plan)
         timed("cheapest_supplier", relational.cheapest_supplier_per_part)

@@ -1124,14 +1124,13 @@ def dsir_resample(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
     bit-identically (parity spot-checked over the full uint32-derived range).
 
     Scale shape: rides the dsir_weights output (doc-id-sized ints, text never
-    re-read), adds the key in a zero-shuffle map, and cuts the top k with the
-    distributed sort+limit — only (blocks × k)-bounded partials reach the
-    final merge. At 100 TB the weight table is ~#docs rows of 5 ints; the
-    sort is over ints, never text."""
+    re-read), adds the key and cuts a LOCAL top-k in the same zero-shuffle
+    map, so only (blocks × k) rows of 5 ints reach the driver's final cut —
+    the global-top-k pattern, no sort shuffle at any scale."""
     from .sampling import _hkeys
     from .stats import _round_e9
 
-    def add_key(batch: pa.Table) -> pa.Table:
+    def add_key_cut(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         hk = _hkeys(ids)
         g_e9 = np.fromiter(
@@ -1139,15 +1138,16 @@ def dsir_resample(sf_dir: str, k: int = 50) -> "ray.data.Dataset":
              for h in hk),
             dtype=np.int64, count=len(hk))
         key = batch["sum_llr_e9"].to_numpy(zero_copy_only=False) + g_e9
-        return batch.append_column("gumbel_e9", pa.array(g_e9)).append_column(
+        batch = batch.append_column("gumbel_e9", pa.array(g_e9)).append_column(
             "key_e9", pa.array(key))
+        top = np.lexsort((ids, -key))[:k]  # key desc, doc_id asc
+        return batch.take(pa.array(np.sort(top)))
 
-    return (
-        dsir_weights(sf_dir)
-        .map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
-        .sort(["key_e9", "doc_id"], descending=[True, False])
-        .limit(k)
-    )
+    parts = dsir_weights(sf_dir).map_batches(
+        add_key_cut, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    parts = parts.sort_values(["key_e9", "doc_id"],
+                              ascending=[False, True]).head(k)
+    return parts.reset_index(drop=True)
 
 
 DSIR_RESAMPLE_SQL = f"""
