@@ -129,6 +129,7 @@ def run_bench() -> dict:
         timed("price_quantiles", stats.price_quantiles)
         timed("purchase_attribution", windows.purchase_attribution)
         timed("decontaminate", textops.decontaminate)
+        timed("decontaminate_bloom", textops.decontaminate_bloom)
         timed("doc_logprob", textops.doc_logprob)
         timed("item_jaccard", graphalgs.item_jaccard)
         timed("nation_year_revenue", windows.nation_year_revenue)

@@ -97,6 +97,54 @@ FROM documents d LEFT JOIN hits h USING (doc_id)
 WHERE d.doc_id % 97 <> 0
 """
 
+# Bloom decontamination: the md5-derived bit slots are SQL-computable, so
+# DuckDB builds the IDENTICAL bitmap (as a distinct-bit set) and reproduces
+# the false positives bit-for-bit — the whole approximate operator is
+# value-hash gated, not just certified.
+DECONTAMINATE_BLOOM_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w) - 6),
+                i -> array_to_string(list_slice(w, i, i + 7), ' '))) AS gram
+  FROM toks WHERE len(w) >= 8
+),
+eg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+bits AS (
+  SELECT DISTINCT unnest([
+    ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 1048576,
+    ('0x' || substr(md5(gram), 9, 8))::UBIGINT % 1048576,
+    ('0x' || substr(md5(gram), 17, 8))::UBIGINT % 1048576]) AS b
+  FROM eg
+),
+tg AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+th AS (
+  SELECT doc_id, gram,
+         ('0x' || substr(md5(gram), 1, 8))::UBIGINT % 1048576 AS b1,
+         ('0x' || substr(md5(gram), 9, 8))::UBIGINT % 1048576 AS b2,
+         ('0x' || substr(md5(gram), 17, 8))::UBIGINT % 1048576 AS b3
+  FROM tg
+),
+hits AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf
+  FROM th
+  WHERE b1 IN (SELECT b FROM bits) AND b2 IN (SELECT b FROM bits)
+        AND b3 IN (SELECT b FROM bits)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.nf, 0) AS BIGINT) AS n_flagged,
+       CAST(CASE WHEN COALESCE(h.nf, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS flagged
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 97 <> 0
+"""
+
 # Deterministic media synthesis (sources/adapter.py): even doc_ids carry one
 # media span, kind table when doc_id % 6 = 0 else figure, caption = first 96
 # text chars — restated here so the media KG is value-hash gated end-to-end.
@@ -1216,6 +1264,9 @@ QUERIES.update(
                                 windows.CUSTOMER_ORDER_GAPS_SQL),
         # benchmark decontamination (n-gram overlap vs held-out eval slice)
         "decontaminate": (textops.decontaminate, DECONTAMINATE_SQL),
+        # bloom-bitmap decontamination (fixed-size broadcast; FPs in-oracle)
+        "decontaminate_bloom": (textops.decontaminate_bloom,
+                                DECONTAMINATE_BLOOM_SQL),
         # cohort retention: first-seen derived inside the same user exchange
         "user_retention": (windows.user_retention, windows.USER_RETENTION_SQL),
         # two-step funnel with the 'B after A' constraint resolved per user

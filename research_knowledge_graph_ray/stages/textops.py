@@ -690,6 +690,79 @@ def decontaminate(sf_dir: str, n: int = DECON_N,
                                           zero_copy_batch=True)
 
 
+BLOOM_M = 1 << 20  # bloom bitmap bits (128 KiB packed; broadcast once)
+BLOOM_J = 3        # hash functions per gram (md5 digest words 0/1/2)
+
+
+def _bloom_slots(grams) -> np.ndarray:
+    """(n, BLOOM_J) bit slots per gram: md5 digest words k·4..k·4+4 mod M —
+    identical to DuckDB ``('0x'||substr(md5(g), 1+8k, 8))::UBIGINT % M``.
+
+    md5 keeps the oracle bit-exact (the corpus-wide hash convention); a
+    production deployment would swap a vectorized 64-bit hash (xxhash) here
+    and lose only the SQL restatement, not the semantics."""
+    out = np.empty((len(grams), BLOOM_J), np.int64)
+    for i, g in enumerate(grams):
+        d = hashlib.md5(g.encode()).digest()
+        for k in range(BLOOM_J):
+            out[i, k] = int.from_bytes(d[4 * k : 4 * k + 4], "big") % BLOOM_M
+    return out
+
+
+def decontaminate_bloom(sf_dir: str, n: int = DECON_N,
+                        eval_mod: int = DECON_EVAL_MOD) -> "ray.data.Dataset":
+    """(doc_id, n_flagged, flagged) — Bloom-filter decontamination: the
+    100-TB shape of :func:`decontaminate`, where the eval n-gram set is
+    broadcast as a FIXED-size bitmap (BLOOM_M bits ≈ 128 KiB packed)
+    instead of the unbounded exact gram array. No false negatives (every
+    exactly-contaminated doc is flagged); false positives happen at the
+    documented rate (~(fill)^J per novel gram) and are PART OF THE ORACLE —
+    the md5-derived bit slots are restated exactly in SQL, so DuckDB
+    computes the identical bitmap and the identical false positives. Size
+    BLOOM_M ∝ eval-gram count in production (fill ≤ ~15%).
+
+    Scale: one streaming eval pass builds the bitmap; the train side is one
+    zero-shuffle map (per-batch unique grams hashed once, membership =
+    all-J-bits-set). Nothing about this op grows with the train corpus."""
+    eval_grams = _eval_gram_set(sf_dir, n, eval_mod)
+    bits = np.zeros(BLOOM_M, dtype=bool)
+    slots = _bloom_slots(eval_grams.to_pylist())
+    if len(slots):
+        bits[slots.ravel()] = True
+    bits_ref = ray.put(bits)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = ids % eval_mod != 0
+        sub = batch.filter(pa.array(mask))
+        ids = ids[mask]
+        n_flagged = np.zeros(len(ids), np.int64)
+        if len(ids):
+            doc_idx, grams = _doc_ngrams(sub, n)
+            if len(grams):
+                bm = ray.get(bits_ref)
+                uniq = pc.unique(grams)
+                uhit = bm[_bloom_slots(uniq.to_pylist())].all(axis=1)
+                gi = pc.index_in(grams, value_set=uniq).to_numpy(
+                    zero_copy_only=False)
+                hit = uhit[gi]
+                if hit.any():
+                    hd = pd.DataFrame({
+                        "d": doc_idx[hit],
+                        "g": grams.take(pa.array(np.nonzero(hit)[0])),
+                    }).drop_duplicates()
+                    cnt = hd.groupby("d", sort=False).size()
+                    n_flagged[cnt.index.to_numpy()] = cnt.to_numpy()
+        return pd.DataFrame({
+            "doc_id": ids,
+            "n_flagged": n_flagged,
+            "flagged": (n_flagged > 0).astype(np.int64),
+        })
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
 def doc_logprob(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, n_tokens, sum_logp_e9) — unigram language-model score per
     document (the CCNet-style perplexity-filter shape, with the trained LM
