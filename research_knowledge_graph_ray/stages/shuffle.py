@@ -202,6 +202,15 @@ def hash_exchange_apply(
     # ~n_map × n_buckets pieces with n_map ≈ cluster cores
     n_map = max(8, int(ray.cluster_resources().get("CPU", 8)))
     chunk = max(1, -(-len(refs) // n_map))
+    if fused:
+        # fused groups hold UNSHRUNK input blocks (the streamed path groups
+        # already-shrunk partials), so cap group size in BYTES too — a wide
+        # materialized input must not hand one map task a multi-GB fetch
+        try:
+            avg = max(1, int(ds.size_bytes() or 0) // max(1, len(refs)))
+            chunk = max(1, min(chunk, (256 << 20) // avg))
+        except Exception:  # noqa: BLE001 — metadata unavailable
+            pass
     groups = [refs[i : i + chunk] for i in range(0, len(refs), chunk)]
 
     piece_refs = [
