@@ -128,6 +128,7 @@ def run_bench() -> dict:
         timed("top10_orders", relational.top10_orders)
         timed("text_quality", textops.text_quality)
         timed("dedup_minhash_pairs", dedup.minhash_candidate_pairs)
+        timed("dedup_embedding_pairs", dedup.embedding_near_dups_q)
         timed("knn_topk", similarity.knn_topk)
         from research_knowledge_graph_ray.pipelines import windows
         from research_knowledge_graph_ray.stages import graphalgs, stats

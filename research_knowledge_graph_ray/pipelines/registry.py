@@ -1068,7 +1068,11 @@ QUERIES: dict = {
     "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),
     # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,
     # so the threshold is lowered to exercise the operator end-to-end
-    "dedup_embedding_pairs": (lambda sf: dedup.embedding_near_dups(sf, tau=0.25), None),
+    # quantized sign-LSH: buckets, LSH misses, and sims all value-hash gated
+    # (md5-parity hyperplanes + e6 integer projections + 128-bit threshold);
+    # the float sign-LSH (embedding_near_dups) stays the internal cluster path
+    "dedup_embedding_pairs": (dedup.embedding_near_dups_q,
+                              dedup.EMBEDDING_NEAR_DUPS_Q_SQL),
     # registered exact path = the DISTRIBUTED block-nested self-join (no
     # broadcast matrix); the broadcast kernel survives as a pytest gate only
     "dedup_embedding_exact": (dedup.embedding_exact_pairs_blocked,

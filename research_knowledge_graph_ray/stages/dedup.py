@@ -544,6 +544,169 @@ def embedding_near_dups(sf_dir: str, tau: float = 0.95) -> "ray.data.Dataset":
     return grouped_aggregate(pairs, ["vec_a", "vec_b"], agg)
 
 
+_QLSH_BITS = 32   # hyperplanes (md5-parity signs, shared with the SQL oracle)
+_QLSH_BANDS = 4   # 8 bits/band → 256 buckets/band
+
+
+def _qlsh_signs(n_bits: int, dim: int) -> np.ndarray:
+    """±1 hyperplane signs from md5(f"{k}-{d}") parity — the deterministic
+    plane convention both engines derive independently."""
+    s = np.empty((n_bits, dim), np.int64)
+    for k in range(n_bits):
+        for d in range(dim):
+            h = int.from_bytes(hashlib.md5(f"{k}-{d}".encode()).digest()[:4],
+                               "big")
+            s[k, d] = 1 if h % 2 == 0 else -1
+    return s
+
+
+def embedding_near_dups_q(sf_dir: str, tau_num: int = 1, tau_den: int = 4,
+                          n_bits: int = _QLSH_BITS,
+                          n_bands: int = _QLSH_BANDS) -> "ray.data.Dataset":
+    """(vec_a, vec_b, sim_e6) — sign-LSH embedding near-dup pairs with the
+    ENTIRE approximate operator value-hash gated: hyperplanes are md5-parity
+    signs, vector components quantize to e6 integers, band keys come from
+    integer projection signs, and the cosine threshold cos ≥ tau_num/tau_den
+    is the integer test ``S>0 ∧ tau_den²·S² ≥ tau_num²·‖a‖²·‖b‖²`` (128-bit
+    exact on both engines) — so DuckDB reproduces the buckets, the LSH
+    misses, and every similarity bit-for-bit. The float sign-LSH
+    (:func:`embedding_near_dups`) remains the internal scale path for
+    clustering; this is the REGISTERED pair operator.
+
+    Scale shape identical to the float path: sketch is one zero-shuffle map
+    emitting (bucket, vec_id, qvec) rows, ONE bucket exchange computes
+    per-bucket integer Gram matrices, one tiny pair-key exchange dedups
+    across bands. Candidate load is bounded by the 2^(bits/band) buckets per
+    band; at 100 TB raise bits/band to keep buckets ∝ vectors."""
+    per_band = n_bits // n_bands
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        ax = np.abs(vecs * 1e6)
+        fl = np.floor(ax)
+        fl[ax - fl >= 0.5] += 1.0
+        q = (fl * np.where(vecs >= 0, 1.0, -1.0)).astype(np.int64)  # half-away
+        signs = _qlsh_signs(n_bits, q.shape[1])
+        proj = q @ signs.T                       # (n, n_bits) exact int64
+        bits = proj > 0
+        w = (1 << np.arange(per_band)).astype(np.int64)
+        rows = {"bucket": [], "vec_id": [], "vec": []}
+        for b in range(n_bands):
+            key = bits[:, b * per_band : (b + 1) * per_band] @ w
+            bucket = b * (1 << per_band) + key
+            rows["bucket"].extend(bucket.tolist())
+            rows["vec_id"].extend(ids.tolist())
+            rows["vec"].extend(q[i].tobytes() for i in range(len(ids)))
+        return pd.DataFrame(rows)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        sub = group.drop_duplicates(subset=["vec_id"]).sort_values("vec_id")
+        ids = sub["vec_id"].to_numpy(np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype=np.int64),
+                                 "vec_b": pd.Series(dtype=np.int64),
+                                 "sim_e6": pd.Series(dtype=np.int64)})
+        q = np.frombuffer(b"".join(sub["vec"]), dtype=np.int64).reshape(len(ids), -1)
+        S = q @ q.T                                  # ≤ dim·1e12: exact int64
+        nn = np.einsum("ij,ij->i", q, q)             # ‖·‖² exact int64
+        ii, jj = np.triu_indices(len(ids), 1)
+        s = S[ii, jj]
+        pos = s > 0
+        ii, jj, s = ii[pos], jj[pos], s[pos]
+        # 128-bit-exact threshold: tau_den²·S² ≥ tau_num²·Na·Nb
+        lhs = (s.astype(object) ** 2) * (tau_den * tau_den)
+        rhs = (nn[ii].astype(object) * nn[jj].astype(object)) * (tau_num * tau_num)
+        keep = np.asarray(lhs >= rhs, dtype=bool)
+        ii, jj, s = ii[keep], jj[keep], s[keep]
+        # sim_e6: (1e6·S)/sqrt(double(Na)·double(Nb)), ROUND half-away —
+        # identical IEEE op sequence to the SQL restatement
+        den = np.sqrt(nn[ii].astype(np.float64) * nn[jj].astype(np.float64))
+        x = (1000000.0 * s.astype(np.float64)) / den
+        f = np.floor(x)
+        f[x - f >= 0.5] += 1
+        return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj],
+                             "sim_e6": f.astype(np.int64)})
+
+    def bucket_final(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df["bucket"].map(df["bucket"].value_counts())
+        sub = df[sizes >= 2]
+        outs = [bucket_pairs(g) for _, g in sub.groupby("bucket")]
+        return (pd.concat(outs, ignore_index=True) if outs
+                else bucket_pairs(df.head(0)))
+
+    pairs = bucketed_group_apply(
+        ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"], lambda df: df, bucket_final,
+    )
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["vec_a", "vec_b"], as_index=False).agg(
+            sim_e6=("sim_e6", "min"))
+        for c in ("vec_a", "vec_b", "sim_e6"):
+            g[c] = g[c].astype(np.int64)
+        return g
+
+    return grouped_aggregate(pairs, ["vec_a", "vec_b"], agg)
+
+
+EMBEDDING_NEAR_DUPS_Q_SQL = f"""
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         -- widen float32 -> DOUBLE before scaling (float32 * int would
+         -- multiply in float32 and round differently from the engine)
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings
+),
+pl AS (
+  SELECT k, d,
+         CASE WHEN ('0x' || substr(md5(CAST(k AS VARCHAR) || '-'
+                    || CAST(d AS VARCHAR)), 1, 8))::UBIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM range({_QLSH_BITS}) t1(k)
+       CROSS JOIN (SELECT DISTINCT d FROM el) t2
+),
+proj AS (
+  SELECT vec_id, k, CAST(SUM(q * s) AS BIGINT) AS p
+  FROM el JOIN pl USING (d) GROUP BY 1, 2
+),
+bk AS (
+  SELECT vec_id,
+         (k // {_QLSH_BITS // _QLSH_BANDS}) * {1 << (_QLSH_BITS // _QLSH_BANDS)}
+           + SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END
+                 * (1 << (k % {_QLSH_BITS // _QLSH_BANDS}))) AS bucket
+  FROM proj GROUP BY vec_id, k // {_QLSH_BITS // _QLSH_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+nq AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nn FROM el GROUP BY 1),
+dots AS (
+  SELECT va, vb, CAST(SUM(ea.q * eb.q) AS BIGINT) AS s
+  FROM cand JOIN el ea ON ea.vec_id = va
+            JOIN el eb ON eb.vec_id = vb AND ea.d = eb.d
+  GROUP BY va, vb
+),
+f AS (
+  SELECT va, vb, s, na.nn AS na, nb.nn AS nb
+  FROM dots JOIN nq na ON na.vec_id = va JOIN nq nb ON nb.vec_id = vb
+  WHERE s > 0
+    AND CAST(s AS HUGEINT) * CAST(s AS HUGEINT) * 16
+        >= CAST(na.nn AS HUGEINT) * CAST(nb.nn AS HUGEINT)
+)
+SELECT va AS vec_a, vb AS vec_b,
+       -- 1e6 is a DOUBLE literal (1000000.0 would parse as DECIMAL and keep
+       -- the product exact where the engine's float64 rounds — 1-ulp skew)
+       CAST(ROUND((1e6 * CAST(s AS DOUBLE))
+                  / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)))
+            AS BIGINT) AS sim_e6
+FROM f
+"""
+
+
 def embedding_exact_pairs(sf_dir: str, tau: float = 0.4) -> "ray.data.Dataset":
     """(vec_a, vec_b, sim_e6) — EXACT cosine pairs with sim ≥ τ: the
     brute-force broadcast baseline, kept as the PYTEST GATE ONLY (the
