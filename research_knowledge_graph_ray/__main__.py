@@ -255,14 +255,23 @@ def cmd_query(args) -> int:
 
 def cmd_visualize(args) -> int:
     _init_ray()
-    from .pipelines.viz import graph_to_html
+    from .pipelines.viz import graph_to_html, subgraph_to_html
 
     nodes, edges = _load_graph(args.out_dir)
-    path = graph_to_html(
-        nodes.to_pandas().to_dict("records"),
-        edges.to_pandas().to_dict("records"),
-        args.html, max_nodes=args.limit,
+    nrecs = nodes.to_pandas().to_dict("records")
+    erecs = edges.to_pandas().to_dict("records")
+    common = dict(
+        node_type_filter=args.node_type or None,
+        physics=not args.no_physics,
+        show_edge_labels=not args.no_edge_labels,
     )
+    if args.root:
+        # Subgraph view (reference: visualize_subgraph, graph_visualizer.py:266)
+        path = subgraph_to_html(
+            nrecs, erecs, args.root, args.html, max_depth=args.depth, **common
+        )
+    else:
+        path = graph_to_html(nrecs, erecs, args.html, max_nodes=args.limit, **common)
     print(f"wrote {path}")
     return 0
 
@@ -358,6 +367,14 @@ def main(argv=None) -> int:
     pv.add_argument("out_dir")
     pv.add_argument("--html", required=True)
     pv.add_argument("--limit", type=int, default=300)
+    pv.add_argument("--node-type", default="",
+                    help="keep only nodes of this type (reference node_type_filter)")
+    pv.add_argument("--root", default="",
+                    help="render the BFS subgraph from this node id instead")
+    pv.add_argument("--depth", type=int, default=2,
+                    help="subgraph BFS depth (with --root)")
+    pv.add_argument("--no-physics", action="store_true")
+    pv.add_argument("--no-edge-labels", action="store_true")
     pv.set_defaults(fn=cmd_visualize)
 
     pc_ = sub.add_parser(

@@ -97,6 +97,42 @@ def test_viz_sink(graph, tmp_path):
     payload = html.split("const DATA = ", 1)[1].split(";\n", 1)[0]
     data = json.loads(payload)
     assert len(data["nodes"]) > 0 and len(data["edges"]) > 0
+    # pyvis parity surface: per-type edge colors + labels, hover titles,
+    # physics/edge-label toggles in the payload
+    assert data["physics"] is True and data["edge_labels"] is True
+    e = data["edges"][0]
+    assert e["c"].startswith("#") and e["l"] and "Confidence:" in e["title"]
+    n = data["nodes"][0]
+    assert "Type:" in n["title"] and "Label:" in n["title"]
+
+
+def test_viz_filter_and_subgraph(graph, tmp_path):
+    from research_knowledge_graph_ray.pipelines.viz import (
+        graph_to_html, subgraph_to_html)
+
+    _, res, edges, nodes = graph
+    nrecs = nodes.to_pandas().to_dict("records")
+    erecs = edges.to_pandas().to_dict("records")
+
+    # node_type_filter keeps only that type (graph_visualizer.py:92-121)
+    path = graph_to_html(nrecs, erecs, str(tmp_path / "m.html"),
+                         node_type_filter="method", physics=False)
+    data = json.loads(
+        open(path).read().split("const DATA = ", 1)[1].split(";\n", 1)[0])
+    assert data["nodes"] and all(n["t"] == "method" for n in data["nodes"])
+    assert data["physics"] is False
+
+    # BFS subgraph from a root: root present, every node reachable <= depth
+    root = erecs[0]["src_id"]
+    path = subgraph_to_html(nrecs, erecs, root, str(tmp_path / "s.html"),
+                            max_depth=1)
+    data = json.loads(
+        open(path).read().split("const DATA = ", 1)[1].split(";\n", 1)[0])
+    ids = {n["id"] for n in data["nodes"]}
+    assert root in ids
+    one_hop = {e["dst_id"] for e in erecs if e["src_id"] == root} | {root}
+    assert ids <= one_hop
+    assert all(e["s"] in ids and e["t"] in ids for e in data["edges"])
 
 
 def test_json_and_text_loaders(tmp_path):
