@@ -1109,6 +1109,9 @@ QUERIES: dict = {
     "graph_sssp": (graphalgs.sssp, graphalgs.sssp_sql()),
     "graph_triangles": (graphalgs.triangle_counts, GRAPH_TRIANGLES_SQL),
     "graph_components": (graphalgs.components, GRAPH_COMPONENTS_SQL),
+    # link analysis twin of pagerank: all-integer HITS (exact floor-div
+    # rescale replaces L2 normalization, so the oracle is bit-exact)
+    "graph_hits": (graphalgs.hits, graphalgs.hits_sql()),
     # order statistics (stages/stats.py) — exact histogram rank-refinement
     "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
     # HLL sketch, oracle-gated restatement: the Ray side computes the exact

@@ -944,3 +944,109 @@ r{t} AS MATERIALIZED (SELECT nb.node, nb.base + {_DAMPING}*COALESCE(s.m, 0) AS r
     tail = f"""
 SELECT node, CAST(ROUND(r * 1000000000) AS BIGINT) AS rank_e9 FROM r{iters}"""
     return head + "," + ",".join(steps) + tail
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) — all-integer fixed-iteration variant
+# ---------------------------------------------------------------------------
+
+_HITS_SCALE = 1_000_000
+
+
+def hits(sf_dir: str, iters: int = 3) -> pd.DataFrame:
+    """(node, kind, score_e6) — HITS over the bipartite supplier→part graph:
+    suppliers are hubs, parts are authorities. Kleinberg's update
+    (a = Eᵀh, h = Ea) run for ``iters`` full rounds, with the usual L2
+    normalization replaced by an EXACT integer rescale ``s·10⁶ // max(s)``
+    after every half-step — every score is an integer at every step, so the
+    DuckDB oracle matches bit-for-bit (no float summation-order noise, the
+    lesson of rank_e9 rounding flake risk).
+
+    Dataflow per half-step: the DISTINCT edge set (materialized once,
+    :func:`_supplier_part_edges`) is scanned with the current score vector
+    broadcast via ``ray.put`` (catalog-bound: |suppliers|+|parts| entries,
+    never corpus-bound); per-block partials pre-collapse to (node, Σ) before
+    ONE catalog-bounded exchange. The per-round max and rescale run on the
+    driver over the catalog-sized score table — the same catalog-bound
+    driver step as the assoc_rules degree broadcast. Overflow bound:
+    scores ≤ 10⁶ post-rescale, so half-step sums ≤ degree·10⁶ < 2⁶³.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    graph-analytics family (link-analysis twin of :func:`pagerank`, which
+    the reference motivates via influential-entity ranking,
+    src/db/repository.py:259-335)."""
+    edges = _supplier_part_edges(sf_dir).materialize()
+
+    def _half_step(score: dict, join_key: str, group_key: str) -> pd.Series:
+        ref = ray.put(score)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            s = ray.get(ref)
+            m = df[join_key].map(s)
+            out = (
+                pd.DataFrame({"node": df[group_key], "s": m})
+                .groupby("node", as_index=False)["s"].sum()
+            )
+            out["s"] = out["s"].astype(np.int64)
+            return out
+
+        def combine(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("node", as_index=False)["s"].sum()
+
+        agg = grouped_aggregate(
+            edges.map_batches(partial, batch_format="pandas"),
+            ["node"], combine, n_buckets=8,
+        )
+        out = agg.to_pandas()  # catalog-bound: one row per node on this side
+        mx = int(out["s"].max())
+        out["s"] = (out["s"].to_numpy(np.int64) * _HITS_SCALE) // mx
+        return out
+
+    # hubs start at 10^6 on every distinct src
+    src_nodes = grouped_aggregate(
+        edges.map_batches(
+            lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
+        ),
+        ["src"], lambda df: df.drop_duplicates(), n_buckets=8,
+    ).to_pandas()
+    h = dict.fromkeys(src_nodes["src"].astype(np.int64), _HITS_SCALE)
+    a_tab = None
+    for _ in range(iters):
+        a_tab = _half_step(h, "src", "dst")
+        a = dict(zip(a_tab["node"], a_tab["s"]))
+        h_tab = _half_step(a, "dst", "src")
+        h = dict(zip(h_tab["node"], h_tab["s"]))
+
+    hubs = pd.DataFrame({"node": list(h.keys()), "score_e6": list(h.values())})
+    hubs["kind"] = "hub"
+    auths = a_tab.rename(columns={"s": "score_e6"})
+    auths["kind"] = "auth"
+    out = pd.concat([hubs, auths[["node", "score_e6", "kind"]]],
+                    ignore_index=True)
+    out["node"] = out["node"].astype(np.int64)
+    out["score_e6"] = out["score_e6"].astype(np.int64)
+    return out[["node", "kind", "score_e6"]]
+
+
+def hits_sql(iters: int = 3) -> str:
+    """Exact all-integer restatement of :func:`hits` as chained CTEs."""
+    head = f"""
+WITH e AS (SELECT DISTINCT l_suppkey AS src,
+                  l_partkey + {_PART_OFFSET} AS dst FROM lineitem),
+h0 AS (SELECT DISTINCT src AS node, CAST({_HITS_SCALE} AS BIGINT) AS s FROM e)"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+a{t}r AS (SELECT e.dst AS node, SUM(h{t-1}.s) AS s
+          FROM e JOIN h{t-1} ON e.src = h{t-1}.node GROUP BY e.dst),
+a{t} AS (SELECT node, s * {_HITS_SCALE} // (SELECT MAX(s) FROM a{t}r) AS s
+         FROM a{t}r),
+h{t}r AS (SELECT e.src AS node, SUM(a{t}.s) AS s
+          FROM e JOIN a{t} ON e.dst = a{t}.node GROUP BY e.src),
+h{t} AS (SELECT node, s * {_HITS_SCALE} // (SELECT MAX(s) FROM h{t}r) AS s
+         FROM h{t}r)""")
+    tail = f"""
+SELECT node, 'hub' AS kind, CAST(s AS BIGINT) AS score_e6 FROM h{iters}
+UNION ALL
+SELECT node, 'auth' AS kind, CAST(s AS BIGINT) AS score_e6 FROM a{iters}"""
+    return head + "," + ",".join(steps) + tail

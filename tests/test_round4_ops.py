@@ -223,3 +223,42 @@ def test_linear_attribution_vectorized_vs_brute(tmp_path):
             == want["attributed_cents"].to_numpy()).all()
     # exact conservation: every attributable purchase total lands somewhere
     assert int(got["attributed_cents"].sum()) == sum(credit.values())
+
+
+def test_hits_invariants(ray_session, sf_dir):
+    """HITS scores: integers in [0, 1e6], max on each side exactly 1e6 after
+    the floor-div rescale, hubs ⊆ suppliers / auths ⊆ offset parts, and a
+    brute-force numpy replay of the integer recurrence agrees exactly."""
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    got = graphalgs.hits(sf_dir, iters=3)
+    hubs = got[got["kind"] == "hub"]
+    auths = got[got["kind"] == "auth"]
+    assert hubs["score_e6"].max() == 1_000_000
+    assert auths["score_e6"].max() == 1_000_000
+    assert (got["score_e6"] >= 0).all()
+    assert (hubs["node"] < graphalgs._PART_OFFSET).all()
+    assert (auths["node"] >= graphalgs._PART_OFFSET).all()
+
+    # brute replay of the all-integer recurrence on the driver
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey"]).to_pandas()
+    e = pd.DataFrame({
+        "src": li["l_suppkey"].astype(np.int64),
+        "dst": li["l_partkey"].astype(np.int64) + graphalgs._PART_OFFSET,
+    }).drop_duplicates()
+    h = pd.Series(graphalgs._HITS_SCALE, index=sorted(e["src"].unique()),
+                  dtype=np.int64)
+    for _ in range(3):
+        a = e["src"].map(h).groupby(e["dst"].to_numpy()).sum().astype(np.int64)
+        a = (a * graphalgs._HITS_SCALE) // int(a.max())
+        h = e["dst"].map(a).groupby(e["src"].to_numpy()).sum().astype(np.int64)
+        h = (h * graphalgs._HITS_SCALE) // int(h.max())
+    exp_h = h.sort_index()
+    got_h = hubs.set_index("node")["score_e6"].sort_index()
+    pd.testing.assert_series_equal(got_h, exp_h, check_names=False)
+    exp_a = a.sort_index()
+    got_a = auths.set_index("node")["score_e6"].sort_index()
+    pd.testing.assert_series_equal(got_a, exp_a, check_names=False)
