@@ -1028,6 +1028,9 @@ QUERIES: dict = {
     # learned-quality-gate shape: linear classifier over doc features with
     # fixed integer weights (fasttext/CCNet filter stand-in, exact SQL)
     "quality_logreg": (textops.quality_logreg, textops.QUALITY_LOGREG_SQL),
+    # the named Gopher rule-set (Rae et al. 2021) — exact integer features,
+    # all-rules keep bit; complements the learned-classifier gate above
+    "gopher_filter": (textops.gopher_filter, textops.GOPHER_FILTER_SQL),
     "doc_fingerprint": (textops.doc_fingerprint, DOC_FINGERPRINT_SQL),
     "text_tokens_bpe": (textops.text_tokens_bpe, TEXT_TOKENS_BPE_SQL),
     "doc_rolling_fingerprint": (textops.rolling_fingerprint, ROLLING_FINGERPRINT_SQL),
@@ -1159,8 +1162,14 @@ QUERIES: dict = {
     # exact column profiler (one tagged exchange of per-block-distinct pairs)
     "table_profile": (stats.table_profile, TABLE_PROFILE_SQL),
     # PCA via d×d covariance partials — float sums, approximate by
-    # construction; pinned vs numpy by tests/test_profiling_ops.py
+    # construction; pinned vs numpy by tests/test_profiling_ops.py.
+    # The distributed portion (one-pass Gram sufficient statistics) is
+    # oracle-gated exactly by embedding_moments below.
     "embedding_pca": (stats.embedding_pca, None),
+    # integer-quantized Gram matrix: the PCA dataflow with int64 sums,
+    # bit-exact vs the unnest-self-join SQL restatement
+    "embedding_moments": (stats.embedding_moments,
+                          stats.EMBEDDING_MOMENTS_SQL),
     # fuzzy (edit-distance) self-join, blocked on the name's last token
     "fuzzy_name_pairs": (dedup.fuzzy_name_pairs, FUZZY_NAME_PAIRS_SQL),
     # item–item Jaccard over the order–part bipartite graph

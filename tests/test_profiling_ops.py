@@ -141,6 +141,34 @@ def test_embedding_pca_matches_numpy():
     assert (np.diff(got["eigenvalue"].to_numpy()) <= 0).all()
 
 
+def test_embedding_moments_exact_and_consistent_with_pca():
+    """The integer Gram matrix is exactly the numpy replay, and the float
+    covariance it implies agrees with embedding_pca's distributed covariance
+    to quantization error (ties the oracle-gated query to the rows-only one)."""
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    x = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    q = np.floor(x * stats._MOMENT_SCALE).astype(np.int64)
+    want = q.T @ q
+    got = stats.embedding_moments(SF)
+    d = x.shape[1]
+    iu = np.triu_indices(d)
+    assert (got["i"].to_numpy() == iu[0] + 1).all()
+    assert (got["j"].to_numpy() == iu[1] + 1).all()
+    assert (got["m"].to_numpy() == want[iu]).all()
+
+    # reconstruct the full matrix and compare the implied top eigenvalue to
+    # the float PCA's (quantization perturbs coordinates by < 1e-6)
+    g = np.zeros((d, d))
+    g[iu] = got["m"].to_numpy()
+    g = g + g.T - np.diag(np.diag(g))
+    n = x.shape[0]
+    mean_q = q.mean(axis=0)
+    cov_q = (g / n - np.outer(mean_q, mean_q)) / stats._MOMENT_SCALE**2
+    ev_q = np.linalg.eigvalsh(cov_q)[-1]
+    ev_f = stats.embedding_pca(SF, k=1)["eigenvalue"].iloc[0]
+    assert abs(ev_q - ev_f) < 1e-4
+
+
 def test_customer_year_setops_bruteforce():
     from research_knowledge_graph_ray.pipelines import relational
 
