@@ -173,6 +173,9 @@ def run_bench() -> dict:
         timed("shard_plan", sampling.shard_plan)
         timed("cheapest_supplier", relational.cheapest_supplier_per_part)
         timed("vocab_sharing", textops.vocab_sharing)
+        timed("graph_hits", graphalgs.hits)
+        timed("gopher_filter", textops.gopher_filter)
+        timed("embedding_moments", stats.embedding_moments)
 
         # composed curation flagship: quality -> lang -> exact dedup ->
         # minhash near-dup -> pack -> partitioned parquet, one timed run

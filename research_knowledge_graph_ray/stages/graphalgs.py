@@ -965,11 +965,12 @@ def hits(sf_dir: str, iters: int = 3) -> pd.DataFrame:
     Dataflow per half-step: the DISTINCT edge set (materialized once,
     :func:`_supplier_part_edges`) is scanned with the current score vector
     broadcast via ``ray.put`` (catalog-bound: |suppliers|+|parts| entries,
-    never corpus-bound); per-block partials pre-collapse to (node, Σ) before
-    ONE catalog-bounded exchange. The per-round max and rescale run on the
-    driver over the catalog-sized score table — the same catalog-bound
-    driver step as the assoc_rules degree broadcast. Overflow bound:
-    scores ≤ 10⁶ post-rescale, so half-step sums ≤ degree·10⁶ < 2⁶³.
+    never corpus-bound); per-block partials pre-collapse to (node, Σ) —
+    catalog-bound per block — and fold directly on the driver, which needs
+    the full score table each half-step anyway for the max-rescale +
+    re-broadcast (no exchange; the same catalog-bound driver step as the
+    assoc_rules degree broadcast). Overflow bound: scores ≤ 10⁶
+    post-rescale, so half-step sums ≤ degree·10⁶ < 2⁶³.
 
     Reference parity note: no counterpart in the reference — brief-mandated
     graph-analytics family (link-analysis twin of :func:`pagerank`, which
@@ -990,26 +991,23 @@ def hits(sf_dir: str, iters: int = 3) -> pd.DataFrame:
             out["s"] = out["s"].astype(np.int64)
             return out
 
-        def combine(df: pd.DataFrame) -> pd.DataFrame:
-            return df.groupby("node", as_index=False)["s"].sum()
-
-        agg = grouped_aggregate(
-            edges.map_batches(partial, batch_format="pandas"),
-            ["node"], combine, n_buckets=8,
-        )
-        out = agg.to_pandas()  # catalog-bound: one row per node on this side
+        # per-block partials are already ≤ one row per node on this side
+        # (catalog-bound), and the rescale needs the full score table on the
+        # driver anyway — fold partials directly instead of paying an
+        # exchange per half-step (integer sums, order-independent)
+        parts = edges.map_batches(partial, batch_format="pandas").to_pandas()
+        out = parts.groupby("node", as_index=False)["s"].sum()
+        out["s"] = out["s"].astype(np.int64)
         mx = int(out["s"].max())
         out["s"] = (out["s"].to_numpy(np.int64) * _HITS_SCALE) // mx
         return out
 
-    # hubs start at 10^6 on every distinct src
-    src_nodes = grouped_aggregate(
-        edges.map_batches(
-            lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
-        ),
-        ["src"], lambda df: df.drop_duplicates(), n_buckets=8,
-    ).to_pandas()
-    h = dict.fromkeys(src_nodes["src"].astype(np.int64), _HITS_SCALE)
+    # hubs start at 10^6 on every distinct src (block-distinct partials,
+    # catalog-bound driver dedup — same shape as the half-step fold)
+    src_nodes = edges.map_batches(
+        lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
+    ).to_pandas()["src"].drop_duplicates()
+    h = dict.fromkeys(src_nodes.astype(np.int64), _HITS_SCALE)
     a_tab = None
     for _ in range(iters):
         a_tab = _half_step(h, "src", "dst")
