@@ -1031,6 +1031,10 @@ QUERIES: dict = {
     # the named Gopher rule-set (Rae et al. 2021) — exact integer features,
     # all-rules keep bit; complements the learned-classifier gate above
     "gopher_filter": (textops.gopher_filter, textops.GOPHER_FILTER_SQL),
+    # iterative ML oracle-gated: all-integer Lloyd k-means (md5-rank init,
+    # translation-invariant quantization, Σ//n centroid updates)
+    "embedding_kmeans": (similarity.embedding_kmeans,
+                         similarity.embedding_kmeans_sql()),
     "doc_fingerprint": (textops.doc_fingerprint, DOC_FINGERPRINT_SQL),
     "text_tokens_bpe": (textops.text_tokens_bpe, TEXT_TOKENS_BPE_SQL),
     "doc_rolling_fingerprint": (textops.rolling_fingerprint, ROLLING_FINGERPRINT_SQL),

@@ -407,3 +407,170 @@ def knn_join_ivf(
             ["vec_id", "nn_id", "sim_e6"]]
 
     return bucketed_group_apply(partials, ["vec_id"], shrink, merge_topk)
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact k-means (oracle-gated iterative clustering)
+# ---------------------------------------------------------------------------
+
+_KM_SCALE = 1_000_000
+# translation to keep every quantized coordinate nonnegative: DuckDB's `//`
+# truncates toward zero while numpy floors, so negative centroid sums would
+# diverge — a distance-invariant shift makes every sum nonnegative and the
+# two divisions identical. |x| < 4.0 is loudly asserted per batch.
+_KM_OFFSET = 4 * _KM_SCALE
+
+
+def _km_quant(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = _batch_vecs(batch)
+    q = np.floor(x * _KM_SCALE).astype(np.int64) + _KM_OFFSET
+    if q.min() < 0:
+        raise ValueError(
+            "embedding coordinate below -4.0; raise _KM_OFFSET "
+            "(kmeans quantizer translation bound)")
+    return ids, q
+
+
+def _km_assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin_c Σ(q−c)² with smallest-cid tie-break — expanded to exact
+    int64 matmul form (‖q‖² − 2q·c + ‖c‖²; np.argmin takes the first min)."""
+    qq = (q * q).sum(axis=1)
+    cc = (cents * cents).sum(axis=1)
+    d = qq[:, None] - 2 * (q @ cents.T) + cc[None, :]
+    return np.argmin(d, axis=1), d
+
+
+def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2) -> pd.DataFrame:
+    """(vec_id, cluster, dist) — Lloyd's k-means over the embeddings table in
+    EXACT integer arithmetic, so the iterative algorithm itself is
+    oracle-gated (``EMBEDDING_KMEANS_SQL`` replays every round bit-for-bit;
+    same doctrine as the all-integer :func:`~.graphalgs.hits`).
+
+    Coordinates quantize to ``floor(x·10⁶) + 4·10⁶`` (the translation keeps
+    sums nonnegative — see ``_KM_OFFSET`` — and squared-L2 distances are
+    translation-invariant, so cluster geometry is the float geometry at 1e-6
+    resolution). Init is the k vectors of smallest ``(md5-hkey, vec_id)``
+    (the repo's deterministic content-hash sampling convention — robust to
+    sorted/clustered input, unlike first-N); each round assigns by exact
+    int64 matmul and recomputes centroids as ``Σq // n`` with empty clusters
+    carrying forward. ``dist`` is the final squared distance.
+
+    Dataflow per round: centroid matrix broadcast via ``ray.put`` (k×d,
+    model-sized), per-block partials collapse to k×(d+1) int64 sums/counts,
+    driver fold — no shuffle, vectors never leave their blocks (the same
+    broadcast-partials shape as the float :func:`kmeans_centroids` the IVF
+    quantizer uses; this variant trades L2-normalized means for integer
+    exactness to be driver-gatable). The final labeled output streams from
+    one more map pass. Overflow: q ≤ 8·10⁶ ⇒ q·c sums < 2⁶³ for d ≤ 10⁵.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    embedding-pipeline clustering (the iterative-ML family, oracle-gated
+    where rows-only checks would otherwise apply)."""
+    from .sampling import _hkeys
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def init_part(batch: pa.Table) -> pd.DataFrame:
+        ids, q = _km_quant(batch)
+        hk = _hkeys(ids)
+        order = np.lexsort((ids, hk))[:k]
+        return pd.DataFrame({
+            "vec_id": ids[order], "hk": hk[order],
+            "q": [q[o].tobytes() for o in order],
+        })
+
+    cand = (ds.map_batches(init_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .to_pandas()  # ≤ k rows per block
+            .sort_values(["hk", "vec_id"]).head(k))
+    cents = np.stack([np.frombuffer(b, dtype=np.int64) for b in cand["q"]])
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def part(batch: pa.Table) -> pd.DataFrame:
+            cv = ray.get(ref)
+            ids, q = _km_quant(batch)
+            assign, _ = _km_assign(q, cv)
+            sums = np.zeros_like(cv)
+            np.add.at(sums, assign, q)
+            counts = np.bincount(assign, minlength=len(cv)).astype(np.int64)
+            return pd.DataFrame({
+                "cid": np.arange(len(cv), dtype=np.int64),
+                "s": [row.tobytes() for row in sums],
+                "n": counts,
+            })
+
+        parts = ds.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents), dtype=np.int64)
+        for cid, blob, n in zip(parts["cid"], parts["s"], parts["n"]):
+            sums[cid] += np.frombuffer(blob, dtype=np.int64)
+            counts[cid] += n
+        live = counts > 0
+        new = cents.copy()
+        new[live] = sums[live] // counts[live, None]  # nonneg ⇒ floor==trunc
+        cents = new
+
+    final_ref = ray.put(cents)
+
+    def label(batch: pa.Table) -> pd.DataFrame:
+        cv = ray.get(final_ref)
+        ids, q = _km_quant(batch)
+        assign, d = _km_assign(q, cv)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster": assign.astype(np.int64),
+            "dist": d[np.arange(len(ids)), assign],
+        })
+
+    out = ds.map_batches(label, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def embedding_kmeans_sql(k: int = 8, iters: int = 2) -> str:
+    """Exact chained-CTE restatement of :func:`embedding_kmeans`."""
+    head = f"""
+WITH q AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE})
+              AS BIGINT) + {_KM_OFFSET} AS qx
+  FROM embeddings),
+init AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {k}),
+c0 AS (
+  SELECT init.cid, q.i, q.qx AS cx FROM init JOIN q USING (vec_id))"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+d{t} AS (
+  SELECT q.vec_id, c.cid, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d
+  FROM q JOIN c{t-1} c ON q.i = c.i GROUP BY 1, 2),
+a{t} AS (
+  SELECT vec_id, cid FROM d{t}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+s{t} AS (
+  SELECT a.cid, q.i, SUM(q.qx) // COUNT(*) AS cx
+  FROM a{t} a JOIN q USING (vec_id) GROUP BY 1, 2),
+c{t} AS (
+  SELECT c.cid, c.i, COALESCE(s.cx, c.cx) AS cx
+  FROM c{t-1} c LEFT JOIN s{t} s ON c.cid = s.cid AND c.i = s.i)""")
+    tail = f"""
+df AS (
+  SELECT q.vec_id, c.cid, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d
+  FROM q JOIN c{iters} c ON q.i = c.i GROUP BY 1, 2)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster, CAST(d AS BIGINT) AS dist
+FROM df
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+ORDER BY vec_id"""
+    return head + "," + ",".join(steps) + "," + tail

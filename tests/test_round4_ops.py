@@ -225,6 +225,46 @@ def test_linear_attribution_vectorized_vs_brute(tmp_path):
     assert int(got["attributed_cents"].sum()) == sum(credit.values())
 
 
+def test_embedding_kmeans_matches_integer_replay(ray_session, sf_dir):
+    """The distributed integer k-means equals a single-machine numpy replay
+    of the exact recurrence (md5-rank init → assign → Σ//n update), and the
+    translation offset keeps every quantized coordinate nonnegative (the
+    precondition that makes numpy floor-div == DuckDB trunc-div)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import similarity as sim
+
+    k, iters = 8, 2
+    got = sim.embedding_kmeans(sf_dir, k=k, iters=iters)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    x = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    q = np.floor(x * sim._KM_SCALE).astype(np.int64) + sim._KM_OFFSET
+    assert q.min() >= 0
+
+    hk = np.array([int.from_bytes(
+        hashlib.md5(str(int(i)).encode()).digest()[:4], "big") for i in ids],
+        dtype=np.int64)
+    order = np.lexsort((ids, hk))[:k]
+    cents = q[order].copy()
+    for _ in range(iters):
+        assign, _ = sim._km_assign(q, cents)
+        for c in range(k):
+            members = q[assign == c]
+            if len(members):
+                cents[c] = members.sum(axis=0) // len(members)
+    assign, d = sim._km_assign(q, cents)
+    want = pd.DataFrame({"vec_id": ids, "cluster": assign.astype(np.int64),
+                         "dist": d[np.arange(len(ids)), assign]})
+    want = want.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["cluster"].nunique() > 1  # non-degenerate at test scale
+
+
 def test_hits_invariants(ray_session, sf_dir):
     """HITS scores: integers in [0, 1e6], max on each side exactly 1e6 after
     the floor-div rescale, hubs ⊆ suppliers / auths ⊆ offset parts, and a
