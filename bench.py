@@ -176,6 +176,7 @@ def run_bench() -> dict:
         timed("graph_hits", graphalgs.hits)
         timed("gopher_filter", textops.gopher_filter)
         timed("embedding_moments", stats.embedding_moments)
+        timed("embedding_kmeans", similarity.embedding_kmeans)
 
         # composed curation flagship: quality -> lang -> exact dedup ->
         # minhash near-dup -> pack -> partitioned parquet, one timed run

@@ -1427,7 +1427,10 @@ _DRIVER_HEAD = [
     # head; top10_orders likewise — evicted to make room for the media KG)
     "knn_topk", "knn_topk_ivf",
     # windows / sessions / attribution
-    "events_sessions", "customer_order_totals", "rolling_active_users",
+    "events_sessions", "customer_order_totals",
+    # iterative ML (integer-exact Lloyd rounds; rolling_active_users moved
+    # just past the head — windows keeps two sampled entries)
+    "embedding_kmeans",
     # composed curation
     "curation_funnel",
 ]
