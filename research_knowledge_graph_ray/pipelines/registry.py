@@ -1035,6 +1035,10 @@ QUERIES: dict = {
     # translation-invariant quantization, Σ//n centroid updates)
     "embedding_kmeans": (similarity.embedding_kmeans,
                          similarity.embedding_kmeans_sql()),
+    # tokenizer-training shape: round-1 BPE merge table (word-internal
+    # adjacent char-pair counts, alphabet²-bounded driver state)
+    "bpe_merge_counts": (textops.bpe_merge_counts,
+                         textops.BPE_MERGE_COUNTS_SQL),
     "doc_fingerprint": (textops.doc_fingerprint, DOC_FINGERPRINT_SQL),
     "text_tokens_bpe": (textops.text_tokens_bpe, TEXT_TOKENS_BPE_SQL),
     "doc_rolling_fingerprint": (textops.rolling_fingerprint, ROLLING_FINGERPRINT_SQL),

@@ -298,6 +298,72 @@ def text_tokens_bpe(sf_dir: str) -> "ray.data.Dataset":
                                           zero_copy_batch=True)
 
 
+def bpe_merge_counts(sf_dir: str) -> pd.DataFrame:
+    """(l, r, n) — word-internal adjacent character-pair frequencies across
+    the corpus: the count table that drives the FIRST merge round of BPE
+    tokenizer training (Sennrich et al. 2016 — each round merges the
+    most-frequent adjacent symbol pair; round one's symbols are characters).
+
+    Vectorized per block: the batch's texts are joined with ``\\n``, viewed
+    as a uint8 array, and every adjacent byte pair becomes one int
+    ``256·l + r``; pairs straddling a space/newline word boundary are masked
+    out and ``np.unique`` collapses the block to ≤ alphabet² rows. Partials
+    fold on the driver (alphabet²-bounded — byte-alphabet ≤ 65536 rows ever,
+    regardless of corpus size); full merge-table output, no top-k cut, so
+    the DuckDB oracle (per-word ``generate_series`` + ``substr`` explode) is
+    exact. ASCII is loudly asserted — multi-byte text would need the same
+    codepoint treatment the decode stubs gate on.
+
+    Scale shape: one embarrassingly-parallel pass, alphabet²-bounded driver
+    state — at 100 TB this is the cheapest possible corpus statistic.
+    Subsequent merge rounds re-run the same kernel over the re-tokenized
+    symbol stream; the dataflow is identical (only the pair id space grows).
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    token-counting family (the tokenizer-TRAINING half; `text_tokens_bpe`
+    above is the tokenizer-APPLICATION half)."""
+
+    def pairs(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        blob = "\n".join(texts).encode("utf-8", errors="strict")
+        arr = np.frombuffer(blob, dtype=np.uint8)
+        if len(arr) and arr.max() >= 128:
+            raise ValueError(
+                "non-ASCII byte in corpus; bpe_merge_counts assumes the "
+                "single-byte alphabet (extend to codepoints for UTF-8)")
+        if len(arr) < 2:
+            return pd.DataFrame({"pair": pd.Series(dtype=np.int64),
+                                 "n": pd.Series(dtype=np.int64)})
+        left, right = arr[:-1].astype(np.int64), arr[1:].astype(np.int64)
+        boundary = (left == 32) | (left == 10) | (right == 32) | (right == 10)
+        pair = (left * 256 + right)[~boundary]
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pd.DataFrame({"pair": uniq, "n": cnt.astype(np.int64)})
+
+    parts = (_read_docs(sf_dir)
+             .map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())  # ≤ alphabet² rows per block
+    agg = parts.groupby("pair", as_index=False)["n"].sum()
+    out = pd.DataFrame({
+        "l": [chr(p // 256) for p in agg["pair"]],
+        "r": [chr(p % 256) for p in agg["pair"]],
+        "n": agg["n"].astype(np.int64),
+    })
+    return out.sort_values(["l", "r"]).reset_index(drop=True)
+
+
+BPE_MERGE_COUNTS_SQL = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+p AS (
+  SELECT substr(word, unnest(generate_series(1, length(word) - 1)), 2) AS pr
+  FROM w WHERE length(word) >= 2)
+SELECT substr(pr, 1, 1) AS l, substr(pr, 2, 1) AS r,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 ROLLING_WINDOW = 8
 
 

@@ -302,3 +302,33 @@ def test_hits_invariants(ray_session, sf_dir):
     exp_a = a.sort_index()
     got_a = auths.set_index("node")["score_e6"].sort_index()
     pd.testing.assert_series_equal(got_a, exp_a, check_names=False)
+
+
+def test_bpe_merge_counts_conservation(ray_session, sf_dir):
+    """Σn over the merge table equals Σ_words (len(word)−1) — every
+    word-internal adjacent pair is counted exactly once, none straddle a
+    boundary — and the most frequent pair is the argmax of a brute replay."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import textops
+
+    got = textops.bpe_merge_counts(sf_dir)
+    texts = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["text"])["text"].to_pylist()
+    brute = collections.Counter()
+    total = 0
+    for t in texts:
+        for w in t.split(" "):
+            total += max(0, len(w) - 1)
+            for a, b in zip(w, w[1:]):
+                brute[(a, b)] += 1
+    assert int(got["n"].sum()) == total
+    top = got.sort_values(["n", "l", "r"], ascending=[False, True, True]).iloc[0]
+    assert brute[(top["l"], top["r"])] == max(brute.values())
+    want = pd.DataFrame(
+        [(a, b, n) for (a, b), n in sorted(brute.items())],
+        columns=["l", "r", "n"])
+    want["n"] = want["n"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
