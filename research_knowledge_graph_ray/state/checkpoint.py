@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -169,6 +170,7 @@ def partitioned_stage_checkpoint(
         # unconditionally so the os.replace below can't fail with ENOTEMPTY
         shutil.rmtree(pdir, ignore_errors=True)
 
+        t_part = time.perf_counter()
         sub = docs.map_batches(
             lambda b, k=k: _doc_partition_filter(b, k, n_partitions),
             batch_format="pyarrow", zero_copy_batch=True,
@@ -181,11 +183,21 @@ def partitioned_stage_checkpoint(
             pq.ParquetFile(os.path.join(tmp, fn)).metadata.num_rows
             for fn in os.listdir(tmp) if fn.endswith(".parquet")
         )
+        nbytes = sum(
+            os.path.getsize(os.path.join(tmp, fn))
+            for fn in os.listdir(tmp) if fn.endswith(".parquet")
+        )
         # manifest lands inside tmp BEFORE the rename: os.replace is the
         # atomic commit point — a crash anywhere leaves either no pdir or a
         # complete pdir-with-manifest, never a wedged manifest-less directory
+        # (per-partition METRICS ride the lineage record: elapsed wall time,
+        # output rows/bytes, completion stamp — the ops signal a resumed or
+        # monitoring run reads without touching the data files)
         with open(os.path.join(tmp, PART_MANIFEST), "w") as f:
-            json.dump({"fingerprint": fingerprint, "rows": rows, "partition": k}, f)
+            json.dump({"fingerprint": fingerprint, "rows": rows,
+                       "partition": k, "bytes": nbytes,
+                       "elapsed_s": round(time.perf_counter() - t_part, 3),
+                       "completed_unix": round(time.time(), 3)}, f)
         os.replace(tmp, pdir)
 
     with open(manifest_path(ckpt_dir), "w") as f:

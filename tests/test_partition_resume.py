@@ -75,7 +75,11 @@ def test_fingerprint_change_invalidates_partitions(tmp_path):
     )
     assert out.count() > 0
     with open(os.path.join(ck, "part=0", "_PART.json")) as f:
-        assert json.load(f)["fingerprint"] == "b"
+        man = json.load(f)
+    assert man["fingerprint"] == "b"
+    # per-partition METRICS ride the lineage record (north-rule contract)
+    assert man["rows"] >= 0 and man["bytes"] > 0
+    assert man["elapsed_s"] > 0 and man["completed_unix"] > 0
 
 
 def test_build_graph_checkpointed_resume_equivalence(tmp_path):
