@@ -1123,6 +1123,8 @@ QUERIES: dict = {
     # link analysis twin of pagerank: all-integer HITS (exact floor-div
     # rescale replaces L2 normalization, so the oracle is bit-exact)
     "graph_hits": (graphalgs.hits, graphalgs.hits_sql()),
+    # DeepWalk-shape walk corpus: md5-argmin next hop ⇒ exactly restatable
+    "graph_walks": (graphalgs.graph_walks, graphalgs.graph_walks_sql()),
     # order statistics (stages/stats.py) — exact histogram rank-refinement
     "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
     # HLL sketch, oracle-gated restatement: the Ray side computes the exact

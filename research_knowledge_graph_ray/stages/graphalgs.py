@@ -1048,3 +1048,128 @@ SELECT node, 'hub' AS kind, CAST(s AS BIGINT) AS score_e6 FROM h{iters}
 UNION ALL
 SELECT node, 'auth' AS kind, CAST(s AS BIGINT) AS score_e6 FROM a{iters}"""
     return head + "," + ",".join(steps) + tail
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random walks (DeepWalk/node2vec corpus-generation shape)
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+
+
+def graph_walks(sf_dir: str, steps: int = _WALK_STEPS) -> pd.DataFrame:
+    """(walk_id, step, node) — one walk per supplier node over the UNDIRECTED
+    supplier↔part graph, ``steps`` hops each: the corpus-generation kernel of
+    DeepWalk/node2vec (walk sequences feeding a skip-gram embedder).
+
+    "Random" is a deterministic hash draw so the walk is exactly restatable
+    in SQL: at step t the walk at ``cur`` moves to the neighbor minimizing
+    ``md5('{walk_id}-{t}-{neighbor}')`` (hex-string order; neighbor-id
+    tie-break) — independent draws per (walk, step) like seeded RNG, and
+    identical at any parallelism (the md5-derived determinism convention of
+    `epoch_shuffle` / `dsir_resample`).
+
+    Dataflow per step: the frontier is one position per walk (catalog-bound
+    — |suppliers| rows) and is broadcast via ``ray.put``; the symmetrized
+    edge set (materialized once) is scanned with per-block argmin partials
+    per walk — ≤ |walks| rows per block — folded on the driver (the HITS
+    fold shape). md5-per-candidate-edge is Python-loop work, the documented
+    price of SQL-checkability (see `rolling_fingerprint`); swap a seeded
+    integer hash for production and the dataflow is unchanged. At corpus
+    scale (walks from every node) the broadcast frontier becomes a
+    frontier JOIN exactly like :func:`sssp`'s — the per-step dataflow is
+    already written as scan + per-walk argmin, which that join preserves.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    graph-representation-learning input family (walk corpus ahead of a
+    skip-gram embedding stage)."""
+    import hashlib
+
+    e = _supplier_part_edges(sf_dir).materialize()
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["src"].to_numpy(np.int64),
+                                   df["dst"].to_numpy(np.int64)]),
+            "dst": np.concatenate([df["dst"].to_numpy(np.int64),
+                                   df["src"].to_numpy(np.int64)]),
+        })
+
+    edges = e.map_batches(sym, batch_format="pandas").materialize()
+
+    # start set: every supplier node (catalog-bound)
+    starts = e.map_batches(
+        lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
+    ).to_pandas()["src"].drop_duplicates().sort_values().to_numpy(np.int64)
+    pos = dict(zip(starts.tolist(), starts.tolist()))  # walk_id -> cur node
+    rows = [pd.DataFrame({"walk_id": starts, "step": np.int64(0),
+                          "node": starts})]
+
+    for t in range(1, steps + 1):
+        ref = ray.put(pos)
+
+        def part(df: pd.DataFrame, t=t) -> pd.DataFrame:
+            p = ray.get(ref)
+            cur = pd.Series(p)  # index: walk_id, value: cur node
+            # map cur-node -> walk_ids landed there (a node can host many)
+            by_node: dict = {}
+            for w, c in p.items():
+                by_node.setdefault(c, []).append(w)
+            src = df["src"].to_numpy(np.int64)
+            dst = df["dst"].to_numpy(np.int64)
+            out_w, out_k, out_d = [], [], []
+            best: dict = {}
+            for s, d in zip(src, dst):
+                ws = by_node.get(int(s))
+                if not ws:
+                    continue
+                for w in ws:
+                    key = hashlib.md5(f"{w}-{t}-{d}".encode()).hexdigest()
+                    cur_best = best.get(w)
+                    if cur_best is None or (key, d) < cur_best:
+                        best[w] = (key, int(d))
+            return pd.DataFrame({
+                "walk_id": np.fromiter(best.keys(), np.int64, len(best)),
+                "k": [v[0] for v in best.values()],
+                "node": np.fromiter((v[1] for v in best.values()), np.int64,
+                                    len(best)),
+            })
+
+        parts = edges.map_batches(part, batch_format="pandas").to_pandas()
+        parts = parts.sort_values(["walk_id", "k", "node"]) \
+                     .drop_duplicates("walk_id", keep="first")
+        pos = dict(zip(parts["walk_id"].astype(np.int64),
+                       parts["node"].astype(np.int64)))
+        rows.append(pd.DataFrame({
+            "walk_id": parts["walk_id"].to_numpy(np.int64),
+            "step": np.int64(t),
+            "node": parts["node"].to_numpy(np.int64),
+        }))
+
+    out = pd.concat(rows, ignore_index=True)
+    return out.sort_values(["walk_id", "step"]).reset_index(drop=True)
+
+
+def graph_walks_sql(steps: int = _WALK_STEPS) -> str:
+    """Exact chained-CTE restatement of :func:`graph_walks`."""
+    head = f"""
+WITH de AS (SELECT DISTINCT l_suppkey AS src,
+                   l_partkey + {_PART_OFFSET} AS dst FROM lineitem),
+e AS (SELECT src, dst FROM de UNION ALL SELECT dst AS src, src AS dst FROM de),
+w0 AS (SELECT DISTINCT src AS walk_id, src AS node FROM de)"""
+    steps_sql = []
+    for t in range(1, steps + 1):
+        steps_sql.append(f"""
+w{t} AS (
+  SELECT w.walk_id, e.dst AS node
+  FROM w{t-1} w JOIN e ON e.src = w.node
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY w.walk_id
+    ORDER BY md5(CAST(w.walk_id AS VARCHAR) || '-{t}-'
+                 || CAST(e.dst AS VARCHAR)), e.dst) = 1)""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(0, steps + 1))
+    return (head + "," + ",".join(steps_sql)
+            + "\nSELECT * FROM (\n" + tail
+            + "\n) ORDER BY walk_id, step")

@@ -332,3 +332,30 @@ def test_bpe_merge_counts_conservation(ray_session, sf_dir):
         columns=["l", "r", "n"])
     want["n"] = want["n"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_graph_walks_are_valid_paths(ray_session, sf_dir):
+    """Every consecutive (node, next) in a walk is a real undirected edge,
+    every walk starts at its own supplier id, steps are dense 0..L, and the
+    hash draw actually disperses walks (not all walks pick the same part)."""
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    got = graphalgs.graph_walks(sf_dir)
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey"]).to_pandas()
+    e = set(zip(li["l_suppkey"].astype(int),
+                (li["l_partkey"] + graphalgs._PART_OFFSET).astype(int)))
+    und = e | {(b, a) for a, b in e}
+
+    for wid, g in got.groupby("walk_id"):
+        g = g.sort_values("step")
+        assert g["step"].tolist() == list(range(len(g)))
+        assert int(g["node"].iloc[0]) == int(wid)
+        path = g["node"].astype(int).tolist()
+        for a, b in zip(path, path[1:]):
+            assert (a, b) in und, (wid, a, b)
+    # dispersion: step-1 destinations are not all identical
+    s1 = got[got["step"] == 1]["node"]
+    assert s1.nunique() > 1
