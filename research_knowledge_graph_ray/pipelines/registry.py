@@ -1125,6 +1125,10 @@ QUERIES: dict = {
     "graph_hits": (graphalgs.hits, graphalgs.hits_sql()),
     # DeepWalk-shape walk corpus: md5-argmin next hop ⇒ exactly restatable
     "graph_walks": (graphalgs.graph_walks, graphalgs.graph_walks_sql()),
+    # skip-gram (center, context) counts over the walk corpus — the
+    # embedder-input composition of graph_walks
+    "walk_skipgrams": (graphalgs.walk_skipgrams,
+                       graphalgs.walk_skipgrams_sql()),
     # order statistics (stages/stats.py) — exact histogram rank-refinement
     "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
     # HLL sketch, oracle-gated restatement: the Ray side computes the exact

@@ -1173,3 +1173,52 @@ w{t} AS (
     return (head + "," + ",".join(steps_sql)
             + "\nSELECT * FROM (\n" + tail
             + "\n) ORDER BY walk_id, step")
+
+
+_SKIPGRAM_WINDOW = 2
+
+
+def walk_skipgrams(sf_dir: str, window: int = _SKIPGRAM_WINDOW) -> pd.DataFrame:
+    """(src, ctx, n) — skip-gram co-occurrence counts over the
+    :func:`graph_walks` corpus (window ``±window`` inside each walk): the
+    (center, context) pair table a DeepWalk/node2vec embedder trains on —
+    the composition that turns the walk corpus into model input.
+
+    Rides the deterministic walk table (catalog-bound here: one walk per
+    supplier × steps+1 positions), so pair generation is one vectorized
+    self-merge on (walk_id, |Δstep| ≤ window) and the count table is
+    edge-vocabulary-bounded. At corpus scale (walks from every node) the
+    SAME generation runs as a per-walk map stage — walks are generated
+    partition-local, pairs pre-aggregate per block, and one (src, ctx)
+    exchange merges counts; nothing in the kernel changes.
+
+    Reference parity note: no counterpart in the reference — completes the
+    brief-mandated graph-representation-learning input family started by
+    :func:`graph_walks`."""
+    walks = graph_walks(sf_dir)
+    m = walks.merge(walks, on="walk_id", suffixes=("_a", "_b"))
+    d = (m["step_a"] - m["step_b"]).abs()
+    m = m[(d >= 1) & (d <= window)]
+    out = (m.groupby(["node_a", "node_b"], as_index=False).size()
+           .rename(columns={"node_a": "src", "node_b": "ctx", "size": "n"}))
+    out["src"] = out["src"].astype(np.int64)
+    out["ctx"] = out["ctx"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["src", "ctx"]).reset_index(drop=True)
+            [["src", "ctx", "n"]])
+
+
+def walk_skipgrams_sql(window: int = _SKIPGRAM_WINDOW,
+                       steps: int = _WALK_STEPS) -> str:
+    """:func:`walk_skipgrams` restated over the :func:`graph_walks_sql`
+    walk CTEs (same chained-QUALIFY walk construction, then a windowed
+    self-join)."""
+    walks = graph_walks_sql(steps)
+    return f"""
+WITH walks AS ({walks})
+SELECT a.node AS src, b.node AS ctx, CAST(COUNT(*) AS BIGINT) AS n
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND abs(a.step - b.step) BETWEEN 1 AND {window}
+GROUP BY 1, 2
+ORDER BY 1, 2"""
