@@ -1048,6 +1048,9 @@ QUERIES: dict = {
     # exact-rescan scale path (same oracle — the rescan restores exactness)
     "top_tokens": (textops.top_tokens, TOP_TOKENS_SQL),
     "top_tokens_mg": (textops.top_tokens_mg, TOP_TOKENS_SQL),
+    # Count-Min sketch estimates (fixed d×w partials, md5-slot convention):
+    # the SQL rebuilds the identical sketch, collisions included
+    "top_tokens_cms": (textops.top_tokens_cms, textops.TOP_TOKENS_CMS_SQL),
     "repetition_stats": (textops.repetition_stats, REPETITION_STATS_SQL),
     "scrub_terms": (textops.scrub_terms, SCRUB_TERMS_SQL),
     "pack_sequences": (textops.pack_sequences, PACK_SEQUENCES_SQL),

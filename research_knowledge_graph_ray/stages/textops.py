@@ -1470,3 +1470,85 @@ c AS (SELECT tok, COUNT(DISTINCT source) AS ns FROM nz GROUP BY 1)
 SELECT CAST(ns AS BIGINT) AS n_sources, CAST(COUNT(*) AS BIGINT) AS n_tokens
 FROM c GROUP BY ns
 """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch heavy-hitter estimates (value-gated, bloom doctrine)
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4       # hash rows
+_CMS_W = 1024    # columns per row
+
+
+def _cms_slot(token: str, j: int) -> int:
+    return int.from_bytes(
+        hashlib.md5(f"{token}-cms{j}".encode()).digest()[:4], "big") % _CMS_W
+
+
+def top_tokens_cms(sf_dir: str, k: int = TOPK_DEFAULT) -> pd.DataFrame:
+    """(token, n, est) — Count-Min sketch estimates for the exact top-k
+    tokens, with the one-sided guarantee ``est ≥ n`` (Cormode-Muthukrishnan:
+    overestimate ≤ N/w per row w.h.p., and `est = min over d rows`).
+
+    The sketch is the third mergeable-summary family next to Misra-Gries
+    (`top_tokens_mg`) and HyperLogLog: per-block partials are FIXED d×w
+    int64 matrices (32 KiB here) regardless of vocabulary — the 100-TB
+    shape where even MG's capacity-bounded summaries are too chatty.
+    Slots use the repo's md5 convention (`decontaminate_bloom`), so DuckDB
+    rebuilds the IDENTICAL sketch — collisions and all — and the estimates
+    are value-hash gated, not merely interval-certified. The reported token
+    set is the exact top-k from the `top_tokens` exchange (its oracle);
+    md5-per-distinct-token is block-vocabulary-bounded Python work, the
+    `_hkeys` precedent.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    sketch family (frequency estimation under fixed memory)."""
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        tc = _token_partial_counts(batch)
+        toks = tc["token"].to_pylist()
+        ns = tc["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cms = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+        for j in range(_CMS_D):
+            slots = np.fromiter((_cms_slot(t, j) for t in toks), np.int64,
+                                len(toks))
+            np.add.at(cms[j], slots, ns)
+        return pd.DataFrame({"cms": [cms.tobytes()]})
+
+    parts = (_read_docs(sf_dir)
+             .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())  # one fixed-size row per block
+    cms = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    for b in parts["cms"]:
+        cms += np.frombuffer(b, dtype=np.int64).reshape(_CMS_D, _CMS_W)
+
+    top = top_tokens(sf_dir, k=k)
+    est = [
+        int(min(cms[j][_cms_slot(t, j)] for j in range(_CMS_D)))
+        for t in top["token"]
+    ]
+    out = top.copy()
+    out["est"] = np.asarray(est, dtype=np.int64)
+    assert (out["est"] >= out["n"]).all()  # CMS never undercounts
+    return out
+
+
+TOP_TOKENS_CMS_SQL = f"""
+WITH tc AS (
+  SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> '' GROUP BY t),
+slots AS (
+  SELECT token, n, r.j,
+         ('0x' || substr(md5(token || '-cms' || CAST(r.j AS VARCHAR)), 1, 8))
+           ::UBIGINT % {_CMS_W} AS slot
+  FROM tc, range({_CMS_D}) r(j)),
+sums AS (SELECT j, slot, SUM(n) AS s FROM slots GROUP BY 1, 2),
+topk AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT 20)
+SELECT t.token, t.n, CAST(MIN(s.s) AS BIGINT) AS est
+FROM topk t
+JOIN slots sl ON sl.token = t.token
+JOIN sums s ON s.j = sl.j AND s.slot = sl.slot
+GROUP BY 1, 2
+ORDER BY t.n DESC, t.token
+"""

@@ -359,3 +359,36 @@ def test_graph_walks_are_valid_paths(ray_session, sf_dir):
     # dispersion: step-1 destinations are not all identical
     s1 = got[got["step"] == 1]["node"]
     assert s1.nunique() > 1
+
+
+def test_top_tokens_cms_collisions_match_sql(ray_session, tmp_path):
+    """On a vocabulary ≫ sketch width, collisions MUST overcount — and the
+    DuckDB rebuild of the same md5-slot sketch agrees on every estimate."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.stages import textops
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(3000)]
+    texts = [" ".join(rng.choice(vocab, 40)) for _ in range(200)]
+    # plant clear heavy hitters so the top-20 is stable
+    texts += ["alpha beta " * 50, "alpha gamma " * 40]
+    d = str(tmp_path)
+    pqw.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    }), f"{d}/documents.parquet")
+
+    got = textops.top_tokens_cms(d)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    exp = con.execute(textops.TOP_TOKENS_CMS_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype({"n": np.int64, "est": np.int64}),
+        exp.astype({"n": np.int64, "est": np.int64}))
+    assert (got["est"] >= got["n"]).all()
+    # 3000 tokens into 1024 slots: at least one reported estimate collides
+    assert (got["est"] > got["n"]).any()
