@@ -1142,6 +1142,9 @@ QUERIES: dict = {
                                 APPROX_DISTINCT_GATED_SQL),
     # similarity search
     "knn_topk": (similarity.knn_topk, KNN_TOPK_SQL),
+    # MMR diversified rerank: greedy 7·rel − 3·max-sim over the knn_topk
+    # candidate set, replayed in SQL as k chained greedy CTEs
+    "mmr_rerank": (similarity.mmr_rerank, similarity.mmr_rerank_sql()),
     # full-probe IVF config: exact by construction (knn_join_ivf contract),
     # so the brute-force oracle gates the whole IVF dataflow; sub-full
     # nprobe recall is covered by pytest

@@ -574,3 +574,114 @@ FROM df
 QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
 ORDER BY vec_id"""
     return head + "," + ",".join(steps) + "," + tail
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified rerank (retrieval diversification)
+# ---------------------------------------------------------------------------
+
+_MMR_LAM = 7   # λ·relevance −
+_MMR_DIV = 3   # (1−λ)·max-similarity-to-selected, scaled ×10 to stay integer
+
+
+def mmr_rerank(sf_dir: str, query_vec_id: int = 0, n_cand: int = 50,
+               k: int = 5) -> pd.DataFrame:
+    """(rank, vec_id, rel_e6, mmr_e6) — maximal-marginal-relevance rerank
+    (Carbonell & Goldstein 1998): greedily pick k results maximizing
+    ``7·rel − 3·max_{s∈selected} sim(c, s)`` (λ=0.7 in tenths — exact
+    integer scores over the e6-rounded cosines, smallest-vec_id tie-break),
+    so near-duplicate hits don't crowd the result list.
+
+    Dataflow: candidate generation IS the distributed part —
+    :func:`knn_topk` with ``k = n_cand`` (broadcast query, per-block
+    partial top-k, tiny sort). The greedy selection then runs on the
+    driver over the REPORT-SIZED candidate set (n_cand² pairwise
+    e6-cosines — 50² here; never corpus-sized), the same bounded-driver
+    doctrine as the quantile candidate pass. The SQL oracle replays the
+    greedy chain as k CTE steps over identical rounded cosines.
+
+    Reference parity note: no counterpart in the reference —
+    brief-mandated similarity-search family (the diversification stage a
+    RAG retriever runs after top-k; composes with `hybrid_search`)."""
+    cand = knn_topk(sf_dir, query_vec_id, k=n_cand).to_pandas()
+    ids = cand["vec_id"].to_numpy(np.int64)
+    rel = dict(zip(ids.tolist(), cand["sim_e6"].astype(np.int64).tolist()))
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", ids.tolist())])
+    tid = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(
+        np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    P = np.round((unit @ unit.T) * 1e6).astype(np.int64)
+    pos = {int(v): i for i, v in enumerate(tid)}
+
+    remaining = ids.tolist()
+    out_rows = []
+    selected: list[int] = []
+    for rank in range(1, k + 1):
+        best = None
+        for c in remaining:
+            if selected:
+                maxdiv = max(P[pos[c], pos[s]] for s in selected)
+                score = _MMR_LAM * rel[c] - _MMR_DIV * int(maxdiv)
+            else:
+                score = _MMR_LAM * rel[c]
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        _, chosen, score = best
+        selected.append(chosen)
+        remaining.remove(chosen)
+        out_rows.append((rank, chosen, rel[chosen], score))
+
+    return pd.DataFrame(out_rows,
+                        columns=["rank", "vec_id", "rel_e6", "mmr_e6"]) \
+        .astype({"rank": np.int64, "vec_id": np.int64,
+                 "rel_e6": np.int64, "mmr_e6": np.int64})
+
+
+def mmr_rerank_sql(query_vec_id: int = 0, n_cand: int = 50,
+                   k: int = 5) -> str:
+    """Exact greedy-chain restatement of :func:`mmr_rerank`."""
+    head = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+           WHERE vec_id = {query_vec_id}),
+cand AS (
+  SELECT vec_id,
+         CAST(ROUND(list_cosine_similarity(embedding::DOUBLE[],
+                                           (SELECT qv FROM q)) * 1000000)
+              AS BIGINT) AS rel
+  FROM embeddings WHERE vec_id <> {query_vec_id}
+  ORDER BY rel DESC, vec_id LIMIT {n_cand}),
+pair AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb,
+         CAST(ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]) * 1000000)
+              AS BIGINT) AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+s1 AS (SELECT vec_id, rel, CAST({_MMR_LAM} * rel AS BIGINT) AS mmr
+       FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+sel1 AS (SELECT vec_id FROM s1)"""
+    steps = []
+    for t in range(2, k + 1):
+        steps.append(f"""
+s{t} AS (
+  SELECT c.vec_id, c.rel,
+         CAST({_MMR_LAM} * c.rel - {_MMR_DIV} * (
+           SELECT MAX(p.s) FROM pair p
+           WHERE p.va = c.vec_id
+             AND p.vb IN (SELECT vec_id FROM sel{t-1})) AS BIGINT) AS mmr
+  FROM cand c WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{t-1})
+  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+sel{t} AS (SELECT vec_id FROM sel{t-1} UNION ALL SELECT vec_id FROM s{t})""")
+    tail = "\nUNION ALL\n".join(
+        f"SELECT CAST({t} AS BIGINT) AS rank, vec_id, rel AS rel_e6, "
+        f"mmr AS mmr_e6 FROM s{t}" for t in range(1, k + 1))
+    return (head + "," + ",".join(steps)
+            + "\nSELECT * FROM (\n" + tail + "\n) ORDER BY rank")

@@ -392,3 +392,47 @@ def test_top_tokens_cms_collisions_match_sql(ray_session, tmp_path):
     assert (got["est"] >= got["n"]).all()
     # 3000 tokens into 1024 slots: at least one reported estimate collides
     assert (got["est"] > got["n"]).any()
+
+
+def test_mmr_rerank_skips_planted_near_duplicate(ray_session, tmp_path):
+    """A near-exact copy of the top hit must NOT take rank 2 under MMR
+    (plain top-k would rank it second); the SQL greedy chain agrees."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.stages import similarity
+
+    # geometry where diversification CAN fire: the top hit sits off the
+    # query axis (rel 0.8), its near-copy pays ~full diversity penalty
+    # (7·0.8 − 3·1.0 = 2.6), while an off-axis candidate at rel 0.75 with
+    # sim ≈ 0.2 to the top hit scores 7·0.75 − 3·0.2 = 4.65 and takes rank 2
+    rng = np.random.default_rng(13)
+    dim = 16
+    q = np.zeros(dim); q[0] = 1.0
+    best = np.zeros(dim); best[0], best[1] = 0.8, 0.6
+    dup = best + rng.normal(scale=0.001, size=dim)    # near-copy of the top hit
+    candb = np.zeros(dim); candb[0], candb[1] = 0.75, -np.sqrt(1 - 0.75 ** 2)
+    others = rng.normal(scale=0.1, size=(30, dim))    # low-relevance filler
+    vecs = np.vstack([q, best, dup, candb, others]).astype(np.float32)
+    d = str(tmp_path)
+    pqw.write_table(pa.table({
+        "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(len(vecs), dtype=np.int32)),
+    }), f"{d}/embeddings.parquet")
+
+    got = similarity.mmr_rerank(d, query_vec_id=0, n_cand=20, k=4)
+    plain = similarity.knn_topk(d, query_vec_id=0, k=4).to_pandas()
+    assert sorted(plain["vec_id"].tolist()[:2]) == [1, 2]  # dup crowds top-k
+    assert got["vec_id"].iloc[0] in (1, 2)
+    assert int(got["vec_id"].iloc[1]) == 3  # MMR defers the near-copy
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    exp = con.execute(
+        similarity.mmr_rerank_sql(query_vec_id=0, n_cand=20, k=4)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), exp.astype("int64"))
