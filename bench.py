@@ -177,6 +177,10 @@ def run_bench() -> dict:
         timed("gopher_filter", textops.gopher_filter)
         timed("embedding_moments", stats.embedding_moments)
         timed("embedding_kmeans", similarity.embedding_kmeans)
+        timed("bpe_merge_counts", textops.bpe_merge_counts)
+        timed("top_tokens_cms", textops.top_tokens_cms)
+        timed("graph_walks", graphalgs.graph_walks)
+        timed("mmr_rerank", similarity.mmr_rerank)
 
         # composed curation flagship: quality -> lang -> exact dedup ->
         # minhash near-dup -> pack -> partitioned parquet, one timed run
