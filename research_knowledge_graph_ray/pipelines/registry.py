@@ -1132,6 +1132,9 @@ QUERIES: dict = {
     # embedder-input composition of graph_walks
     "walk_skipgrams": (graphalgs.walk_skipgrams,
                        graphalgs.walk_skipgrams_sql()),
+    # SemDeDup (Abbas et al. 2023): τ-pair components INSIDE kmeans
+    # clusters — n²/k pair work, one cluster-key exchange, local union-find
+    "semdedup": (dedup.semdedup, dedup.semdedup_sql()),
     # order statistics (stages/stats.py) — exact histogram rank-refinement
     "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
     # HLL sketch, oracle-gated restatement: the Ray side computes the exact

@@ -1621,3 +1621,127 @@ FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
 WHERE (i * 10000) // (sa.n + sb.n - i) >= 1
 ORDER BY jac_bp DESC, doc_a, doc_b LIMIT 20
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside k-means clusters (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(sf_dir: str, tau: float = 0.4, k: int = 8,
+             iters: int = 2) -> "ray.data.Dataset":
+    """(vec_id, cluster, component, is_canonical) — SemDeDup: k-means the
+    embedding space, then dedup ONLY within clusters — pairs with cosine
+    ≥ τ form components, the min-id member survives. The point at 100 TB:
+    the O(n²) pair work shrinks to Σ(n_c²) ≈ n²/k, and each cluster's
+    kernel runs independently after ONE exchange on the cluster key.
+
+    Composition: centroids from the integer Lloyd trainer
+    (:func:`~.similarity.kmeans_centroids_int` — deterministic, oracle-gated
+    via `embedding_kmeans`), a fused assign+fan-out map (each vector ships
+    its unit float vector once, tagged with its cluster), and a per-cluster
+    reducer that does the τ-pair matmul plus LOCAL union-find (edges never
+    cross clusters by construction, so no global CC pass — contrast
+    `embedding_dedup_clusters`, which pays the full block-nested n² for the
+    unclustered exact semantics). sim_e6 = floor(sim·1e6 + 0.5) matching
+    SQL ROUND; cluster-local state is n_c-sized.
+
+    The documented SemDeDup trade: a τ-pair that straddles a cluster
+    boundary is NOT deduped (that is the algorithm, not an approximation
+    bug) — the oracle restates exactly this clustered semantics.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    embedding-dedup family, the named scale path from the literature."""
+    from .similarity import _km_assign, _km_quant, kmeans_centroids_int
+    from .shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = kmeans_centroids_int(ds, k=k, iters=iters)
+    ref = ray.put(cents)
+    tau_e6 = int(round(tau * 1e6))
+
+    def assign_fan(batch: pa.Table) -> pd.DataFrame:
+        cv = ray.get(ref)
+        ids, q = _km_quant(batch)
+        a, _ = _km_assign(q, cv)
+        vecs = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(
+            np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        return pd.DataFrame({
+            "cluster": a.astype(np.int64), "vec_id": ids,
+            "v": [row.tobytes() for row in unit],
+        })
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for cl, g in df.groupby("cluster", sort=False):
+            g = g.sort_values("vec_id")
+            ids = g["vec_id"].to_numpy(np.int64)
+            u = np.stack([np.frombuffer(b, dtype=np.float64) for b in g["v"]])
+            sim = np.floor(u @ u.T * 1e6 + 0.5).astype(np.int64)
+            n = len(ids)
+            # local union-find over the τ-pair graph (cluster-sized)
+            parent = np.arange(n)
+
+            def find(i):
+                while parent[i] != i:
+                    parent[i] = parent[parent[i]]
+                    i = parent[i]
+                return i
+
+            ii, jj = np.nonzero(np.triu(sim >= tau_e6, k=1))
+            for i, j in zip(ii, jj):
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+            comp = ids[np.fromiter((find(i) for i in range(n)), np.int64, n)]
+            out.append(pd.DataFrame({
+                "vec_id": ids, "cluster": np.int64(cl), "component": comp,
+                "is_canonical": (ids == comp).astype(np.int64),
+            }))
+        if not out:
+            return pd.DataFrame({
+                "vec_id": pd.Series(dtype=np.int64),
+                "cluster": pd.Series(dtype=np.int64),
+                "component": pd.Series(dtype=np.int64),
+                "is_canonical": pd.Series(dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    fanned = ds.map_batches(assign_fan, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return bucketed_group_apply(fanned, ["cluster"], lambda d: d, finish,
+                                n_buckets=8)
+
+
+def semdedup_sql(tau: float = 0.4, k: int = 8, iters: int = 2) -> str:
+    """Exact restatement: the `embedding_kmeans` label CTE chain, within-
+    cluster τ-pairs, recursive min-reachable closure, min-id canonical."""
+    from .similarity import embedding_kmeans_sql
+
+    tau_e6 = int(round(tau * 1e6))
+    labels = embedding_kmeans_sql(k=k, iters=iters)
+    return f"""
+WITH RECURSIVE labels AS ({labels}),
+p AS (
+  SELECT la.vec_id AS va, lb.vec_id AS vb
+  FROM labels la JOIN labels lb
+    ON la.cluster = lb.cluster AND la.vec_id < lb.vec_id
+  JOIN embeddings ea ON ea.vec_id = la.vec_id
+  JOIN embeddings eb ON eb.vec_id = lb.vec_id
+  WHERE CAST(ROUND(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                          eb.embedding::DOUBLE[]) * 1000000)
+             AS BIGINT) >= {tau_e6}),
+e AS (SELECT va AS a, vb AS b FROM p UNION SELECT vb, va FROM p),
+reach(n, m) AS (
+  SELECT vec_id, vec_id FROM labels
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a)
+SELECT l.vec_id, l.cluster, MIN(r.m) AS component,
+       CAST(CASE WHEN l.vec_id = MIN(r.m) THEN 1 ELSE 0 END AS BIGINT)
+         AS is_canonical
+FROM labels l JOIN reach r ON r.n = l.vec_id
+GROUP BY l.vec_id, l.cluster
+"""

@@ -441,36 +441,14 @@ def _km_assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
     return np.argmin(d, axis=1), d
 
 
-def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2) -> pd.DataFrame:
-    """(vec_id, cluster, dist) — Lloyd's k-means over the embeddings table in
-    EXACT integer arithmetic, so the iterative algorithm itself is
-    oracle-gated (``EMBEDDING_KMEANS_SQL`` replays every round bit-for-bit;
-    same doctrine as the all-integer :func:`~.graphalgs.hits`).
-
-    Coordinates quantize to ``floor(x·10⁶) + 4·10⁶`` (the translation keeps
-    sums nonnegative — see ``_KM_OFFSET`` — and squared-L2 distances are
-    translation-invariant, so cluster geometry is the float geometry at 1e-6
-    resolution). Init is the k vectors of smallest ``(md5-hkey, vec_id)``
-    (the repo's deterministic content-hash sampling convention — robust to
-    sorted/clustered input, unlike first-N); each round assigns by exact
-    int64 matmul and recomputes centroids as ``Σq // n`` with empty clusters
-    carrying forward. ``dist`` is the final squared distance.
-
-    Dataflow per round: centroid matrix broadcast via ``ray.put`` (k×d,
-    model-sized), per-block partials collapse to k×(d+1) int64 sums/counts,
-    driver fold — no shuffle, vectors never leave their blocks (the same
-    broadcast-partials shape as the float :func:`kmeans_centroids` the IVF
-    quantizer uses; this variant trades L2-normalized means for integer
-    exactness to be driver-gatable). The final labeled output streams from
-    one more map pass. Overflow: q ≤ 8·10⁶ ⇒ q·c sums < 2⁶³ for d ≤ 10⁵.
-
-    Reference parity note: no counterpart in the reference — brief-mandated
-    embedding-pipeline clustering (the iterative-ML family, oracle-gated
-    where rows-only checks would otherwise apply)."""
+def kmeans_centroids_int(ds: "ray.data.Dataset", k: int = 8,
+                         iters: int = 2) -> np.ndarray:
+    """The integer Lloyd trainer behind :func:`embedding_kmeans` (and
+    :func:`~.dedup.semdedup`): returns the k×d int64 centroid matrix in the
+    translated quantized space. See :func:`embedding_kmeans` for the full
+    doctrine; split out so composed operators train once and run their own
+    label pass."""
     from .sampling import _hkeys
-
-    ds = ray.data.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
     def init_part(batch: pa.Table) -> pd.DataFrame:
         ids, q = _km_quant(batch)
@@ -514,7 +492,39 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2) -> pd.DataFrame:
         new = cents.copy()
         new[live] = sums[live] // counts[live, None]  # nonneg ⇒ floor==trunc
         cents = new
+    return cents
 
+
+def embedding_kmeans(sf_dir: str, k: int = 8,
+                     iters: int = 2) -> "ray.data.Dataset":
+    """(vec_id, cluster, dist) — Lloyd's k-means over the embeddings table in
+    EXACT integer arithmetic, so the iterative algorithm itself is
+    oracle-gated (``EMBEDDING_KMEANS_SQL`` replays every round bit-for-bit;
+    same doctrine as the all-integer :func:`~.graphalgs.hits`).
+
+    Coordinates quantize to ``floor(x·10⁶) + 4·10⁶`` (the translation keeps
+    sums nonnegative — see ``_KM_OFFSET`` — and squared-L2 distances are
+    translation-invariant, so cluster geometry is the float geometry at 1e-6
+    resolution). Init is the k vectors of smallest ``(md5-hkey, vec_id)``
+    (the repo's deterministic content-hash sampling convention — robust to
+    sorted/clustered input, unlike first-N); each round assigns by exact
+    int64 matmul and recomputes centroids as ``Σq // n`` with empty clusters
+    carrying forward. ``dist`` is the final squared distance.
+
+    Dataflow per round: centroid matrix broadcast via ``ray.put`` (k×d,
+    model-sized), per-block partials collapse to k×(d+1) int64 sums/counts,
+    driver fold — no shuffle, vectors never leave their blocks (the same
+    broadcast-partials shape as the float :func:`kmeans_centroids` the IVF
+    quantizer uses; this variant trades L2-normalized means for integer
+    exactness to be driver-gatable). The final labeled output streams from
+    one more map pass. Overflow: q ≤ 8·10⁶ ⇒ q·c sums < 2⁶³ for d ≤ 10⁵.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    embedding-pipeline clustering (the iterative-ML family, oracle-gated
+    where rows-only checks would otherwise apply)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cents = kmeans_centroids_int(ds, k=k, iters=iters)
     final_ref = ray.put(cents)
 
     def label(batch: pa.Table) -> pd.DataFrame:
@@ -527,9 +537,9 @@ def embedding_kmeans(sf_dir: str, k: int = 8, iters: int = 2) -> pd.DataFrame:
             "dist": d[np.arange(len(ids)), assign],
         })
 
-    out = ds.map_batches(label, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
-    return out.sort_values("vec_id").reset_index(drop=True)
+    # the corpus-sized label table STREAMS — only centroids ever held
+    return ds.map_batches(label, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 def embedding_kmeans_sql(k: int = 8, iters: int = 2) -> str:

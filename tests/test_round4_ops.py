@@ -237,7 +237,8 @@ def test_embedding_kmeans_matches_integer_replay(ray_session, sf_dir):
     from research_knowledge_graph_ray.stages import similarity as sim
 
     k, iters = 8, 2
-    got = sim.embedding_kmeans(sf_dir, k=k, iters=iters)
+    got = (sim.embedding_kmeans(sf_dir, k=k, iters=iters).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
 
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
@@ -436,3 +437,60 @@ def test_mmr_rerank_skips_planted_near_duplicate(ray_session, tmp_path):
         similarity.mmr_rerank_sql(query_vec_id=0, n_cand=20, k=4)).df()
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype("int64"), exp.astype("int64"))
+
+
+def test_semdedup_matches_brute_replay(ray_session, sf_dir):
+    """SemDeDup == numpy replay: kmeans labels (oracle-gated path), brute
+    within-cluster τ-pair graph, per-cluster union-find, min-id canonical.
+    Also pins the SemDeDup semantic: components never span clusters."""
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import dedup
+    from research_knowledge_graph_ray.stages import similarity as sim
+
+    got = (dedup.semdedup(sf_dir).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    lab = (sim.embedding_kmeans(sf_dir).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    x = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    u = x / np.linalg.norm(x, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    ids, u = ids[order], u[order]
+    assert (ids == lab["vec_id"].to_numpy()).all()
+
+    comp = {}
+    for cl in sorted(lab["cluster"].unique()):
+        m = lab["cluster"].to_numpy() == cl
+        cids, cu = ids[m], u[m]
+        sim_e6 = np.floor(cu @ cu.T * 1e6 + 0.5).astype(np.int64)
+        parent = {int(v): int(v) for v in cids}
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        ii, jj = np.nonzero(np.triu(sim_e6 >= 400000, k=1))
+        for i, j in zip(ii, jj):
+            a, b = find(int(cids[i])), find(int(cids[j]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        for v in cids:
+            comp[int(v)] = find(int(v))
+
+    want = pd.DataFrame({
+        "vec_id": ids,
+        "cluster": lab["cluster"].to_numpy(np.int64),
+        "component": np.array([comp[int(v)] for v in ids], np.int64),
+    })
+    want["is_canonical"] = (want["vec_id"] == want["component"]).astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    # components never span clusters (the SemDeDup semantic)
+    span = got.groupby("component")["cluster"].nunique()
+    assert (span == 1).all()
+    assert (got["is_canonical"] == 0).any()  # dedup actually fires
