@@ -181,6 +181,7 @@ def run_bench() -> dict:
         timed("top_tokens_cms", textops.top_tokens_cms)
         timed("graph_walks", graphalgs.graph_walks)
         timed("mmr_rerank", similarity.mmr_rerank)
+        timed("semdedup", dedup.semdedup)
 
         # composed curation flagship: quality -> lang -> exact dedup ->
         # minhash near-dup -> pack -> partitioned parquet, one timed run

@@ -849,3 +849,117 @@ SELECT doc_id,
        CAST(sem_rank AS BIGINT) AS sem_rank
 FROM f ORDER BY rrf_e9 DESC, doc_id LIMIT {_RRF_TOPK}
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (exact integer surrogate)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("hash", "join", "sort")
+_BM25_K = 10
+_BM25_IDF_SCALE = 1_000_000
+
+
+def bm25_search(sf_dir: str, terms: tuple = _BM25_TERMS,
+                k: int = _BM25_K) -> pd.DataFrame:
+    """(doc_id, score) — BM25-ranked disjunctive retrieval (Robertson &
+    Spärck Jones), k1=1.2 / b=0.75, restated in EXACT integer arithmetic so
+    the SQL oracle matches bit-for-bit:
+
+    - idf surrogate: ``(N − df + 1)·10⁶ // (df + 1)``
+    - term contribution: multiplying BM25's numerator and denominator by
+      ``20·T`` (T = Σ doc lengths) clears k1/b/avgdl into integers —
+      ``idf·44·tf·T // (20·tf·T + 6·T + 18·dl·N)``
+    - score = Σ contributions, docs with score > 0, top-k by
+      (score DESC, doc_id).
+
+    Dataflow: pass 1 folds |terms|-bounded per-block partials (per-term doc
+    frequencies, N, T) on the driver; pass 2 broadcasts the tiny idf table
+    and scores row-locally (vectorized RE2 tf counts, no exchange anywhere);
+    only matching docs reach the top-k. Complements `term_search`
+    (conjunctive tf) and `hybrid_search` (RRF fusion) — the classical
+    lexical ranking the fusion stage would consume at production quality.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    retrieval family (the standard lexical ranker)."""
+
+    def stats(batch: pa.Table) -> pd.DataFrame:
+        low = pc.utf8_lower(batch["text"])
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(
+            batch["text"], pattern=" ", replacement="")).cast(pa.int64())
+        dl = pc.add(pc.subtract(n_chars, no_space), 1)
+        row = {"n": [len(batch)],
+               "t": [int(pc.sum(dl).as_py() or 0)]}
+        for term in terms:
+            c = pc.count_substring_regex(low, rf"\b{re.escape(term)}\b")
+            row[f"df_{term}"] = [int(pc.sum(
+                pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0)]
+        return pd.DataFrame(row)
+
+    parts = _read_docs(sf_dir).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(parts["n"].sum())
+    t_total = int(parts["t"].sum())
+    idf = {
+        term: ((n - int(parts[f"df_{term}"].sum()) + 1) * _BM25_IDF_SCALE)
+        // (int(parts[f"df_{term}"].sum()) + 1)
+        for term in terms
+    }
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        low = pc.utf8_lower(batch["text"])
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(
+            batch["text"], pattern=" ", replacement="")).cast(pa.int64())
+        dl = pc.add(pc.subtract(n_chars, no_space), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        total = np.zeros(len(batch), dtype=np.int64)
+        for term in terms:
+            tf = pc.count_substring_regex(
+                low, rf"\b{re.escape(term)}\b").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            num = idf[term] * 44 * tf * t_total
+            den = 20 * tf * t_total + 6 * t_total + 18 * dl * n
+            total += num // den
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = total > 0
+        return pd.DataFrame({"doc_id": ids[keep], "score": total[keep]})
+
+    hits = _read_docs(sf_dir).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return (hits.sort_values(["score", "doc_id"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+
+
+def bm25_search_sql(terms: tuple = _BM25_TERMS, k: int = _BM25_K) -> str:
+    tf_cols = ",\n    ".join(
+        rf"CAST(len(regexp_extract_all(lt, '\b{t}\b')) AS BIGINT) AS tf_{t}"
+        for t in terms)
+    df_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (tf_{t} > 0) AS BIGINT) AS df_{t}"
+        for t in terms)
+    contrib = " + ".join(
+        f"(((g.n - df.df_{t} + 1) * {_BM25_IDF_SCALE} // (df.df_{t} + 1))"
+        f" * 44 * tf_{t} * g.t)"
+        f" // (20 * tf_{t} * g.t + 6 * g.t + 18 * dl * g.n)"
+        for t in terms)
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+           AS dl
+  FROM documents),
+tf AS (
+  SELECT doc_id, dl,
+    {tf_cols}
+  FROM d),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t
+      FROM d),
+df AS (SELECT {df_cols} FROM tf),
+s AS (
+  SELECT doc_id, CAST({contrib} AS BIGINT) AS score
+  FROM tf, g, df)
+SELECT doc_id, score FROM s WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {k}
+"""

@@ -1365,6 +1365,9 @@ QUERIES.update(
         "late_events": (windows.late_events, windows.LATE_EVENTS_SQL),
         # conjunctive boolean retrieval over the corpus, integer tf ranking
         "term_search": (kgflat.term_search, kgflat.TERM_SEARCH_SQL),
+        # BM25 ranked retrieval, exact integer surrogate (idf and the
+        # k1/b/avgdl denominator cleared to integers by multiplying by 20T)
+        "bm25_search": (kgflat.bm25_search, kgflat.bm25_search_sql()),
         # forward as-of join (time-to-conversion lookahead) — same exchange
         # as the backward variant, merge_asof direction flipped
         "events_next_purchase": (windows.events_next_purchase,

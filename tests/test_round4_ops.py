@@ -494,3 +494,41 @@ def test_semdedup_matches_brute_replay(ray_session, sf_dir):
     span = got.groupby("component")["cluster"].nunique()
     assert (span == 1).all()
     assert (got["is_canonical"] == 0).any()  # dedup actually fires
+
+
+def test_bm25_length_normalization(ray_session, tmp_path):
+    """With equal tf, BM25 must rank the SHORTER document higher (the b·dl
+    length penalty) — and saturate: doubling tf must not double the
+    contribution (the k1 saturation). SQL parity on the planted corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.pipelines import kgflat
+
+    filler = "alpha beta gamma delta"
+    docs = [
+        "hash join " + filler,                       # 0: short, tf=1 each
+        "hash join " + " ".join([filler] * 20),      # 1: long, same tf
+        "hash hash join " + filler,                  # 2: short, tf_hash=2
+        filler,                                      # 3: no query terms
+    ]
+    d = str(tmp_path)
+    pqw.write_table(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+    }), f"{d}/documents.parquet")
+
+    got = kgflat.bm25_search(d, terms=("hash", "join"), k=10)
+    s = dict(zip(got["doc_id"], got["score"]))
+    assert 3 not in s                      # zero-score docs excluded
+    assert s[0] > s[1]                     # shorter doc wins at equal tf
+    assert s[2] > s[0]                     # more tf still scores higher...
+    assert s[2] < 2 * s[0]                 # ...but sub-linearly (saturation)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    exp = con.execute(kgflat.bm25_search_sql(terms=("hash", "join"), k=10)).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"), exp.astype("int64"))
