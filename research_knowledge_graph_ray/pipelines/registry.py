@@ -1059,6 +1059,10 @@ QUERIES: dict = {
     "dedup_exact": (dedup.exact_dedup, DEDUP_EXACT_SQL),
     # representative selection: keep the longest member (min-id tiebreak)
     "dedup_keep_best": (dedup.keep_best_dedup, DEDUP_KEEP_BEST_SQL),
+    # incremental-ingest dedup: the new increment decided against the
+    # already-ingested base (key-only fp exchange; base never re-emitted)
+    "dedup_incremental": (dedup.dedup_incremental,
+                          dedup.dedup_incremental_sql()),
     # storage-level dedup: content-defined chunking + content-addressed
     # accounting (one chunk-hash exchange)
     "cdc_chunk_dedup": (dedup.cdc_chunk_dedup, dedup.CDC_CHUNK_DEDUP_SQL),

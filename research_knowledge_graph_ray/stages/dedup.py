@@ -1745,3 +1745,88 @@ SELECT l.vec_id, l.cluster, MIN(r.m) AS component,
 FROM labels l JOIN reach r ON r.n = l.vec_id
 GROUP BY l.vec_id, l.cluster
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental-ingest exact dedup (new increment vs already-ingested state)
+# ---------------------------------------------------------------------------
+
+_INCR_SPLIT = 300  # doc_id < SPLIT = the already-ingested base corpus
+
+
+def dedup_incremental(sf_dir: str, split: int = _INCR_SPLIT) -> "ray.data.Dataset":
+    """(doc_id, fp, keep, reason) for the INCREMENT (doc_id ≥ split) —
+    exact dedup of a new ingest batch against already-ingested state: an
+    increment doc is dropped if its content hash exists ANYWHERE in the base
+    corpus (reason='base'), else if an earlier increment doc has it
+    (reason='incr', min-doc_id-first), else kept (reason='' , keep=1). Base
+    rows are never re-emitted — the re-run/append production pattern the
+    one-shot `dedup_exact` can't express.
+
+    Dataflow: both sides emit (fp, side, doc_id) key-only rows (text never
+    ships — the `dedup_exact` doctrine); ONE fp exchange; the reducer sees
+    each fingerprint's full history and decides per increment doc. At
+    production the base side's (fp, min_doc) table is a persisted index
+    (e.g. the previous run's output parquet) and only the increment is
+    re-scanned; here both derive from the one documents table so the oracle
+    can restate the split exactly.
+
+    Reference parity note: extends the reference's incremental-ingest story
+    (SURVEY §3.1 re-run semantics / kg_incremental_* queries) to the dedup
+    family."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        fps = [hashlib.md5(t.encode()).hexdigest()
+               for t in batch["text"].to_pylist()]
+        return pd.DataFrame({"fp": fps, "doc_id": ids,
+                             "base": (ids < split).astype(np.int64)})
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for f, g in df.groupby("fp", sort=False):
+            in_base = bool((g["base"] == 1).any())
+            inc = g[g["base"] == 0].sort_values("doc_id")
+            if inc.empty:
+                continue
+            first = int(inc["doc_id"].iloc[0])
+            for d in inc["doc_id"].astype(np.int64):
+                if in_base:
+                    keep, reason = 0, "base"
+                elif int(d) == first:
+                    keep, reason = 1, ""
+                else:
+                    keep, reason = 0, "incr"
+                out.append((int(d), f, keep, reason))
+        if not out:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "fp": pd.Series(dtype=str),
+                                 "keep": pd.Series(dtype=np.int64),
+                                 "reason": pd.Series(dtype=str)})
+        return pd.DataFrame(out, columns=["doc_id", "fp", "keep", "reason"])
+
+    from .shuffle import bucketed_group_apply
+
+    return bucketed_group_apply(
+        ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"], lambda d: d, decide, n_buckets=16)
+
+
+def dedup_incremental_sql(split: int = _INCR_SPLIT) -> str:
+    return f"""
+WITH f AS (SELECT doc_id, md5(text) AS fp,
+                  CASE WHEN doc_id < {split} THEN 1 ELSE 0 END AS base
+           FROM documents),
+inbase AS (SELECT DISTINCT fp FROM f WHERE base = 1),
+inc AS (SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM f WHERE base = 0)
+SELECT i.doc_id, i.fp,
+       CAST(CASE WHEN b.fp IS NOT NULL THEN 0
+                 WHEN i.rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS keep,
+       CASE WHEN b.fp IS NOT NULL THEN 'base'
+            WHEN i.rn = 1 THEN '' ELSE 'incr' END AS reason
+FROM inc i LEFT JOIN inbase b ON b.fp = i.fp
+"""

@@ -532,3 +532,42 @@ def test_bm25_length_normalization(ray_session, tmp_path):
     exp = con.execute(kgflat.bm25_search_sql(terms=("hash", "join"), k=10)).df()
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True).astype("int64"), exp.astype("int64"))
+
+
+def test_dedup_incremental_planted_branches(ray_session, tmp_path):
+    """All three decisions fire: dropped-against-base, dropped-against-
+    earlier-increment (min-id first), and kept; base rows never emitted."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.stages import dedup
+
+    texts = {
+        0: "already ingested doc",      # base
+        1: "another base doc",          # base
+        10: "already ingested doc",     # incr, dup of base -> 'base'
+        11: "fresh increment doc",      # incr, first -> keep
+        12: "fresh increment doc",      # incr, dup of 11 -> 'incr'
+        13: "unique increment doc",     # incr, unique -> keep
+    }
+    d = str(tmp_path)
+    pqw.write_table(pa.table({
+        "doc_id": pa.array(list(texts), type=pa.int64()),
+        "text": pa.array(list(texts.values())),
+    }), f"{d}/documents.parquet")
+
+    got = (dedup.dedup_incremental(d, split=10).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [10, 11, 12, 13]  # base never emitted
+    assert got.set_index("doc_id")["reason"].to_dict() == {
+        10: "base", 11: "", 12: "incr", 13: ""}
+    assert got.set_index("doc_id")["keep"].to_dict() == {
+        10: 0, 11: 1, 12: 0, 13: 1}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    exp = (con.execute(dedup.dedup_incremental_sql(split=10)).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got.astype(str), exp[got.columns].astype(str))
