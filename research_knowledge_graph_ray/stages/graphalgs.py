@@ -1110,19 +1110,19 @@ def graph_walks(sf_dir: str, steps: int = _WALK_STEPS) -> pd.DataFrame:
 
         def part(df: pd.DataFrame, t=t) -> pd.DataFrame:
             p = ray.get(ref)
-            cur = pd.Series(p)  # index: walk_id, value: cur node
             # map cur-node -> walk_ids landed there (a node can host many)
             by_node: dict = {}
             for w, c in p.items():
                 by_node.setdefault(c, []).append(w)
             src = df["src"].to_numpy(np.int64)
             dst = df["dst"].to_numpy(np.int64)
-            out_w, out_k, out_d = [], [], []
+            # vectorized prefilter: only edges incident to the frontier
+            # reach the md5 loop (at corpus scale most edges drop here)
+            m = np.isin(src, np.fromiter(by_node, np.int64, len(by_node)))
+            src, dst = src[m], dst[m]
             best: dict = {}
             for s, d in zip(src, dst):
                 ws = by_node.get(int(s))
-                if not ws:
-                    continue
                 for w in ws:
                     key = hashlib.md5(f"{w}-{t}-{d}".encode()).hexdigest()
                     cur_best = best.get(w)
