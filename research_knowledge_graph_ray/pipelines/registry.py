@@ -1083,6 +1083,10 @@ QUERIES: dict = {
     "top_similar_pairs": (dedup.top_similar_pairs,
                           dedup.TOP_SIMILAR_PAIRS_SQL),
     "dedup_minhash_pairs": (dedup.minhash_candidate_pairs, DEDUP_MINHASH_SQL),
+    # sketch-quality audit: LSH candidates vs exact Jaccard ≥ τ confusion
+    # matrix, composed from the two oracle-gated pair dataflows
+    "minhash_confusion": (dedup.minhash_confusion,
+                          dedup.minhash_confusion_sql()),
     "dedup_simhash_pairs": (dedup.simhash_pairs, DEDUP_SIMHASH_SQL),
     # τ=0.25 for this corpus: the synthetic embeddings have no true near-dups,
     # so the threshold is lowered to exercise the operator end-to-end

@@ -1830,3 +1830,81 @@ SELECT i.doc_id, i.fp,
             WHEN i.rn = 1 THEN '' ELSE 'incr' END AS reason
 FROM inc i LEFT JOIN inbase b ON b.fp = i.fp
 """
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH quality audit: confusion matrix vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+_CONF_TAU_BP = 5000  # "true near-dup" = exact 3-shingle Jaccard ≥ 0.5
+
+
+def minhash_confusion(sf_dir: str, tau_bp: int = _CONF_TAU_BP,
+                      max_doc_id: int = 500) -> pd.DataFrame:
+    """(cls, n) with cls ∈ {tp, fp, fn} — the sketch-quality audit: MinHash
+    LSH candidates (est ≥ 0.5, the registered `dedup_minhash_pairs` config)
+    judged against EXACT shingle Jaccard ≥ τ on the bounded audit domain
+    (doc_id < max_doc_id, the `dedup_ngram_jaccard` oracle domain).
+
+    tp = candidate AND truly near-dup; fp = candidate whose true Jaccard
+    < τ (band collision / estimator optimism); fn = true near-dup the LSH
+    missed. The operational dashboard number for tuning bands/rows before a
+    100-TB dedup run — composed entirely from the two oracle-gated pair
+    dataflows, so the audit itself is value-gated. Both pair sets are
+    audit-domain-bounded (≤ max_doc_id²/2 rows) before the driver-side
+    outer join.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    dedup family, the recall/precision audit composition."""
+    lsh = minhash_candidate_pairs(sf_dir).to_pandas()
+    lsh = lsh[(lsh["doc_a"] < max_doc_id) & (lsh["doc_b"] < max_doc_id)]
+    cand = set(zip(lsh["doc_a"].astype(int), lsh["doc_b"].astype(int)))
+    true = ngram_jaccard_pairs(sf_dir, max_doc_id=max_doc_id).to_pandas()
+    true = true[true["jac_bp"] >= tau_bp]
+    pos = set(zip(true["doc_a"].astype(int), true["doc_b"].astype(int)))
+    counts = {
+        "tp": len(cand & pos),
+        "fp": len(cand - pos),
+        "fn": len(pos - cand),
+    }
+    return pd.DataFrame({"cls": ["fn", "fp", "tp"],
+                         "n": np.array([counts["fn"], counts["fp"],
+                                        counts["tp"]], dtype=np.int64)})
+
+
+def minhash_confusion_sql(tau_bp: int = _CONF_TAU_BP,
+                          max_doc_id: int = 500) -> str:
+    """Composed restatement: the `dedup_minhash_pairs` SQL (domain-
+    restricted) FULL OUTER JOIN the exact-Jaccard CTE (the
+    `dedup_ngram_jaccard` oracle parameterized to this audit domain),
+    classified and counted. Zero-count classes still emit (cls, 0) rows."""
+    from ..pipelines.registry import DEDUP_MINHASH_SQL
+
+    jaccard = rf"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE doc_id < {max_doc_id}),
+g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      FROM d, UNNEST(range(1, len(ws) - 1)) AS t(i)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       CAST((i * 10000) // (sa.n + sb.n - i) AS BIGINT) AS jac_bp
+FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id"""
+    return f"""
+WITH lsh AS (
+  SELECT doc_a, doc_b FROM ({DEDUP_MINHASH_SQL})
+  WHERE doc_a < {max_doc_id} AND doc_b < {max_doc_id}),
+tru AS (
+  SELECT doc_a, doc_b FROM ({jaccard})
+  WHERE jac_bp >= {tau_bp}),
+j AS (
+  SELECT CASE WHEN l.doc_a IS NOT NULL AND t.doc_a IS NOT NULL THEN 'tp'
+              WHEN l.doc_a IS NOT NULL THEN 'fp' ELSE 'fn' END AS cls
+  FROM lsh l FULL OUTER JOIN tru t
+    ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b),
+classes(cls) AS (VALUES ('fn'), ('fp'), ('tp'))
+SELECT c.cls, CAST(COALESCE(COUNT(j.cls), 0) AS BIGINT) AS n
+FROM classes c LEFT JOIN j ON j.cls = c.cls
+GROUP BY c.cls ORDER BY c.cls
+"""
