@@ -1156,6 +1156,10 @@ QUERIES: dict = {
     # MMR diversified rerank: greedy 7·rel − 3·max-sim over the knn_topk
     # candidate set, replayed in SQL as k chained greedy CTEs
     "mmr_rerank": (similarity.mmr_rerank, similarity.mmr_rerank_sql()),
+    # int8 scalar quantization (4× embedding compression), long-form so
+    # every code is value-hash gated
+    "embedding_quantize": (similarity.embedding_quantize,
+                           similarity.EMBEDDING_QUANTIZE_SQL),
     # full-probe IVF config: exact by construction (knn_join_ivf contract),
     # so the brute-force oracle gates the whole IVF dataflow; sub-full
     # nprobe recall is covered by pytest

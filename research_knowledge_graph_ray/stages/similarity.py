@@ -695,3 +695,62 @@ sel{t} AS (SELECT vec_id FROM sel{t-1} UNION ALL SELECT vec_id FROM s{t})""")
         f"mmr AS mmr_e6 FROM s{t}" for t in range(1, k + 1))
     return (head + "," + ",".join(steps)
             + "\nSELECT * FROM (\n" + tail + "\n) ORDER BY rank")
+
+
+# ---------------------------------------------------------------------------
+# Int8 scalar quantization (embedding storage compression)
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(sf_dir: str) -> "ray.data.Dataset":
+    """(vec_id, i, q, scale_e9) — symmetric int8 scalar quantization of the
+    embedding column: per-vector scale = max|x|, ``q = floor(x/scale·127
+    + 0.5) ∈ [−127, 127]`` — the 4× storage/bandwidth compression an ANN
+    serving tier stores, with reconstruction ``x ≈ q·scale/127`` (error ≤
+    scale/254 per coordinate, pinned in pytest). Long-form output (one row
+    per coordinate) so every quantized value is value-hash gated; the
+    production sink would pack q back into a fixed_size_list<int8> column.
+
+    Row-local (zero shuffle): both the scale and the codes derive from the
+    row alone, so this is a pure streaming map at any corpus size. The
+    float division x/scale is one IEEE double op on both sides — bit-equal
+    in numpy and DuckDB — and floor(+0.5) is the repo's ROUND convention.
+    Zero vectors emit q = 0 with scale_e9 = 0 (guarded in both).
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    embedding-pipeline family (compression ahead of similarity serving)."""
+
+    def quant(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = _batch_vecs(batch)
+        n, d = x.shape
+        scale = np.abs(x).max(axis=1)
+        safe = np.where(scale == 0, 1.0, scale)
+        q = np.floor(x / safe[:, None] * 127 + 0.5).astype(np.int64)
+        q[scale == 0] = 0
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, d),
+            "i": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "q": q.ravel(),
+            "scale_e9": np.repeat(
+                np.floor(scale * 1e9 + 0.5).astype(np.int64), d),
+        })
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(quant, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH x AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+s AS (SELECT vec_id, MAX(ABS(v)) AS scale FROM x GROUP BY 1)
+SELECT x.vec_id, CAST(x.i AS BIGINT) AS i,
+       CAST(CASE WHEN s.scale = 0 THEN 0
+                 ELSE FLOOR(x.v / s.scale * 127 + 0.5) END AS BIGINT) AS q,
+       CAST(FLOOR(s.scale * 1e9 + 0.5) AS BIGINT) AS scale_e9
+FROM x JOIN s ON x.vec_id = s.vec_id
+"""

