@@ -1143,6 +1143,9 @@ QUERIES: dict = {
     # SemDeDup (Abbas et al. 2023): τ-pair components INSIDE kmeans
     # clusters — n²/k pair work, one cluster-key exchange, local union-find
     "semdedup": (dedup.semdedup, dedup.semdedup_sql()),
+    # GraphSAGE-shape fixed-fanout 2-hop neighborhood sampling, md5-ranked
+    "neighbor_sample": (graphalgs.neighbor_sample,
+                        graphalgs.neighbor_sample_sql()),
     # order statistics (stages/stats.py) — exact histogram rank-refinement
     "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
     # HLL sketch, oracle-gated restatement: the Ray side computes the exact

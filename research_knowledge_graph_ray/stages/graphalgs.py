@@ -1222,3 +1222,127 @@ FROM walks a JOIN walks b
  AND abs(a.step - b.step) BETWEEN 1 AND {window}
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+_SAMPLE_FANOUT = 3
+
+
+def neighbor_sample(sf_dir: str, fanout: int = _SAMPLE_FANOUT) -> pd.DataFrame:
+    """(root, hop, parent, node) — fixed-fanout 2-hop neighborhood sampling
+    per supplier root over the symmetrized supplier↔part graph: the
+    GraphSAGE/GNN minibatch primitive (Hamilton et al. 2017), with the
+    random draw replaced by md5 ranking so the sample is deterministic and
+    exactly restatable — hop 1 keeps each root's ``fanout`` neighbors of
+    smallest ``md5('{root}-1-{nbr}')``, hop 2 keeps ``fanout`` per sampled
+    parent keyed by ``md5('{root}-2-{parent}-{nbr}')`` (independent draws
+    per (root, parent), like seeded RNG streams).
+
+    Dataflow per hop: the frontier is catalog-bound (roots, then
+    roots×fanout pairs), broadcast via ``ray.put``; per-block partials keep
+    only the local top-``fanout`` per frontier key before a driver merge of
+    ≤ |frontier|·fanout rows per block (the graph_walks fold shape, with
+    top-F in place of argmin; the same vectorized isin prefilter guards the
+    md5 loop). At corpus scale the frontier broadcast becomes the sssp-style
+    frontier join — the per-hop kernel is unchanged.
+
+    Reference parity note: no counterpart in the reference — completes the
+    brief-mandated graph-representation-learning family (walk corpus →
+    skip-grams → GNN neighborhood sampling)."""
+    import hashlib
+
+    e = _supplier_part_edges(sf_dir).materialize()
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["src"].to_numpy(np.int64),
+                                   df["dst"].to_numpy(np.int64)]),
+            "dst": np.concatenate([df["dst"].to_numpy(np.int64),
+                                   df["src"].to_numpy(np.int64)]),
+        })
+
+    edges = e.map_batches(sym, batch_format="pandas").materialize()
+    roots = e.map_batches(
+        lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
+    ).to_pandas()["src"].drop_duplicates().sort_values().to_numpy(np.int64)
+
+    def hop(frontier: dict, hopno: int) -> pd.DataFrame:
+        """frontier: key-tuple -> frontier node; returns sampled rows."""
+        ref = ray.put(frontier)
+
+        def part(df: pd.DataFrame, hopno=hopno) -> pd.DataFrame:
+            fr = ray.get(ref)
+            by_node: dict = {}
+            for key, cur in fr.items():
+                by_node.setdefault(cur, []).append(key)
+            src = df["src"].to_numpy(np.int64)
+            dst = df["dst"].to_numpy(np.int64)
+            m = np.isin(src, np.fromiter(by_node, np.int64, len(by_node)))
+            src, dst = src[m], dst[m]
+            rows = []
+            for s, d in zip(src, dst):
+                for key in by_node[int(s)]:
+                    tag = "-".join(str(x) for x in key)
+                    rows.append((key, hashlib.md5(
+                        f"{tag}-{hopno}-{d}".encode()).hexdigest(), int(d)))
+            if not rows:
+                return pd.DataFrame({"key": pd.Series(dtype=object),
+                                     "k": pd.Series(dtype=str),
+                                     "node": pd.Series(dtype=np.int64)})
+            out = pd.DataFrame(rows, columns=["key", "k", "node"])
+            # local top-fanout per frontier key before leaving the block
+            out = out.sort_values(["k", "node"]).groupby(
+                "key", sort=False).head(fanout)
+            return out
+
+        parts = edges.map_batches(part, batch_format="pandas").to_pandas()
+        parts = parts.sort_values(["k", "node"]).groupby(
+            "key", sort=False).head(fanout)
+        return parts
+
+    h1 = hop({(int(r),): int(r) for r in roots}, 1)
+    rows1 = pd.DataFrame({
+        "root": [k[0] for k in h1["key"]],
+        "hop": np.int64(1),
+        "parent": [k[0] for k in h1["key"]],
+        "node": h1["node"].to_numpy(np.int64),
+    })
+    h2 = hop({(int(k[0]), int(n)): int(n)
+              for k, n in zip(h1["key"], h1["node"])}, 2)
+    rows2 = pd.DataFrame({
+        "root": [k[0] for k in h2["key"]],
+        "hop": np.int64(2),
+        "parent": [k[1] for k in h2["key"]],
+        "node": h2["node"].to_numpy(np.int64),
+    })
+    out = pd.concat([rows1, rows2], ignore_index=True)
+    out = out.astype({"root": np.int64, "hop": np.int64,
+                      "parent": np.int64, "node": np.int64})
+    return (out.sort_values(["root", "hop", "parent", "node"])
+            .reset_index(drop=True))
+
+
+def neighbor_sample_sql(fanout: int = _SAMPLE_FANOUT) -> str:
+    """Exact restatement of :func:`neighbor_sample`."""
+    return f"""
+WITH de AS (SELECT DISTINCT l_suppkey AS src,
+                   l_partkey + {_PART_OFFSET} AS dst FROM lineitem),
+e AS (SELECT src, dst FROM de UNION ALL SELECT dst AS src, src AS dst FROM de),
+roots AS (SELECT DISTINCT src AS root FROM de),
+h1 AS (
+  SELECT r.root, e.dst AS node
+  FROM roots r JOIN e ON e.src = r.root
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY r.root
+    ORDER BY md5(CAST(r.root AS VARCHAR) || '-1-' || CAST(e.dst AS VARCHAR)),
+             e.dst) <= {fanout}),
+h2 AS (
+  SELECT h1.root, h1.node AS parent, e.dst AS node
+  FROM h1 JOIN e ON e.src = h1.node
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY h1.root, h1.node
+    ORDER BY md5(CAST(h1.root AS VARCHAR) || '-' || CAST(h1.node AS VARCHAR)
+                 || '-2-' || CAST(e.dst AS VARCHAR)), e.dst) <= {fanout})
+SELECT root, CAST(1 AS BIGINT) AS hop, root AS parent, node FROM h1
+UNION ALL
+SELECT root, CAST(2 AS BIGINT) AS hop, parent, node FROM h2
+ORDER BY root, hop, parent, node"""

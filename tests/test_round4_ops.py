@@ -599,3 +599,35 @@ def test_embedding_quantize_reconstruction_bound(ray_session, sf_dir):
     err = np.abs(recon - x)
     bound = scale / 254 + 1e-9 + np.abs(x).max() * 1e-9
     assert (err <= bound[:, None] + 1e-12).all()
+
+
+def test_neighbor_sample_structure(ray_session, sf_dir):
+    """Fanout bounds hold per (root, hop-1) and (root, parent, hop-2), every
+    sampled edge is a real undirected edge, hop-2 parents were sampled at
+    hop 1, and different roots draw different hop-1 samples (independence)."""
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    got = graphalgs.neighbor_sample(sf_dir)
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_suppkey", "l_partkey"]).to_pandas()
+    e = set(zip(li["l_suppkey"].astype(int),
+                (li["l_partkey"] + graphalgs._PART_OFFSET).astype(int)))
+    und = e | {(b, a) for a, b in e}
+
+    h1 = got[got["hop"] == 1]
+    h2 = got[got["hop"] == 2]
+    assert (h1.groupby("root").size() <= graphalgs._SAMPLE_FANOUT).all()
+    assert (h2.groupby(["root", "parent"]).size()
+            <= graphalgs._SAMPLE_FANOUT).all()
+    for _, r in h1.iterrows():
+        assert (int(r["parent"]), int(r["node"])) in und
+        assert int(r["parent"]) == int(r["root"])
+    for _, r in h2.iterrows():
+        assert (int(r["parent"]), int(r["node"])) in und
+    sampled1 = set(zip(h1["root"].astype(int), h1["node"].astype(int)))
+    assert set(zip(h2["root"].astype(int), h2["parent"].astype(int))) <= sampled1
+    # md5 keyed per root: hop-1 node sets are not all identical
+    per_root = h1.groupby("root")["node"].apply(frozenset)
+    assert per_root.nunique() > 1
