@@ -182,6 +182,11 @@ def run_bench() -> dict:
         timed("graph_walks", graphalgs.graph_walks)
         timed("mmr_rerank", similarity.mmr_rerank)
         timed("semdedup", dedup.semdedup)
+        timed("bm25_search", kgflat.bm25_search)
+        timed("neighbor_sample", graphalgs.neighbor_sample)
+        timed("embedding_quantize", similarity.embedding_quantize)
+        timed("dedup_incremental", dedup.dedup_incremental)
+        timed("minhash_confusion", dedup.minhash_confusion)
 
         # composed curation flagship: quality -> lang -> exact dedup ->
         # minhash near-dup -> pack -> partitioned parquet, one timed run
