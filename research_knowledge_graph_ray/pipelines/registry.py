@@ -1148,6 +1148,10 @@ QUERIES: dict = {
                         graphalgs.neighbor_sample_sql()),
     # order statistics (stages/stats.py) — exact histogram rank-refinement
     "price_quantiles": (stats.price_quantiles, PRICE_QUANTILES_SQL),
+    # mergeable fixed-bin quantile sketch (error ≤ one bin width, emitted);
+    # the quantile member of the sketch suite, bitmap-doctrine gated
+    "price_quantile_sketch": (stats.price_quantile_sketch,
+                              stats.price_quantile_sketch_sql()),
     # HLL sketch, oracle-gated restatement: the Ray side computes the exact
     # distinct distributedly AND certifies the deterministic HLL estimate
     # sits within the documented ±500bp (~3 sigma at p=12) of it, so the SQL

@@ -1709,3 +1709,86 @@ SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
        CAST(SUM(share_e4 * share_e4) AS BIGINT) AS hhi_e8
 FROM sh GROUP BY n_name ORDER BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-bin quantile sketch (bounded-error, bloom/CMS doctrine)
+# ---------------------------------------------------------------------------
+
+_QSK_BINS = 256
+_QSK_PCTS = (1, 5, 25, 50, 75, 95, 99)
+
+
+def price_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """(pct, est_cents, bin_w_cents) — quantiles of o_totalprice from a
+    fixed-width histogram sketch: per-block partials are FIXED {bins}-bin
+    int64 count vectors (mergeable by addition — the quantile member of the
+    sketch suite next to HLL/Misra-Gries/CMS/Bloom), folded on the driver;
+    the estimate for percentile p is the upper edge of the first bin whose
+    cumulative count reaches ``ceil(p·n/100)``, so the error is bounded by
+    one bin width (pinned vs the exact quantiles in pytest; the bound itself
+    is emitted as ``bin_w_cents``).
+
+    All arithmetic is integer-exact over cents (bin width ``(max−min)//B
+    + 1``, index ``(v−min)//w``), so the DuckDB oracle rebuilds the
+    identical histogram and the estimates are value-hash gated — the same
+    doctrine that gates the Bloom bitmap and the CMS matrix. Two streamed
+    passes (min/max, then histogram); contrast `price_quantiles`, the exact
+    three-pass rank-refinement path.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    sketch family (mergeable quantile summary under fixed memory).""".format(
+        bins=_QSK_BINS)
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": np.rint(df["o_totalprice"].to_numpy(np.float64) * 100)
+                 .astype(np.int64)})
+
+    cds = ds.map_batches(cents, batch_format="pandas")
+    mm = cds.aggregate(Min("c"), Max("c"))
+    lo, hi = int(mm["min(c)"]), int(mm["max(c)"])
+    w = (hi - lo) // _QSK_BINS + 1  # covers hi: (hi-lo)//w < B
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        idx = (df["c"].to_numpy(np.int64) - lo) // w
+        counts = np.bincount(idx, minlength=_QSK_BINS).astype(np.int64)
+        return pd.DataFrame({"h": [counts.tobytes()],
+                             "n": [np.int64(len(df))]})
+
+    parts = cds.map_batches(hist, batch_format="pandas").to_pandas()
+    h = np.zeros(_QSK_BINS, dtype=np.int64)
+    for b in parts["h"]:
+        h += np.frombuffer(b, dtype=np.int64)
+    n = int(parts["n"].sum())
+    cum = np.cumsum(h)
+    out = []
+    for p in _QSK_PCTS:
+        target = -(-p * n // 100)  # ceil(p·n/100)
+        b = int(np.searchsorted(cum, target))
+        out.append((p, lo + (b + 1) * w))
+    return pd.DataFrame(out, columns=["pct", "est_cents"]).assign(
+        bin_w_cents=np.int64(w)).astype(
+        {"pct": np.int64, "est_cents": np.int64, "bin_w_cents": np.int64})
+
+
+def price_quantile_sketch_sql() -> str:
+    pcts = ", ".join(f"({p})" for p in _QSK_PCTS)
+    return f"""
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+g AS (SELECT MIN(c) AS lo, MAX(c) AS hi, COUNT(*) AS n FROM c),
+w AS (SELECT lo, n, (hi - lo) // {_QSK_BINS} + 1 AS w FROM g),
+hist AS (SELECT (c.c - w.lo) // w.w AS b, COUNT(*) AS cnt
+         FROM c, w GROUP BY 1),
+cum AS (SELECT b, SUM(cnt) OVER (ORDER BY b) AS cum FROM hist),
+pcts(pct) AS (VALUES {pcts})
+SELECT CAST(p.pct AS BIGINT) AS pct,
+       CAST(w.lo + (MIN(cum.b) + 1) * w.w AS BIGINT) AS est_cents,
+       CAST(w.w AS BIGINT) AS bin_w_cents
+FROM pcts p, w, cum
+WHERE cum.cum >= CAST(CEIL(p.pct * w.n / 100.0) AS BIGINT)
+GROUP BY p.pct, w.lo, w.w
+ORDER BY pct
+"""

@@ -631,3 +631,24 @@ def test_neighbor_sample_structure(ray_session, sf_dir):
     # md5 keyed per root: hop-1 node sets are not all identical
     per_root = h1.groupby("root")["node"].apply(frozenset)
     assert per_root.nunique() > 1
+
+
+def test_price_quantile_sketch_error_bound(ray_session, sf_dir):
+    """Every sketch estimate sits within one bin width of the exact
+    percentile, and estimates are monotone in p."""
+    import duckdb
+
+    from research_knowledge_graph_ray.stages import stats
+
+    got = stats.price_quantile_sketch(sf_dir)
+    w = int(got["bin_w_cents"].iloc[0])
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    for p, est in zip(got["pct"], got["est_cents"]):
+        exact = con.execute(
+            f"SELECT CAST(ROUND(percentile_disc({int(p)/100}) WITHIN GROUP "
+            f"(ORDER BY o_totalprice) * 100) AS BIGINT) FROM orders"
+        ).fetchone()[0]
+        assert abs(int(est) - int(exact)) <= w + 1
+    assert got["est_cents"].is_monotonic_increasing
