@@ -1106,6 +1106,9 @@ QUERIES: dict = {
     # sampling / corpus mixing
     "sample_hash": (sampling.hash_sample, SAMPLE_HASH_SQL),
     "sample_stratified": (sampling.stratified_sample, SAMPLE_STRATIFIED_SQL),
+    # exhaustive exact-ratio train/val/test split (eval protocol; every doc
+    # labeled, per-source 80/10/10 by md5 rank)
+    "dataset_split": (sampling.dataset_split, sampling.DATASET_SPLIT_SQL),
     "corpus_mix": (sampling.corpus_mix, CORPUS_MIX_SQL),
     # deterministic per-epoch global training order (rank-attach pattern,
     # no global sort; seed change reshuffles reproducibly)

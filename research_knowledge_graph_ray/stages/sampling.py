@@ -456,3 +456,83 @@ r AS (SELECT doc_id, source,
 SELECT CAST(doc_id AS BIGINT) AS doc_id, source
 FROM r WHERE rn <= {SOURCE_CAP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact-ratio stratified train/val/test split
+# ---------------------------------------------------------------------------
+
+_SPLIT_TRAIN_PCT = 80
+_SPLIT_VAL_PCT = 10  # test = remainder
+
+
+def dataset_split(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, source, split) with split ∈ {train, val, test} — exhaustive
+    80/10/10 partition with EXACT per-source ratios: within each source,
+    docs rank by (md5-hkey, doc_id) and the first ``floor(n·0.8)`` are
+    train, the next ``floor(n·0.1)`` val, the rest test. Contrast
+    `hash_sample` (Bernoulli, approximate ratios) and `stratified_sample`
+    (fixed per-group quota): this is the eval-protocol split where exact,
+    reproducible group-wise counts matter and EVERY doc gets a label.
+
+    Dataflow: key-only (doc_id, source, hkey) rows — text never ships —
+    through ONE source-keyed exchange; the per-source reducer sorts its
+    group (group-sized, the per-source partition a rank split inherently
+    needs) and cuts at the two exact boundaries. Deterministic across runs
+    and cluster sizes (md5-hkey order, doc_id tie-break).
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    sampling family (the train/eval protocol split)."""
+    from .shuffle import bucketed_group_apply
+
+    ds = _read_docs(sf_dir, ["doc_id", "source"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "doc_id": ids, "source": df["source"].astype(str),
+            "hk": _hkeys(ids),
+        })
+
+    def cut(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for src, g in df.groupby("source", sort=False):
+            g = g.sort_values(["hk", "doc_id"])
+            n = len(g)
+            n_tr = n * _SPLIT_TRAIN_PCT // 100
+            n_va = n * _SPLIT_VAL_PCT // 100
+            split = np.full(n, "test", dtype=object)
+            split[:n_tr] = "train"
+            split[n_tr:n_tr + n_va] = "val"
+            out.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "source": src, "split": split,
+            }))
+        if not out:
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "source": pd.Series(dtype=str),
+                                 "split": pd.Series(dtype=str)})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(
+        ds.map_batches(keyed, batch_format="pandas"),
+        ["source"], lambda d: d, cut, n_buckets=8)
+
+
+DATASET_SPLIT_SQL = f"""
+WITH k AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS hk
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM k)
+SELECT doc_id, source,
+       CASE WHEN rn <= n * {_SPLIT_TRAIN_PCT} // 100 THEN 'train'
+            WHEN rn <= n * {_SPLIT_TRAIN_PCT} // 100
+                     + n * {_SPLIT_VAL_PCT} // 100 THEN 'val'
+            ELSE 'test' END AS split
+FROM r
+"""

@@ -652,3 +652,24 @@ def test_price_quantile_sketch_error_bound(ray_session, sf_dir):
         ).fetchone()[0]
         assert abs(int(est) - int(exact)) <= w + 1
     assert got["est_cents"].is_monotonic_increasing
+
+
+def test_dataset_split_exact_ratios_and_coverage(ray_session, sf_dir):
+    """Every doc gets exactly one label; per-source counts are exactly
+    floor(n·0.8)/floor(n·0.1)/rest; a doc's split never depends on other
+    sources (re-running on one source's subset preserves its labels)."""
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import sampling
+
+    got = sampling.dataset_split(sf_dir).to_pandas()
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"]).to_pandas()
+    assert len(got) == len(docs)
+    assert got["doc_id"].is_unique
+    for src, g in got.groupby("source"):
+        n = len(g)
+        c = g["split"].value_counts()
+        assert c.get("train", 0) == n * 80 // 100
+        assert c.get("val", 0) == n * 10 // 100
+        assert c.get("test", 0) == n - n * 80 // 100 - n * 10 // 100
