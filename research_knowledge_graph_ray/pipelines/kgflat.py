@@ -907,6 +907,18 @@ def bm25_search(sf_dir: str, terms: tuple = _BM25_TERMS,
         for term in terms
     }
 
+    # int64 range guard (mirrors DuckDB, whose BIGINT multiply RAISES on
+    # overflow instead of wrapping): the largest per-term numerator is
+    # idf·44·max_tf·T with max_tf ≤ max dl. Loud failure, never silent wrap;
+    # at the scale where this binds, drop _BM25_IDF_SCALE a decade or two —
+    # the RANKING is scale-invariant, only the gate constant changes.
+    max_dl = int(parts["t"].max())  # ≥ any single doc length
+    max_idf = max(idf.values())
+    if max_idf * 44 * max_dl * t_total >= 2 ** 63:
+        raise ValueError(
+            "bm25 integer range exceeded (idf·44·tf·T ≥ 2^63); reduce "
+            "_BM25_IDF_SCALE — DuckDB would raise on the same overflow")
+
     def score(batch: pa.Table) -> pd.DataFrame:
         low = pc.utf8_lower(batch["text"])
         n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())

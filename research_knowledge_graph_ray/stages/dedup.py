@@ -1662,11 +1662,12 @@ def semdedup(sf_dir: str, tau: float = 0.4, k: int = 8,
     tau_e6 = int(round(tau * 1e6))
 
     def assign_fan(batch: pa.Table) -> pd.DataFrame:
+        from .similarity import _batch_vecs
+
         cv = ray.get(ref)
         ids, q = _km_quant(batch)
         a, _ = _km_assign(q, cv)
-        vecs = np.stack(batch["embedding"].to_pandas().to_numpy()).astype(
-            np.float64)
+        vecs = _batch_vecs(batch)  # one conversion; tensor-column aware
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
@@ -1856,8 +1857,12 @@ def minhash_confusion(sf_dir: str, tau_bp: int = _CONF_TAU_BP,
 
     Reference parity note: no counterpart in the reference — brief-mandated
     dedup family, the recall/precision audit composition."""
-    lsh = minhash_candidate_pairs(sf_dir).to_pandas()
-    lsh = lsh[(lsh["doc_a"] < max_doc_id) & (lsh["doc_b"] < max_doc_id)]
+    lsh = (minhash_candidate_pairs(sf_dir)
+           .map_batches(  # domain filter BEFORE the driver materialization
+               lambda df: df[(df["doc_a"] < max_doc_id)
+                             & (df["doc_b"] < max_doc_id)],
+               batch_format="pandas")
+           .to_pandas())
     cand = set(zip(lsh["doc_a"].astype(int), lsh["doc_b"].astype(int)))
     true = ngram_jaccard_pairs(sf_dir, max_doc_id=max_doc_id).to_pandas()
     true = true[true["jac_bp"] >= tau_bp]

@@ -970,7 +970,9 @@ def hits(sf_dir: str, iters: int = 3) -> pd.DataFrame:
     the full score table each half-step anyway for the max-rescale +
     re-broadcast (no exchange; the same catalog-bound driver step as the
     assoc_rules degree broadcast). Overflow bound: scores ≤ 10⁶
-    post-rescale, so half-step sums ≤ degree·10⁶ < 2⁶³.
+    post-rescale, so int64 half-step sums hold to degree < 9.2e12; the
+    rescale multiply itself runs in Python ints (arbitrary precision) so
+    no degree wraps it.
 
     Reference parity note: no counterpart in the reference — brief-mandated
     graph-analytics family (link-analysis twin of :func:`pagerank`, which
@@ -999,15 +1001,18 @@ def hits(sf_dir: str, iters: int = 3) -> pd.DataFrame:
         out = parts.groupby("node", as_index=False)["s"].sum()
         out["s"] = out["s"].astype(np.int64)
         mx = int(out["s"].max())
-        out["s"] = (out["s"].to_numpy(np.int64) * _HITS_SCALE) // mx
+        # rescale in PYTHON ints (catalog-bound table): s·10⁶ would wrap
+        # int64 for node degree ≥ ~9.2e6; arbitrary precision keeps the
+        # recurrence exact at any degree (DuckDB promotes the same multiply
+        # to HUGEINT-or-raise rather than wrapping)
+        out["s"] = np.fromiter(
+            ((int(v) * _HITS_SCALE) // mx for v in out["s"]),
+            np.int64, len(out))
         return out
 
     # hubs start at 10^6 on every distinct src (block-distinct partials,
     # catalog-bound driver dedup — same shape as the half-step fold)
-    src_nodes = edges.map_batches(
-        lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
-    ).to_pandas()["src"].drop_duplicates()
-    h = dict.fromkeys(src_nodes.astype(np.int64), _HITS_SCALE)
+    h = dict.fromkeys(_distinct_src(edges).tolist(), _HITS_SCALE)
     a_tab = None
     for _ in range(iters):
         a_tab = _half_step(h, "src", "dst")
@@ -1051,6 +1056,35 @@ SELECT node, 'auth' AS kind, CAST(s AS BIGINT) AS score_e6 FROM a{iters}"""
 
 
 # ---------------------------------------------------------------------------
+# Shared helpers for the walk/sampling family (one definition — the three
+# consumers below must never drift apart)
+# ---------------------------------------------------------------------------
+
+
+def _symmetrized_edges(e: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Both directions of every (src, dst) edge, materialized once."""
+
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "src": np.concatenate([df["src"].to_numpy(np.int64),
+                                   df["dst"].to_numpy(np.int64)]),
+            "dst": np.concatenate([df["dst"].to_numpy(np.int64),
+                                   df["src"].to_numpy(np.int64)]),
+        })
+
+    return e.map_batches(sym, batch_format="pandas").materialize()
+
+
+def _distinct_src(e: "ray.data.Dataset") -> np.ndarray:
+    """Sorted distinct src nodes — block-distinct partials, catalog-bound
+    driver dedup (the HITS fold shape)."""
+    return (e.map_batches(
+        lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
+    ).to_pandas()["src"].drop_duplicates().sort_values()
+        .to_numpy(np.int64))
+
+
+# ---------------------------------------------------------------------------
 # Deterministic random walks (DeepWalk/node2vec corpus-generation shape)
 # ---------------------------------------------------------------------------
 
@@ -1086,21 +1120,8 @@ def graph_walks(sf_dir: str, steps: int = _WALK_STEPS) -> pd.DataFrame:
     import hashlib
 
     e = _supplier_part_edges(sf_dir).materialize()
-
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "src": np.concatenate([df["src"].to_numpy(np.int64),
-                                   df["dst"].to_numpy(np.int64)]),
-            "dst": np.concatenate([df["dst"].to_numpy(np.int64),
-                                   df["src"].to_numpy(np.int64)]),
-        })
-
-    edges = e.map_batches(sym, batch_format="pandas").materialize()
-
-    # start set: every supplier node (catalog-bound)
-    starts = e.map_batches(
-        lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
-    ).to_pandas()["src"].drop_duplicates().sort_values().to_numpy(np.int64)
+    edges = _symmetrized_edges(e)
+    starts = _distinct_src(e)  # one walk per supplier node (catalog-bound)
     pos = dict(zip(starts.tolist(), starts.tolist()))  # walk_id -> cur node
     rows = [pd.DataFrame({"walk_id": starts, "step": np.int64(0),
                           "node": starts})]
@@ -1251,19 +1272,8 @@ def neighbor_sample(sf_dir: str, fanout: int = _SAMPLE_FANOUT) -> pd.DataFrame:
     import hashlib
 
     e = _supplier_part_edges(sf_dir).materialize()
-
-    def sym(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "src": np.concatenate([df["src"].to_numpy(np.int64),
-                                   df["dst"].to_numpy(np.int64)]),
-            "dst": np.concatenate([df["dst"].to_numpy(np.int64),
-                                   df["src"].to_numpy(np.int64)]),
-        })
-
-    edges = e.map_batches(sym, batch_format="pandas").materialize()
-    roots = e.map_batches(
-        lambda df: df[["src"]].drop_duplicates(), batch_format="pandas"
-    ).to_pandas()["src"].drop_duplicates().sort_values().to_numpy(np.int64)
+    edges = _symmetrized_edges(e)
+    roots = _distinct_src(e)
 
     def hop(frontier: dict, hopno: int) -> pd.DataFrame:
         """frontier: key-tuple -> frontier node; returns sampled rows."""

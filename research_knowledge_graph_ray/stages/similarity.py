@@ -633,6 +633,8 @@ def mmr_rerank(sf_dir: str, query_vec_id: int = 0, n_cand: int = 50,
     out_rows = []
     selected: list[int] = []
     for rank in range(1, k + 1):
+        if not remaining:  # fewer candidates than k: emit fewer rows,
+            break          # exactly like the SQL chain's empty s_t CTEs
         best = None
         for c in remaining:
             if selected:

@@ -325,7 +325,11 @@ def bpe_merge_counts(sf_dir: str) -> pd.DataFrame:
 
     def pairs(batch: pa.Table) -> pd.DataFrame:
         texts = batch["text"].to_pylist()
-        blob = "\n".join(texts).encode("utf-8", errors="strict")
+        # docs join with ' ' — the SAME separator the SQL's string_split
+        # uses as the word boundary, so cross-doc pairs are masked by the
+        # one space rule and any intra-doc byte (incl. '\n') is a regular
+        # in-word character on BOTH sides
+        blob = " ".join(texts).encode("utf-8", errors="strict")
         arr = np.frombuffer(blob, dtype=np.uint8)
         if len(arr) and arr.max() >= 128:
             raise ValueError(
@@ -335,7 +339,7 @@ def bpe_merge_counts(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame({"pair": pd.Series(dtype=np.int64),
                                  "n": pd.Series(dtype=np.int64)})
         left, right = arr[:-1].astype(np.int64), arr[1:].astype(np.int64)
-        boundary = (left == 32) | (left == 10) | (right == 32) | (right == 10)
+        boundary = (left == 32) | (right == 32)
         pair = (left * 256 + right)[~boundary]
         uniq, cnt = np.unique(pair, return_counts=True)
         return pd.DataFrame({"pair": uniq, "n": cnt.astype(np.int64)})
@@ -1529,7 +1533,10 @@ def top_tokens_cms(sf_dir: str, k: int = TOPK_DEFAULT) -> pd.DataFrame:
     ]
     out = top.copy()
     out["est"] = np.asarray(est, dtype=np.int64)
-    assert (out["est"] >= out["n"]).all()  # CMS never undercounts
+    if not (out["est"] >= out["n"]).all():  # CMS can NEVER undercount
+        raise ValueError(
+            "CMS estimate below true count — sketch/top_tokens tokenization "
+            "drift (the one-sided guarantee is structural)")
     return out
 
 

@@ -673,3 +673,28 @@ def test_dataset_split_exact_ratios_and_coverage(ray_session, sf_dir):
         assert c.get("train", 0) == n * 80 // 100
         assert c.get("val", 0) == n * 10 // 100
         assert c.get("test", 0) == n - n * 80 // 100 - n * 10 // 100
+
+
+def test_bpe_merge_counts_newline_in_doc_matches_sql(ray_session, tmp_path):
+    """A document containing '\\n' must count pairs across the newline
+    exactly like SQL's space-only word split (regression: the kernel used
+    to mask newline bytes the oracle kept)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.stages import textops
+
+    d = str(tmp_path)
+    pqw.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["ab\ncd ef", "gh ij"]),
+    }), f"{d}/documents.parquet")
+    got = textops.bpe_merge_counts(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    exp = con.execute(textops.BPE_MERGE_COUNTS_SQL).df()
+    pd.testing.assert_frame_equal(got.astype(str), exp.astype(str))
+    # the newline pair is REAL word-internal content on both sides
+    assert ((got["l"] == "\n") | (got["r"] == "\n")).any()
