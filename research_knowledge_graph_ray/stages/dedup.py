@@ -1786,27 +1786,26 @@ def dedup_incremental(sf_dir: str, split: int = _INCR_SPLIT) -> "ray.data.Datase
                              "base": (ids < split).astype(np.int64)})
 
     def decide(df: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for f, g in df.groupby("fp", sort=False):
-            in_base = bool((g["base"] == 1).any())
-            inc = g[g["base"] == 0].sort_values("doc_id")
-            if inc.empty:
-                continue
-            first = int(inc["doc_id"].iloc[0])
-            for d in inc["doc_id"].astype(np.int64):
-                if in_base:
-                    keep, reason = 0, "base"
-                elif int(d) == first:
-                    keep, reason = 1, ""
-                else:
-                    keep, reason = 0, "incr"
-                out.append((int(d), f, keep, reason))
-        if not out:
+        inc = df[df["base"] == 0]
+        if inc.empty:
             return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                                  "fp": pd.Series(dtype=str),
                                  "keep": pd.Series(dtype=np.int64),
                                  "reason": pd.Series(dtype=str)})
-        return pd.DataFrame(out, columns=["doc_id", "fp", "keep", "reason"])
+        # vectorized decision — no per-fingerprint Python loop
+        base_fps = df.loc[df["base"] == 1, "fp"].unique()
+        inc = inc.sort_values(["fp", "doc_id"])
+        first = ~inc.duplicated("fp")           # min doc_id per fp
+        in_base = inc["fp"].isin(base_fps).to_numpy()
+        keep = (~in_base) & first.to_numpy()
+        reason = np.where(in_base, "base",
+                          np.where(first.to_numpy(), "", "incr"))
+        return pd.DataFrame({
+            "doc_id": inc["doc_id"].to_numpy(np.int64),
+            "fp": inc["fp"].to_numpy(),
+            "keep": keep.astype(np.int64),
+            "reason": reason,
+        })
 
     from .shuffle import bucketed_group_apply
 
