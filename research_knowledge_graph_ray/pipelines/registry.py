@@ -1170,6 +1170,10 @@ QUERIES: dict = {
     # every code is value-hash gated
     "embedding_quantize": (similarity.embedding_quantize,
                            similarity.EMBEDDING_QUANTIZE_SQL),
+    # reciprocal (mutual) kNN pairs — the high-precision near-dup filter
+    # over the kNN graph; one unordered-pair exchange
+    "reciprocal_nn": (similarity.reciprocal_nn_pairs,
+                      similarity.reciprocal_nn_pairs_sql()),
     # full-probe IVF config: exact by construction (knn_join_ivf contract),
     # so the brute-force oracle gates the whole IVF dataflow; sub-full
     # nprobe recall is covered by pytest

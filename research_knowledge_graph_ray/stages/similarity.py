@@ -756,3 +756,62 @@ SELECT x.vec_id, CAST(x.i AS BIGINT) AS i,
        CAST(FLOOR(s.scale * 1e9 + 0.5) AS BIGINT) AS scale_e9
 FROM x JOIN s ON x.vec_id = s.vec_id
 """
+
+
+def reciprocal_nn_pairs(sf_dir: str, k: int = 3) -> "ray.data.Dataset":
+    """(vec_a, vec_b, sim_e6) — reciprocal (mutual) k-nearest-neighbor
+    pairs: kept iff a ∈ kNN(b) AND b ∈ kNN(a) — the classic high-precision
+    near-duplicate / re-ranking filter (one-directional kNN hits from hub
+    vectors are exactly what mutuality removes).
+
+    Composes :func:`knn_join`: its directed (vec_id → nn_id) edges are
+    keyed by the UNORDERED pair (min, max) and ONE pair exchange keeps the
+    pairs seen from both directions (each group holds ≤ 2 rows). Output is
+    canonical vec_a < vec_b with the pair's sim_e6 (symmetric — both
+    directions agree by construction).
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    similarity family (precision filter over the kNN graph)."""
+    from .shuffle import bucketed_group_apply
+
+    knn = knn_join(sf_dir, k=k)
+
+    def pair_key(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["vec_id"].to_numpy(np.int64)
+        b = df["nn_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "lo": np.minimum(a, b), "hi": np.maximum(a, b),
+            "sim_e6": df["sim_e6"].to_numpy(np.int64),
+        })
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["lo", "hi"], as_index=False)
+             .agg(n=("sim_e6", "size"), sim_e6=("sim_e6", "max")))
+        g = g[g["n"] >= 2]
+        return pd.DataFrame({
+            "vec_a": g["lo"].to_numpy(np.int64),
+            "vec_b": g["hi"].to_numpy(np.int64),
+            "sim_e6": g["sim_e6"].to_numpy(np.int64),
+        })
+
+    return bucketed_group_apply(
+        knn.map_batches(pair_key, batch_format="pandas"),
+        ["lo", "hi"], lambda d: d, mutual, n_buckets=8)
+
+
+def reciprocal_nn_pairs_sql(k: int = 3) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+          AS sim_e6
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim_e6 DESC, nn_id) AS rnk
+      FROM s),
+knn AS (SELECT vec_id, nn_id, sim_e6 FROM r WHERE rnk <= {k})
+SELECT a.vec_id AS vec_a, a.nn_id AS vec_b,
+       GREATEST(a.sim_e6, b.sim_e6) AS sim_e6
+FROM knn a JOIN knn b ON a.vec_id = b.nn_id AND a.nn_id = b.vec_id
+WHERE a.vec_id < a.nn_id
+"""

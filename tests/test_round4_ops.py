@@ -698,3 +698,20 @@ def test_bpe_merge_counts_newline_in_doc_matches_sql(ray_session, tmp_path):
     pd.testing.assert_frame_equal(got.astype(str), exp.astype(str))
     # the newline pair is REAL word-internal content on both sides
     assert ((got["l"] == "\n") | (got["r"] == "\n")).any()
+
+
+def test_reciprocal_nn_is_mutual_subset(ray_session, sf_dir):
+    """Every reciprocal pair appears in BOTH directions of knn_join, and
+    every one-directional kNN edge is absent — mutuality is exact."""
+    from research_knowledge_graph_ray.stages import similarity as sim
+
+    knn = sim.knn_join(sf_dir).to_pandas()
+    directed = set(zip(knn["vec_id"].astype(int), knn["nn_id"].astype(int)))
+    got = sim.reciprocal_nn_pairs(sf_dir).to_pandas()
+    assert (got["vec_a"] < got["vec_b"]).all()
+    for a, b in zip(got["vec_a"].astype(int), got["vec_b"].astype(int)):
+        assert (a, b) in directed and (b, a) in directed
+    want = {(min(a, b), max(a, b)) for a, b in directed
+            if (b, a) in directed}
+    assert set(zip(got["vec_a"].astype(int), got["vec_b"].astype(int))) == want
+    assert len(want) < len(directed)  # the filter actually drops edges
