@@ -187,6 +187,9 @@ def run_bench() -> dict:
         timed("embedding_quantize", similarity.embedding_quantize)
         timed("dedup_incremental", dedup.dedup_incremental)
         timed("minhash_confusion", dedup.minhash_confusion)
+        timed("reciprocal_nn", similarity.reciprocal_nn_pairs)
+        timed("dataset_split", sampling.dataset_split)
+        timed("price_quantile_sketch", stats.price_quantile_sketch)
 
         # composed curation flagship: quality -> lang -> exact dedup ->
         # minhash near-dup -> pack -> partitioned parquet, one timed run
