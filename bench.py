@@ -1,4 +1,4 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. Prints ONE final JSON line:
 
   {"metric": ..., "value": <headline sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
@@ -6,16 +6,26 @@
 Headline: full knowledge-graph construction (extraction → validation → entity
 linking → canonicalization → cross-doc linking → node/edge materialization)
 over a deterministic synthetic interleaved-span corpus (GRAFT_KG_DOCS docs,
-default 20000; generated in parallel once and cached in /tmp), plus a
+default 50000; generated in parallel once and cached in /tmp), plus a
 representative query suite over $GRAFT_SF_DIR (default /root/testdata/sf0.1).
 
-``--scaling`` runs the plain bench twice in fresh processes at num_cpus=8 and
+Crash isolation (round-4): the orchestrating parent process NEVER starts Ray.
+The headline and each ~11-query suite chunk run in their own subprocess with
+their own Ray session, so a raylet death (this host's co-tenancy killed three
+consecutive round-3 driver runs at the C++ level) costs one section, not the
+artifact. Failed sections are retried with reduced memory pressure
+(staggered consumers / smaller object store), partial snapshots are printed
+as each section completes (lines tagged "partial": true), and the complete
+merged result is the LAST line.
+
+``--scaling`` runs the headline twice in fresh processes at num_cpus=8 and
 num_cpus=32 on identical input and reports throughput scaling efficiency
 (sandbox stand-in for the N vs 4N node criterion — see BASELINE.md).
 """
 
 from __future__ import annotations
 
+import importlib
 import json
 import os
 import subprocess
@@ -26,30 +36,152 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 KG_DOCS = int(os.environ.get("GRAFT_KG_DOCS", "50000"))
 CORPUS_DIR = f"/tmp/rkg_bench_corpus_{KG_DOCS}"
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+# ---------------------------------------------------------------------------
+# query suite (name -> "module.function"), in the order benched since r2 so
+# per-round timings stay comparable
+# ---------------------------------------------------------------------------
+_MODS = {
+    "kgflat": "research_knowledge_graph_ray.pipelines.kgflat",
+    "relational": "research_knowledge_graph_ray.pipelines.relational",
+    "windows": "research_knowledge_graph_ray.pipelines.windows",
+    "curate": "research_knowledge_graph_ray.pipelines.curate",
+    "dedup": "research_knowledge_graph_ray.stages.dedup",
+    "similarity": "research_knowledge_graph_ray.stages.similarity",
+    "textops": "research_knowledge_graph_ray.stages.textops",
+    "graphalgs": "research_knowledge_graph_ray.stages.graphalgs",
+    "stats": "research_knowledge_graph_ray.stages.stats",
+    "sampling": "research_knowledge_graph_ray.stages.sampling",
+}
+
+SUITE: list[tuple[str, str]] = [
+    ("kg_graph_edges", "kgflat.graph_edges"),
+    ("kg_cooccurrence", "kgflat.cooccurrence"),
+    ("kg_media_edges", "kgflat.media_edges"),
+    ("q1_pricing_summary", "relational.q1_pricing_summary"),
+    ("revenue_by_nation", "relational.revenue_by_nation"),
+    ("top10_orders", "relational.top10_orders"),
+    ("text_quality", "textops.text_quality"),
+    ("dedup_minhash_pairs", "dedup.minhash_candidate_pairs"),
+    ("dedup_embedding_pairs", "dedup.embedding_near_dups_q"),
+    ("knn_topk", "similarity.knn_topk"),
+    ("graph_pagerank", "graphalgs.pagerank"),
+    ("price_quantiles", "stats.price_quantiles"),
+    ("purchase_attribution", "windows.purchase_attribution"),
+    ("decontaminate", "textops.decontaminate"),
+    ("decontaminate_bloom", "textops.decontaminate_bloom"),
+    ("doc_logprob", "textops.doc_logprob"),
+    ("item_jaccard", "graphalgs.item_jaccard"),
+    ("nation_year_revenue", "windows.nation_year_revenue"),
+    ("price_qty_regression", "stats.price_qty_regression"),
+    ("char_diversity", "textops.char_diversity"),
+    ("doc_logprob_bigram", "textops.doc_logprob_bigram"),
+    ("knn_join", "similarity.knn_join"),
+    ("rolling_active_users", "windows.rolling_active_users"),
+    ("event_transitions", "windows.event_transitions"),
+    ("graph_sssp", "graphalgs.sssp"),
+    ("dedup_keep_best", "dedup.keep_best_dedup"),
+    ("assoc_rules", "graphalgs.assoc_rules"),
+    ("skyline_orders", "stats.skyline_orders"),
+    ("late_events", "windows.late_events"),
+    ("term_search", "kgflat.term_search"),
+    ("watermark_drops", "windows.watermark_drops"),
+    ("hybrid_search", "kgflat.hybrid_search"),
+    ("orders_box_probe", "relational.orders_box_probe"),
+    ("revenue_rollup", "relational.revenue_rollup"),
+    ("linear_attribution", "windows.linear_attribution"),
+    ("q3_shipping_priority", "relational.q3_shipping_priority"),
+    ("q4_order_priority", "relational.q4_order_priority"),
+    ("passage_dedup", "dedup.passage_dedup"),
+    ("substring_dedup", "dedup.substring_dedup"),
+    ("dup_passage_share", "dedup.dup_passage_share"),
+    ("source_overlap", "dedup.source_overlap"),
+    ("dsir_weights", "textops.dsir_weights"),
+    ("dsir_resample", "textops.dsir_resample"),
+    ("kg_entity_trend", "kgflat.entity_trend"),
+    ("epoch_shuffle", "sampling.epoch_shuffle"),
+    ("shard_plan", "sampling.shard_plan"),
+    ("cheapest_supplier", "relational.cheapest_supplier_per_part"),
+    ("vocab_sharing", "textops.vocab_sharing"),
+    ("graph_hits", "graphalgs.hits"),
+    ("gopher_filter", "textops.gopher_filter"),
+    ("embedding_moments", "stats.embedding_moments"),
+    ("embedding_kmeans", "similarity.embedding_kmeans"),
+    ("bpe_merge_counts", "textops.bpe_merge_counts"),
+    ("top_tokens_cms", "textops.top_tokens_cms"),
+    ("graph_walks", "graphalgs.graph_walks"),
+    ("mmr_rerank", "similarity.mmr_rerank"),
+    ("semdedup", "dedup.semdedup"),
+    ("bm25_search", "kgflat.bm25_search"),
+    ("neighbor_sample", "graphalgs.neighbor_sample"),
+    ("embedding_quantize", "similarity.embedding_quantize"),
+    ("dedup_incremental", "dedup.dedup_incremental"),
+    ("minhash_confusion", "dedup.minhash_confusion"),
+    ("reciprocal_nn", "similarity.reciprocal_nn_pairs"),
+    ("dataset_split", "sampling.dataset_split"),
+    ("price_quantile_sketch", "stats.price_quantile_sketch"),
+    ("curate_corpus", "__curate__"),  # composed flagship, special-cased
+]
+
+CHUNK = max(4, int(os.environ.get("GRAFT_SUITE_CHUNK", "11")))
 
 
-def run_bench() -> dict:
+def _resolve(spec: str):
+    mod_alias, attr = spec.split(".", 1)
+    return getattr(importlib.import_module(_MODS[mod_alias]), attr)
+
+
+def _ray_up(num_cpus: int | None = None, default_store_gb: float = 24.0):
+    """One Ray session per section subprocess, with a capped object store:
+    the full 30%-of-RAM default (~38 GiB of /dev/shm) is far beyond what
+    sf0.1 / the 50k-doc corpus needs, and trimming it leaves headroom when
+    the driver's own Ray session or a co-tenant runs in the same window."""
     import ray
 
+    store_gb = float(os.environ.get("GRAFT_OBJ_STORE_GB", str(default_store_gb)))
     ray.init(
-        address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-        ignore_reinit_error=True, logging_level="ERROR",
+        address="local",
+        num_cpus=num_cpus or NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        object_store_memory=int(store_gb * (1 << 30)),
     )
     from ray.data import DataContext
 
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    DataContext.get_current().enable_progress_bars = False
+    return ray
 
+
+def _ensure_corpus():
+    """Generate the bench corpus once, atomically: a crash mid-write must not
+    leave a half-corpus that poisons every retry, so completion is recorded
+    in a sibling .ok marker and an unmarked directory is wiped."""
+    marker = CORPUS_DIR + ".ok"
+    if os.path.isdir(CORPUS_DIR) and os.path.exists(marker):
+        return
+    import shutil
+
+    shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+    from research_knowledge_graph_ray.sources.corpus import write_corpus_parallel
+
+    write_corpus_parallel(CORPUS_DIR, KG_DOCS, seed=42)
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+# ---------------------------------------------------------------------------
+# section: headline KG construction
+# ---------------------------------------------------------------------------
+def run_headline() -> dict:
+    ray = _ray_up()
     import ray.data
 
-    from research_knowledge_graph_ray.pipelines import kgflat, relational
     from research_knowledge_graph_ray.pipelines.construct import build_graph
-    from research_knowledge_graph_ray.sources.corpus import write_corpus_parallel
-    from research_knowledge_graph_ray.stages import dedup, similarity, textops
+    from research_knowledge_graph_ray.sources.corpus import generate_documents
 
-    # --- corpus: generate once (untimed), then warm the page cache ---------
-    if not os.path.isdir(CORPUS_DIR) or not os.listdir(CORPUS_DIR):
-        write_corpus_parallel(CORPUS_DIR, KG_DOCS, seed=42)
+    _ensure_corpus()
     # warm the OS page cache with a real byte read (Dataset.count() is
     # metadata-only for parquet and warms nothing)
     for root, _d, files in os.walk(CORPUS_DIR):
@@ -58,14 +190,10 @@ def run_bench() -> dict:
                 while f.read(1 << 24):
                     pass
 
-    timings: dict[str, float] = {}
-
     # untimed warm-up: run the pipeline over a small slice first so Ray's
     # worker processes exist and have imported their modules — the timed run
     # then measures steady-state throughput (the quantity that matters for a
     # long-running 100 TB job), not one-time process spawning
-    from research_knowledge_graph_ray.sources.corpus import generate_documents
-
     warm = build_graph(
         ray.data.from_arrow(generate_documents(2000, seed=7)),
         entity_linking=True, link=True, embed_docs=True,
@@ -86,141 +214,189 @@ def run_bench() -> dict:
             {"doc_id": [int(i.rsplit("-", 1)[1]) for i in ids], "text": texts}
         )
 
-    from concurrent.futures import ThreadPoolExecutor
-
+    stagger = os.environ.get("GRAFT_HEADLINE_STAGGER", "0") == "1"
     t0 = time.perf_counter()
     docs = ray.data.read_parquet(CORPUS_DIR)
-    # the near-dup sketch and the KG build are independent consumers of the
-    # same corpus — run them concurrently (a streaming engine schedules
-    # them as one DAG; sequential consumption would idle the cluster during
-    # the sketch's exchange barriers)
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f_dup = pool.submit(lambda: int(minhash_dedup_clusters(
+
+    def dup_count() -> int:
+        return int(minhash_dedup_clusters(
             docs.map_batches(flat_view, batch_format="pyarrow",
-                             zero_copy_batch=True)).count()))
+                             zero_copy_batch=True)).count())
+
+    if stagger:
+        # reduced-pressure retry mode: consume the corpus sequentially so the
+        # near-dup sketch's exchange barrier and the KG build's extraction
+        # wave never spike the object store at the same instant
+        n_dup_docs = dup_count()
         res = build_graph(docs, entity_linking=True, link=True, embed_docs=True)
         n_edges = res.edges.count()
         n_nodes = res.nodes.count()
         n_emb = res.embeddings.count()
-        n_dup_docs = f_dup.result()
+    else:
+        # the near-dup sketch and the KG build are independent consumers of
+        # the same corpus — run them concurrently (a streaming engine
+        # schedules them as one DAG; sequential consumption would idle the
+        # cluster during the sketch's exchange barriers)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_dup = pool.submit(dup_count)
+            res = build_graph(docs, entity_linking=True, link=True,
+                              embed_docs=True)
+            n_edges = res.edges.count()
+            n_nodes = res.nodes.count()
+            n_emb = res.embeddings.count()
+            n_dup_docs = f_dup.result()
     headline = time.perf_counter() - t0
-    timings["kg_construct"] = round(headline, 3)
 
-    # --- query suite over the sf tables ------------------------------------
-    def timed(name, fn):
-        t = time.perf_counter()
-        out = fn(SF_DIR)
-        # consume: Datasets are lazy
-        if hasattr(out, "count"):
-            out.count()
-        timings[name] = round(time.perf_counter() - t, 3)
-
-    n_media_edges = 0
-    if os.environ.get("GRAFT_BENCH_SUITE", "1") == "1":
-        timed("kg_graph_edges", kgflat.graph_edges)
-        timed("kg_cooccurrence", kgflat.cooccurrence)
-        # multimodal → KG: media inventory + caption-mention edges
-        t = time.perf_counter()
-        n_media_edges = int(kgflat.media_edges(SF_DIR).count())
-        timings["kg_media_edges"] = round(time.perf_counter() - t, 3)
-        timed("q1_pricing_summary", relational.q1_pricing_summary)
-        timed("revenue_by_nation", relational.revenue_by_nation)
-        timed("top10_orders", relational.top10_orders)
-        timed("text_quality", textops.text_quality)
-        timed("dedup_minhash_pairs", dedup.minhash_candidate_pairs)
-        timed("dedup_embedding_pairs", dedup.embedding_near_dups_q)
-        timed("knn_topk", similarity.knn_topk)
-        from research_knowledge_graph_ray.pipelines import windows
-        from research_knowledge_graph_ray.stages import graphalgs, stats
-
-        timed("graph_pagerank", graphalgs.pagerank)
-        timed("price_quantiles", stats.price_quantiles)
-        timed("purchase_attribution", windows.purchase_attribution)
-        timed("decontaminate", textops.decontaminate)
-        timed("decontaminate_bloom", textops.decontaminate_bloom)
-        timed("doc_logprob", textops.doc_logprob)
-        timed("item_jaccard", graphalgs.item_jaccard)
-        timed("nation_year_revenue", windows.nation_year_revenue)
-        timed("price_qty_regression", stats.price_qty_regression)
-        timed("char_diversity", textops.char_diversity)
-        timed("doc_logprob_bigram", textops.doc_logprob_bigram)
-        timed("knn_join", similarity.knn_join)
-        timed("rolling_active_users", windows.rolling_active_users)
-        timed("event_transitions", windows.event_transitions)
-        timed("graph_sssp", graphalgs.sssp)
-        timed("dedup_keep_best", dedup.keep_best_dedup)
-        timed("assoc_rules", graphalgs.assoc_rules)
-        timed("skyline_orders", stats.skyline_orders)
-        timed("late_events", windows.late_events)
-        timed("term_search", kgflat.term_search)
-        timed("watermark_drops", windows.watermark_drops)
-        timed("hybrid_search", kgflat.hybrid_search)
-        timed("orders_box_probe", relational.orders_box_probe)
-        timed("revenue_rollup", relational.revenue_rollup)
-        timed("linear_attribution", windows.linear_attribution)
-        timed("q3_shipping_priority", relational.q3_shipping_priority)
-        timed("q4_order_priority", relational.q4_order_priority)
-        from research_knowledge_graph_ray.stages import sampling
-
-        timed("passage_dedup", dedup.passage_dedup)
-        timed("substring_dedup", dedup.substring_dedup)
-        timed("dup_passage_share", dedup.dup_passage_share)
-        timed("source_overlap", dedup.source_overlap)
-        timed("dsir_weights", textops.dsir_weights)
-        timed("dsir_resample", textops.dsir_resample)
-        timed("kg_entity_trend", kgflat.entity_trend)
-        timed("epoch_shuffle", sampling.epoch_shuffle)
-        timed("shard_plan", sampling.shard_plan)
-        timed("cheapest_supplier", relational.cheapest_supplier_per_part)
-        timed("vocab_sharing", textops.vocab_sharing)
-        timed("graph_hits", graphalgs.hits)
-        timed("gopher_filter", textops.gopher_filter)
-        timed("embedding_moments", stats.embedding_moments)
-        timed("embedding_kmeans", similarity.embedding_kmeans)
-        timed("bpe_merge_counts", textops.bpe_merge_counts)
-        timed("top_tokens_cms", textops.top_tokens_cms)
-        timed("graph_walks", graphalgs.graph_walks)
-        timed("mmr_rerank", similarity.mmr_rerank)
-        timed("semdedup", dedup.semdedup)
-        timed("bm25_search", kgflat.bm25_search)
-        timed("neighbor_sample", graphalgs.neighbor_sample)
-        timed("embedding_quantize", similarity.embedding_quantize)
-        timed("dedup_incremental", dedup.dedup_incremental)
-        timed("minhash_confusion", dedup.minhash_confusion)
-        timed("reciprocal_nn", similarity.reciprocal_nn_pairs)
-        timed("dataset_split", sampling.dataset_split)
-        timed("price_quantile_sketch", stats.price_quantile_sketch)
-
-        # composed curation flagship: quality -> lang -> exact dedup ->
-        # minhash near-dup -> pack -> partitioned parquet, one timed run
-        import shutil
-        import tempfile
-
-        from research_knowledge_graph_ray.pipelines import curate
-
-        cdir = tempfile.mkdtemp(prefix="rkg_curate_bench_")
-        t = time.perf_counter()
-        curate.curate_corpus(SF_DIR, cdir, n_parts=16)
-        timings["curate_corpus"] = round(time.perf_counter() - t, 3)
-        shutil.rmtree(cdir, ignore_errors=True)
-
-    result = {
-        "metric": "kg_construct_wall_sec",
+    out = {
         "value": round(headline, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": SF_DIR,
-        "num_cpus": NUM_CPUS,
         "kg_docs": KG_DOCS,
         "kg_nodes": n_nodes,
         "kg_edges": n_edges,
         "kg_embeddings": n_emb,
         "neardup_docs": n_dup_docs,
-        "media_edges": n_media_edges,
         "docs_per_sec": round(KG_DOCS / headline, 2),
         "triples_per_sec": round(n_edges / headline, 2),
+        "headline_cpus": NUM_CPUS,
+        "headline_stagger": stagger,
     }
     ray.shutdown()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# section: one chunk of the query suite
+# ---------------------------------------------------------------------------
+def run_suite_chunk(lo: int, hi: int) -> dict:
+    ray = _ray_up(default_store_gb=16.0)
+    import ray.data
+
+    # untimed warm-up so chunk timings don't pay worker spawn
+    ray.data.range(10_000, override_num_blocks=NUM_CPUS).map_batches(
+        lambda b: b).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, int] = {}
+    for name, spec in SUITE[lo:hi]:
+        if spec == "__curate__":
+            import shutil
+            import tempfile
+
+            from research_knowledge_graph_ray.pipelines import curate
+
+            cdir = tempfile.mkdtemp(prefix="rkg_curate_bench_")
+            t = time.perf_counter()
+            curate.curate_corpus(SF_DIR, cdir, n_parts=16)
+            timings[name] = round(time.perf_counter() - t, 3)
+            shutil.rmtree(cdir, ignore_errors=True)
+            continue
+        fn = _resolve(spec)
+        t = time.perf_counter()
+        res = fn(SF_DIR)
+        n = res.count() if hasattr(res, "count") else len(res)
+        timings[name] = round(time.perf_counter() - t, 3)
+        if name == "kg_media_edges":
+            extras["media_edges"] = int(n)
+    out = {"timings": timings, **extras}
+    ray.shutdown()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parent orchestrator — never starts Ray
+# ---------------------------------------------------------------------------
+def _run_section(args: list[str], extra_env: dict[str, str] | None = None,
+                 timeout: float = 1800.0) -> dict | None:
+    env = dict(os.environ)
+    env.update(extra_env or {})
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *args],
+            env=env, capture_output=True, text=True, timeout=timeout,
+            cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"[bench] section {args} timed out after {timeout}s",
+              file=sys.stderr, flush=True)
+        return None
+    if p.returncode != 0:
+        tail = (p.stderr or p.stdout or "")[-500:]
+        print(f"[bench] section {args} rc={p.returncode}: ...{tail}",
+              file=sys.stderr, flush=True)
+        return None
+    for line in reversed((p.stdout or "").strip().splitlines()):
+        try:
+            return json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+    print(f"[bench] section {args} produced no JSON line",
+          file=sys.stderr, flush=True)
+    return None
+
+
+def run_bench() -> dict:
+    result: dict = {
+        "metric": "kg_construct_wall_sec",
+        "value": None,
+        "unit": "sec",
+        "queries": {},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "kg_docs": KG_DOCS,
+        "sections_failed": [],
+    }
+
+    def flush(final: bool = False):
+        snap = dict(result)
+        if not final:
+            snap["partial"] = True
+        line = json.dumps(snap)
+        print(line, flush=True)
+        try:
+            with open("/tmp/rkg_bench_progress.json", "w") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass
+
+    # headline: three attempts, each with progressively reduced pressure
+    attempts: list[dict[str, str]] = [
+        {},
+        {"GRAFT_HEADLINE_STAGGER": "1", "GRAFT_OBJ_STORE_GB": "16"},
+        {"GRAFT_HEADLINE_STAGGER": "1", "GRAFT_OBJ_STORE_GB": "12",
+         "RAY_GRAFT_CPUS": str(max(8, NUM_CPUS // 2))},
+    ]
+    head = None
+    for extra in attempts:
+        head = _run_section(["--section", "headline"], extra)
+        if head is not None:
+            break
+    if head is not None:
+        result.update(head)
+        result["queries"]["kg_construct"] = head["value"]
+    else:
+        result["sections_failed"].append("headline")
+    flush()
+
+    if os.environ.get("GRAFT_BENCH_SUITE", "1") == "1":
+        for lo in range(0, len(SUITE), CHUNK):
+            hi = min(lo + CHUNK, len(SUITE))
+            chunk = _run_section(["--section", f"suite:{lo}:{hi}"],
+                                 timeout=900.0)
+            if chunk is None:  # one reduced-pressure retry per chunk
+                chunk = _run_section(["--section", f"suite:{lo}:{hi}"],
+                                     {"GRAFT_OBJ_STORE_GB": "8"}, timeout=900.0)
+            if chunk is None:
+                result["sections_failed"].append(f"suite:{lo}:{hi}")
+                continue
+            result["queries"].update(chunk["timings"])
+            if "media_edges" in chunk:
+                result["media_edges"] = chunk["media_edges"]
+            flush()
+
+    if not result["sections_failed"]:
+        del result["sections_failed"]
+    flush(final=True)
     return result
 
 
@@ -230,25 +406,15 @@ def run_incremental() -> dict:
     scratch (the reference reprocesses everything on update,
     reference/README.md:400-405). Both paths produce identical tables
     (tests/test_incremental.py); this reports the wall-clock ratio."""
-    import ray
-
-    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
+    ray = _ray_up()
     import pyarrow.compute as pc
     import ray.data
 
     from research_knowledge_graph_ray.pipelines.construct import build_graph
     from research_knowledge_graph_ray.pipelines.incremental import update_graph
-    from research_knowledge_graph_ray.sources.corpus import (
-        generate_documents,
-        write_corpus_parallel,
-    )
+    from research_knowledge_graph_ray.sources.corpus import generate_documents
 
-    if not os.path.isdir(CORPUS_DIR) or not os.listdir(CORPUS_DIR):
-        write_corpus_parallel(CORPUS_DIR, KG_DOCS, seed=42)
+    _ensure_corpus()
     cut_id = f"doc-{int(KG_DOCS * 0.9):06d}"
     docs = ray.data.read_parquet(CORPUS_DIR)
     old_docs = docs.map_batches(
@@ -343,20 +509,21 @@ def _hardware_ceiling(pairs) -> dict:
 
 
 def run_scaling() -> dict:
-    """Identical input at both levels; corpus size defaults to 800k docs for
+    """Identical input at both levels; corpus size defaults to 600k docs for
     the scaling measurement so scalable compute dominates fixed per-job
     overhead (the OS page cache is warmed with a real byte read first, which
     removes most run-to-run variance)."""
 
     def run_once(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_SUITE="0")
-        env.setdefault("GRAFT_KG_DOCS", "600000")
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            capture_output=True, text=True, check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        extra = {
+            "RAY_GRAFT_CPUS": str(ncpu),
+            "GRAFT_KG_DOCS": os.environ.get("GRAFT_KG_DOCS", "600000"),
+            "GRAFT_OBJ_STORE_GB": os.environ.get("GRAFT_OBJ_STORE_GB", "32"),
+        }
+        out = _run_section(["--section", "headline"], extra, timeout=5400.0)
+        if out is None:
+            raise RuntimeError(f"scaling headline at {ncpu} cpus failed")
+        return out
 
     cache: dict[int, dict] = {}
     # best-of-N per level: this host's co-tenancy makes single samples swing
@@ -411,9 +578,18 @@ def run_scaling() -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--section" in sys.argv:
+        which = sys.argv[sys.argv.index("--section") + 1]
+        if which == "headline":
+            print(json.dumps(run_headline()))
+        elif which.startswith("suite:"):
+            _, lo, hi = which.split(":")
+            print(json.dumps(run_suite_chunk(int(lo), int(hi))))
+        else:
+            raise SystemExit(f"unknown section {which!r}")
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--incremental" in sys.argv:
         print(json.dumps(run_incremental()))
     else:
-        print(json.dumps(run_bench()))
+        run_bench()
