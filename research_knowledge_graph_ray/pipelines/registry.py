@@ -383,58 +383,9 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 """
 
 
-def _minhash_sql() -> str:
-    """Exact SQL restatement of stages/dedup.py minhash_candidate_pairs:
-    md5-derived shingle hashes mod the Mersenne prime, the seeded permutation
-    table inlined as literals, md5-of-joined-decimals band keys, per-bucket
-    256-doc cap, and the m→est_jaccard_bp map precomputed HERE with numpy so
-    rounding is bit-identical by construction."""
-    import numpy as np
-
-    from ..stages.dedup import _MERSENNE, _perm_params
-
-    n_perm, n_bands = 128, 8
-    rows_per_band = n_perm // n_bands
-    a, b = _perm_params(n_perm)
-    perms = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_perm))
-    bp = {m: int(np.round((m / n_bands) ** (1.0 / rows_per_band) * 10000))
-          for m in range(1, n_bands + 1)}
-    bp_case = " ".join(f"WHEN {m} THEN {v}" for m, v in bp.items())
-    return rf"""
-WITH ws AS (SELECT doc_id,
-              list_filter(string_split_regex(lower(text), '\s+'),
-                          x -> x <> '') AS ws
-            FROM documents),
-sh AS (SELECT DISTINCT doc_id,
-         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
-                              1, 16))::UBIGINT % {_MERSENNE} AS BIGINT) AS h
-       FROM ws, UNNEST(range(1, len(ws) - 1)) t(i)),
-perms(i, a, b) AS (VALUES {perms}),
-sigs AS (SELECT s.doc_id, p.i, MIN((p.a * s.h + p.b) % {_MERSENNE}) AS v
-         FROM sh s CROSS JOIN perms p GROUP BY 1, 2),
-alls AS (SELECT d.doc_id, p.i, COALESCE(sg.v, {_MERSENNE}) AS v
-         FROM documents d CROSS JOIN perms p
-         LEFT JOIN sigs sg ON sg.doc_id = d.doc_id AND sg.i = p.i),
-bands AS (SELECT doc_id, i // {rows_per_band} AS band,
-                 md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS band_hash
-          FROM alls GROUP BY doc_id, i // {rows_per_band}),
-capped AS (SELECT band, band_hash, doc_id,
-                  row_number() OVER (PARTITION BY band, band_hash
-                                     ORDER BY doc_id) AS rn
-           FROM bands),
-hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS m
-         FROM capped a JOIN capped b
-           ON a.band = b.band AND a.band_hash = b.band_hash
-          AND a.doc_id < b.doc_id
-         WHERE a.rn <= 256 AND b.rn <= 256
-         GROUP BY 1, 2)
-SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-       CAST(CASE m {bp_case} END AS BIGINT) AS est_jaccard_bp
-FROM hits WHERE CASE m {bp_case} END >= 5000
-"""
-
-
-DEDUP_MINHASH_SQL = _minhash_sql()
+# SQL restatement lives beside the operator in stages/dedup.py (shared
+# module with minhash_confusion_sql; keeps imports a forward edge)
+DEDUP_MINHASH_SQL = dedup.DEDUP_MINHASH_SQL
 
 # --- exact embedding dedup (stages/dedup.py) -----------------------------
 # sim_e6 = ROUND(cosine * 1e6) on both sides; threshold applied to the
@@ -1050,7 +1001,7 @@ QUERIES: dict = {
     "top_tokens_mg": (textops.top_tokens_mg, TOP_TOKENS_SQL),
     # Count-Min sketch estimates (fixed d×w partials, md5-slot convention):
     # the SQL rebuilds the identical sketch, collisions included
-    "top_tokens_cms": (textops.top_tokens_cms, textops.TOP_TOKENS_CMS_SQL),
+    "top_tokens_cms": (textops.top_tokens_cms, textops.top_tokens_cms_sql()),
     "repetition_stats": (textops.repetition_stats, REPETITION_STATS_SQL),
     "scrub_terms": (textops.scrub_terms, SCRUB_TERMS_SQL),
     "pack_sequences": (textops.pack_sequences, PACK_SEQUENCES_SQL),

@@ -1876,14 +1876,67 @@ def minhash_confusion(sf_dir: str, tau_bp: int = _CONF_TAU_BP,
                                         counts["tp"]], dtype=np.int64)})
 
 
+def minhash_pairs_sql() -> str:
+    """Exact SQL restatement of minhash_candidate_pairs: md5-derived shingle
+    hashes mod the Mersenne prime, the seeded permutation table inlined as
+    literals, md5-of-joined-decimals band keys, per-bucket 256-doc cap, and
+    the m→est_jaccard_bp map precomputed HERE with numpy so rounding is
+    bit-identical by construction.
+
+    Lives beside the operator (not in pipelines/registry) so the SQL and the
+    kernel share one module and registry's import stays a forward edge —
+    minhash_confusion_sql composing it from here used to create a
+    stages→pipelines back-import that only worked by definition order."""
+    n_perm, n_bands = 128, 8
+    rows_per_band = n_perm // n_bands
+    a, b = _perm_params(n_perm)
+    perms = ", ".join(f"({i}, {int(a[i])}, {int(b[i])})" for i in range(n_perm))
+    bp = {m: int(np.round((m / n_bands) ** (1.0 / rows_per_band) * 10000))
+          for m in range(1, n_bands + 1)}
+    bp_case = " ".join(f"WHEN {m} THEN {v}" for m, v in bp.items())
+    return rf"""
+WITH ws AS (SELECT doc_id,
+              list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '') AS ws
+            FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]),
+                              1, 16))::UBIGINT % {_MERSENNE} AS BIGINT) AS h
+       FROM ws, UNNEST(range(1, len(ws) - 1)) t(i)),
+perms(i, a, b) AS (VALUES {perms}),
+sigs AS (SELECT s.doc_id, p.i, MIN((p.a * s.h + p.b) % {_MERSENNE}) AS v
+         FROM sh s CROSS JOIN perms p GROUP BY 1, 2),
+alls AS (SELECT d.doc_id, p.i, COALESCE(sg.v, {_MERSENNE}) AS v
+         FROM documents d CROSS JOIN perms p
+         LEFT JOIN sigs sg ON sg.doc_id = d.doc_id AND sg.i = p.i),
+bands AS (SELECT doc_id, i // {rows_per_band} AS band,
+                 md5(string_agg(CAST(v AS VARCHAR), ',' ORDER BY i)) AS band_hash
+          FROM alls GROUP BY doc_id, i // {rows_per_band}),
+capped AS (SELECT band, band_hash, doc_id,
+                  row_number() OVER (PARTITION BY band, band_hash
+                                     ORDER BY doc_id) AS rn
+           FROM bands),
+hits AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS m
+         FROM capped a JOIN capped b
+           ON a.band = b.band AND a.band_hash = b.band_hash
+          AND a.doc_id < b.doc_id
+         WHERE a.rn <= 256 AND b.rn <= 256
+         GROUP BY 1, 2)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(CASE m {bp_case} END AS BIGINT) AS est_jaccard_bp
+FROM hits WHERE CASE m {bp_case} END >= 5000
+"""
+
+
+DEDUP_MINHASH_SQL = minhash_pairs_sql()
+
+
 def minhash_confusion_sql(tau_bp: int = _CONF_TAU_BP,
                           max_doc_id: int = 500) -> str:
     """Composed restatement: the `dedup_minhash_pairs` SQL (domain-
     restricted) FULL OUTER JOIN the exact-Jaccard CTE (the
     `dedup_ngram_jaccard` oracle parameterized to this audit domain),
     classified and counted. Zero-count classes still emit (cls, 0) rows."""
-    from ..pipelines.registry import DEDUP_MINHASH_SQL
-
     jaccard = rf"""
 WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
            FROM documents WHERE doc_id < {max_doc_id}),

@@ -548,13 +548,25 @@ def embedding_moments(sf_dir: str) -> pd.DataFrame:
         )
         q = np.floor(x * _MOMENT_SCALE).astype(np.int64)
         return pd.DataFrame({"g": [np.ascontiguousarray(q.T @ q).tobytes()],
-                             "d": [np.int64(q.shape[1])]})
+                             "d": [np.int64(q.shape[1])],
+                             "n": [np.int64(q.shape[0])],
+                             "qmax": [np.int64(np.abs(q).max(initial=0))]})
 
     parts = (
         ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
         .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()  # O(blocks) rows of d² int64 each
     )
+    # runtime enforcement of the documented bound: |m| <= n·max|q|² entrywise,
+    # checked in unbounded Python ints — int64 would otherwise wrap silently
+    # (DuckDB's SUM promotes to HUGEINT, so the oracle would quietly diverge)
+    n_total = int(parts["n"].sum())
+    qmax = int(parts["qmax"].max())
+    if n_total * qmax * qmax >= 2**63:
+        raise OverflowError(
+            f"embedding_moments int64 bound exceeded: n={n_total}, "
+            f"max|q|={qmax} -> n*max|q|^2 >= 2^63; lower _MOMENT_SCALE "
+            f"(see docstring) for this corpus size")
     d = int(parts["d"].iloc[0])
     g = np.zeros((d, d), dtype=np.int64)
     for b in parts["g"]:

@@ -304,10 +304,13 @@ def bpe_merge_counts(sf_dir: str) -> pd.DataFrame:
     tokenizer training (Sennrich et al. 2016 — each round merges the
     most-frequent adjacent symbol pair; round one's symbols are characters).
 
-    Vectorized per block: the batch's texts are joined with ``\\n``, viewed
-    as a uint8 array, and every adjacent byte pair becomes one int
-    ``256·l + r``; pairs straddling a space/newline word boundary are masked
-    out and ``np.unique`` collapses the block to ≤ alphabet² rows. Partials
+    Vectorized per block: the batch's texts are joined with a single space,
+    viewed as a uint8 array, and every adjacent byte pair becomes one int
+    ``256·l + r``; pairs straddling a space (byte 32 — the ONLY word
+    boundary, matching the SQL's ``string_split(' ')``; newline is
+    deliberately in-word, pinned by
+    ``test_bpe_merge_counts_newline_in_doc_matches_sql``) are masked out and
+    ``np.unique`` collapses the block to ≤ alphabet² rows. Partials
     fold on the driver (alphabet²-bounded — byte-alphabet ≤ 65536 rows ever,
     regardless of corpus size); full merge-table output, no top-k cut, so
     the DuckDB oracle (per-word ``generate_series`` + ``substr`` explode) is
@@ -1540,7 +1543,11 @@ def top_tokens_cms(sf_dir: str, k: int = TOPK_DEFAULT) -> pd.DataFrame:
     return out
 
 
-TOP_TOKENS_CMS_SQL = f"""
+def top_tokens_cms_sql(k: int = TOPK_DEFAULT) -> str:
+    """Oracle generator parameterized on k, so ``top_tokens_cms(sf_dir, k=K)``
+    always has a matching SQL (a hardcoded LIMIT would silently diverge for
+    non-default k — the bm25_search_sql precedent)."""
+    return f"""
 WITH tc AS (
   SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
   FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
@@ -1551,7 +1558,7 @@ slots AS (
            ::UBIGINT % {_CMS_W} AS slot
   FROM tc, range({_CMS_D}) r(j)),
 sums AS (SELECT j, slot, SUM(n) AS s FROM slots GROUP BY 1, 2),
-topk AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT 20)
+topk AS (SELECT token, n FROM tc ORDER BY n DESC, token LIMIT {k})
 SELECT t.token, t.n, CAST(MIN(s.s) AS BIGINT) AS est
 FROM topk t
 JOIN slots sl ON sl.token = t.token
@@ -1559,3 +1566,6 @@ JOIN sums s ON s.j = sl.j AND s.slot = sl.slot
 GROUP BY 1, 2
 ORDER BY t.n DESC, t.token
 """
+
+
+TOP_TOKENS_CMS_SQL = top_tokens_cms_sql()

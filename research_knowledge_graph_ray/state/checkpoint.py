@@ -196,7 +196,7 @@ def partitioned_stage_checkpoint(
         with open(os.path.join(tmp, PART_MANIFEST), "w") as f:
             json.dump({"fingerprint": fingerprint, "rows": rows,
                        "partition": k, "bytes": nbytes,
-                       "elapsed_s": round(time.perf_counter() - t_part, 3),
+                       "elapsed_s": round(time.perf_counter() - t_part, 6),
                        "completed_unix": round(time.time(), 3)}, f)
         os.replace(tmp, pdir)
 

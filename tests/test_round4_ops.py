@@ -715,3 +715,24 @@ def test_reciprocal_nn_is_mutual_subset(ray_session, sf_dir):
             if (b, a) in directed}
     assert set(zip(got["vec_a"].astype(int), got["vec_b"].astype(int))) == want
     assert len(want) < len(directed)  # the filter actually drops edges
+
+
+def test_embedding_moments_overflow_guard(ray_session, tmp_path):
+    """The int64 Gram bound (n * max|q|^2 < 2^63) is enforced at runtime, not
+    just documented: numpy would wrap silently where DuckDB promotes, so the
+    op must refuse loudly instead of diverging from its oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from research_knowledge_graph_ray.stages import stats
+
+    t = pa.table({
+        "vec_id": pa.array([0], pa.int64()),
+        # |q| = floor(4000 * 1e6) = 4e9 -> n*|q|^2 = 1.6e19 >= 2^63
+        "embedding": pa.array([[4000.0, 0.0]], pa.list_(pa.float32())),
+        "label": pa.array([0], pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(OverflowError, match="bound exceeded"):
+        stats.embedding_moments(str(tmp_path))
