@@ -44,6 +44,7 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 # ---------------------------------------------------------------------------
 _MODS = {
     "kgflat": "research_knowledge_graph_ray.pipelines.kgflat",
+    "link": "research_knowledge_graph_ray.stages.link",
     "relational": "research_knowledge_graph_ray.pipelines.relational",
     "windows": "research_knowledge_graph_ray.pipelines.windows",
     "curate": "research_knowledge_graph_ray.pipelines.curate",
@@ -121,6 +122,7 @@ SUITE: list[tuple[str, str]] = [
     ("reciprocal_nn", "similarity.reciprocal_nn_pairs"),
     ("dataset_split", "sampling.dataset_split"),
     ("price_quantile_sketch", "stats.price_quantile_sketch"),
+    ("semantic_link_pairs", "link.semantic_link_pairs"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -9,7 +9,7 @@ correctness pinned by pytest instead.
 
 from __future__ import annotations
 
-from ..stages import dedup, graphalgs, sampling, similarity, stats, textops
+from ..stages import dedup, graphalgs, link, sampling, similarity, stats, textops
 from . import kgflat, relational
 from .kgflat import TERM_PATTERN
 
@@ -1222,6 +1222,10 @@ QUERIES: dict = {
     # so both share the oracle; the pruned-nprobe recall is pytest-pinned
     "knn_join": (similarity.knn_join, KNN_JOIN_SQL),
     "knn_join_ivf": (similarity.knn_join_ivf, KNN_JOIN_SQL),
+    # semantic (IVF-KNN) blocking stage of link_mode='semantic', standalone —
+    # rows-only: nprobe<n_centroids is approximate by contract; the exact
+    # config is pinned vs brute force in tests/test_semantic_linking.py
+    "semantic_link_pairs": (link.semantic_link_pairs, None),
     # self-supervised training-pair generation (pair-key exchange negatives)
     "contrastive_pairs": (textops.contrastive_pairs, CONTRASTIVE_PAIRS_SQL),
     # domain-level curation report (per-source quality aggregate)

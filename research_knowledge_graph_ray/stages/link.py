@@ -266,7 +266,7 @@ def knn_neighbor_pairs(
     rows = embeddings.map_batches(assign, batch_format="pandas")
 
     def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": [], "nb_id": [], "sim": []}
+        frames = []
         for _, g in df.groupby("bucket"):
             q = g[g["role"] == "q"].drop_duplicates("doc_id")
             m = g[g["role"] == "m"].drop_duplicates("doc_id")
@@ -274,23 +274,33 @@ def knn_neighbor_pairs(
                 continue
             qv = np.stack([np.frombuffer(v, dtype=np.float64) for v in q["vec"]])
             mv = np.stack([np.frombuffer(v, dtype=np.float64) for v in m["vec"]])
-            sims = qv @ mv.T
             qd = q["doc_id"].to_numpy()
             md = m["doc_id"].to_numpy()
-            for i in range(len(qd)):
-                row = sims[i]
-                # (sim desc, nb_id asc) — the SAME tie order the global
-                # per-doc reduce uses, so an exactly-tied neighbor (duplicate
-                # embeddings) is never cut by arbitrary bucket row order
-                top = sorted(range(len(md)),
-                             key=lambda j: (-row[j], md[j]))[: k + 1]
-                for j in top:
-                    if md[j] == qd[i]:
-                        continue
-                    out["doc_id"].append(qd[i])
-                    out["nb_id"].append(md[j])
-                    out["sim"].append(float(row[j]))
-        return pd.DataFrame(out)
+            # (sim desc, nb_id asc) — the SAME tie order the global per-doc
+            # reduce uses, so an exactly-tied neighbor (duplicate embeddings)
+            # is never cut by arbitrary bucket row order. Members are
+            # pre-sorted by id, which makes one STABLE argsort over -sims
+            # realize that order for the whole bucket at once (no per-query
+            # Python sort — that loop was O(q·m log m) interpreter-bound).
+            m_order = np.argsort(md, kind="stable")
+            md, mv = md[m_order], mv[m_order]
+            sims = qv @ mv.T                    # (q, m)
+            kk = min(k + 1, sims.shape[1])
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            nb = md[top].ravel()
+            sim = np.take_along_axis(sims, top, axis=1).ravel()
+            qd_rep = np.repeat(qd, kk)
+            keep = nb != qd_rep                 # drop self-match
+            frames.append(pd.DataFrame(
+                {"doc_id": qd_rep[keep], "nb_id": nb[keep], "sim": sim[keep]}))
+        if not frames:
+            # typed empty — doc id columns inherit the input dtype so empty
+            # partitions don't emit a float64 block into an int64/str stream
+            empty_ids = df["doc_id"].iloc[:0]
+            return pd.DataFrame({"doc_id": empty_ids,
+                                 "nb_id": empty_ids.copy(),
+                                 "sim": pd.Series(dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
 
     cands = bucketed_group_apply(rows, ["bucket"], lambda df: df, bucket_topk)
 
@@ -367,3 +377,25 @@ def link_cross_documents_semantic(
 
     filtered = bucketed_group_apply(shared.union(n_tag), ["doc_a", "doc_b"], pre, semi)
     return judge_pairs(filtered)
+
+
+def semantic_link_pairs(sf_dir: str, k: int = 5, n_centroids: int = 16,
+                        nprobe: int = 4) -> "ray.data.Dataset":
+    """(doc_a, doc_b) — the semantic (IVF-KNN) blocking stage of
+    ``link_mode='semantic'`` run standalone over the sf embeddings table
+    (``vec_id`` as the doc id): centroid assign → per-bucket vectorized
+    query×member top-k → global per-doc reduce → unordered pair dedup.
+
+    Registered rows-only: ``nprobe < n_centroids`` is the approximate scale
+    path (recall, not identity, is the contract); the exact configuration
+    (``nprobe=None``) is pinned against sequential brute force by
+    tests/test_semantic_linking.py. Benched so the bucket kernel's cost is
+    tracked per round (reference parity: the v1 pruned linker,
+    src/services/graph_service.py:70-165)."""
+    import ray.data
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(lambda t: t.rename_columns(["doc_id", "embedding"]),
+                  batch_format="pyarrow", zero_copy_batch=True)
+    return knn_neighbor_pairs(emb, k=k, n_centroids=n_centroids, nprobe=nprobe)
