@@ -1071,8 +1071,7 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
     scan batch before anything moves — union the order rows through ONE
     exchange on orderkey, and each reducer finishes the per-order revenue and
     keeps only its local top-10, so the driver ranks n_buckets × 10 rows."""
-    from ..stages.join import hash_join
-    from ..stages.shuffle import bucketed_group_apply
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
 
     cutoff = np.datetime64(_Q3_DATE, "us")
 
@@ -1104,54 +1103,61 @@ def q3_shipping_priority(sf_dir: str) -> pd.DataFrame:
                            ["o_orderkey", "o_custkey", "o_orderdate"],
                            ["c_custkey"], n_buckets=16)
 
-    def li_partial(t: pa.Table) -> pd.DataFrame:
+    def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
         cents = _cents(t["l_extendedprice"])
         bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(pa.int64())
         rev = pc.multiply(cents, pc.subtract(pa.scalar(10000, pa.int64()), bp))
-        df = pd.DataFrame({"l_orderkey": t["l_orderkey"].to_numpy(),
-                           "rev": rev.to_numpy()})
-        out = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
-        out["__side"] = "li"
-        return out
+        g = arrow_group_agg(
+            pa.table({"l_orderkey": t["l_orderkey"], "rev": rev}),
+            ["l_orderkey"], [("rev", "sum")])
+        n = g.num_rows
+        return g.append_column("__side", pa.array(["li"] * n)).append_column(
+            "__key", g["l_orderkey"].cast(pa.int64()).combine_chunks())
 
     li = read_table(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
-    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True
-                  ).map_batches(lambda df: df.assign(
-                      __key=df["l_orderkey"].astype(np.int64)),
-                      batch_format="pandas")
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def ob_view(df: pd.DataFrame) -> pd.DataFrame:
+    def ob_view(t: pa.Table) -> pa.Table:
         # hash_join may emit float-upcast keys out of empty buckets — pin
         # int64 so both sides' __key agree (the exchange hashes ints natively)
-        ok = df["o_orderkey"].astype(np.int64)
-        return pd.DataFrame({"l_orderkey": ok, "o_orderdate": df["o_orderdate"],
-                             "__side": "o", "__key": ok})
+        ok = t["o_orderkey"].cast(pa.int64()).combine_chunks()
+        return pa.table({"l_orderkey": ok, "o_orderdate": t["o_orderdate"],
+                         "__side": pa.array(["o"] * len(ok)), "__key": ok})
 
-    ob = obld.map_batches(ob_view, batch_format="pandas")
+    ob = obld.map_batches(ob_view, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
-                              "revenue_de4": pd.Series(dtype=np.int64),
-                              "o_orderdate": pd.Series(dtype="datetime64[us]")})
-        if df.empty:
-            return empty
-        lt = df[df["__side"] == "li"]
-        ot = df[df["__side"] == "o"]
-        if lt.empty or ot.empty:
-            return empty
-        rev = (lt.groupby("l_orderkey", as_index=False).agg(
-            revenue_de4=("rev", "sum")))
-        ot = ot.drop_duplicates("l_orderkey")[["l_orderkey", "o_orderdate"]]
-        out = rev.merge(ot, on="l_orderkey", how="inner")
-        out = out.sort_values(["revenue_de4", "l_orderkey"],
-                              ascending=[False, True]).head(10)
-        return out.astype({"l_orderkey": np.int64, "revenue_de4": np.int64})
+    _q3_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("revenue_de4", pa.int64()),
+                            ("o_orderdate", pa.timestamp("us"))])
 
-    parts = bucketed_group_apply(li.union(ob), ["__key"], lambda df: df,
-                                 final, n_buckets=16).to_pandas()
+    def final(t: pa.Table) -> pa.Table:
+        # all-arrow bucket reduce: the exchange concat promotes the two
+        # sides' schemas (missing cols null-filled), so split on __side
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _q3_schema.empty_table()
+        lt = t.filter(pc.equal(t["__side"], "li"))
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return _q3_schema.empty_table()
+        rev = arrow_group_agg(
+            pa.table({"l_orderkey": lt["l_orderkey"].cast(pa.int64()),
+                      "revenue_de4": lt["rev"].cast(pa.int64())}),
+            ["l_orderkey"], [("revenue_de4", "sum")])
+        dates = arrow_group_agg(
+            pa.table({"l_orderkey": ot["l_orderkey"].cast(pa.int64()),
+                      "o_orderdate": ot["o_orderdate"].cast(pa.timestamp("us"))}),
+            ["l_orderkey"], [("o_orderdate", "min")])  # dedup (dates equal per key)
+        out = rev.join(dates, keys="l_orderkey", join_type="inner")
+        idx = pc.sort_indices(out, sort_keys=[("revenue_de4", "descending"),
+                                              ("l_orderkey", "ascending")])
+        return out.take(idx[:10]).select(
+            ["l_orderkey", "revenue_de4", "o_orderdate"])
+
+    parts = hash_exchange_apply(li.union(ob), ["__key"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
     if "revenue_de4" not in parts.columns:  # all-empty → schema-less
         return pd.DataFrame({"l_orderkey": pd.Series(dtype=np.int64),
                              "revenue_de4": pd.Series(dtype=np.int64),

@@ -12,6 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -318,14 +319,16 @@ def purchase_attribution(sf_dir: str, days: int = 7) -> "ray.data.Dataset":
     never a per-pair materialization."""
     from ..stages.join import range_count_join
 
+    def probe_view(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        start = pc.subtract(
+            t["ts"], pa.scalar(np.timedelta64(days, "D").astype("timedelta64[us]")))
+        return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                         "start": start, "end": t["ts"]})
+
     probe = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
-    ).map_batches(
-        lambda df: df[df["event_type"] == "purchase"].assign(
-            start=df["ts"] - pd.Timedelta(days=days), end=df["ts"]
-        )[["event_id", "user_id", "start", "end"]],
-        batch_format="pandas",
-    )
+    ).map_batches(probe_view, batch_format="pyarrow", zero_copy_batch=True)
     build = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -381,26 +383,39 @@ SELECT node, CAST(ROUND(r * 1000000000) AS BIGINT) AS rank_e9 FROM r{iters}"""
 
 _BASKET_CAP = 4096  # parts per order before pair emission goes loudly quadratic
 
-_EMPTY_PAIRS = pd.DataFrame({"pa": np.array([], dtype=np.int64),
-                             "pb": np.array([], dtype=np.int64),
-                             "co": np.array([], dtype=np.int64)})
+_PAIRS_SCHEMA = pa.schema([("pa", pa.int64()), ("pb", pa.int64()),
+                           ("co", pa.int64())])
 
 
-def _basket_distinct(df: pd.DataFrame) -> pd.DataFrame:
-    return df.drop_duplicates(["l_orderkey", "l_partkey"])
+def _sorted_degree_ref(deg: pd.DataFrame):
+    """Broadcast the catalog-bound degree table as parallel SORTED arrays:
+    np.searchsorted lookups in the consumers replace a per-row dict .map()."""
+    dk = deg["l_partkey"].to_numpy(np.int64)
+    dv = deg["d"].to_numpy(np.int64)
+    o = np.argsort(dk, kind="stable")
+    return ray.put((dk[o], dv[o]))
 
 
-def _basket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+def _basket_distinct(t: pa.Table) -> pa.Table:
+    # Arrow C++ hash-distinct; pin key dtypes so empty upstream blocks can't
+    # leak drifted types into the exchange concat
+    t = pa.table({"l_orderkey": t["l_orderkey"].cast(pa.int64()),
+                  "l_partkey": t["l_partkey"].cast(pa.int64())})
+    return t.group_by(["l_orderkey", "l_partkey"]).aggregate([])
+
+
+def _basket_pairs(t: pa.Table) -> pa.Table:
     # fully vectorized within-basket pair emission: no per-order Python
     # loop — group offsets + repeat/cumsum index arithmetic generate all
     # (i < j) index pairs for every basket in one shot
-    df = df.drop_duplicates(["l_orderkey", "l_partkey"])
-    df = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
-    o = df["l_orderkey"].to_numpy(np.int64)
-    p = df["l_partkey"].to_numpy(np.int64)
+    t = _basket_distinct(t)
+    o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+    p = t["l_partkey"].to_numpy(zero_copy_only=False)
     n = len(p)
     if n == 0:
-        return _EMPTY_PAIRS.copy()
+        return _PAIRS_SCHEMA.empty_table()
+    order = np.lexsort((p, o))
+    o, p = o[order], p[order]
     if p.max() >= 1 << 31:
         raise ValueError("partkey exceeds 2^31: widen the pair packing")
     new = np.empty(n, dtype=bool)
@@ -416,16 +431,16 @@ def _basket_pairs(df: pd.DataFrame) -> pd.DataFrame:
     cnt = sizes[g] - r - 1  # pairs whose left element sits here
     total = int(cnt.sum())
     if total == 0:
-        return _EMPTY_PAIRS.copy()
+        return _PAIRS_SCHEMA.empty_table()
     a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
     block_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
     b_idx = a_idx + (np.arange(total, dtype=np.int64) - block_start) + 1
     # parts sorted within each basket ⇒ pa < pb by construction
     key = (p[a_idx] << np.int64(32)) | p[b_idx]
     uniq, counts = np.unique(key, return_counts=True)
-    return pd.DataFrame({"pa": (uniq >> np.int64(32)).astype(np.int64),
-                         "pb": (uniq & np.int64(0x7FFFFFFF)).astype(np.int64),
-                         "co": counts.astype(np.int64)})
+    return pa.table({"pa": (uniq >> np.int64(32)).astype(np.int64),
+                     "pb": (uniq & np.int64(0x7FFFFFFF)).astype(np.int64),
+                     "co": counts.astype(np.int64)})
 
 
 def _basket_pair_stats(sf_dir: str):
@@ -433,28 +448,29 @@ def _basket_pair_stats(sf_dir: str):
     order baskets plus per-part distinct-order degrees (catalog-bound)."""
     from ..sources.tables import read_table
 
+    from .shuffle import hash_exchange_apply
+
     ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
-    co = grouped_aggregate(
-        bucketed_group_apply(ds, ["l_orderkey"], _basket_distinct, _basket_pairs),
-        ["pa", "pb"],
-        lambda df: df.groupby(["pa", "pb"], as_index=False).agg(co=("co", "sum")),
-    )
+
+    def co_sum(t: pa.Table) -> pa.Table:
+        from .shuffle import arrow_group_agg
+
+        return arrow_group_agg(t, ["pa", "pb"], [("co", "sum")])
+
+    co = hash_exchange_apply(
+        hash_exchange_apply(ds, ["l_orderkey"], _basket_distinct, _basket_pairs),
+        ["pa", "pb"], co_sum, co_sum)
+
     # part degrees: |N(part)| = distinct orders per part (catalog-bound table,
     # broadcast once — swap for a hash join if the catalog outgrows memory)
-    deg = (
-        bucketed_group_apply(
-            ds,
-            ["l_partkey"],
-            _basket_distinct,  # per-block shrink; global dedup post-exchange
-            lambda df: (
-                df.drop_duplicates(["l_orderkey", "l_partkey"])
-                .groupby("l_partkey", as_index=False)
-                .size()
-                .rename(columns={"size": "d"})
-            ),
-        )
-        .to_pandas()
-    )
+    def deg_final(t: pa.Table) -> pa.Table:
+        d = _basket_distinct(t)  # global dedup post-exchange
+        out = d.group_by(["l_partkey"]).aggregate([("l_orderkey", "count")])
+        return out.rename_columns(
+            ["d" if c == "l_orderkey_count" else c for c in out.column_names])
+
+    deg = hash_exchange_apply(
+        ds, ["l_partkey"], _basket_distinct, deg_final).to_pandas()
     return co, deg
 
 
@@ -469,30 +485,29 @@ def item_jaccard(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
     pair counts → exchange on the pair → exact co counts; part degrees ride
     the first pass and are broadcast (catalog-bound, not order-bound). The
     e9 fixed point is computed from exact integers on both sides."""
-    from .stats import _round_e9
-
     co, deg = _basket_pair_stats(sf_dir)
-    deg_ref = ray.put(dict(zip(deg["l_partkey"], deg["d"])))
+    deg_ref = _sorted_degree_ref(deg)
 
-    def score(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(deg_ref)
-        df = df[df["co"] >= min_co].copy()
-        if not len(df):
-            return pd.DataFrame({"pa": np.array([], dtype=np.int64),
-                                 "pb": np.array([], dtype=np.int64),
-                                 "co": np.array([], dtype=np.int64),
-                                 "jaccard_e9": np.array([], dtype=np.int64)})
-        da = df["pa"].map(d).to_numpy(np.int64)
-        db = df["pb"].map(d).to_numpy(np.int64)
-        co_v = df["co"].to_numpy(np.int64)
-        df["jaccard_e9"] = np.asarray(
-            [_round_e9(float(c) / float(x + y - c))
-             for c, x, y in zip(co_v, da, db)],
-            dtype=np.int64,
-        )
-        return df
+    def score(t: pa.Table) -> pa.Table:
+        from .stats import _round_e9_vec
 
-    return co.map_batches(score, batch_format="pandas")
+        dk, dv = ray.get(deg_ref)
+        t = t.filter(pc.greater_equal(t["co"], min_co))
+        if t.num_rows == 0:
+            return pa.schema([("pa", pa.int64()), ("pb", pa.int64()),
+                              ("co", pa.int64()),
+                              ("jaccard_e9", pa.int64())]).empty_table()
+        pa_v = t["pa"].to_numpy(zero_copy_only=False)
+        pb_v = t["pb"].to_numpy(zero_copy_only=False)
+        co_v = t["co"].to_numpy(zero_copy_only=False)
+        # vectorized degree lookup: binary search into the sorted broadcast
+        da = dv[np.searchsorted(dk, pa_v)]
+        db = dv[np.searchsorted(dk, pb_v)]
+        j = _round_e9_vec(co_v.astype(np.float64)
+                          / (da + db - co_v).astype(np.float64))
+        return pa.table({"pa": pa_v, "pb": pb_v, "co": co_v, "jaccard_e9": j})
+
+    return co.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def assoc_rules(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
@@ -509,58 +524,58 @@ def assoc_rules(sf_dir: str, min_co: int = 2) -> "ray.data.Dataset":
     brief-mandated analytics family (co-occurrence mining is the
     market-basket twin of the KG co-occurrence operator)."""
     from ..sources.tables import read_table
-    from .stats import _round_e9
+    from .shuffle import hash_exchange_apply
 
     co, deg = _basket_pair_stats(sf_dir)
     # n_orders: distinct basket count — reuse the degree identity
     # Σ_parts |N(part)| counts each (order, part) once, so distinct orders
     # need their own tiny exchange
+    def ok_distinct(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"].cast(pa.int64())}
+        ).group_by(["l_orderkey"]).aggregate([])
+
     n_orders = int(
-        grouped_aggregate(
+        hash_exchange_apply(
             read_table(sf_dir, "lineitem", columns=["l_orderkey"]),
-            ["l_orderkey"],
-            lambda df: df.drop_duplicates(["l_orderkey"]),
+            ["l_orderkey"], ok_distinct, ok_distinct,
         ).count()
     )
-    deg_ref = ray.put(dict(zip(deg["l_partkey"], deg["d"])))
+    deg_ref = _sorted_degree_ref(deg)
 
-    def rules(df: pd.DataFrame) -> pd.DataFrame:
-        d = ray.get(deg_ref)
-        df = df[df["co"] >= min_co]
-        both = pd.concat(
-            [
-                df.rename(columns={"pa": "ante", "pb": "cons"}),
-                df.rename(columns={"pa": "cons", "pb": "ante"}),
-            ],
-            ignore_index=True,
-        )[["ante", "cons", "co"]]
-        if not len(both):
-            return pd.DataFrame({c: np.array([], dtype=np.int64)
-                                 for c in ["ante", "cons", "support", "n_ante",
-                                           "n_cons", "n_orders", "conf_e9",
-                                           "lift_e9"]})
-        na = both["ante"].map(d).to_numpy(np.int64)
-        nc = both["cons"].map(d).to_numpy(np.int64)
-        sup = both["co"].to_numpy(np.int64)
-        conf = [_round_e9(float(s) / float(a)) for s, a in zip(sup, na)]
-        lift = [
-            _round_e9(float(s * n_orders) / float(a * c))
-            for s, a, c in zip(sup, na, nc)
-        ]
-        return pd.DataFrame(
-            {
-                "ante": both["ante"].to_numpy(np.int64),
-                "cons": both["cons"].to_numpy(np.int64),
-                "support": sup,
-                "n_ante": na,
-                "n_cons": nc,
-                "n_orders": np.int64(n_orders),
-                "conf_e9": np.asarray(conf, dtype=np.int64),
-                "lift_e9": np.asarray(lift, dtype=np.int64),
-            }
-        )
+    _rules_schema = pa.schema(
+        [(c, pa.int64()) for c in ("ante", "cons", "support", "n_ante",
+                                   "n_cons", "n_orders", "conf_e9", "lift_e9")])
 
-    return co.map_batches(rules, batch_format="pandas")
+    def rules(t: pa.Table) -> pa.Table:
+        from .stats import _round_e9_vec
+
+        dk, dv = ray.get(deg_ref)
+        t = t.filter(pc.greater_equal(t["co"], min_co))
+        if t.num_rows == 0:
+            return _rules_schema.empty_table()
+        pa_v = t["pa"].to_numpy(zero_copy_only=False)
+        pb_v = t["pb"].to_numpy(zero_copy_only=False)
+        co_v = t["co"].to_numpy(zero_copy_only=False)
+        # both rule directions from one pair row
+        ante = np.concatenate([pa_v, pb_v])
+        cons = np.concatenate([pb_v, pa_v])
+        sup = np.concatenate([co_v, co_v])
+        na = dv[np.searchsorted(dk, ante)]
+        nc = dv[np.searchsorted(dk, cons)]
+        conf = _round_e9_vec(sup.astype(np.float64) / na.astype(np.float64))
+        # documented bound: products < 2^53, so int64 products then one IEEE
+        # division match the scalar (and DuckDB) path bit-for-bit
+        lift = _round_e9_vec((sup * n_orders).astype(np.float64)
+                             / (na * nc).astype(np.float64))
+        return pa.table({
+            "ante": ante, "cons": cons, "support": sup,
+            "n_ante": na, "n_cons": nc,
+            "n_orders": np.full(len(ante), n_orders, dtype=np.int64),
+            "conf_e9": conf, "lift_e9": lift,
+        })
+
+    return co.map_batches(rules, batch_format="pyarrow", zero_copy_batch=True)
 
 
 ASSOC_RULES_SQL = """

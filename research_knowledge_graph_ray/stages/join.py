@@ -11,12 +11,22 @@ as its groupby (per-row Python accumulation).
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from .shuffle import bucketed_group_apply
 
 _TAG = "__side"
+
+
+def _as_key_arrow(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """Arrow twin of :func:`_as_key`: integer keys stay int64, everything
+    else stringifies — both sides normalize through the same rule."""
+    if pa.types.is_integer(col.type):
+        return col.cast(pa.int64())
+    return col.cast(pa.string())
 
 
 def _as_key(s: pd.Series) -> pd.Series:
@@ -248,58 +258,96 @@ def range_count_join(
     structured array — no per-key Python loop, no pair materialization, so
     a probe interval covering millions of build rows costs O(log n), not
     O(n). This is the windowed-count pattern an as-of join can't express
-    (asof = nearest single row; range = all rows in an interval)."""
+    (asof = nearest single row; range = all rows in an interval).
+
+    Arrow end-to-end: both tag/key map stages and the bucket reduce run on
+    ``pa.Table`` batches (zero-copy off the object store); the searchsorted
+    kernel itself was always numpy."""
     import numpy as np
 
-    p = _tag(
-        probe, "p", list(dict.fromkeys(probe_cols + [probe_on, probe_start, probe_end]))
-    ).map_batches(
-        lambda df: df.assign(__key=_as_key(df[probe_on])), batch_format="pandas"
-    )
-    b = _tag(build, "b", [build_on, build_ts]).map_batches(
-        lambda df: df.assign(__key=_as_key(df[build_on])), batch_format="pandas"
-    )
+    from .shuffle import hash_exchange_apply
+
+    pcols = list(dict.fromkeys(probe_cols + [probe_on, probe_start, probe_end]))
+
+    def tag(side: str, cols: list[str], on: str):
+        def add(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            return t.append_column(
+                _TAG, pa.array([side] * t.num_rows)
+            ).append_column("__key", _as_key_arrow(t[on]))
+
+        return add
+
+    p = probe.map_batches(tag("p", pcols, probe_on),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    b = build.map_batches(tag("b", [build_on, build_ts], build_on),
+                          batch_format="pyarrow", zero_copy_batch=True)
     both = p.union(b)
     _dt = np.dtype([("k", np.int64), ("t", np.int64)])
+    cast_types = {c: pa.from_numpy_dtype(np.dtype(d))
+                  for c, d in (probe_casts or {}).items()}
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        pt = df[df[_TAG] == "p"].reindex(
-            columns=probe_cols + [probe_start, probe_end, "__key"]
-        )
-        bt = df[df[_TAG] == "b"].reindex(columns=[build_ts, "__key"])
-        if pt.empty or bt.empty:
-            # a one-sided bucket sees the other side's columns null-promoted
-            # (float64); the cast keeps every bucket's output schema identical
-            empty = pt.reindex(columns=probe_cols).iloc[0:0].assign(
-                **{out_count: np.int64(0)}
-            )
-            return empty.astype(probe_casts) if probe_casts else empty
+    def _empty_out(t: pa.Table) -> pa.Table:
+        # typed empty: probe_casts pins columns a one-sided bucket can't see
+        # (its concat schema lacks the probe side entirely); remaining types
+        # come from whatever the promoted schema does carry
+        fields = []
+        for c in probe_cols:
+            if c in cast_types:
+                typ = cast_types[c]
+            elif c in t.column_names:
+                typ = t.schema.field(c).type
+            else:
+                typ = pa.null()  # unified into the real type at concat
+            fields.append(pa.field(c, typ))
+        fields.append(pa.field(out_count, pa.int64()))
+        return pa.schema(fields).empty_table()
+
+    def _ts_i64(col: pa.ChunkedArray) -> np.ndarray:
+        return (col.to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+
+    def final(t: pa.Table) -> pa.Table:
+        names = set(t.column_names)
+        need = {_TAG, "__key", build_ts, probe_start, probe_end, *probe_cols}
+        if t.num_rows == 0 or not need.issubset(names):
+            return _empty_out(t)
+        pt = t.filter(pc.equal(t[_TAG], "p"))
+        bt = t.filter(pc.equal(t[_TAG], "b"))
+        if pt.num_rows == 0 or bt.num_rows == 0:
+            return _empty_out(t)
         # dense per-bucket key ranks give an int64 lexicographic composite
-        keys, b_rank = np.unique(bt["__key"].to_numpy(), return_inverse=True)
-        arr = np.empty(len(bt), dtype=_dt)
+        p_keys = pt["__key"].to_numpy(zero_copy_only=False)
+        keys, b_rank = np.unique(bt["__key"].to_numpy(zero_copy_only=False),
+                                 return_inverse=True)
+        arr = np.empty(bt.num_rows, dtype=_dt)
         arr["k"] = b_rank
-        arr["t"] = bt[build_ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        arr["t"] = _ts_i64(bt[build_ts])
         arr.sort()
-        p_rank = np.searchsorted(keys, pt["__key"].to_numpy())
+        p_rank = np.searchsorted(keys, p_keys)
         # probe keys absent from the build side map to a rank whose (k, t)
         # range is empty, so lo == hi and the row drops out below
         in_build = (p_rank < len(keys)) & (
-            keys[np.minimum(p_rank, len(keys) - 1)] == pt["__key"].to_numpy()
+            keys[np.minimum(p_rank, len(keys) - 1)] == p_keys
         )
-        q_lo = np.zeros(len(pt), dtype=_dt)
-        q_hi = np.zeros(len(pt), dtype=_dt)
+        q_lo = np.zeros(pt.num_rows, dtype=_dt)
+        q_hi = np.zeros(pt.num_rows, dtype=_dt)
         q_lo["k"] = p_rank * in_build
         q_hi["k"] = p_rank * in_build
-        q_lo["t"] = pt[probe_start].to_numpy().astype("datetime64[us]").astype(np.int64)
-        q_hi["t"] = pt[probe_end].to_numpy().astype("datetime64[us]").astype(np.int64)
+        q_lo["t"] = _ts_i64(pt[probe_start])
+        q_hi["t"] = _ts_i64(pt[probe_end])
         n = np.searchsorted(arr, q_hi) - np.searchsorted(arr, q_lo)
-        n = np.where(in_build, n, 0)
-        out = pt[probe_cols].copy()
-        out[out_count] = n.astype(np.int64)
-        out = out[out[out_count] > 0]
-        return out.astype(probe_casts) if probe_casts else out
+        n = np.where(in_build, n, 0).astype(np.int64)
+        keep = n > 0
+        out = pt.select(probe_cols).filter(pa.array(keep)).append_column(
+            out_count, pa.array(n[keep]))
+        for c, typ in cast_types.items():
+            i = out.schema.get_field_index(c)
+            if out.schema.field(i).type != typ:
+                out = out.set_column(i, c, out[c].cast(typ))
+        return out
 
-    return bucketed_group_apply(both, ["__key"], lambda df: df, final, n_buckets)
+    return hash_exchange_apply(both, ["__key"], lambda t: t, final, n_buckets)
 
 
 # ---------------------------------------------------------------------------

@@ -52,19 +52,28 @@ def exact_group_quantiles(
     def bucket_of(v: np.ndarray) -> np.ndarray:
         return np.clip(((v - lo) * edges_scale).astype(np.int64), 0, n_hist - 1)
 
-    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[group_col] if group_col else pd.Series("", index=df.index)
-        out = pd.DataFrame(
-            {"g": g.astype(str), "b": bucket_of(df[value_col].to_numpy(np.float64))}
-        )
-        return out.groupby(["g", "b"], as_index=False).size().rename(
-            columns={"size": "cnt"}
-        )
+    def hist_partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = bucket_of(v)
+        g = (t[group_col].cast(pa.string()).combine_chunks() if group_col
+             else pa.nulls(len(v), pa.string()).fill_null(""))
+        counted = pa.table(
+            {"g": g, "b": b, "cnt": np.ones(len(v), dtype=np.int64)}
+        ).group_by(["g", "b"]).aggregate([("cnt", "sum")])
+        return counted.rename_columns(
+            ["cnt" if c == "cnt_sum" else c for c in counted.column_names])
 
-    hist = grouped_aggregate(
-        ds.map_batches(hist_partial, batch_format="pandas"),
-        ["g", "b"],
-        lambda df: df.groupby(["g", "b"], as_index=False).agg(cnt=("cnt", "sum")),
+    def hist_sum(t: pa.Table) -> pa.Table:
+        from .shuffle import arrow_group_agg
+
+        return arrow_group_agg(t, ["g", "b"], [("cnt", "sum")])
+
+    from .shuffle import hash_exchange_apply
+
+    hist = hash_exchange_apply(
+        ds.map_batches(hist_partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["g", "b"], hist_sum, hist_sum,
     ).to_pandas()  # groups × n_hist rows — driver-sized by construction
 
     # per group: cumulative counts → (bucket, within-bucket rank) per quantile
@@ -90,27 +99,29 @@ def exact_group_quantiles(
             f"candidate set {total_cand} rows exceeds cap {_CAND_CAP}; "
             f"re-run with larger n_hist (distribution is spiked)"
         )
-    need_ref = ray.put({f"{g}|{b}" for g, b in need_keys})
+    by_g: dict[str, list[int]] = {}
+    for g, b in need_keys:
+        by_g.setdefault(g, []).append(b)
+    need_ref = ray.put({g: np.array(sorted(bs), dtype=np.int64)
+                        for g, bs in by_g.items()})
 
-    def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(need_ref)
-        g = (df[group_col] if group_col else pd.Series("", index=df.index)).astype(str)
-        v = df[value_col].to_numpy(np.float64)
+    def candidates(t: pa.Table) -> pa.Table:
+        wanted = ray.get(need_ref)  # group -> sorted needed buckets (tiny)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         b = bucket_of(v)
-        mask = (g + "|" + pd.Series(b, index=g.index).astype(str)).isin(keys).to_numpy()
-        # Arrow output: exact block-size accounting (the pandas object-column
-        # estimator warns on the size-0 blocks most batches filter down to)
-        import pyarrow as pa
+        if group_col:
+            g_np = np.asarray(t[group_col].cast(pa.string()).to_pylist(),
+                              dtype=object)
+        else:
+            g_np = np.full(len(v), "", dtype=object)
+        mask = np.zeros(len(v), dtype=bool)
+        for gval, bks in wanted.items():  # |groups| iterations, all-numpy body
+            mask |= (g_np == gval) & np.isin(b, bks)
+        return pa.table({"g": pa.array(g_np[mask].tolist(), type=pa.string()),
+                         "b": b[mask], "v": v[mask]})
 
-        return pa.table(
-            {
-                "g": pa.array(g[mask].tolist(), type=pa.string()),
-                "b": pa.array(b[mask]),
-                "v": pa.array(v[mask]),
-            }
-        )
-
-    cand = ds.map_batches(candidates, batch_format="pandas").to_pandas()
+    cand = ds.map_batches(candidates, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
 
     rows: dict[str, dict[str, float]] = {}
     for (g, b), wants in needed.items():
@@ -242,6 +253,16 @@ def _round_e9(v: float) -> int:
     if s - f >= 0.5:
         f += 1
     return int(f) if v >= 0 else -int(f)
+
+
+def _round_e9_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`_round_e9` — identical IEEE ops per element (abs,
+    ×1e9, floor, exact-fraction compare), so results are bit-identical to
+    the scalar version while avoiding a per-row Python loop."""
+    s = np.abs(v) * 1e9
+    f = np.floor(s)
+    f = f + (s - f >= 0.5)
+    return np.where(v >= 0, f, -f).astype(np.int64)
 
 
 def linear_sufficient_stats(
