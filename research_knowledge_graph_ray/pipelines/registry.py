@@ -1222,6 +1222,9 @@ QUERIES: dict = {
     # so both share the oracle; the pruned-nprobe recall is pytest-pinned
     "knn_join": (similarity.knn_join, KNN_JOIN_SQL),
     "knn_join_ivf": (similarity.knn_join_ivf, KNN_JOIN_SQL),
+    # adaptive dispatch: brute broadcast under the cap, exact-config IVF past
+    # it — whichever plan runs must match the same oracle
+    "knn_join_auto": (similarity.knn_join_auto, KNN_JOIN_SQL),
     # semantic (IVF-KNN) blocking stage of link_mode='semantic', standalone —
     # rows-only: nprobe<n_centroids is approximate by contract; the exact
     # config is pinned vs brute force in tests/test_semantic_linking.py

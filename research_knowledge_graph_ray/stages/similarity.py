@@ -409,6 +409,32 @@ def knn_join_ivf(
     return bucketed_group_apply(partials, ["vec_id"], shrink, merge_topk)
 
 
+def _knn_join_plan(sf_dir: str, broadcast_cap_bytes: int) -> str:
+    """'brute' while the build side's unit matrix (n × d float64) fits under
+    the broadcast cap, else 'ivf'. Sizing comes from parquet metadata plus
+    one single-row batch for the dimension — no data scan."""
+    pf = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    n = pf.metadata.num_rows
+    if n == 0:
+        return "brute"
+    first = next(pf.iter_batches(batch_size=1, columns=["embedding"]))
+    d = len(first["embedding"][0])
+    return "brute" if n * d * 8 <= broadcast_cap_bytes else "ivf"
+
+
+def knn_join_auto(sf_dir: str, k: int = 3,
+                  broadcast_cap_bytes: int = 256 << 20) -> "ray.data.Dataset":
+    """:func:`knn_join` behind an ADAPTIVE dispatch (the auto_hash_join
+    precedent): the brute broadcast path runs only while the build side's
+    unit matrix fits under ``broadcast_cap_bytes``; past that the
+    distributed IVF twin runs in its EXACT configuration
+    (``nprobe == n_centroids``) — same oracle either way, so the broadcast
+    assumption can never be violated silently at scale."""
+    if _knn_join_plan(sf_dir, broadcast_cap_bytes) == "brute":
+        return knn_join(sf_dir, k=k)
+    return knn_join_ivf(sf_dir, k=k, n_centroids=16, nprobe=16)
+
+
 # ---------------------------------------------------------------------------
 # Integer-exact k-means (oracle-gated iterative clustering)
 # ---------------------------------------------------------------------------

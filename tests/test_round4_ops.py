@@ -736,3 +736,23 @@ def test_embedding_moments_overflow_guard(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "embeddings.parquet"))
     with pytest.raises(OverflowError, match="bound exceeded"):
         stats.embedding_moments(str(tmp_path))
+
+
+def test_knn_join_auto_dispatch(ray_session):
+    """The adaptive kNN join picks brute under the broadcast cap and IVF past
+    it, and BOTH plans return identical rows (the exact-config guarantee)."""
+    import pandas as pd
+
+    from research_knowledge_graph_ray.stages import similarity
+
+    sf = "/root/testdata/sf0.001"
+    assert similarity._knn_join_plan(sf, 256 << 20) == "brute"
+    assert similarity._knn_join_plan(sf, 1 << 10) == "ivf"
+
+    def canon(ds):
+        return (ds.to_pandas()[["vec_id", "nn_id", "nn_rank", "sim_e6"]]
+                .sort_values(["vec_id", "nn_rank"]).reset_index(drop=True))
+
+    brute = canon(similarity.knn_join_auto(sf))
+    ivf = canon(similarity.knn_join_auto(sf, broadcast_cap_bytes=1 << 10))
+    pd.testing.assert_frame_equal(brute, ivf, check_dtype=False)
