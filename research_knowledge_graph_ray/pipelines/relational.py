@@ -1198,25 +1198,26 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
     with the quarter's order rows through ONE exchange on orderkey, and each
     reducer emits |priorities|-bounded counts — the driver sums ≤
     n_buckets × |priorities| rows."""
-    from ..stages.shuffle import bucketed_group_apply
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
 
     lo = np.datetime64(_Q4_LO, "us")
     hi = np.datetime64(_Q4_HI, "us")
 
-    def orders_f(t: pa.Table) -> pd.DataFrame:
+    def orders_f(t: pa.Table) -> pa.Table:
         m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
                     pc.less(t["o_orderdate"], pa.scalar(hi)))
         t = t.filter(m)
-        return pd.DataFrame({"k": t["o_orderkey"].to_numpy(),
-                             "o_orderpriority": t["o_orderpriority"]
-                             .to_numpy(zero_copy_only=False),
-                             "__side": "o"})
+        return pa.table({"k": t["o_orderkey"].cast(pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"],
+                         "__side": pa.array(["o"] * t.num_rows)})
 
-    def li_keys(t: pa.Table) -> pd.DataFrame:
+    def li_keys(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], "R"))
-        keys = np.unique(t["l_orderkey"].to_numpy())
-        return pd.DataFrame({"k": keys, "o_orderpriority": "",
-                             "__side": "li"})
+        keys = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        return pa.table({"k": keys,
+                         "o_orderpriority": pa.array([""] * len(keys)),
+                         "__side": pa.array(["li"] * len(keys))})
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -1226,21 +1227,30 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
     ).map_batches(li_keys, batch_format="pyarrow", zero_copy_batch=True)
 
-    def final(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
-                              "n_orders": pd.Series(dtype=np.int64)})
-        if df.empty:
-            return empty
-        ot = df[df["__side"] == "o"]
-        has = set(df.loc[df["__side"] == "li", "k"].to_numpy())
-        if ot.empty or not has:
-            return empty
-        keep = ot[ot["k"].isin(has)]
-        return keep.groupby("o_orderpriority", as_index=False).agg(
-            n_orders=("k", "size")).astype({"n_orders": np.int64})
+    _q4_schema = pa.schema([("o_orderpriority", pa.string()),
+                            ("n_orders", pa.int64())])
 
-    parts = bucketed_group_apply(orders.union(li), ["k"], lambda df: df,
-                                 final, n_buckets=16).to_pandas()
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _q4_schema.empty_table()
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        has = np.unique(t.filter(pc.equal(t["__side"], "li"))["k"]
+                        .to_numpy(zero_copy_only=False).astype(np.int64))
+        if ot.num_rows == 0 or len(has) == 0:
+            return _q4_schema.empty_table()
+        ok = ot["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(has, ok)
+        keep_mask = (pos < len(has)) & (has[np.minimum(pos, len(has) - 1)] == ok)
+        keep = ot.filter(pa.array(keep_mask))
+        counted = pa.table({
+            "o_orderpriority": keep["o_orderpriority"].cast(pa.string()),
+            "n_orders": np.ones(keep.num_rows, dtype=np.int64),
+        })
+        return arrow_group_agg(counted, ["o_orderpriority"],
+                               [("n_orders", "sum")])
+
+    parts = hash_exchange_apply(orders.union(li), ["k"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
     if "o_orderpriority" not in parts.columns:  # all-empty → schema-less
         return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
                              "n_orders": pd.Series(dtype=np.int64)})

@@ -645,32 +645,37 @@ def nation_year_revenue(sf_dir: str) -> "ray.data.Dataset":
                    dtype=object)[order],
     ))
 
-    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cents = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100).astype(np.int64)
-        bp = np.rint(df["l_discount"].to_numpy(np.float64) * 10000).astype(np.int64)
-        out = pd.DataFrame({"__key": df["l_orderkey"].astype(np.int64),
-                            "rev": cents * (10000 - bp), "__side": "l"})
-        return out.groupby(["__key", "__side"], as_index=False).agg(rev=("rev", "sum"))
+    def li_partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                        .astype(np.float64) * 100).astype(np.int64)
+        bp = np.rint(t["l_discount"].to_numpy(zero_copy_only=False)
+                     .astype(np.float64) * 10000).astype(np.int64)
+        key = t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({"__key": key, "rev": cents * (10000 - bp)}).group_by(
+            ["__key"]).aggregate([("rev", "sum")])
+        g = g.rename_columns(
+            ["rev" if c == "rev_sum" else c for c in g.column_names])
+        return g.append_column("__side", pa.array(["l"] * g.num_rows))
 
     from ..sources.tables import read_table
 
     li = read_table(
         sf_dir, "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    ).map_batches(li_partial, batch_format="pandas")
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def ord_prep(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "__key": df["o_orderkey"].astype(np.int64),
-            "o_custkey": df["o_custkey"],
-            "yr": df["o_orderdate"].dt.year.astype(np.int64),
-            "__side": "o",
+    def ord_prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "__key": t["o_orderkey"].cast(pa.int64()),
+            "o_custkey": t["o_custkey"],
+            "yr": pc.year(t["o_orderdate"]).cast(pa.int64()),
+            "__side": pa.array(["o"] * t.num_rows),
         })
 
     orders = read_table(
         sf_dir, "orders",
         columns=["o_orderkey", "o_custkey", "o_orderdate"],
-    ).map_batches(ord_prep, batch_format="pandas")
+    ).map_batches(ord_prep, batch_format="pyarrow", zero_copy_batch=True)
 
     # FUSED reduce (r3 #5): the orderkey exchange's reducer merges the two
     # sides, resolves nation via the broadcast lookup and rolls up to
@@ -678,38 +683,44 @@ def nation_year_revenue(sf_dir: str) -> "ray.data.Dataset":
     # never materializes in the object store; only ~|nations×years| rows per
     # bucket leave the reduce. Int64 keys ride the exchange's native integer
     # hash (no string cast anywhere on the hot path).
-    def fused_final(df: pd.DataFrame) -> pd.DataFrame:
+    _ny_schema = pa.schema([("n_name", pa.string()), ("yr", pa.int64()),
+                            ("revenue", pa.int64())])
+
+    def fused_final(t: pa.Table) -> pa.Table:
+        from ..stages.shuffle import arrow_group_agg
+
         keys, names = ray.get(ref)
-        lt = df[df["__side"] == "l"]
-        ot = df[df["__side"] == "o"]
-        out_cols = {"n_name": pd.Series(dtype=object),
-                    "yr": pd.Series(dtype=np.int64),
-                    "revenue": pd.Series(dtype=np.int64)}
-        if lt.empty or ot.empty:
-            return pd.DataFrame(out_cols)
-        j = lt[["__key", "rev"]].merge(
-            ot[["__key", "o_custkey", "yr"]], on="__key", how="inner")
-        if j.empty:
-            return pd.DataFrame(out_cols)
-        idx = np.searchsorted(keys, j["o_custkey"].to_numpy(np.int64))
-        out = pd.DataFrame({
-            "n_name": names[idx],
-            "yr": j["yr"].astype(np.int64),
-            "revenue": j["rev"].astype(np.int64),
+        if (t.num_rows == 0
+                or not {"__side", "__key", "rev", "o_custkey",
+                        "yr"} <= set(t.column_names)):
+            return _ny_schema.empty_table()
+        lt = t.filter(pc.equal(t["__side"], "l"))
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return _ny_schema.empty_table()
+        j = lt.select(["__key", "rev"]).join(
+            ot.select(["__key", "o_custkey", "yr"]), keys="__key",
+            join_type="inner")
+        if j.num_rows == 0:
+            return _ny_schema.empty_table()
+        idx = np.searchsorted(
+            keys, j["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+        out = pa.table({
+            "n_name": pa.array(names[idx].tolist(), type=pa.string()),
+            "yr": j["yr"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "revenue": j["rev"].to_numpy(zero_copy_only=False).astype(np.int64),
         })
-        return out.groupby(["n_name", "yr"], as_index=False).agg(
-            revenue=("revenue", "sum"))
+        return arrow_group_agg(out, ["n_name", "yr"], [("revenue", "sum")])
 
-    parts = bucketed_group_apply(
-        li.union(orders), ["__key"], lambda df: df, fused_final, n_buckets=32)
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
 
-    return grouped_aggregate(
-        parts,
-        ["n_name", "yr"],
-        lambda df: df.groupby(["n_name", "yr"], as_index=False).agg(
-            revenue=("revenue", "sum")),
-        n_buckets=4,
-    )
+    parts = hash_exchange_apply(
+        li.union(orders), ["__key"], lambda t: t, fused_final, n_buckets=32)
+
+    def roll(t: pa.Table) -> pa.Table:
+        return arrow_group_agg(t, ["n_name", "yr"], [("revenue", "sum")])
+
+    return hash_exchange_apply(parts, ["n_name", "yr"], roll, roll, n_buckets=4)
 
 
 def events_hourly_dense(sf_dir: str) -> "ray.data.Dataset":
