@@ -123,6 +123,10 @@ SUITE: list[tuple[str, str]] = [
     ("dataset_split", "sampling.dataset_split"),
     ("price_quantile_sketch", "stats.price_quantile_sketch"),
     ("semantic_link_pairs", "link.semantic_link_pairs"),
+    ("repetition_filter", "textops.repetition_filter"),
+    ("graph_label_prop", "graphalgs.label_propagation"),
+    ("pq_codes", "similarity.pq_codes"),
+    ("pq_search", "similarity.pq_search"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

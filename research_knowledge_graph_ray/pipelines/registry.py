@@ -982,6 +982,8 @@ QUERIES: dict = {
     # the named Gopher rule-set (Rae et al. 2021) — exact integer features,
     # all-rules keep bit; complements the learned-classifier gate above
     "gopher_filter": (textops.gopher_filter, textops.GOPHER_FILTER_SQL),
+    "repetition_filter": (textops.repetition_filter,
+                          textops.REPETITION_FILTER_SQL),
     # iterative ML oracle-gated: all-integer Lloyd k-means (md5-rank init,
     # translation-invariant quantization, Σ//n centroid updates)
     "embedding_kmeans": (similarity.embedding_kmeans,
@@ -1088,6 +1090,8 @@ QUERIES: dict = {
     # link analysis twin of pagerank: all-integer HITS (exact floor-div
     # rescale replaces L2 normalization, so the oracle is bit-exact)
     "graph_hits": (graphalgs.hits, graphalgs.hits_sql()),
+    "graph_label_prop": (graphalgs.label_propagation,
+                         graphalgs.label_propagation_sql()),
     # DeepWalk-shape walk corpus: md5-argmin next hop ⇒ exactly restatable
     "graph_walks": (graphalgs.graph_walks, graphalgs.graph_walks_sql()),
     # skip-gram (center, context) counts over the walk corpus — the
@@ -1121,6 +1125,10 @@ QUERIES: dict = {
     # every code is value-hash gated
     "embedding_quantize": (similarity.embedding_quantize,
                            similarity.EMBEDDING_QUANTIZE_SQL),
+    # product quantization: per-subspace integer codebooks + ADC search
+    # (the byte-code ANN memory path; every code and distance value-gated)
+    "pq_codes": (similarity.pq_codes, similarity.pq_codes_sql()),
+    "pq_search": (similarity.pq_search, similarity.pq_search_sql()),
     # reciprocal (mutual) kNN pairs — the high-precision near-dup filter
     # over the kNN graph; one unordered-pair exchange
     "reciprocal_nn": (similarity.reciprocal_nn_pairs,

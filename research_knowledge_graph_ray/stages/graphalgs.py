@@ -1371,3 +1371,144 @@ SELECT root, CAST(1 AS BIGINT) AS hop, root AS parent, node FROM h1
 UNION ALL
 SELECT root, CAST(2 AS BIGINT) AS hop, parent, node FROM h2
 ORDER BY root, hop, parent, node"""
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation (Raghavan et al. 2007)
+# ---------------------------------------------------------------------------
+
+_LP_ITERS = 3
+
+
+@ray.remote
+def _lp_contrib(edges_tab, labels_tab, n_buckets: int):
+    """One superstep, scatter side: join the pinned src-bucketed edge set
+    with its co-partitioned label bucket, emit per-(dst, label) COUNT
+    partials split by dst bucket — the partial collapse happens inside the
+    task so only (node, label, c) rows ever cross the wire (bounded by the
+    bucket's distinct (dst, label) pairs, shrinking as labels converge)."""
+    import pyarrow as pa
+
+    from .shuffle import _split_by_bucket
+
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64()),
+                      "c": pa.array([], pa.int64())})
+    if edges_tab.num_rows == 0 or labels_tab.num_rows == 0:
+        return tuple([empty] * n_buckets) if n_buckets > 1 else empty
+    e = edges_tab.to_pandas()
+    lab = labels_tab.to_pandas()
+    j = e.merge(lab, left_on="src", right_on="node", how="inner", sort=False)
+    g = (j.groupby(["dst", "label"], as_index=False, sort=False)
+         .agg(c=("label", "size")))
+    out = pa.Table.from_pandas(
+        pd.DataFrame({"node": g["dst"].astype(np.int64),
+                      "label": g["label"].astype(np.int64),
+                      "c": g["c"].astype(np.int64)}),
+        preserve_index=False)
+    pieces = _split_by_bucket(out, ["node"], n_buckets)
+    return tuple(pieces) if n_buckets > 1 else pieces[0]
+
+
+@ray.remote
+def _lp_apply(*pieces):
+    """One superstep, gather side: sum this bucket's (node, label) counts,
+    then per node keep the most frequent label, smallest label on ties —
+    the deterministic synchronous LPA update, matching the SQL's
+    ROW_NUMBER ORDER BY c DESC, label ASC exactly."""
+    import pyarrow as pa
+
+    valid = [p for p in pieces if p.num_columns > 0 and p.num_rows > 0]
+    if not valid:
+        return pa.table({"node": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+    df = (pa.concat_tables(valid).to_pandas()
+          .groupby(["node", "label"], as_index=False).agg(c=("c", "sum")))
+    df = df.sort_values(["node", "c", "label"],
+                        ascending=[True, False, True], kind="stable")
+    win = df.drop_duplicates("node", keep="first")
+    return pa.Table.from_pandas(
+        win[["node", "label"]].astype(np.int64).reset_index(drop=True),
+        preserve_index=False)
+
+
+def label_propagation(sf_dir: str, iters: int = _LP_ITERS,
+                      n_buckets: int = 8) -> "ray.data.Dataset":
+    """(node, community) — `iters` synchronous label-propagation rounds over
+    the symmetrized supplier↔part graph; init label(v) = v, update label(v) =
+    most frequent neighbor label with smallest-label tie-break (Raghavan et
+    al. 2007, made deterministic by the synchronous schedule + integer
+    tie-break so the chained-CTE SQL oracle replays it bit-for-bit).
+
+    Dataflow is the PageRank Pregel shape: edges are hash-bucketed by src
+    ONCE and pinned in the object store; labels are co-partitioned by the
+    same hash, so each round is B scatter tasks (local join, per-(dst,label)
+    count partials, split by dst bucket) + B argmax-gather tasks. Edges
+    never move after round 0 and per-round traffic is (node, label, c) rows
+    only — at 100 TB the label table is node-bound and the partials shrink
+    as communities coalesce. Every node of the symmetrized graph has ≥ 1
+    neighbor, so the contributions cover the full node set each round (the
+    inner-join semantics the SQL states).
+
+    Reference parity note: no counterpart in the reference (query-layer
+    traversals only); completes the graph-analytics family (PageRank / PPR /
+    HITS / k-core / SSSP / CC / triangles) with its standard community op.
+    """
+    edges = _symmetrized_edges(_supplier_part_edges(sf_dir))
+    ident = lambda t: t  # noqa: E731
+    e_bucketed = hash_exchange_apply(edges, ["src"], ident, ident,
+                                     n_buckets=n_buckets)
+    E = e_bucketed.to_arrow_refs()
+
+    @ray.remote
+    def init_labels(edges_tab):
+        df = edges_tab.to_pandas()
+        nodes = df["src"].drop_duplicates().astype(np.int64)
+        return pa.Table.from_pandas(
+            pd.DataFrame({"node": nodes, "label": nodes}),
+            preserve_index=False)
+
+    # bucket b's srcs ARE its co-partitioned node set (same hash, and the
+    # symmetrized edge set contains every node as a src)
+    L = [init_labels.remote(E[b]) for b in range(n_buckets)]
+    for _ in range(iters):
+        cps = [
+            _lp_contrib.options(num_returns=n_buckets).remote(E[b], L[b], n_buckets)
+            for b in range(n_buckets)
+        ]
+        if n_buckets == 1:
+            cps = [[c] for c in cps]
+        L = [
+            _lp_apply.remote(*[cps[src][b] for src in range(n_buckets)])
+            for b in range(n_buckets)
+        ]
+
+    @ray.remote
+    def out(tab):
+        df = tab.to_pandas()
+        return pa.Table.from_pandas(
+            pd.DataFrame({"node": df["node"].astype(np.int64),
+                          "community": df["label"].astype(np.int64)}),
+            preserve_index=False)
+
+    return ray.data.from_arrow_refs([out.remote(r) for r in L])
+
+
+def label_propagation_sql(iters: int = _LP_ITERS) -> str:
+    """Exact chained-CTE restatement of :func:`label_propagation`."""
+    ctes = [
+        f"de AS (SELECT DISTINCT l_suppkey AS src, "
+        f"l_partkey + {_PART_OFFSET} AS dst FROM lineitem)",
+        "e AS (SELECT src, dst FROM de "
+        "UNION ALL SELECT dst AS src, src AS dst FROM de)",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM e)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""l{k} AS (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label, COUNT(*) AS c
+    FROM e JOIN l{k - 1} l ON l.node = e.src GROUP BY 1, 2)
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY node ORDER BY c DESC, label ASC) = 1)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, label AS community FROM l{iters} ORDER BY node")

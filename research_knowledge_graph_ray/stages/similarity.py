@@ -613,6 +613,213 @@ ORDER BY vec_id"""
 
 
 # ---------------------------------------------------------------------------
+# Product quantization (PQ codes + asymmetric-distance search)
+# ---------------------------------------------------------------------------
+
+_PQ_K = 4       # codes per subspace (production: 256 = one byte per sub)
+_PQ_ITERS = 2   # Lloyd rounds per subspace codebook
+_PQ_TOPK = 10
+
+
+def _half_embeddings(ds: "ray.data.Dataset", first_half: bool) -> "ray.data.Dataset":
+    """(vec_id, embedding=one half of the dims) — vectorized ListArray
+    rebuild (offsets + flat values), no per-row Python."""
+
+    def cut(batch: pa.Table) -> pa.Table:
+        x = _batch_vecs(batch)
+        h = x.shape[1] // 2
+        part = np.ascontiguousarray(x[:, :h] if first_half else x[:, h:])
+        offs = np.arange(len(part) + 1, dtype=np.int32) * part.shape[1]
+        emb = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(part.ravel(), type=pa.float64()))
+        return pa.table({"vec_id": batch["vec_id"].cast(pa.int64()),
+                         "embedding": emb})
+
+    return ds.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pq_codebooks(ds: "ray.data.Dataset", k: int,
+                  iters: int) -> list[np.ndarray]:
+    """Two per-subspace integer codebooks from the shared Lloyd trainer.
+    Init is identical for both subspaces by construction (the md5-rank init
+    depends only on vec_id), which the single `init` CTE in the SQL
+    restatement relies on."""
+    return [kmeans_centroids_int(_half_embeddings(ds, True), k=k, iters=iters),
+            kmeans_centroids_int(_half_embeddings(ds, False), k=k, iters=iters)]
+
+
+def _read_embeddings(sf_dir: str) -> "ray.data.Dataset":
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def pq_codes(sf_dir: str, k: int = _PQ_K,
+             iters: int = _PQ_ITERS) -> "ray.data.Dataset":
+    """(vec_id, sub, code, dist) — product-quantization encoding (Jégou et
+    al. 2011): the dims split into two subspaces, each with its own
+    k-centroid integer codebook (the :func:`kmeans_centroids_int` trainer per
+    subspace, same e6-quantized translated space), every vector stored as
+    m=2 small codes. ``dist`` is the exact squared quantization error per
+    subspace, so the oracle value-gates the whole codebook, not just the
+    argmax.
+
+    Dataflow: two Lloyd trainings (broadcast-partials, no shuffle — see
+    :func:`embedding_kmeans`) + ONE streaming encode pass; at 100 TB the
+    output is the 4-byte-per-vector index an ANN serving tier ships instead
+    of the raw vectors (the memory path beyond :func:`embedding_quantize`'s
+    int8). Long-form (vec_id, sub, code) so every code is value-hash gated.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    similarity-search family; completes brute → IVF → int8 → PQ."""
+    ds = _read_embeddings(sf_dir)
+    ref = ray.put(_pq_codebooks(ds, k, iters))
+
+    def code(batch: pa.Table) -> pd.DataFrame:
+        cv = ray.get(ref)
+        ids, q = _km_quant(batch)
+        h = q.shape[1] // 2
+        outs = []
+        for sub, (sl, c) in enumerate(((slice(0, h), cv[0]),
+                                       (slice(h, None), cv[1]))):
+            a, d = _km_assign(q[:, sl], c)
+            outs.append(pd.DataFrame({
+                "vec_id": ids, "sub": np.full(len(ids), sub, np.int64),
+                "code": a.astype(np.int64),
+                "dist": d[np.arange(len(ids)), a]}))
+        return pd.concat(outs, ignore_index=True)
+
+    return ds.map_batches(code, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pq_search(sf_dir: str, query_vec_id: int = 0, k: int = _PQ_K,
+              iters: int = _PQ_ITERS, topk: int = _PQ_TOPK) -> pd.DataFrame:
+    """(rank, vec_id, adist) — approximate top-k by PQ asymmetric distance:
+    ``adist(v) = Σ_sub ‖q_sub − codebook[sub][code_v]‖²`` (exact ints). The
+    per-(sub, code) lookup table is m×k entries computed ONCE from the query
+    — per candidate the distance is two table reads and an add, never a
+    d-dim dot product; that asymmetry is the whole point of PQ serving.
+
+    Dataflow: codebooks broadcast, one streaming encode+score pass with
+    per-block partial top-k (smallest (adist, vec_id)), report-sized driver
+    cut — the :func:`knn_topk` shape. The query row itself is excluded."""
+    ds = _read_embeddings(sf_dir)
+    cents = _pq_codebooks(ds, k, iters)
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", query_vec_id)])
+    qv = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    qq = np.floor(qv * _KM_SCALE).astype(np.int64) + _KM_OFFSET
+    h = len(qq) // 2
+    lut = [((qq[sl][None, :] - c) ** 2).sum(axis=1)
+           for sl, c in ((slice(0, h), cents[0]), (slice(h, None), cents[1]))]
+    ref = ray.put((cents, lut))
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cv, lt = ray.get(ref)
+        ids, q = _km_quant(batch)
+        a0, _ = _km_assign(q[:, :h], cv[0])
+        a1, _ = _km_assign(q[:, h:], cv[1])
+        adist = lt[0][a0] + lt[1][a1]
+        keep = ids != query_vec_id
+        ids, adist = ids[keep], adist[keep]
+        order = np.lexsort((ids, adist))[:topk]
+        return pd.DataFrame({"vec_id": ids[order], "adist": adist[order]})
+
+    cand = (ds.map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()
+            .sort_values(["adist", "vec_id"]).head(topk)
+            .reset_index(drop=True))
+    cand.insert(0, "rank", np.arange(1, len(cand) + 1, dtype=np.int64))
+    return cand
+
+
+def _pq_chain_sql(k: int, iters: int) -> str:
+    """Shared WITH-body: subspace explode → single init → per-round
+    assign/recenter with `sub` in every key → final per-(vec, sub) argmin
+    in `pqf`. Exact restatement of the two :func:`kmeans_centroids_int`
+    runs inside :func:`pq_codes` (one chain suffices because the rounds
+    never mix subspaces)."""
+    head = f"""
+WITH q0 AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE})
+              AS BIGINT) + {_KM_OFFSET} AS qx,
+         len(embedding) AS dd
+  FROM embeddings),
+qs AS (
+  SELECT vec_id,
+         CASE WHEN i <= dd // 2 THEN 0 ELSE 1 END AS sub,
+         CASE WHEN i <= dd // 2 THEN i ELSE i - dd // 2 END AS i,
+         qx
+  FROM q0),
+init AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT, vec_id) - 1 AS cid
+  FROM embeddings
+  QUALIFY cid < {k}),
+c0 AS (
+  SELECT qs.sub, init.cid, qs.i, qs.qx AS cx FROM init JOIN qs USING (vec_id))"""
+    steps = []
+    for t in range(1, iters + 1):
+        steps.append(f"""
+d{t} AS (
+  SELECT q.vec_id, q.sub, c.cid, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d
+  FROM qs q JOIN c{t-1} c ON q.sub = c.sub AND q.i = c.i GROUP BY 1, 2, 3),
+a{t} AS (
+  SELECT vec_id, sub, cid FROM d{t}
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1),
+s{t} AS (
+  SELECT a.sub, a.cid, q.i, SUM(q.qx) // COUNT(*) AS cx
+  FROM a{t} a JOIN qs q ON q.vec_id = a.vec_id AND q.sub = a.sub
+  GROUP BY 1, 2, 3),
+c{t} AS (
+  SELECT c.sub, c.cid, c.i, COALESCE(s.cx, c.cx) AS cx
+  FROM c{t-1} c LEFT JOIN s{t} s
+    ON c.sub = s.sub AND c.cid = s.cid AND c.i = s.i)""")
+    tail = f"""
+pqd AS (
+  SELECT q.vec_id, q.sub, c.cid, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS d
+  FROM qs q JOIN c{iters} c ON q.sub = c.sub AND q.i = c.i GROUP BY 1, 2, 3),
+pqf AS (
+  SELECT vec_id, sub, cid, d FROM pqd
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d, cid) = 1)"""
+    return head + "," + ",".join(steps) + "," + tail
+
+
+def pq_codes_sql(k: int = _PQ_K, iters: int = _PQ_ITERS) -> str:
+    """Exact restatement of :func:`pq_codes`."""
+    return _pq_chain_sql(k, iters) + """
+SELECT vec_id, CAST(sub AS BIGINT) AS sub, CAST(cid AS BIGINT) AS code,
+       CAST(d AS BIGINT) AS dist
+FROM pqf ORDER BY vec_id, sub"""
+
+
+def pq_search_sql(query_vec_id: int = 0, k: int = _PQ_K,
+                  iters: int = _PQ_ITERS, topk: int = _PQ_TOPK) -> str:
+    """Exact restatement of :func:`pq_search` (codes chain + query lookup
+    table + two-read ADC sum)."""
+    return _pq_chain_sql(k, iters) + f""",
+lut AS (
+  SELECT c.sub, c.cid, SUM((q.qx - c.cx) * (q.qx - c.cx)) AS l
+  FROM c{iters} c JOIN qs q ON q.sub = c.sub AND q.i = c.i
+  WHERE q.vec_id = {query_vec_id} GROUP BY 1, 2),
+ad AS (
+  SELECT v.vec_id, SUM(l.l) AS adist
+  FROM pqf v JOIN lut l ON l.sub = v.sub AND l.cid = v.cid
+  WHERE v.vec_id != {query_vec_id} GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY adist, vec_id) AS BIGINT) AS rank,
+       vec_id, CAST(adist AS BIGINT) AS adist
+FROM ad
+QUALIFY rank <= {topk}
+ORDER BY rank"""
+
+
+# ---------------------------------------------------------------------------
 # MMR diversified rerank (retrieval diversification)
 # ---------------------------------------------------------------------------
 

@@ -756,3 +756,119 @@ def test_knn_join_auto_dispatch(ray_session):
     brute = canon(similarity.knn_join_auto(sf))
     ivf = canon(similarity.knn_join_auto(sf, broadcast_cap_bytes=1 << 10))
     pd.testing.assert_frame_equal(brute, ivf, check_dtype=False)
+
+
+def test_repetition_filter_planted_boilerplate(ray_session, tmp_path):
+    """Adversarial repetition shapes: a one-word spam doc and a repeated
+    bigram loop must be dropped, a varied doc kept, a single-word doc gets
+    zero bigram stats — and every row matches the SQL oracle exactly
+    (including the double-space empty-token edge)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.stages import textops
+
+    varied = " ".join(f"word{i}" for i in range(20))
+    d = str(tmp_path)
+    pqw.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "spam " * 49 + "spam",             # one repeated word
+            varied,                             # all-distinct words
+            "click here " * 24 + "click here",  # repeated bigram loop
+            "lonely",                           # single word, no bigrams
+            "a  b a  b",                        # double spaces -> empty tokens
+        ]),
+    }), f"{d}/documents.parquet")
+    got = (textops.repetition_filter(d).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    exp = (con.execute(textops.REPETITION_FILTER_SQL).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+    assert got.loc[0, "top_word_bp"] == 10000 and got.loc[0, "keep"] == 0
+    assert got.loc[1, "keep"] == 1 and got.loc[1, "dup_word_bp"] == 0
+    assert got.loc[2, "top_bigram_bp"] > 4000 and got.loc[2, "keep"] == 0
+    assert (got.loc[3, ["top_bigram_bp", "dup_bigram_bp"]] == 0).all()
+
+
+def test_label_propagation_stays_within_components(ray_session, tmp_path):
+    """Two disconnected bicliques: labels must never cross the component
+    boundary, and the distributed Pregel loop must replay the chained-CTE
+    SQL bit-for-bit (including at n_buckets=1 vs 8)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    rows_s, rows_p = [], []
+    for s in (1, 2, 3):
+        for p in (1, 2, 3):
+            rows_s.append(s); rows_p.append(p)
+    for s in (101, 102, 103):
+        for p in (4, 5, 6):
+            rows_s.append(s); rows_p.append(p)
+    d = str(tmp_path)
+    pqw.write_table(pa.table({
+        "l_suppkey": pa.array(rows_s, type=pa.int64()),
+        "l_partkey": pa.array(rows_p, type=pa.int64()),
+    }), f"{d}/lineitem.parquet")
+
+    got = (graphalgs.label_propagation(d).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{d}/lineitem.parquet')")
+    exp = (con.execute(graphalgs.label_propagation_sql()).df()
+           .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=True)
+
+    comp_a = set((1, 2, 3)) | {p + 10_000_000 for p in (1, 2, 3)}
+    comp_b = set((101, 102, 103)) | {p + 10_000_000 for p in (4, 5, 6)}
+    lab = dict(zip(got["node"], got["community"]))
+    assert set(lab) == comp_a | comp_b
+    assert {lab[n] for n in comp_a}.isdisjoint({lab[n] for n in comp_b})
+
+    one_bucket = (graphalgs.label_propagation(d, n_buckets=1).to_pandas()
+                  .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, one_bucket, check_dtype=False,
+                                  check_exact=True)
+
+
+def test_pq_adc_retrieves_planted_cluster(ray_session, tmp_path):
+    """PQ invariants on a planted two-cluster embedding set: every vector
+    gets exactly one code per subspace in [0, k); ADC search from a cluster-A
+    query ranks every cluster-A vector above every cluster-B vector (the
+    clusters are separated far beyond the quantization error)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.stages import similarity
+
+    rng = np.random.default_rng(3)
+    d, na, nb = 16, 12, 12
+    a = rng.normal(0.8, 0.02, (na, d))
+    b = rng.normal(-0.8, 0.02, (nb, d))
+    vecs = np.vstack([a, b]).astype(np.float32)
+    dd = str(tmp_path)
+    pqw.write_table(pa.table({
+        "vec_id": pa.array(np.arange(na + nb), type=pa.int64()),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float32())),
+    }), f"{dd}/embeddings.parquet")
+
+    codes = (similarity.pq_codes(dd).to_pandas()
+             .sort_values(["vec_id", "sub"]).reset_index(drop=True))
+    assert len(codes) == 2 * (na + nb)
+    assert set(codes["sub"]) == {0, 1}
+    assert codes["code"].between(0, similarity._PQ_K - 1).all()
+    assert (codes.groupby("vec_id").size() == 2).all()
+
+    hits = similarity.pq_search(dd, query_vec_id=0, topk=na - 1)
+    assert list(hits["rank"]) == list(range(1, na))
+    assert set(hits["vec_id"]) == set(range(1, na))  # all cluster-A, no B
