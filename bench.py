@@ -127,6 +127,8 @@ SUITE: list[tuple[str, str]] = [
     ("graph_label_prop", "graphalgs.label_propagation"),
     ("pq_codes", "similarity.pq_codes"),
     ("pq_search", "similarity.pq_search"),
+    ("q5_local_supplier_volume", "relational.q5_local_supplier_volume"),
+    ("q6_forecast_revenue", "relational.q6_forecast_revenue"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

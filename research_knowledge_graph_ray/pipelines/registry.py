@@ -1392,6 +1392,14 @@ QUERIES.update(
         # lineitem partials union the quarter's orders through one exchange
         "q4_order_priority": (relational.q4_order_priority,
                               relational.Q4_ORDER_PRIORITY_SQL),
+        # TPC-H Q5: two-sided nation equality — orders⋈customer bloom
+        # exchange join, supplier nation from a broadcast map, ONE orderkey
+        # exchange finishing with |nations|-bounded partials
+        "q5_local_supplier_volume": (relational.q5_local_supplier_volume,
+                                     relational.Q5_LOCAL_SUPPLIER_VOLUME_SQL),
+        # TPC-H Q6: pure scan-side filter + scalar partials, zero exchange
+        "q6_forecast_revenue": (relational.q6_forecast_revenue,
+                                relational.Q6_FORECAST_REVENUE_SQL),
         # TPC-H Q2 shape: per-part cheapest supplier by exact integer avg
         # (two-level grouped argmin, combiner before the one exchange)
         "cheapest_supplier": (relational.cheapest_supplier_per_part,

@@ -1270,6 +1270,223 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+_Q5_REGION = "ASIA"
+_Q5_LO = "1996-01-01"
+_Q5_HI = "1997-01-01"
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pd.DataFrame:
+    """(n_name, revenue_de4) — TPC-H Q5: revenue from lineitems where the
+    supplier and the ordering customer share a nation, restricted to one
+    region and one order year; integer-exact money (the q1/q3
+    cents × (10000 − discount_bp) convention).
+
+    The distinguishing Q5 feature is the TWO-SIDED nation equality
+    (c_nationkey = s_nationkey), which needs both the customer's and the
+    supplier's nation at the same lineitem row. Plan: nation/region (25/5
+    rows) broadcast everywhere; orders ⋈ region-filtered customers through
+    the bloom-pruned one-exchange hash join (q3's phase 1 — the big-big
+    side); lineitem scan attaches the supplier's nation from the broadcast
+    supplier→nation map (suppliers are the catalog-bound dimension here; at
+    a scale where supplier outgrows a broadcast the same tagged-union
+    exchange on l_suppkey is the documented swap) and pre-aggregates to
+    (orderkey, s_nat) partials INSIDE the batch; ONE exchange on orderkey
+    joins the two streams, applies the nation equality, and collapses to
+    |nations|-bounded (nationkey, revenue) partials per bucket — the driver
+    folds n_buckets × 25 rows."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+    from ..stages.join import hash_join_bloom
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    lo = np.datetime64(_Q5_LO, "us")
+    hi = np.datetime64(_Q5_HI, "us")
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = {r: k for k, r in zip(region["r_regionkey"].to_pylist(),
+                               region["r_name"].to_pylist())}[_Q5_REGION]
+    asia = {int(nk) for nk, g in zip(nation["n_nationkey"].to_pylist(),
+                                     nation["n_regionkey"].to_pylist())
+            if g == rk}
+    nk_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy().astype(np.int64)
+    lut = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    lut[sk] = np.where(np.isin(sn, list(asia)), sn, -1)
+    lut_ref = ray.put(lut)
+    asia_arr = pa.array(sorted(asia), pa.int32())
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=asia_arr)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+            pc.less(t["o_orderdate"], pa.scalar(hi))))
+        .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    obld = hash_join_bloom(orders, cust, "o_custkey", "c_custkey",
+                           ["o_orderkey", "o_custkey"],
+                           ["c_custkey", "c_nationkey"], n_buckets=16)
+
+    def ob_view(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].cast(pa.int64()).combine_chunks()
+        return pa.table({
+            "__key": ok,
+            "c_nat": t["c_nationkey"].cast(pa.int64()).combine_chunks(),
+            "__side": pa.array(["o"] * len(ok)),
+        })
+
+    ob = obld.map_batches(ob_view, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        lv = ray.get(lut_ref)
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = np.where(skey < len(lv), lv[np.minimum(skey, len(lv) - 1)], -1)
+        keep = snat >= 0
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        rev = cents[keep] * (10000 - bp[keep])
+        g = arrow_group_agg(
+            pa.table({
+                "__key": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep]),
+                "s_nat": pa.array(snat[keep]),
+                "rev": pa.array(rev),
+            }),
+            ["__key", "s_nat"], [("rev", "sum")])
+        return g.append_column("__side", pa.array(["li"] * g.num_rows))
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out_schema = pa.schema([("nationkey", pa.int64()),
+                             ("revenue_de4", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _out_schema.empty_table()
+        lt = t.filter(pc.equal(t["__side"], "li"))
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return _out_schema.empty_table()
+        left = pa.table({"__key": lt["__key"].cast(pa.int64()).combine_chunks(),
+                         "s_nat": lt["s_nat"].cast(pa.int64()).combine_chunks(),
+                         "rev": lt["rev"].cast(pa.int64()).combine_chunks()})
+        right = pa.table({"__key": ot["__key"].cast(pa.int64()).combine_chunks(),
+                          "c_nat": ot["c_nat"].cast(pa.int64()).combine_chunks()})
+        j = left.join(right, keys="__key", join_type="inner")
+        j = j.filter(pc.equal(j["s_nat"], j["c_nat"]))
+        return arrow_group_agg(
+            pa.table({"nationkey": j["s_nat"],
+                      "revenue_de4": j["rev"]}),
+            ["nationkey"], [("revenue_de4", "sum")])
+
+    parts = hash_exchange_apply(li.union(ob), ["__key"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
+    if "nationkey" not in parts.columns:  # all-empty → schema-less
+        return pd.DataFrame({"n_name": pd.Series(dtype=object),
+                             "revenue_de4": pd.Series(dtype=np.int64)})
+    out = parts.groupby("nationkey", as_index=False).agg(
+        revenue_de4=("revenue_de4", "sum"))
+    out["n_name"] = out["nationkey"].map(nk_name)
+    out = out.sort_values(["revenue_de4", "n_name"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["n_name", "revenue_de4"]].astype({"revenue_de4": np.int64})
+
+
+Q5_LOCAL_SUPPLIER_VOLUME_SQL = f"""
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_de4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q5_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{_Q5_HI} 00:00:00'
+GROUP BY n_name
+ORDER BY revenue_de4 DESC, n_name
+"""
+
+
+_Q6_LO = "1996-01-01"
+_Q6_HI = "1997-01-01"
+_Q6_DISC_LO_BP = 500   # discount in [0.05, 0.07] at 1e4 scale
+_Q6_DISC_HI_BP = 700
+_Q6_MAX_QTY = 24
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """(revenue_de4,) one row — TPC-H Q6 forecasting-revenue-change: the sum
+    of l_extendedprice × l_discount over one ship year for small-quantity,
+    mid-discount lineitems; integer-exact (cents × discount_bp).
+
+    Pure scan-side map: filters + per-block scalar partials, driver adds
+    block sums — no exchange at all, the cheapest plan shape there is (the
+    predicate prunes to four columns at the read)."""
+    from ..sources.tables import read_table
+
+    lo = np.datetime64(_Q6_LO, "us")
+    hi = np.datetime64(_Q6_HI, "us")
+
+    def part(t: pa.Table) -> pa.Table:
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(pa.int64())
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi))),
+            pc.and_(
+                pc.and_(pc.greater_equal(bp, _Q6_DISC_LO_BP),
+                        pc.less_equal(bp, _Q6_DISC_HI_BP)),
+                pc.less(t["l_quantity"], _Q6_MAX_QTY)))
+        k = t.filter(mask)
+        kbp = pc.round(pc.multiply(k["l_discount"], 10000)).cast(pa.int64())
+        rev = pc.sum(pc.multiply(_cents(k["l_extendedprice"]), kbp))
+        return pa.table({"revenue_de4": pa.array(
+            [rev.as_py() if rev.is_valid else 0], pa.int64())})
+
+    parts = read_table(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"]
+    ).map_batches(part, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return pd.DataFrame(
+        {"revenue_de4": [np.int64(parts["revenue_de4"].sum())]})
+
+
+Q6_FORECAST_REVENUE_SQL = f"""
+SELECT CAST(COALESCE(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                         * CAST(ROUND(l_discount * 10000) AS BIGINT)), 0)
+            AS BIGINT) AS revenue_de4
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{_Q6_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{_Q6_HI} 00:00:00'
+  AND CAST(ROUND(l_discount * 10000) AS BIGINT)
+      BETWEEN {_Q6_DISC_LO_BP} AND {_Q6_DISC_HI_BP}
+  AND l_quantity < {_Q6_MAX_QTY}
+"""
+
+
 def cheapest_supplier_per_part(sf_dir: str) -> "ray.data.Dataset":
     """(l_partkey, l_suppkey, avg_price_e4) — TPC-H Q2 shape adapted to the
     testdata schema (no partsupp table): for every part, the supplier with
