@@ -129,6 +129,7 @@ SUITE: list[tuple[str, str]] = [
     ("pq_search", "similarity.pq_search"),
     ("q5_local_supplier_volume", "relational.q5_local_supplier_volume"),
     ("q6_forecast_revenue", "relational.q6_forecast_revenue"),
+    ("random_projection", "similarity.random_projection"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

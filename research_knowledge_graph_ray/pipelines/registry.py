@@ -1129,6 +1129,10 @@ QUERIES: dict = {
     # (the byte-code ANN memory path; every code and distance value-gated)
     "pq_codes": (similarity.pq_codes, similarity.pq_codes_sql()),
     "pq_search": (similarity.pq_search, similarity.pq_search_sql()),
+    # signed JL projection — md5-parity ±1 matrix, one int64 matmul per
+    # batch, zero shuffle; the pre-ANN compression stage
+    "random_projection": (similarity.random_projection,
+                          similarity.random_projection_sql()),
     # reciprocal (mutual) kNN pairs — the high-precision near-dup filter
     # over the kNN graph; one unordered-pair exchange
     "reciprocal_nn": (similarity.reciprocal_nn_pairs,

@@ -820,6 +820,82 @@ ORDER BY rank"""
 
 
 # ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (dim reduction before ANN)
+# ---------------------------------------------------------------------------
+
+_RP_DIMS = 8
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """±1 from the md5 parity of '{i}-{j}' (the repo's seeded-draw
+    convention — DuckDB rebuilds the identical matrix)."""
+    import hashlib as _h
+
+    v = int(_h.md5(f"{i}-{j}".encode()).hexdigest()[:8], 16)
+    return 1 if v % 2 == 0 else -1
+
+
+def random_projection(sf_dir: str, out_dims: int = _RP_DIMS) -> "ray.data.Dataset":
+    """(vec_id, j, y) — signed random projection (Achlioptas 2003, the
+    database-friendly ±1 JL variant): ``y_j = Σ_i floor(x_i·10⁶) ·
+    s(i, j)`` with the sign matrix derived from md5 parity, so the
+    projection is a pure function of (dim, target) — identical on every
+    worker, every run, every cluster size, and rebuilt bit-for-bit by the
+    SQL oracle. Exact integer output ⇒ value-hash gated.
+
+    Dataflow: the d×D sign matrix is model-sized and broadcast; each batch
+    is ONE int64 matmul and a long-form explode — embarrassingly parallel,
+    zero shuffle, the cheapest pre-ANN compression there is (feeds the
+    sign-LSH and IVF paths at 100 TB where even int8 vectors are too wide
+    to exchange)."""
+    ds = _read_embeddings(sf_dir)
+
+    # probe dims from one row (metadata-sized read)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    d = len(t["embedding"][0])
+    S = np.array([[_rp_sign(i, j) for j in range(1, out_dims + 1)]
+                  for i in range(1, d + 1)], dtype=np.int64)
+    ref = ray.put(S)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = np.floor(_batch_vecs(batch) * _KM_SCALE).astype(np.int64)
+        y = q @ sm  # n×D
+        n, dd = y.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, dd)),
+            "j": pa.array(np.tile(np.arange(1, dd + 1, dtype=np.int64), n)),
+            "y": pa.array(y.ravel()),
+        })
+
+    return ds.map_batches(proj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def random_projection_sql(out_dims: int = _RP_DIMS) -> str:
+    """Exact restatement of :func:`random_projection`."""
+    return f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_KM_SCALE})
+              AS BIGINT) AS qx
+  FROM embeddings),
+dims AS (SELECT DISTINCT i FROM q),
+js AS (SELECT unnest(generate_series(1, {out_dims})) AS j),
+s AS (
+  SELECT i, j,
+         CASE WHEN ('0x' || substr(md5(CAST(i AS VARCHAR) || '-'
+                                   || CAST(j AS VARCHAR)), 1, 8))::UBIGINT
+                   % 2 = 0
+              THEN 1 ELSE -1 END AS sgn
+  FROM dims CROSS JOIN js)
+SELECT q.vec_id, s.j, CAST(SUM(q.qx * s.sgn) AS BIGINT) AS y
+FROM q JOIN s USING (i)
+GROUP BY 1, 2
+ORDER BY vec_id, j"""
+
+
+# ---------------------------------------------------------------------------
 # MMR diversified rerank (retrieval diversification)
 # ---------------------------------------------------------------------------
 

@@ -872,3 +872,42 @@ def test_pq_adc_retrieves_planted_cluster(ray_session, tmp_path):
     hits = similarity.pq_search(dd, query_vec_id=0, topk=na - 1)
     assert list(hits["rank"]) == list(range(1, na))
     assert set(hits["vec_id"]) == set(range(1, na))  # all cluster-A, no B
+
+
+def test_random_projection_linear_and_parallelism_invariant(ray_session, tmp_path):
+    """JL projection invariants: exact linearity (y(a+b) = y(a)+y(b) in the
+    integer domain when coordinates are exact multiples of 1e-6 ties are
+    avoided by integer inputs) and independence from block layout (1 block
+    vs 4 blocks produce identical projections)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    from research_knowledge_graph_ray.stages import similarity
+
+    rng = np.random.default_rng(5)
+    d = 12
+    # k/64 is exact in binary AND k/64·10⁶ = k·15625 is an exact integer, so
+    # floor() is lossless and linearity holds exactly
+    a = rng.integers(-256, 256, d) / 64
+    b = rng.integers(-256, 256, d) / 64
+    vecs = np.vstack([a, b, a + b]).astype(np.float64)
+
+    dd = str(tmp_path)
+    pqw.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+    }), f"{dd}/embeddings.parquet")
+
+    got = (similarity.random_projection(dd).to_pandas()
+           .pivot(index="vec_id", columns="j", values="y"))
+    assert (got.loc[2] == got.loc[0] + got.loc[1]).all()
+
+    # block-layout invariance: same rows through a 4-block dataset
+    import ray.data as rd
+    ds4 = rd.read_parquet(f"{dd}/embeddings.parquet", override_num_blocks=4)
+    S = np.array([[similarity._rp_sign(i, j)
+                   for j in range(1, similarity._RP_DIMS + 1)]
+                  for i in range(1, d + 1)], dtype=np.int64)
+    q = np.floor(vecs * similarity._KM_SCALE).astype(np.int64)
+    want = q @ S
+    assert (got.to_numpy() == want).all()
