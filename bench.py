@@ -130,6 +130,7 @@ SUITE: list[tuple[str, str]] = [
     ("q5_local_supplier_volume", "relational.q5_local_supplier_volume"),
     ("q6_forecast_revenue", "relational.q6_forecast_revenue"),
     ("random_projection", "similarity.random_projection"),
+    ("knn_classify", "similarity.knn_classify"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1133,6 +1133,9 @@ QUERIES: dict = {
     # batch, zero shuffle; the pre-ANN compression stage
     "random_projection": (similarity.random_projection,
                           similarity.random_projection_sql()),
+    # kNN majority-vote classification — rides knn_join_auto, labels attach
+    # through one nn_id hash join, one vec_id vote exchange
+    "knn_classify": (similarity.knn_classify, similarity.knn_classify_sql()),
     # reciprocal (mutual) kNN pairs — the high-precision near-dup filter
     # over the kNN graph; one unordered-pair exchange
     "reciprocal_nn": (similarity.reciprocal_nn_pairs,

@@ -820,6 +820,113 @@ ORDER BY rank"""
 
 
 # ---------------------------------------------------------------------------
+# kNN classification (majority vote over the kNN graph)
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+
+
+def knn_classify(sf_dir: str, k: int = _KC_K) -> "ray.data.Dataset":
+    """(vec_id, pred, label, correct) — k-nearest-neighbor label prediction
+    over the embeddings table: each vector's label predicted by majority
+    vote among its k cosine neighbors' labels (count DESC, smallest label on
+    ties), compared against its own label. The classic leave-one-out eval of
+    embedding quality — ``SUM(correct)/COUNT(*)`` is the kNN accuracy.
+
+    Dataflow: candidate generation rides :func:`knn_join_auto` (brute
+    broadcast under the byte cap, exact-config IVF past it — never a silent
+    broadcast of a corpus-sized build side); neighbor labels attach through
+    ONE hash join on nn_id (labels never broadcast — they are corpus-sized);
+    the vote is ONE tagged-union exchange on vec_id carrying (vec_id,
+    neighbor-label) + (vec_id, own-label) key rows only — ≤ k+1 rows per
+    vector, vectors themselves never move."""
+    from .join import hash_join
+    from .shuffle import hash_exchange_apply
+
+    knn = knn_join_auto(sf_dir, k=k).map_batches(
+        lambda t: t.select(["vec_id", "nn_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    labels = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(
+        lambda t: pa.table({"nid": t["vec_id"].cast(pa.int64()),
+                            "nl": t["label"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    nn_labeled = hash_join(knn, labels, "nn_id", "nid",
+                           ["vec_id", "nn_id"], ["nid", "nl"],
+                           n_buckets=16).map_batches(
+        lambda t: pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()).combine_chunks(),
+            "nl": t["nl"].cast(pa.int64()).combine_chunks(),
+            "side": pa.array(["nn"] * t.num_rows)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    own = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
+                            "nl": t["label"].cast(pa.int64()),
+                            "side": pa.array(["own"] * t.num_rows)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    _schema = pa.schema([("vec_id", pa.int64()), ("pred", pa.int64()),
+                         ("label", pa.int64()), ("correct", pa.int64())])
+
+    def vote(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "side" not in t.column_names:
+            return _schema.empty_table()
+        df = t.to_pandas()
+        nn = df[df["side"] == "nn"]
+        ow = df[df["side"] == "own"]
+        if nn.empty or ow.empty:
+            return _schema.empty_table()
+        c = (nn.groupby(["vec_id", "nl"], as_index=False)
+             .agg(c=("nl", "size")))
+        c = c.sort_values(["vec_id", "c", "nl"],
+                          ascending=[True, False, True], kind="stable")
+        p = c.drop_duplicates("vec_id")[["vec_id", "nl"]].rename(
+            columns={"nl": "pred"})
+        out = p.merge(ow[["vec_id", "nl"]].rename(columns={"nl": "label"}),
+                      on="vec_id", how="inner")
+        out["correct"] = (out["pred"] == out["label"]).astype(np.int64)
+        return pa.Table.from_pandas(
+            out.astype(np.int64)[["vec_id", "pred", "label", "correct"]],
+            preserve_index=False)
+
+    return hash_exchange_apply(nn_labeled.union(own), ["vec_id"],
+                               lambda t: t, vote, n_buckets=16)
+
+
+def knn_classify_sql(k: int = _KC_K) -> str:
+    """Exact restatement of :func:`knn_classify` (knn CTE at rank ≤ k +
+    neighbor-label majority with count DESC, label ASC)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+          AS sim_e6
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim_e6 DESC, nn_id) AS rnk
+      FROM s),
+knn AS (SELECT vec_id, nn_id FROM r WHERE rnk <= {k}),
+v AS (SELECT kk.vec_id, e2.label AS nl
+      FROM knn kk JOIN embeddings e2 ON e2.vec_id = kk.nn_id),
+c AS (SELECT vec_id, nl, COUNT(*) AS c FROM v GROUP BY 1, 2),
+p AS (SELECT vec_id, nl AS pred FROM c
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY c DESC, nl ASC) = 1)
+SELECT p.vec_id, CAST(p.pred AS BIGINT) AS pred,
+       CAST(e3.label AS BIGINT) AS label,
+       CAST(CASE WHEN p.pred = e3.label THEN 1 ELSE 0 END AS BIGINT)
+         AS correct
+FROM p JOIN embeddings e3 ON e3.vec_id = p.vec_id
+ORDER BY p.vec_id"""
+
+
+# ---------------------------------------------------------------------------
 # Johnson–Lindenstrauss random projection (dim reduction before ANN)
 # ---------------------------------------------------------------------------
 
