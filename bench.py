@@ -131,6 +131,7 @@ SUITE: list[tuple[str, str]] = [
     ("q6_forecast_revenue", "relational.q6_forecast_revenue"),
     ("random_projection", "similarity.random_projection"),
     ("knn_classify", "similarity.knn_classify"),
+    ("events_hopping", "windows.events_hopping"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1362,6 +1362,10 @@ QUERIES.update(
                              relational.ABOVE_NATION_AVG_SQL),
         # out-of-order-arrival monitor (watermark-lateness sizing signal)
         "late_events": (windows.late_events, windows.LATE_EVENTS_SQL),
+        # hopping (overlapping) windows — constant fan-out to window/hop
+        # ids, calendar-bounded partials through one exchange
+        "events_hopping": (windows.events_hopping,
+                           windows.EVENTS_HOPPING_SQL),
         # conjunctive boolean retrieval over the corpus, integer tf ranking
         "term_search": (kgflat.term_search, kgflat.TERM_SEARCH_SQL),
         # BM25 ranked retrieval, exact integer surrogate (idf and the

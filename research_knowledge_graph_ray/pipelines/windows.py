@@ -1554,3 +1554,70 @@ SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_total
 FROM x GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window aggregate — the overlapping-window member of the
+# window family (tumbling=events_hourly, session=events_sessions,
+# rolling-distinct=rolling_active_users, watermark=watermark_drops)
+# ---------------------------------------------------------------------------
+
+_HOP_US = 3_600_000_000          # hop: 1 hour
+_HOP_WINDOW_HOPS = 2             # window: 2 hops = 2 hours
+
+
+def events_hopping(sf_dir: str) -> "ray.data.Dataset":
+    """(win_hour, n_events, value_cents) — 2-hour windows hopping every hour:
+    each event lands in exactly ``window/hop = 2`` windows, identified by
+    their start hour (hours since epoch).
+
+    A hopping window over an ordered log is a bounded fan-out + groupby:
+    the per-batch kernel replicates each row to its 2 covering window ids
+    (np.concatenate — replication factor is the constant window/hop ratio,
+    never data-dependent) and collapses to (win, count, cents-sum) partials
+    INSIDE the batch, so the single exchange is calendar-bounded (one row
+    per window per block), not event-bounded."""
+    from ..stages.shuffle import arrow_group_agg, bucketed_group_apply
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        us = batch["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        h = us // _HOP_US
+        cents = np.round(
+            batch["value"].to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        win = np.concatenate(
+            [h - j for j in range(_HOP_WINDOW_HOPS)])
+        c = np.tile(cents, _HOP_WINDOW_HOPS)
+        t = arrow_group_agg(
+            pa.table({"win_hour": pa.array(win),
+                      "n_events": pa.array(np.ones(len(win), np.int64)),
+                      "value_cents": pa.array(c)}),
+            ["win_hour"], [("n_events", "sum"), ("value_cents", "sum")])
+        return t.to_pandas()
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("win_hour", as_index=False).agg(
+            n_events=("n_events", "sum"), value_cents=("value_cents", "sum"))
+
+    out = ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed_group_apply(out, ["win_hour"], final, final, n_buckets=8)
+
+
+EVENTS_HOPPING_SQL = f"""
+WITH b AS (
+  SELECT epoch_us(ts) // {_HOP_US} AS h,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events),
+x AS (
+  SELECT h - unnest(generate_series(0, {_HOP_WINDOW_HOPS - 1})) AS win_hour,
+         cents
+  FROM b)
+SELECT CAST(win_hour AS BIGINT) AS win_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS value_cents
+FROM x GROUP BY 1 ORDER BY 1
+"""
