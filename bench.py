@@ -132,6 +132,7 @@ SUITE: list[tuple[str, str]] = [
     ("random_projection", "similarity.random_projection"),
     ("knn_classify", "similarity.knn_classify"),
     ("events_hopping", "windows.events_hopping"),
+    ("q7_volume_shipping", "relational.q7_volume_shipping"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1411,6 +1411,10 @@ QUERIES.update(
         # TPC-H Q6: pure scan-side filter + scalar partials, zero exchange
         "q6_forecast_revenue": (relational.q6_forecast_revenue,
                                 relational.Q6_FORECAST_REVENUE_SQL),
+        # TPC-H Q7: cross-nation trade by year — the q5 skeleton with the
+        # pair filter in the reducer, 2x|years|-bounded partials out
+        "q7_volume_shipping": (relational.q7_volume_shipping,
+                               relational.Q7_VOLUME_SHIPPING_SQL),
         # TPC-H Q2 shape: per-part cheapest supplier by exact integer avg
         # (two-level grouped argmin, combiner before the one exchange)
         "cheapest_supplier": (relational.cheapest_supplier_per_part,

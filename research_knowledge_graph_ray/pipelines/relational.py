@@ -1431,6 +1431,164 @@ ORDER BY revenue_de4 DESC, n_name
 """
 
 
+_Q7_NATION_A = "NATION_1"
+_Q7_NATION_B = "NATION_2"
+_Q7_LO = "1995-01-01"
+_Q7_HI = "1997-01-01"
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """(supp_nation, cust_nation, l_year, revenue_de4) — TPC-H Q7: trade
+    volume between two nations by ship year, both directions (supplier in A
+    shipping to customers in B and vice versa); integer-exact money.
+
+    Same plan skeleton as :func:`q5_local_supplier_volume` (the two-sided
+    nation predicate needs customer AND supplier nation at the lineitem
+    row), with the pair filter applied in the reducer: orders ⋈ two-nation
+    customers through the bloom-pruned exchange join; lineitem (ship-date
+    windowed) attaches the supplier nation from the broadcast map and
+    pre-aggregates (orderkey, s_nat, year) partials in-batch; ONE orderkey
+    exchange joins, keeps cross-nation pairs only, and collapses to
+    2×|years|-bounded partials."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+    from ..stages.join import hash_join_bloom
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    lo = np.datetime64(_Q7_LO, "us")
+    hi = np.datetime64(_Q7_HI, "us")
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    name_nk = dict(zip(nation["n_name"].to_pylist(),
+                       nation["n_nationkey"].to_pylist()))
+    nk_name = {v: k for k, v in name_nk.items()}
+    nk_a, nk_b = int(name_nk[_Q7_NATION_A]), int(name_nk[_Q7_NATION_B])
+    pair = pa.array([nk_a, nk_b], pa.int32())
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy().astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy().astype(np.int64)
+    lut = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    lut[sk] = np.where(np.isin(sn, [nk_a, nk_b]), sn, -1)
+    lut_ref = ray.put(lut)
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=pair)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    obld = hash_join_bloom(orders, cust, "o_custkey", "c_custkey",
+                           ["o_orderkey", "o_custkey"],
+                           ["c_custkey", "c_nationkey"], n_buckets=16)
+
+    def ob_view(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].cast(pa.int64()).combine_chunks()
+        return pa.table({
+            "__key": ok,
+            "c_nat": t["c_nationkey"].cast(pa.int64()).combine_chunks(),
+            "__side": pa.array(["o"] * len(ok)),
+        })
+
+    ob = obld.map_batches(ob_view, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        lv = ray.get(lut_ref)
+        t = t.filter(pc.and_(
+            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+            pc.less(t["l_shipdate"], pa.scalar(hi))))
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        snat = np.where(skey < len(lv), lv[np.minimum(skey, len(lv) - 1)], -1)
+        keep = snat >= 0
+        yr = (t["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        rev = cents[keep] * (10000 - bp[keep])
+        g = arrow_group_agg(
+            pa.table({
+                "__key": pa.array(
+                    t["l_orderkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64)[keep]),
+                "s_nat": pa.array(snat[keep]),
+                "l_year": pa.array(yr[keep]),
+                "rev": pa.array(rev),
+            }),
+            ["__key", "s_nat", "l_year"], [("rev", "sum")])
+        return g.append_column("__side", pa.array(["li"] * g.num_rows))
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out_schema = pa.schema([("s_nat", pa.int64()), ("c_nat", pa.int64()),
+                             ("l_year", pa.int64()),
+                             ("revenue_de4", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _out_schema.empty_table()
+        lt = t.filter(pc.equal(t["__side"], "li"))
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return _out_schema.empty_table()
+        left = pa.table({"__key": lt["__key"].cast(pa.int64()).combine_chunks(),
+                         "s_nat": lt["s_nat"].cast(pa.int64()).combine_chunks(),
+                         "l_year": lt["l_year"].cast(pa.int64()).combine_chunks(),
+                         "rev": lt["rev"].cast(pa.int64()).combine_chunks()})
+        right = pa.table({"__key": ot["__key"].cast(pa.int64()).combine_chunks(),
+                          "c_nat": ot["c_nat"].cast(pa.int64()).combine_chunks()})
+        j = left.join(right, keys="__key", join_type="inner")
+        j = j.filter(pc.not_equal(j["s_nat"], j["c_nat"]))  # cross-nation only
+        return arrow_group_agg(
+            pa.table({"s_nat": j["s_nat"], "c_nat": j["c_nat"],
+                      "l_year": j["l_year"], "revenue_de4": j["rev"]}),
+            ["s_nat", "c_nat", "l_year"], [("revenue_de4", "sum")])
+
+    parts = hash_exchange_apply(li.union(ob), ["__key"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
+    if "s_nat" not in parts.columns:  # all-empty → schema-less
+        return pd.DataFrame({"supp_nation": pd.Series(dtype=object),
+                             "cust_nation": pd.Series(dtype=object),
+                             "l_year": pd.Series(dtype=np.int64),
+                             "revenue_de4": pd.Series(dtype=np.int64)})
+    out = parts.groupby(["s_nat", "c_nat", "l_year"], as_index=False).agg(
+        revenue_de4=("revenue_de4", "sum"))
+    out["supp_nation"] = out["s_nat"].map(nk_name)
+    out["cust_nation"] = out["c_nat"].map(nk_name)
+    out = out.sort_values(["supp_nation", "cust_nation", "l_year"]
+                          ).reset_index(drop=True)
+    return out[["supp_nation", "cust_nation", "l_year", "revenue_de4"]
+               ].astype({"l_year": np.int64, "revenue_de4": np.int64})
+
+
+Q7_VOLUME_SHIPPING_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_de4
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+    OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
+  AND l_shipdate >= TIMESTAMP '{_Q7_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{_Q7_HI} 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
 _Q6_LO = "1996-01-01"
 _Q6_HI = "1997-01-01"
 _Q6_DISC_LO_BP = 500   # discount in [0.05, 0.07] at 1e4 scale
