@@ -133,6 +133,7 @@ SUITE: list[tuple[str, str]] = [
     ("knn_classify", "similarity.knn_classify"),
     ("events_hopping", "windows.events_hopping"),
     ("q7_volume_shipping", "relational.q7_volume_shipping"),
+    ("cluster_silhouette", "similarity.cluster_silhouette"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

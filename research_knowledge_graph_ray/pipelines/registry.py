@@ -1136,6 +1136,10 @@ QUERIES: dict = {
     # kNN majority-vote classification — rides knn_join_auto, labels attach
     # through one nn_id hash join, one vec_id vote exchange
     "knn_classify": (similarity.knn_classify, similarity.knn_classify_sql()),
+    # centroid silhouette — integer cluster-quality eval riding the Lloyd
+    # trainer; one broadcast + one streaming score pass
+    "cluster_silhouette": (similarity.cluster_silhouette,
+                           similarity.cluster_silhouette_sql()),
     # reciprocal (mutual) kNN pairs — the high-precision near-dup filter
     # over the kNN graph; one unordered-pair exchange
     "reciprocal_nn": (similarity.reciprocal_nn_pairs,

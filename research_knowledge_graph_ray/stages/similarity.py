@@ -613,6 +613,71 @@ ORDER BY vec_id"""
 
 
 # ---------------------------------------------------------------------------
+# Centroid silhouette (cluster-quality evaluation)
+# ---------------------------------------------------------------------------
+
+
+def cluster_silhouette(sf_dir: str, k: int = 8,
+                       iters: int = 2) -> "ray.data.Dataset":
+    """(vec_id, cluster, d_own, d_next, sil_e6) — centroid silhouette, the
+    scale-friendly clustering-quality eval: per vector, ``d_own`` = squared
+    distance to its own (argmin) centroid, ``d_next`` = the smallest squared
+    distance to any OTHER centroid, and ``sil_e6 = (d_next − d_own)·10⁶ //
+    max(d_own, d_next, 1)`` — the silhouette formula with the O(n²)
+    point-pair means replaced by centroid distances (the standard
+    approximation at corpus scale; exact integers end-to-end because it
+    rides the :func:`kmeans_centroids_int` trainer). d_own ≤ d_next by
+    construction, so the score is in [0, 1e6] and the floor-division is
+    nonnegative (numpy floor == DuckDB trunc).
+
+    Dataflow: the trained k×d centroid matrix broadcasts once; the scoring
+    pass is one streaming map (one matmul per batch) — no shuffle, the
+    :func:`embedding_kmeans` shape with a two-column wider output."""
+    ds = _read_embeddings(sf_dir)
+    cents = kmeans_centroids_int(ds, k=k, iters=iters)
+    ref = ray.put(cents)
+
+    def score(batch: pa.Table) -> pd.DataFrame:
+        cv = ray.get(ref)
+        ids, q = _km_quant(batch)
+        assign, d = _km_assign(q, cv)
+        rows = np.arange(len(ids))
+        d_own = d[rows, assign]
+        d2 = d.copy()
+        d2[rows, assign] = np.iinfo(np.int64).max
+        d_next = d2.min(axis=1)
+        denom = np.maximum(np.maximum(d_own, d_next), 1)
+        sil = (d_next - d_own) * 1_000_000 // denom
+        return pd.DataFrame({
+            "vec_id": ids, "cluster": assign.astype(np.int64),
+            "d_own": d_own, "d_next": d_next, "sil_e6": sil})
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_silhouette_sql(k: int = 8, iters: int = 2) -> str:
+    """Exact restatement of :func:`cluster_silhouette` — the
+    :func:`embedding_kmeans_sql` chain with an own/next-centroid tail."""
+    base = embedding_kmeans_sql(k, iters)
+    chain = base[:base.index("SELECT vec_id, CAST(cid AS BIGINT)")]
+    return chain + """
+, own AS (
+  SELECT vec_id, cid AS cluster, d AS d_own FROM df
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+nxt AS (
+  SELECT f.vec_id, MIN(f.d) AS d_next
+  FROM df f JOIN own o ON f.vec_id = o.vec_id AND f.cid != o.cluster
+  GROUP BY 1)
+SELECT o.vec_id, CAST(o.cluster AS BIGINT) AS cluster,
+       CAST(o.d_own AS BIGINT) AS d_own,
+       CAST(n.d_next AS BIGINT) AS d_next,
+       CAST((n.d_next - o.d_own) * 1000000
+            // GREATEST(o.d_own, n.d_next, 1) AS BIGINT) AS sil_e6
+FROM own o JOIN nxt n ON n.vec_id = o.vec_id
+ORDER BY o.vec_id"""
+
+
+# ---------------------------------------------------------------------------
 # Product quantization (PQ codes + asymmetric-distance search)
 # ---------------------------------------------------------------------------
 
