@@ -134,6 +134,7 @@ SUITE: list[tuple[str, str]] = [
     ("events_hopping", "windows.events_hopping"),
     ("q7_volume_shipping", "relational.q7_volume_shipping"),
     ("cluster_silhouette", "similarity.cluster_silhouette"),
+    ("graph_ktruss", "graphalgs.ktruss"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1092,6 +1092,10 @@ QUERIES: dict = {
     "graph_hits": (graphalgs.hits, graphalgs.hits_sql()),
     "graph_label_prop": (graphalgs.label_propagation,
                          graphalgs.label_propagation_sql()),
+    # k-truss: bounded-round edge peeling by triangle support over the
+    # co-occurrence graph (the community backbone one step above k-core)
+    "graph_ktruss": (graphalgs.ktruss,
+                     graphalgs.ktruss_sql(unnest_sql=_UNNEST)),
     # DeepWalk-shape walk corpus: md5-argmin next hop ⇒ exactly restatable
     "graph_walks": (graphalgs.graph_walks, graphalgs.graph_walks_sql()),
     # skip-gram (center, context) counts over the walk corpus — the

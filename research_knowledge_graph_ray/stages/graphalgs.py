@@ -1512,3 +1512,160 @@ def label_propagation_sql(iters: int = _LP_ITERS) -> str:
     PARTITION BY node ORDER BY c DESC, label ASC) = 1)""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, label AS community FROM l{iters} ORDER BY node")
+
+
+# ---------------------------------------------------------------------------
+# k-truss (iterative edge peeling by triangle support)
+# ---------------------------------------------------------------------------
+
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 2
+
+
+def _edge_support(co: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(ta, tb, sup) — per-edge triangle support of the lex-ordered edge set,
+    via the degree-oriented wedge enumeration of :func:`_triangles` (each
+    triangle found exactly once from its lowest-degree vertex, then credited
+    to all THREE of its edges). Orientation affects only who finds a
+    triangle, never the support counts, so the output matches the
+    lexicographic three-way self-join the SQL states."""
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        both = pd.concat([df["ta"], df["tb"]], ignore_index=True)
+        return both.value_counts().rename_axis("term").reset_index(name="d")
+
+    def deg_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("term", as_index=False).agg(d=("d", "sum"))
+
+    deg_df = bucketed_group_apply(co, ["term"], deg_partial, deg_final).to_pandas()
+    deg_ref = ray.put(dict(zip(deg_df["term"], deg_df["d"].astype(np.int64))))
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = ray.get(deg_ref)
+        da = df["ta"].map(dmap).to_numpy()
+        db = df["tb"].map(dmap).to_numpy()
+        a_first = da <= db
+        return pd.DataFrame({
+            "src": np.where(a_first, df["ta"], df["tb"]),
+            "dst": np.where(a_first, df["tb"], df["ta"]),
+        })
+
+    oriented = co.map_batches(orient, batch_format="pandas")
+
+    def wedge_final(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for src, g in df.groupby("src"):
+            nb = np.unique(g["dst"].to_numpy())
+            if len(nb) < 2:
+                continue
+            iu, ju = np.triu_indices(len(nb), k=1)
+            outs.append(pd.DataFrame(
+                {"b": nb[iu], "c": nb[ju], "apex": src,
+                 "is_edge": np.int8(0)}))
+        if not outs:
+            return pd.DataFrame(
+                {"b": pd.Series(dtype=str), "c": pd.Series(dtype=str),
+                 "apex": pd.Series(dtype=str),
+                 "is_edge": pd.Series(dtype=np.int8)})
+        return pd.concat(outs, ignore_index=True)
+
+    wedges = bucketed_group_apply(oriented, ["src"], lambda df: df, wedge_final)
+
+    def canon_pair(df: pd.DataFrame) -> pd.DataFrame:
+        lo = np.minimum(df["b"], df["c"])
+        hi = np.maximum(df["b"], df["c"])
+        return df.assign(b=lo, c=hi)
+
+    edge_rows = co.map_batches(
+        lambda df: pd.DataFrame(
+            {"b": df["ta"], "c": df["tb"], "apex": "",
+             "is_edge": np.int8(1)}),
+        batch_format="pandas")
+    tagged = wedges.map_batches(canon_pair, batch_format="pandas").union(edge_rows)
+
+    _sup_cols = {"ta": pd.Series(dtype=str), "tb": pd.Series(dtype=str),
+                 "sup": pd.Series(dtype=np.int64)}
+
+    def close_edges(df: pd.DataFrame) -> pd.DataFrame:
+        present = df.loc[df["is_edge"] == 1, ["b", "c"]].drop_duplicates()
+        tri = df[df["is_edge"] == 0].merge(present, on=["b", "c"])
+        if tri.empty:
+            return pd.DataFrame(_sup_cols)
+        ap, b, c = (tri["apex"].to_numpy(), tri["b"].to_numpy(),
+                    tri["c"].to_numpy())
+        e = pd.DataFrame({
+            "ta": np.concatenate([np.minimum(ap, b), np.minimum(ap, c), b]),
+            "tb": np.concatenate([np.maximum(ap, b), np.maximum(ap, c), c]),
+        })
+        return (e.groupby(["ta", "tb"], as_index=False).size()
+                .rename(columns={"size": "sup"}))
+
+    partial = bucketed_group_apply(tagged, ["b", "c"], lambda df: df,
+                                   close_edges)
+    return grouped_aggregate(
+        partial, ["ta", "tb"],
+        lambda df: df.groupby(["ta", "tb"], as_index=False)
+        .agg(sup=("sup", "sum")))
+
+
+def ktruss(sf_dir: str, k: int = _TRUSS_K,
+           rounds: int = _TRUSS_ROUNDS) -> "ray.data.Dataset":
+    """(ta, tb) — edges surviving `rounds` k-truss peeling iterations over
+    the term co-occurrence graph: each round recomputes per-edge triangle
+    support WITHIN the current subgraph and drops edges with support
+    < k−2 (edges in no triangle drop immediately — they never appear in the
+    support table). Bounded rounds for a deterministic oracle (the kcore
+    ``max_rounds`` doctrine); at convergence this is the exact k-truss, and
+    the cohesive core it extracts is the standard community-backbone
+    operator one step above k-core.
+
+    Per round: one vocabulary-bound degree pass (broadcast — recomputed so
+    wedge fan-out follows the SHRINKING graph's skew, though support counts
+    are orientation-independent either way), one src exchange emitting
+    degree-oriented wedges (volume bounded by arboricity, not max-degree²),
+    one closing-pair exchange crediting each found triangle to its three
+    edges, one edge-key sum. Edge sets only shrink, so every round is
+    cheaper than the last."""
+    from ..pipelines.kgflat import cooccurrence
+
+    co = cooccurrence(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"ta": df["term_a"].astype(str),
+                                 "tb": df["term_b"].astype(str)}),
+        batch_format="pandas").materialize()
+    thresh = k - 2
+    for _ in range(rounds):
+        sup = _edge_support(co)
+        co = sup.map_batches(
+            lambda df: df.loc[df["sup"] >= thresh, ["ta", "tb"]],
+            batch_format="pandas").materialize()
+    return co
+
+
+def ktruss_sql(k: int = _TRUSS_K, rounds: int = _TRUSS_ROUNDS,
+               unnest_sql: str | None = None) -> str:
+    """Exact restatement of :func:`ktruss` (bounded peeling rounds as
+    chained three-way-join CTEs). ``unnest_sql`` is the documents→terms
+    explode the co-occurrence oracle uses (injected by the registry to
+    avoid a stages→pipelines import)."""
+    from ..pipelines.registry import _UNNEST
+
+    u = unnest_sql if unnest_sql is not None else _UNNEST
+    ctes = [
+        f"dt AS (SELECT DISTINCT doc_id, term FROM ({u}))",
+        "co0 AS (SELECT a.term AS ta, b.term AS tb FROM dt a JOIN dt b "
+        "ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2)",
+    ]
+    for r in range(1, rounds + 1):
+        p = f"co{r - 1}"
+        ctes.append(f"""t{r} AS (
+  SELECT e1.ta AS a, e1.tb AS b, e2.tb AS c
+  FROM {p} e1 JOIN {p} e2 ON e1.tb = e2.ta
+       JOIN {p} e3 ON e3.ta = e1.ta AND e3.tb = e2.tb),
+s{r} AS (
+  SELECT ta, tb, COUNT(*) AS sup FROM (
+    SELECT a AS ta, b AS tb FROM t{r}
+    UNION ALL SELECT a, c FROM t{r}
+    UNION ALL SELECT b, c FROM t{r})
+  GROUP BY 1, 2),
+co{r} AS (SELECT ta, tb FROM s{r} WHERE sup >= {k - 2})""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT ta, tb FROM co{rounds} ORDER BY ta, tb")

@@ -911,3 +911,31 @@ def test_random_projection_linear_and_parallelism_invariant(ray_session, tmp_pat
     q = np.floor(vecs * similarity._KM_SCALE).astype(np.int64)
     want = q @ S
     assert (got.to_numpy() == want).all()
+
+
+def test_ktruss_survivors_are_cohesive_subset(ray_session, sf_dir):
+    """k-truss invariants on the real co-graph: survivors are a subset of
+    the original edges, and every surviving edge has >= k-2 triangles
+    WITHIN the survivor set (the truss self-consistency property at the
+    fixed point; with bounded rounds the brute recheck below uses the same
+    round count)."""
+    from research_knowledge_graph_ray.pipelines.kgflat import cooccurrence
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    co = cooccurrence(sf_dir).to_pandas()
+    edges = set(zip(co["term_a"].astype(str), co["term_b"].astype(str)))
+    got = graphalgs.ktruss(sf_dir).to_pandas()
+    surv = set(zip(got["ta"], got["tb"]))
+    assert surv <= edges and len(surv) > 0
+
+    # brute support replay with the same bounded rounds
+    cur = edges
+    for _ in range(graphalgs._TRUSS_ROUNDS):
+        adj = {}
+        for a, b in cur:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nxt = {(a, b) for a, b in cur
+               if len(adj[a] & adj[b]) >= graphalgs._TRUSS_K - 2}
+        cur = nxt
+    assert surv == cur
