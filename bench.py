@@ -135,6 +135,8 @@ SUITE: list[tuple[str, str]] = [
     ("q7_volume_shipping", "relational.q7_volume_shipping"),
     ("cluster_silhouette", "similarity.cluster_silhouette"),
     ("graph_ktruss", "graphalgs.ktruss"),
+    ("cluster_prototypes", "similarity.cluster_prototypes"),
+    ("hard_negatives", "similarity.hard_negatives"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

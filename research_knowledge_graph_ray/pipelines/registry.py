@@ -1144,6 +1144,14 @@ QUERIES: dict = {
     # trainer; one broadcast + one streaming score pass
     "cluster_silhouette": (similarity.cluster_silhouette,
                            similarity.cluster_silhouette_sql()),
+    # per-cluster medoid-style representative (the keep-one-exemplar half
+    # of cluster-based data pruning); k rows per block to a k-row fold
+    "cluster_prototypes": (similarity.cluster_prototypes,
+                           similarity.cluster_prototypes_sql()),
+    # contrastive hard-negative mining over the kNN graph — the
+    # knn_classify dataflow keeping the best label-mismatched neighbor
+    "hard_negatives": (similarity.hard_negatives,
+                       similarity.hard_negatives_sql()),
     # reciprocal (mutual) kNN pairs — the high-precision near-dup filter
     # over the kNN graph; one unordered-pair exchange
     "reciprocal_nn": (similarity.reciprocal_nn_pairs,

@@ -885,6 +885,163 @@ ORDER BY rank"""
 
 
 # ---------------------------------------------------------------------------
+# Cluster prototypes (per-cluster representative selection)
+# ---------------------------------------------------------------------------
+
+
+def cluster_prototypes(sf_dir: str, k: int = 8, iters: int = 2) -> pd.DataFrame:
+    """(cluster, vec_id, dist) — the prototype of every k-means cluster: the
+    member vector closest to its centroid (smallest (dist, vec_id)), i.e.
+    the medoid-style representative a cluster-based data-pruning recipe
+    keeps (the "prototypes" half of SemDeDup-style curation: keep one
+    exemplar, drop the redundant shell).
+
+    Dataflow: the integer Lloyd trainer + ONE streaming pass emitting a
+    per-block (cluster, best-dist, best-id) partial — k rows per block, k
+    rows to the driver fold; vectors never move."""
+    ds = _read_embeddings(sf_dir)
+    cents = kmeans_centroids_int(ds, k=k, iters=iters)
+    ref = ray.put(cents)
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        cv = ray.get(ref)
+        ids, q = _km_quant(batch)
+        assign, d = _km_assign(q, cv)
+        dd = d[np.arange(len(ids)), assign]
+        df = pd.DataFrame({"cluster": assign.astype(np.int64),
+                           "vec_id": ids, "dist": dd})
+        df = df.sort_values(["cluster", "dist", "vec_id"], kind="stable")
+        return df.drop_duplicates("cluster")
+
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    out = (parts.sort_values(["cluster", "dist", "vec_id"], kind="stable")
+           .drop_duplicates("cluster").reset_index(drop=True))
+    return out[["cluster", "vec_id", "dist"]].astype(np.int64)
+
+
+def cluster_prototypes_sql(k: int = 8, iters: int = 2) -> str:
+    """Exact restatement of :func:`cluster_prototypes` (kmeans chain +
+    per-cluster argmin tail)."""
+    base = embedding_kmeans_sql(k, iters)
+    chain = base[:base.index("SELECT vec_id, CAST(cid AS BIGINT)")]
+    return chain + """
+, asg AS (
+  SELECT vec_id, cid, d FROM df
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)
+SELECT CAST(cid AS BIGINT) AS cluster, vec_id, CAST(d AS BIGINT) AS dist
+FROM asg
+QUALIFY ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d, vec_id) = 1
+ORDER BY cluster"""
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training pair generation)
+# ---------------------------------------------------------------------------
+
+_HN_CAND = 10
+
+
+def hard_negatives(sf_dir: str, n_cand: int = _HN_CAND) -> "ray.data.Dataset":
+    """(vec_id, neg_id, sim_e6) — hard-negative mining for contrastive
+    training: each vector's most similar neighbor with a DIFFERENT label
+    among its ``n_cand`` nearest (highest sim, smallest neg_id on ties).
+    Vectors whose whole candidate list shares their label emit nothing —
+    exactly the rows a contrastive batch builder can use.
+
+    Dataflow mirrors :func:`knn_classify`: candidates from
+    :func:`knn_join_auto`, neighbor labels through ONE nn_id hash join,
+    then ONE vec_id exchange carrying (vec_id, nn_id, sim, neighbor-label)
+    + (vec_id, own-label) key rows; the reducer filters label mismatches
+    and keeps the per-vector best — ≤ n_cand+1 rows per vector moved,
+    vectors never."""
+    from .join import hash_join
+    from .shuffle import hash_exchange_apply
+
+    knn = knn_join_auto(sf_dir, k=n_cand).map_batches(
+        lambda t: t.select(["vec_id", "nn_id", "sim_e6"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    labels = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(
+        lambda t: pa.table({"nid": t["vec_id"].cast(pa.int64()),
+                            "nl": t["label"].cast(pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    nn_labeled = hash_join(knn, labels, "nn_id", "nid",
+                           ["vec_id", "nn_id", "sim_e6"], ["nid", "nl"],
+                           n_buckets=16).map_batches(
+        lambda t: pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()).combine_chunks(),
+            "nn_id": t["nn_id"].cast(pa.int64()).combine_chunks(),
+            "sim_e6": t["sim_e6"].cast(pa.int64()).combine_chunks(),
+            "nl": t["nl"].cast(pa.int64()).combine_chunks(),
+            "side": pa.array(["nn"] * t.num_rows)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    own = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    ).map_batches(
+        lambda t: pa.table({"vec_id": t["vec_id"].cast(pa.int64()),
+                            "nn_id": pa.array([0] * len(t), pa.int64()),
+                            "sim_e6": pa.array([0] * len(t), pa.int64()),
+                            "nl": t["label"].cast(pa.int64()),
+                            "side": pa.array(["own"] * len(t))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    _schema = pa.schema([("vec_id", pa.int64()), ("neg_id", pa.int64()),
+                         ("sim_e6", pa.int64())])
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "side" not in t.column_names:
+            return _schema.empty_table()
+        df = t.to_pandas()
+        nn = df[df["side"] == "nn"]
+        ow = df[df["side"] == "own"][["vec_id", "nl"]].rename(
+            columns={"nl": "own"})
+        if nn.empty or ow.empty:
+            return _schema.empty_table()
+        j = nn.merge(ow, on="vec_id", how="inner")
+        j = j[j["nl"] != j["own"]]
+        if j.empty:
+            return _schema.empty_table()
+        j = j.sort_values(["vec_id", "sim_e6", "nn_id"],
+                          ascending=[True, False, True], kind="stable")
+        j = j.drop_duplicates("vec_id")
+        return pa.Table.from_pandas(
+            j.rename(columns={"nn_id": "neg_id"})
+            [["vec_id", "neg_id", "sim_e6"]].astype(np.int64)
+            .reset_index(drop=True), preserve_index=False)
+
+    return hash_exchange_apply(nn_labeled.union(own), ["vec_id"],
+                               lambda t: t, pick, n_buckets=16)
+
+
+def hard_negatives_sql(n_cand: int = _HN_CAND) -> str:
+    """Exact restatement of :func:`hard_negatives`."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+          AS sim_e6
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim_e6 DESC, nn_id) AS rnk
+      FROM s),
+knn AS (SELECT vec_id, nn_id, sim_e6 FROM r WHERE rnk <= {n_cand}),
+lab AS (SELECT k.vec_id, k.nn_id, k.sim_e6, e1.label AS own, e2.label AS nl
+        FROM knn k
+        JOIN embeddings e1 ON e1.vec_id = k.vec_id
+        JOIN embeddings e2 ON e2.vec_id = k.nn_id)
+SELECT vec_id, nn_id AS neg_id, sim_e6
+FROM lab WHERE nl != own
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY vec_id ORDER BY sim_e6 DESC, nn_id) = 1
+ORDER BY vec_id"""
+
+
+# ---------------------------------------------------------------------------
 # kNN classification (majority vote over the kNN graph)
 # ---------------------------------------------------------------------------
 
