@@ -137,6 +137,7 @@ SUITE: list[tuple[str, str]] = [
     ("graph_ktruss", "graphalgs.ktruss"),
     ("cluster_prototypes", "similarity.cluster_prototypes"),
     ("hard_negatives", "similarity.hard_negatives"),
+    ("orders_no_returns", "relational.orders_no_returns"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

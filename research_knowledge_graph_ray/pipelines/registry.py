@@ -1431,6 +1431,10 @@ QUERIES.update(
         # pair filter in the reducer, 2x|years|-bounded partials out
         "q7_volume_shipping": (relational.q7_volume_shipping,
                                relational.Q7_VOLUME_SHIPPING_SQL),
+        # ANTI-join twin of q4 (NOT EXISTS) — absence test per bucket, the
+        # empty-probe bucket keeps every order
+        "orders_no_returns": (relational.orders_no_returns,
+                              relational.ORDERS_NO_RETURNS_SQL),
         # TPC-H Q2 shape: per-part cheapest supplier by exact integer avg
         # (two-level grouped argmin, combiner before the one exchange)
         "cheapest_supplier": (relational.cheapest_supplier_per_part,

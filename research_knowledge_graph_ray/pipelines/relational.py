@@ -1431,6 +1431,92 @@ ORDER BY revenue_de4 DESC, n_name
 """
 
 
+def orders_no_returns(sf_dir: str) -> pd.DataFrame:
+    """(o_orderpriority, n_orders) — the ANTI-join twin of
+    :func:`q4_order_priority`: orders of the same quarter with ZERO returned
+    lineitems (NOT EXISTS), counted by priority. Same one-exchange tagged
+    union of key-only distinct returned orderkeys + quarter orders; the
+    reducer keeps the orders whose key is ABSENT from the returned set —
+    correctness hinges on the empty-probe case (no returned keys in a
+    bucket ⇒ every order in that bucket survives), which the semi-join can
+    shortcut but the anti-join must not."""
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    lo = np.datetime64(_Q4_LO, "us")
+    hi = np.datetime64(_Q4_HI, "us")
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"k": t["o_orderkey"].cast(pa.int64()),
+                         "o_orderpriority": t["o_orderpriority"],
+                         "__side": pa.array(["o"] * t.num_rows)})
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        keys = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        return pa.table({"k": keys,
+                         "o_orderpriority": pa.array([""] * len(keys)),
+                         "__side": pa.array(["li"] * len(keys))})
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(li_keys, batch_format="pyarrow", zero_copy_batch=True)
+
+    _schema = pa.schema([("o_orderpriority", pa.string()),
+                         ("n_orders", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _schema.empty_table()
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        if ot.num_rows == 0:
+            return _schema.empty_table()
+        has = np.unique(t.filter(pc.equal(t["__side"], "li"))["k"]
+                        .to_numpy(zero_copy_only=False).astype(np.int64))
+        ok = ot["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(has) == 0:
+            keep = ot  # anti-join: empty probe side keeps EVERY order
+        else:
+            pos = np.searchsorted(has, ok)
+            in_set = (pos < len(has)) & (has[np.minimum(pos, len(has) - 1)] == ok)
+            keep = ot.filter(pa.array(~in_set))
+        if keep.num_rows == 0:
+            return _schema.empty_table()
+        counted = pa.table({
+            "o_orderpriority": keep["o_orderpriority"].cast(pa.string()),
+            "n_orders": np.ones(keep.num_rows, dtype=np.int64),
+        })
+        return arrow_group_agg(counted, ["o_orderpriority"],
+                               [("n_orders", "sum")])
+
+    parts = hash_exchange_apply(orders.union(li), ["k"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
+    if "o_orderpriority" not in parts.columns:  # all-empty → schema-less
+        return pd.DataFrame({"o_orderpriority": pd.Series(dtype=object),
+                             "n_orders": pd.Series(dtype=np.int64)})
+    out = parts.groupby("o_orderpriority", as_index=False).agg(
+        n_orders=("n_orders", "sum")).astype({"n_orders": np.int64})
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+ORDERS_NO_RETURNS_SQL = f"""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{_Q4_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{_Q4_HI} 00:00:00'
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 _Q7_NATION_A = "NATION_1"
 _Q7_NATION_B = "NATION_2"
 _Q7_LO = "1995-01-01"
