@@ -138,6 +138,11 @@ SUITE: list[tuple[str, str]] = [
     ("cluster_prototypes", "similarity.cluster_prototypes"),
     ("hard_negatives", "similarity.hard_negatives"),
     ("orders_no_returns", "relational.orders_no_returns"),
+    ("psi_drift", "stats.psi_drift"),
+    ("trimmed_stats", "stats.trimmed_stats"),
+    ("oov_rate", "textops.oov_rate"),
+    ("source_js", "textops.source_js_divergence"),
+    ("kcenter_select", "similarity.kcenter_select"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

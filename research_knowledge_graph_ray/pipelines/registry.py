@@ -1443,6 +1443,22 @@ QUERIES.update(
         # the SQL-checkable prefix of the composed curate_corpus pipeline
         "curation_funnel": (curate.curation_funnel,
                             curate.CURATION_FUNNEL_SQL),
+        # distribution drift: per-bucket PSI terms between order-date halves
+        # (bin-domain-bounded fold; per-bin identical-double log terms)
+        "psi_drift": (stats.psi_drift, stats.PSI_DRIFT_SQL),
+        # robust profiling: per-group trimmed count/sum — trim by
+        # value-ordered rank over a value-domain-bounded count table, no sort
+        "trimmed_stats": (stats.trimmed_stats, stats.TRIMMED_STATS_SQL),
+        # tokenizer-coverage probe: per-doc OOV counts vs the exact top-V
+        # vocabulary (heavy-hitters exchange → broadcast is_in pass)
+        "oov_rate": (textops.oov_rate, textops.OOV_RATE_SQL),
+        # cross-source distribution shift: per-token Jensen-Shannon terms
+        # over exact integer counts (one key-only token exchange)
+        "source_js": (textops.source_js_divergence, textops.SOURCE_JS_SQL),
+        # greedy k-center coreset (farthest-point traversal), integer-exact
+        # distances on the floor(x*1e6+0.5) grid; k streamed argmax passes
+        "kcenter_select": (similarity.kcenter_select,
+                           similarity.kcenter_select_sql()),
     }
 )
 

@@ -1825,3 +1825,176 @@ WHERE cum.cum >= CAST(CEIL(p.pct * w.n / 100.0) AS BIGINT)
 GROUP BY p.pct, w.lo, w.w
 ORDER BY pct
 """
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI) and robust (trimmed) group statistics
+# ---------------------------------------------------------------------------
+
+_PSI_BINS = 20
+_PSI_SPLIT = "1998-01-01"
+
+
+def psi_drift(sf_dir: str, n_bins: int = _PSI_BINS) -> pd.DataFrame:
+    """(bin, cnt_a, cnt_b, psi_term_e9) — per-bucket Population Stability
+    Index terms of the order-price distribution between two time periods
+    (orders before vs from ``1998-01-01``): the standard drift monitor a
+    training-data pipeline runs between ingestion snapshots.
+
+    Plan: one streamed min/max pass fixes the global fixed-width binning
+    (exactly the ``price_quantile_sketch`` recipe), then one streamed pass
+    emits per-block (bin, period) counts — O(n_bins·2) rows per block, folded
+    on the driver (bin-domain-bounded, ≤ 2·n_bins rows total). Each PSI term
+    ``(p_a − p_b)·ln(p_a/p_b)`` is a single identical-double expression over
+    exact integer counts (the ``daily_type_corr`` float recipe), emitted
+    per-bin so no float summation-order issue exists; bins where either side
+    is empty emit 0 (smoothing-free convention, stated in the oracle too).
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    dataset-drift family.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_totalprice", "o_orderdate"])
+    split_us = np.datetime64(_PSI_SPLIT, "us").astype(np.int64)
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c": np.rint(df["o_totalprice"].to_numpy(np.float64) * 100)
+                 .astype(np.int64),
+            "p": (df["o_orderdate"].to_numpy().astype("datetime64[us]")
+                  .astype(np.int64) >= split_us).astype(np.int64)})
+
+    cds = ds.map_batches(cents, batch_format="pandas")
+    mm = cds.aggregate(Min("c"), Max("c"))
+    lo, hi = int(mm["min(c)"]), int(mm["max(c)"])
+    w = (hi - lo) // n_bins + 1
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        idx = (df["c"].to_numpy(np.int64) - lo) // w
+        p = df["p"].to_numpy(np.int64)
+        a = np.bincount(idx[p == 0], minlength=n_bins).astype(np.int64)
+        b = np.bincount(idx[p == 1], minlength=n_bins).astype(np.int64)
+        return pd.DataFrame({"ha": [a.tobytes()], "hb": [b.tobytes()]})
+
+    parts = cds.map_batches(hist, batch_format="pandas").to_pandas()
+    ha = np.zeros(n_bins, dtype=np.int64)
+    hb = np.zeros(n_bins, dtype=np.int64)
+    for ba, bb in zip(parts["ha"], parts["hb"]):
+        ha += np.frombuffer(ba, dtype=np.int64)
+        hb += np.frombuffer(bb, dtype=np.int64)
+    na, nb = float(int(ha.sum())), float(int(hb.sum()))
+    rows = []
+    for i in range(n_bins):
+        ca, cb = int(ha[i]), int(hb[i])
+        if ca == 0 and cb == 0:
+            continue
+        if ca > 0 and cb > 0:
+            pa_, pb_ = float(ca) / na, float(cb) / nb
+            term = _round_e9((pa_ - pb_) * math.log(pa_ / pb_))
+        else:
+            term = 0
+        rows.append((i, ca, cb, term))
+    return pd.DataFrame(rows, columns=["bin", "cnt_a", "cnt_b",
+                                       "psi_term_e9"]).astype(np.int64)
+
+
+PSI_DRIFT_SQL = f"""
+WITH c AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+                  CASE WHEN o_orderdate >= TIMESTAMP '{_PSI_SPLIT}'
+                       THEN 1 ELSE 0 END AS p
+           FROM orders),
+g AS (SELECT MIN(c) AS lo, MAX(c) AS hi FROM c),
+w AS (SELECT lo, (hi - lo) // {_PSI_BINS} + 1 AS w FROM g),
+h AS (SELECT (c.c - w.lo) // w.w AS bin,
+             CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+      FROM c, w GROUP BY 1),
+n AS (SELECT CAST(SUM(cnt_a) AS DOUBLE) AS na,
+             CAST(SUM(cnt_b) AS DOUBLE) AS nb FROM h)
+SELECT CAST(bin AS BIGINT) AS bin, cnt_a, cnt_b,
+       CASE WHEN cnt_a > 0 AND cnt_b > 0 THEN
+         CAST(ROUND((CAST(cnt_a AS DOUBLE)/na - CAST(cnt_b AS DOUBLE)/nb)
+              * ln((CAST(cnt_a AS DOUBLE)/na) / (CAST(cnt_b AS DOUBLE)/nb))
+              * 1000000000) AS BIGINT)
+       ELSE 0 END AS psi_term_e9
+FROM h, n
+"""
+
+
+_TRIM_PCT = 5
+
+
+def trimmed_stats(sf_dir: str, trim_pct: int = _TRIM_PCT) -> pd.DataFrame:
+    """(o_orderpriority, n_kept, sum_kept_cents) — trimmed (winsor-style
+    drop, not clamp) per-group money stats: per priority class, drop the
+    ``floor(n·trim_pct/100)`` cheapest and most expensive orders, then the
+    exact integer count/sum of the survivors. The robust-mean building block
+    for outlier-resistant dataset profiling.
+
+    Trimming by value-ordered rank depends only on the value MULTISET, so
+    the distributed plan never sorts rows: per-block (priority, cents) value
+    counts → one hash exchange on priority → each reducer holds a
+    value-domain-bounded count table, finds the two cut ranks via cumulative
+    counts and folds the kept mass with Python ints (HUGEINT-parity). Same
+    doctrine as ``exact_group_quantiles``; no row-level shuffle, no sort.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    profiling family (robust statistics before curation thresholds).
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderpriority", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "pri": df["o_orderpriority"],
+            "c": np.rint(df["o_totalprice"].to_numpy(np.float64) * 100)
+                 .astype(np.int64)})
+        return out.groupby(["pri", "c"], as_index=False).size().rename(
+            columns={"size": "n"})
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        if not df.empty:
+            g = df.groupby(["pri", "c"], as_index=False).agg(n=("n", "sum"))
+            for pri, t in g.groupby("pri"):
+                t = t.sort_values("c")
+                cs = t["c"].to_numpy(np.int64)
+                ns = t["n"].to_numpy(np.int64)
+                n = int(ns.sum())
+                k = n * trim_pct // 100
+                cum = np.cumsum(ns)
+                # kept ranks are (k, n-k]; per value row, kept multiplicity =
+                # overlap of its rank interval (cum-n_i, cum] with (k, n-k]
+                lo_r = cum - ns
+                kept = np.minimum(cum, n - k) - np.maximum(lo_r, k)
+                kept = np.maximum(kept, 0)
+                n_kept = int(kept.sum())
+                s = sum(int(c) * int(m) for c, m in zip(cs, kept) if m > 0)
+                rows.append((pri, n_kept, s))
+        return pd.DataFrame(rows, columns=["o_orderpriority", "n_kept",
+                                           "sum_kept_cents"]).astype(
+            {"n_kept": np.int64, "sum_kept_cents": np.int64}) if rows else \
+            pd.DataFrame({"o_orderpriority": pd.Series(dtype="string"),
+                          "n_kept": pd.Series(dtype=np.int64),
+                          "sum_kept_cents": pd.Series(dtype=np.int64)})
+
+    from .shuffle import bucketed_group_apply
+
+    out = bucketed_group_apply(ds, ["pri"], part, fin, n_buckets=4).to_pandas()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+TRIMMED_STATS_SQL = f"""
+WITH c AS (SELECT o_orderpriority AS pri,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+           FROM orders),
+r AS (SELECT pri, c,
+             ROW_NUMBER() OVER (PARTITION BY pri ORDER BY c) AS rk,
+             COUNT(*) OVER (PARTITION BY pri) AS n
+      FROM c)
+SELECT pri AS o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(c) AS BIGINT) AS sum_kept_cents
+FROM r WHERE rk > n * {_TRIM_PCT} // 100 AND rk <= n - n * {_TRIM_PCT} // 100
+GROUP BY pri
+"""

@@ -1699,3 +1699,180 @@ ORDER BY t.n DESC, t.token
 
 
 TOP_TOKENS_CMS_SQL = top_tokens_cms_sql()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage (OOV rate) and cross-source distribution divergence
+# ---------------------------------------------------------------------------
+
+_OOV_V = 10
+
+
+def oov_rate(sf_dir: str, v: int = _OOV_V) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_oov) — per-document out-of-vocabulary token
+    counts against the corpus' exact top-``v`` token vocabulary (count desc,
+    token asc tie-break — the ``top_tokens`` ordering). The tokenizer-
+    coverage probe a training pipeline runs before committing to a vocab.
+
+    Two passes: the vocab comes from the exact heavy-hitters exchange
+    (``top_tokens`` — per-block value_counts, key-only exchange, k-sized
+    result), is broadcast once into the second pass' closure (driver-side
+    object of v strings, shipped once per task by Ray's arg inlining), and
+    the per-doc counts are pure Arrow kernels (split → flatten →
+    parent-index bincount + is_in), so the hot pass is zero-copy and
+    loop-free. All-integer output — exact oracle parity.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    text-analysis family (token counting / vocabulary fit).
+    """
+    vocab = set(top_tokens(sf_dir, v)["token"].tolist())
+    vocab_arr = pa.array(sorted(vocab), type=pa.string())
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        oov = pc.and_(pc.not_equal(flat, ""),
+                      pc.invert(pc.is_in(flat, value_set=vocab_arr))
+                      ).to_numpy(zero_copy_only=False)
+        n = len(batch)
+        n_tok = np.bincount(parent[nonempty], minlength=n).astype(np.int64)
+        n_oov = np.bincount(parent[oov], minlength=n).astype(np.int64)
+        keep = n_tok > 0  # docs with zero tokens don't appear (GROUP BY parity)
+        return pa.table({
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy(zero_copy_only=False)[keep],
+                type=pa.int64()),
+            "n_tokens": pa.array(n_tok[keep]),
+            "n_oov": pa.array(n_oov[keep])})
+
+    return (_read_docs(sf_dir)
+            .map_batches(per_doc, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .to_pandas())
+
+
+OOV_RATE_SQL = f"""
+WITH tok AS (SELECT doc_id, t
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                   FROM documents)
+             WHERE t <> ''),
+vc AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+vocab AS (SELECT t FROM vc ORDER BY n DESC, t LIMIT {_OOV_V})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN t NOT IN (SELECT t FROM vocab) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_oov
+FROM tok GROUP BY doc_id
+"""
+
+
+_JS_SRC_A = "src0"
+_JS_SRC_B = "src1"
+
+
+def source_js_divergence(sf_dir: str, source_a: str = _JS_SRC_A,
+                         source_b: str = _JS_SRC_B) -> pd.DataFrame:
+    """(token, cnt_a, cnt_b, js_term_e9) — per-token Jensen-Shannon
+    divergence terms between the token distributions of two sources: the
+    domain-mismatch / distribution-shift diagnostic run before mixing
+    corpora. Summing ``js_term_e9`` gives JSD·1e9 (natural log).
+
+    One filtered streamed pass (only the two sources' rows leave the scan —
+    predicate applied per block before tokenizing) emits per-block
+    (token, source) counts; one key-only hash exchange on token lands each
+    token's counts in one bucket. The JS term
+    ``(p_a·ln(p_a/m) + p_b·ln(p_b/m))/2, m=(p_a+p_b)/2`` is emitted PER
+    TOKEN as a single identical-double expression over exact integer counts
+    (zero-count sides contribute 0 by the 0·ln0=0 convention), so there is
+    no cross-engine float summation order to diverge — the
+    ``daily_type_corr`` recipe applied rowwise.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    distribution-shift family.
+    """
+    from .shuffle import hash_exchange_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch["source"],
+                        value_set=pa.array([source_a, source_b]))
+        batch = batch.filter(keep)
+        toks = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        src = batch["source"].take(parent)
+        ok = pc.not_equal(flat, "")
+        t = pa.table({"token": flat.filter(ok), "source": src.filter(ok)})
+        g = t.group_by(["token", "source"]).aggregate([([], "count_all")])
+        return pa.table({"token": g["token"],
+                         "a": pc.if_else(pc.equal(g["source"], source_a),
+                                         g["count_all"], 0).cast(pa.int64()),
+                         "b": pc.if_else(pc.equal(g["source"], source_b),
+                                         g["count_all"], 0).cast(pa.int64())})
+
+    def fin(tab: pa.Table) -> pa.Table:
+        return tab.group_by("token").aggregate(
+            [("a", "sum"), ("b", "sum")]).rename_columns(["token", "a", "b"])
+
+    counts = hash_exchange_apply(ds, ["token"], part, fin,
+                                 n_buckets=8).to_pandas()
+    na = float(int(counts["a"].sum()))
+    nb = float(int(counts["b"].sum()))
+    rows = []
+    for tok, ca, cb in zip(counts["token"], counts["a"], counts["b"]):
+        ca, cb = int(ca), int(cb)
+        pa_ = float(ca) / na
+        pb_ = float(cb) / nb
+        m = (pa_ + pb_) / 2.0
+        term = 0.0
+        if ca > 0:
+            term += pa_ * math.log(pa_ / m)
+        if cb > 0:
+            term += pb_ * math.log(pb_ / m)
+        rows.append((tok, ca, cb, _round_e9_scalar(term / 2.0)))
+    out = pd.DataFrame(rows, columns=["token", "cnt_a", "cnt_b",
+                                      "js_term_e9"]).astype(
+        {"cnt_a": np.int64, "cnt_b": np.int64, "js_term_e9": np.int64})
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def _round_e9_scalar(v: float) -> int:
+    """DuckDB ROUND(v·1e9) — half away from zero, double-rounding-safe (the
+    ``stats._round_e9`` recipe, local copy to keep the stages acyclic)."""
+    s = abs(v) * 1e9
+    f = math.floor(s)
+    if s - f >= 0.5:
+        f += 1
+    return int(f) if v >= 0 else -int(f)
+
+
+SOURCE_JS_SQL = f"""
+WITH tok AS (SELECT source, t
+             FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+                   FROM documents
+                   WHERE source IN ('{_JS_SRC_A}', '{_JS_SRC_B}'))
+             WHERE t <> ''),
+h AS (SELECT t AS token,
+             CAST(SUM(CASE WHEN source = '{_JS_SRC_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_a,
+             CAST(SUM(CASE WHEN source = '{_JS_SRC_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_b
+      FROM tok GROUP BY t),
+n AS (SELECT CAST(SUM(cnt_a) AS DOUBLE) AS na,
+             CAST(SUM(cnt_b) AS DOUBLE) AS nb FROM h),
+t AS (SELECT token, cnt_a, cnt_b,
+             CAST(cnt_a AS DOUBLE) / na AS pa,
+             CAST(cnt_b AS DOUBLE) / nb AS pb
+      FROM h, n)
+SELECT token, cnt_a, cnt_b,
+       CAST(ROUND((
+         (CASE WHEN cnt_a > 0 THEN pa * ln(pa / ((pa + pb) / 2.0))
+               ELSE 0.0 END)
+         + (CASE WHEN cnt_b > 0 THEN pb * ln(pb / ((pa + pb) / 2.0))
+                 ELSE 0.0 END)
+       ) / 2.0 * 1000000000) AS BIGINT) AS js_term_e9
+FROM t
+"""
