@@ -143,6 +143,8 @@ SUITE: list[tuple[str, str]] = [
     ("oov_rate", "textops.oov_rate"),
     ("source_js", "textops.source_js_divergence"),
     ("kcenter_select", "similarity.kcenter_select"),
+    ("q10_returned_items", "relational.q10_returned_items"),
+    ("q14_promo_revenue", "relational.q14_promo_revenue"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

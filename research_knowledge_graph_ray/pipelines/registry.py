@@ -1459,6 +1459,14 @@ QUERIES.update(
         # distances on the floor(x*1e6+0.5) grid; k streamed argmax passes
         "kcenter_select": (similarity.kcenter_select,
                            similarity.kcenter_select_sql()),
+        # TPC-H Q10: returned-item customer ranking — two chained big-big
+        # exchange joins (orderkey, then custkey), local top-20 per bucket
+        "q10_returned_items": (relational.q10_returned_items,
+                               relational.Q10_RETURNED_ITEMS_SQL),
+        # TPC-H Q14: promo revenue share — broadcast part dimension into a
+        # pure scan-side partial pass (q6 shape + one lookup)
+        "q14_promo_revenue": (relational.q14_promo_revenue,
+                              relational.Q14_PROMO_REVENUE_SQL),
     }
 )
 

@@ -1801,3 +1801,251 @@ SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
        CAST(avg_price_e4 AS BIGINT) AS avg_price_e4
 FROM a WHERE rn = 1
 """
+
+
+_Q10_LO = "1997-07-01"
+_Q10_HI = "1997-10-01"
+
+
+def q10_returned_items(sf_dir: str) -> pd.DataFrame:
+    """(c_custkey, c_name, n_name, acctbal_cents, revenue_de4) — TPC-H Q10
+    shape: top-20 customers by lost revenue from RETURNED lineitems on one
+    quarter's orders. Integer-exact money (cents × (10000 − discount_bp)).
+
+    Three join levels, none broadcast on the big side: (1) lineitem R-rows
+    pre-aggregate (l_orderkey, rev) inside each scan batch; (2) the quarter's
+    orders union those partials through ONE orderkey exchange, reducers emit
+    (o_custkey, rev) partials — orderkey-bounded rows collapse to
+    custkey-bounded; (3) customer rows union those through ONE custkey
+    exchange, reducers attach n_name from the broadcast 25-row nation map
+    and keep only a LOCAL top-20, so the driver ranks n_buckets×20 rows.
+    Customer is corpus-sized and never broadcast (the q3 doctrine)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    lo = np.datetime64(_Q10_LO, "us")
+    hi = np.datetime64(_Q10_HI, "us")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk_to_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                          nation["n_name"].to_pylist()))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        cents = _cents(t["l_extendedprice"])
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(10000, pa.int64()), bp))
+        g = arrow_group_agg(
+            pa.table({"k": t["l_orderkey"].cast(pa.int64()), "rev": rev}),
+            ["k"], [("rev", "sum")])
+        return g.append_column("__side", pa.array(["li"] * g.num_rows))
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        return pa.table({"k": t["o_orderkey"].cast(pa.int64()),
+                         "rev": pa.nulls(t.num_rows, pa.int64()),
+                         "o_custkey": t["o_custkey"].cast(pa.int64()),
+                         "__side": pa.array(["o"] * t.num_rows)})
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_custkey"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    _mid = pa.schema([("c", pa.int64()), ("rev", pa.int64())])
+
+    def join1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _mid.empty_table()
+        lt = t.filter(pc.equal(t["__side"], "li"))
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return _mid.empty_table()
+        rev = arrow_group_agg(
+            pa.table({"k": lt["k"].cast(pa.int64()),
+                      "rev": lt["rev"].cast(pa.int64())}),
+            ["k"], [("rev", "sum")])
+        ok = pa.table({"k": ot["k"].cast(pa.int64()),
+                       "c": ot["o_custkey"].cast(pa.int64())})
+        j = rev.join(ok, keys="k", join_type="inner")
+        return arrow_group_agg(
+            pa.table({"c": j["c"], "rev": j["rev"]}), ["c"], [("rev", "sum")])
+
+    per_cust = hash_exchange_apply(li.union(orders), ["k"], lambda t: t,
+                                   join1, n_buckets=16)
+
+    def cust_f(t: pa.Table) -> pa.Table:
+        return pa.table({"c": t["c_custkey"].cast(pa.int64()),
+                         "rev": pa.nulls(t.num_rows, pa.int64()),
+                         "c_name": t["c_name"],
+                         "acct": _cents(t["c_acctbal"]),
+                         "nk": t["c_nationkey"].cast(pa.int64()),
+                         "__side2": pa.array(["cu"] * t.num_rows)})
+
+    def rev_view(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c" not in t.column_names:
+            t = _mid.empty_table()
+        return pa.table({"c": t["c"].cast(pa.int64()),
+                         "rev": t["rev"].cast(pa.int64()),
+                         "c_name": pa.nulls(t.num_rows, pa.string()),
+                         "acct": pa.nulls(t.num_rows, pa.int64()),
+                         "nk": pa.nulls(t.num_rows, pa.int64()),
+                         "__side2": pa.array(["rv"] * t.num_rows)})
+
+    cust = read_table(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).map_batches(cust_f, batch_format="pyarrow", zero_copy_batch=True)
+    revs = per_cust.map_batches(rev_view, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    _out = pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string()),
+                      ("n_name", pa.string()), ("acctbal_cents", pa.int64()),
+                      ("revenue_de4", pa.int64())])
+
+    def join2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side2" not in t.column_names:
+            return _out.empty_table()
+        rt = t.filter(pc.equal(t["__side2"], "rv"))
+        ct = t.filter(pc.equal(t["__side2"], "cu"))
+        if rt.num_rows == 0 or ct.num_rows == 0:
+            return _out.empty_table()
+        rev = arrow_group_agg(
+            pa.table({"c": rt["c"].cast(pa.int64()),
+                      "revenue_de4": rt["rev"].cast(pa.int64())}),
+            ["c"], [("revenue_de4", "sum")])
+        cu = pa.table({"c": ct["c"].cast(pa.int64()), "c_name": ct["c_name"],
+                       "acctbal_cents": ct["acct"].cast(pa.int64()),
+                       "nk": ct["nk"].cast(pa.int64())})
+        j = rev.join(cu, keys="c", join_type="inner")
+        names = pa.array([nk_to_name[k] for k in j["nk"].to_pylist()],
+                         pa.string())
+        out = pa.table({"c_custkey": j["c"], "c_name": j["c_name"],
+                        "n_name": names,
+                        "acctbal_cents": j["acctbal_cents"],
+                        "revenue_de4": j["revenue_de4"]})
+        idx = pc.sort_indices(out, sort_keys=[("revenue_de4", "descending"),
+                                              ("c_custkey", "ascending")])
+        return out.take(idx[:20])
+
+    parts = hash_exchange_apply(revs.union(cust), ["c"], lambda t: t,
+                                join2, n_buckets=16).to_pandas()
+    if "c_custkey" not in parts.columns:
+        parts = pd.DataFrame(columns=[f.name for f in _out])
+    out = parts.sort_values(["revenue_de4", "c_custkey"],
+                            ascending=[False, True]).head(20)
+    return out.reset_index(drop=True).astype(
+        {"c_custkey": np.int64, "acctbal_cents": np.int64,
+         "revenue_de4": np.int64})
+
+
+Q10_RETURNED_ITEMS_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_de4
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{_Q10_LO} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{_Q10_HI} 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name, acctbal_cents
+ORDER BY revenue_de4 DESC, c_custkey
+LIMIT 20
+"""
+
+
+_Q14_LO = "1997-09-01"
+_Q14_HI = "1997-10-01"
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """(promo_de4, total_de4, promo_share_e9) one row — TPC-H Q14 promotion
+    effect: the share of one ship-month's discounted revenue coming from
+    PROMO-type parts.
+
+    The part table is the catalog-bound dimension: its (p_partkey →
+    is_promo) map is built once driver-side and broadcast into the scan
+    closure (`ray.put` inlining; the tagged-union exchange on l_partkey is
+    the documented swap if parts outgrow broadcast size). The lineitem pass
+    is then pure scan-side partials — two int64 sums per block, zero
+    exchange (the q6 plan shape with one broadcast lookup added). The final
+    share is one identical-double division of exact ints."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+
+    lo = np.datetime64(_Q14_LO, "us")
+    hi = np.datetime64(_Q14_HI, "us")
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    promo_keys = pa.array(
+        part.filter(pc.equal(part["p_type"], "PROMO"))["p_partkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+    promo_ref = ray.put(promo_keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        keys = ray.get(promo_ref)
+        cents = _cents(t["l_extendedprice"])
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(10000, pa.int64()), bp))
+        is_promo = pc.is_in(t["l_partkey"].cast(pa.int64()), value_set=keys)
+        total = pc.sum(rev)
+        promo = pc.sum(pc.if_else(is_promo, rev, pa.scalar(0, pa.int64())))
+        return pa.table({
+            "promo_de4": pa.array([promo.as_py() or 0], pa.int64()),
+            "total_de4": pa.array([total.as_py() or 0], pa.int64())})
+
+    parts = read_table(
+        sf_dir, "lineitem",
+        columns=["l_shipdate", "l_partkey", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()
+    promo = int(parts["promo_de4"].sum())
+    total = int(parts["total_de4"].sum())
+    share = _round_e9_local(float(promo) / float(total)) if total else 0
+    return pd.DataFrame({"promo_de4": [np.int64(promo)],
+                         "total_de4": [np.int64(total)],
+                         "promo_share_e9": [np.int64(share)]})
+
+
+def _round_e9_local(v: float) -> int:
+    """DuckDB ROUND(v·1e9), half away from zero (the stats recipe)."""
+    import math
+
+    s = abs(v) * 1e9
+    f = math.floor(s)
+    if s - f >= 0.5:
+        f += 1
+    return int(f) if v >= 0 else -int(f)
+
+
+Q14_PROMO_REVENUE_SQL = f"""
+WITH r AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{_Q14_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_Q14_HI} 00:00:00'),
+s AS (SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                  AS BIGINT) AS promo_de4,
+             CAST(SUM(rev) AS BIGINT) AS total_de4 FROM r)
+SELECT promo_de4, total_de4,
+       CAST(ROUND(CAST(promo_de4 AS DOUBLE) / CAST(total_de4 AS DOUBLE)
+                  * 1000000000) AS BIGINT) AS promo_share_e9
+FROM s
+"""
