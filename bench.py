@@ -145,6 +145,9 @@ SUITE: list[tuple[str, str]] = [
     ("kcenter_select", "similarity.kcenter_select"),
     ("q10_returned_items", "relational.q10_returned_items"),
     ("q14_promo_revenue", "relational.q14_promo_revenue"),
+    ("dedup_rate_by_source", "dedup.dedup_rate_by_source"),
+    ("label_balance", "stats.label_balance"),
+    ("embedding_standardize", "stats.embedding_standardize"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

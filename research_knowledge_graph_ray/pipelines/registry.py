@@ -1467,6 +1467,17 @@ QUERIES.update(
         # pure scan-side partial pass (q6 shape + one lookup)
         "q14_promo_revenue": (relational.q14_promo_revenue,
                               relational.Q14_PROMO_REVENUE_SQL),
+        # per-source exact-dup-rate curation report: one key-only fp
+        # exchange, source-domain-bounded driver fold, all-integer output
+        "dedup_rate_by_source": (dedup.dedup_rate_by_source,
+                                 dedup.DEDUP_RATE_BY_SOURCE_SQL),
+        # class-imbalance report: per-label counts + share + entropy terms
+        # (label-domain-bounded fold; per-label identical-double terms)
+        "label_balance": (stats.label_balance, stats.LABEL_BALANCE_SQL),
+        # per-dimension z-score standardization on the int64 quantized grid
+        # (exact sufficient stats, broadcast mu/sigma, streaming transform)
+        "embedding_standardize": (stats.embedding_standardize,
+                                  stats.EMBEDDING_STANDARDIZE_SQL),
     }
 )
 

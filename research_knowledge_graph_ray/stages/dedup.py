@@ -1965,3 +1965,59 @@ SELECT c.cls, CAST(COALESCE(COUNT(j.cls), 0) AS BIGINT) AS n
 FROM classes c LEFT JOIN j ON j.cls = c.cls
 GROUP BY c.cls ORDER BY c.cls
 """
+
+
+def dedup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, n_distinct, n_dups) — the per-source duplicate-rate
+    report a curation run publishes: how much of each source is exact-dup
+    mass (md5 content fingerprint, the `dedup_exact` convention). All-integer
+    output — exact oracle parity.
+
+    One key-only exchange: per-block distinct (source, fp) pairs with their
+    in-block multiplicities (text never leaves the scan task), hash-split on
+    fp so a fingerprint's rows land in one bucket, per-bucket collapse to
+    (source, n_docs, n_distinct) partials — the driver folds
+    O(buckets × |sources|) rows, source-domain-bounded."""
+    from .shuffle import hash_exchange_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        fps = pa.array([hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in batch["text"].to_pylist()])
+        t = pa.table({"source": batch["source"], "fp": fps})
+        g = t.group_by(["source", "fp"]).aggregate([([], "count_all")])
+        return pa.table({"source": g["source"], "fp": g["fp"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    _out = pa.schema([("source", pa.string()), ("n_docs", pa.int64()),
+                      ("n_distinct", pa.int64())])
+
+    def fin(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0 or "fp" not in tab.column_names:
+            return _out.empty_table()
+        g = tab.group_by(["source", "fp"]).aggregate([("n", "sum")])
+        per_src = g.group_by("source").aggregate(
+            [("n_sum", "sum"), ([], "count_all")])
+        return pa.table({"source": per_src["source"],
+                         "n_docs": per_src["n_sum_sum"].cast(pa.int64()),
+                         "n_distinct": per_src["count_all"].cast(pa.int64())})
+
+    parts = hash_exchange_apply(ds, ["fp"], part, fin,
+                                n_buckets=16).to_pandas()
+    out = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_distinct=("n_distinct", "sum"))
+    out["n_dups"] = out["n_docs"] - out["n_distinct"]
+    return out.sort_values("source").reset_index(drop=True).astype(
+        {"n_docs": np.int64, "n_distinct": np.int64, "n_dups": np.int64})
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+WITH f AS (SELECT source, md5(text) AS fp FROM documents),
+g AS (SELECT source, fp, COUNT(*) AS n FROM f GROUP BY 1, 2)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dups
+FROM g GROUP BY source
+"""

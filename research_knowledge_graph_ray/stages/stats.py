@@ -1998,3 +1998,158 @@ SELECT pri AS o_orderpriority,
 FROM r WHERE rk > n * {_TRIM_PCT} // 100 AND rk <= n - n * {_TRIM_PCT} // 100
 GROUP BY pri
 """
+
+
+def label_balance(sf_dir: str) -> pd.DataFrame:
+    """(label, n, share_e9, entropy_term_e9) — class-imbalance report over
+    the embeddings label column: per-class counts, share, and the Shannon
+    entropy contribution ``−p·ln p`` (summing the column gives the corpus'
+    label entropy in nats·1e9) — the balance check run before training on a
+    labeled corpus.
+
+    Per-block label counts (label-domain-bounded Arrow group_by) fold on the
+    driver; each float column is one identical-double expression over exact
+    integer counts, emitted PER LABEL (the psi_drift recipe — no
+    cross-engine float-sum order exists)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("label").aggregate([([], "count_all")])
+        return pa.table({"label": g["label"].cast(pa.int64()),
+                         "n": g["count_all"].cast(pa.int64())})
+
+    counts = (ds.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .to_pandas()  # O(blocks × |labels|)
+              .groupby("label", as_index=False).agg(n=("n", "sum")))
+    total = float(int(counts["n"].sum()))
+    rows = []
+    for lab, n in zip(counts["label"], counts["n"]):
+        n = int(n)
+        p = float(n) / total
+        rows.append((int(lab), n, _round_e9(p), _round_e9(-p * math.log(p))))
+    out = pd.DataFrame(rows, columns=["label", "n", "share_e9",
+                                      "entropy_term_e9"]).astype(np.int64)
+    return out.sort_values("label").reset_index(drop=True)
+
+
+LABEL_BALANCE_SQL = """
+WITH c AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+           FROM embeddings GROUP BY label),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c)
+SELECT CAST(label AS BIGINT) AS label, n,
+       CAST(ROUND(CAST(n AS DOUBLE) / total * 1000000000) AS BIGINT)
+         AS share_e9,
+       CAST(ROUND(-(CAST(n AS DOUBLE) / total)
+                  * ln(CAST(n AS DOUBLE) / total) * 1000000000) AS BIGINT)
+         AS entropy_term_e9
+FROM c, t
+"""
+
+
+_STD_SCALE = 1_000_000
+
+
+def _round_e6_vec(v: np.ndarray) -> np.ndarray:
+    """Vectorized ROUND(v·1e6), half away from zero (the `_round_e9_vec`
+    recipe at e6 — identical IEEE ops per element)."""
+    s = np.abs(v) * 1e6
+    f = np.floor(s)
+    f = f + (s - f >= 0.5)
+    return np.where(v >= 0, f, -f).astype(np.int64)
+
+
+def embedding_standardize(sf_dir: str) -> "ray.data.Dataset":
+    """(vec_id, i, z_e6) — per-dimension z-score standardization of the
+    embedding column (the whitening-lite preprocessing step before
+    clustering / cosine work when dimensions have unequal scales).
+
+    Exactness recipe: coordinates quantize once to the repo's
+    ``floor(x·1e6 + 0.5)`` int64 grid, so the per-dim sufficient statistics
+    (Σq, Σq², n) are EXACT integers (one d-vector pair per block, driver
+    fold with the `embedding_moments` overflow guard); mean and std are then
+    one identical-double expression each, broadcast into a second streaming
+    pass whose per-coordinate ``(q−μ)/σ`` is elementwise-identical IEEE in
+    numpy and DuckDB. Long-form output so every value is hash-gated.
+    Zero-variance dimensions emit 0 (guarded in both engines).
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    embedding-pipeline preprocessing family."""
+
+    def suff(batch: pa.Table) -> pd.DataFrame:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = emb.flatten().to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, -1).astype(np.float64)
+        q = np.floor(x * _STD_SCALE + 0.5).astype(np.int64)
+        return pd.DataFrame({
+            "s": [q.sum(axis=0).tobytes()],
+            "qq": [(q * q).sum(axis=0).tobytes()],
+            "n": [np.int64(q.shape[0])],
+            "qmax": [np.int64(np.abs(q).max(initial=0))]})
+
+    parts = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["embedding"])
+             .map_batches(suff, batch_format="pyarrow", zero_copy_batch=True)
+             .to_pandas())
+    n_total = int(parts["n"].sum())
+    qmax = int(parts["qmax"].max())
+    if n_total * qmax * qmax >= 2 ** 63:
+        raise OverflowError(
+            f"embedding_standardize int64 bound exceeded: n={n_total}, "
+            f"max|q|={qmax}; lower _STD_SCALE for this corpus size")
+    s = np.zeros(len(np.frombuffer(parts["s"].iloc[0], dtype=np.int64)),
+                 dtype=np.int64)
+    qq = np.zeros_like(s)
+    for bs, bq in zip(parts["s"], parts["qq"]):
+        s += np.frombuffer(bs, dtype=np.int64)
+        qq += np.frombuffer(bq, dtype=np.int64)
+    nd = float(n_total)
+    mu = s.astype(np.float64) / nd
+    sd = np.sqrt((qq.astype(np.float64) - s.astype(np.float64)
+                  * s.astype(np.float64) / nd) / nd)
+    mu_ref = ray.put(mu)
+    sd_ref = ray.put(sd)
+
+    def zscore(batch: pa.Table) -> pd.DataFrame:
+        m, d_ = ray.get(mu_ref), ray.get(sd_ref)
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        x = emb.flatten().to_numpy(zero_copy_only=False).reshape(
+            batch.num_rows, -1).astype(np.float64)
+        q = np.floor(x * _STD_SCALE + 0.5)
+        safe = np.where(d_ == 0, 1.0, d_)
+        z = (q - m[None, :]) / safe[None, :]
+        z[:, d_ == 0] = 0.0
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n, d = z.shape
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, d),
+            "i": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "z_e6": _round_e6_vec(z.ravel())})
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(zscore, batch_format="pyarrow", zero_copy_batch=True)
+
+
+EMBEDDING_STANDARDIZE_SQL = f"""
+WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_STD_SCALE} + 0.5)
+              AS BIGINT) AS qx
+  FROM embeddings),
+s AS (SELECT i, CAST(SUM(qx) AS DOUBLE) AS sx,
+             CAST(SUM(qx * qx) AS DOUBLE) AS qq,
+             CAST(COUNT(*) AS DOUBLE) AS n
+      FROM x GROUP BY i),
+m AS (SELECT i, sx / n AS mu, sqrt((qq - sx * sx / n) / n) AS sd FROM s)
+SELECT x.vec_id, CAST(x.i AS BIGINT) AS i,
+       CAST(CASE WHEN m.sd = 0 THEN 0
+                 ELSE ROUND((CAST(x.qx AS DOUBLE) - m.mu) / m.sd * 1000000)
+            END AS BIGINT) AS z_e6
+FROM x JOIN m USING (i)
+"""
