@@ -116,3 +116,56 @@ def test_kcenter_k_exceeding_points_stops(corner_embeddings):
     out = similarity.kcenter_select(corner_embeddings, k=10)
     assert len(out) == 5  # degenerate: stops once every point is selected
     assert out["vec_id"].is_unique
+
+
+def test_q10_top20_bound_and_money_exact(sf_dir):
+    from research_knowledge_graph_ray.pipelines import relational
+
+    df = relational.q10_returned_items(sf_dir)
+    assert len(df) <= 20
+    # ranked by revenue desc with custkey tie-break
+    r = df["revenue_de4"].to_numpy()
+    assert (r[:-1] >= r[1:]).all()
+    assert (r > 0).all()
+
+
+def test_q14_share_bounds(sf_dir):
+    from research_knowledge_graph_ray.pipelines import relational
+
+    df = relational.q14_promo_revenue(sf_dir)
+    assert df.loc[0, "promo_de4"] <= df.loc[0, "total_de4"]
+    assert 0 <= df.loc[0, "promo_share_e9"] <= 10**9
+
+
+def test_dedup_rate_partition(sf_dir):
+    import pyarrow.parquet as pq
+
+    from research_knowledge_graph_ray.stages import dedup
+
+    df = dedup.dedup_rate_by_source(sf_dir)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    assert int(df["n_docs"].sum()) == docs.num_rows
+    assert (df["n_distinct"] <= df["n_docs"]).all()
+    assert (df["n_dups"] == df["n_docs"] - df["n_distinct"]).all()
+
+
+def test_label_balance_shares_and_entropy(sf_dir):
+    from research_knowledge_graph_ray.stages import stats
+
+    df = stats.label_balance(sf_dir)
+    # shares sum to 1 (±1 ulp-of-e9 per label from rounding)
+    assert abs(int(df["share_e9"].sum()) - 10**9) <= len(df)
+    # entropy <= ln(|labels|)
+    assert int(df["entropy_term_e9"].sum()) <= int(
+        math.log(len(df)) * 1e9) + len(df)
+    assert (df["entropy_term_e9"] >= 0).all()
+
+
+def test_embedding_standardize_is_zero_mean_unit_var(sf_dir):
+    from research_knowledge_graph_ray.stages import stats
+
+    df = stats.embedding_standardize(sf_dir).to_pandas()
+    z = df.pivot(index="vec_id", columns="i", values="z_e6").to_numpy() / 1e6
+    # per-dimension population stats of the emitted z-scores
+    assert np.abs(z.mean(axis=0)).max() < 1e-3
+    assert np.abs(z.std(axis=0) - 1.0).max() < 1e-3
