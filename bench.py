@@ -148,6 +148,8 @@ SUITE: list[tuple[str, str]] = [
     ("dedup_rate_by_source", "dedup.dedup_rate_by_source"),
     ("label_balance", "stats.label_balance"),
     ("embedding_standardize", "stats.embedding_standardize"),
+    ("dedup_cluster_histogram", "dedup.dedup_cluster_histogram"),
+    ("event_type_islands", "windows.event_type_islands"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1478,6 +1478,14 @@ QUERIES.update(
         # (exact sufficient stats, broadcast mu/sigma, streaming transform)
         "embedding_standardize": (stats.embedding_standardize,
                                   stats.EMBEDDING_STANDARDIZE_SQL),
+        # dup-cluster size distribution: fp exchange → size histogram
+        # partials (size-domain-bounded driver fold)
+        "dedup_cluster_histogram": (dedup.dedup_cluster_histogram,
+                                    dedup.DEDUP_CLUSTER_HISTOGRAM_SQL),
+        # gaps-and-islands interval build (SCD-style run compaction) — one
+        # user exchange, vectorized boundary-cumsum reducer
+        "event_type_islands": (windows.event_type_islands,
+                               windows.EVENT_TYPE_ISLANDS_SQL),
     }
 )
 

@@ -1621,3 +1621,63 @@ SELECT CAST(win_hour AS BIGINT) AS win_hour,
        CAST(SUM(cents) AS BIGINT) AS value_cents
 FROM x GROUP BY 1 ORDER BY 1
 """
+
+
+def event_type_islands(sf_dir: str) -> pd.DataFrame:
+    """(user_id, event_type, valid_from, valid_to, n_events) — gaps-and-
+    islands: collapse each user's consecutive runs of the same event type
+    into validity intervals (the SCD-style history build / state-transition
+    compaction every warehouse pipeline carries).
+
+    One exchange on user_id (the op inherently needs per-user time order);
+    the reducer is fully vectorized across its bucket: one lexsort by
+    (user, ts, event_id), boundary mask where user OR type changes, cumsum
+    island ids, one groupby min/max/count. No per-user Python loop."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "ts", "event_type"])
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "event_type": pd.Series(dtype="string"),
+                "valid_from": pd.Series(dtype="datetime64[us]"),
+                "valid_to": pd.Series(dtype="datetime64[us]"),
+                "n_events": pd.Series(dtype=np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+        u = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (u[1:] != u[:-1]) | (et[1:] != et[:-1])
+        df["grp"] = np.cumsum(new)
+        out = df.groupby(["grp"], as_index=False).agg(
+            user_id=("user_id", "first"), event_type=("event_type", "first"),
+            valid_from=("ts", "min"), valid_to=("ts", "max"),
+            n_events=("ts", "size"))
+        return out.drop(columns=["grp"]).astype({"user_id": np.int64,
+                                                 "n_events": np.int64})
+
+    from ..stages.shuffle import bucketed_group_apply
+
+    out = bucketed_group_apply(ds, ["user_id"], lambda d: d, fin,
+                               n_buckets=16).to_pandas()
+    return out.sort_values(["user_id", "valid_from",
+                            "event_type"]).reset_index(drop=True)
+
+
+EVENT_TYPE_ISLANDS_SQL = """
+WITH e AS (SELECT user_id, event_id, ts, event_type,
+                  LAG(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           FROM events),
+g AS (SELECT user_id, ts, event_type,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS grp
+      FROM e)
+SELECT user_id, event_type, MIN(ts) AS valid_from, MAX(ts) AS valid_to,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM g GROUP BY user_id, event_type, grp
+"""

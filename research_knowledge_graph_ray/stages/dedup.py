@@ -2021,3 +2021,51 @@ SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
        CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dups
 FROM g GROUP BY source
 """
+
+
+def dedup_cluster_histogram(sf_dir: str) -> pd.DataFrame:
+    """(cluster_size, n_clusters) — the size distribution of exact-dup
+    clusters (md5 fp): the shape report that decides whether dup mass is a
+    few mega-clusters (boilerplate) or a long tail (mirrors), i.e. which
+    near-dup strategy to run next. All-integer.
+
+    Per-block fp counts → ONE key-only fp exchange → per-bucket cluster
+    sizes collapse to a (size → count) histogram partial; the driver folds
+    O(buckets × |distinct sizes|) rows — size-domain-bounded (a corpus has
+    far fewer distinct cluster sizes than clusters)."""
+    from .shuffle import hash_exchange_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        fps = pa.array([hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in batch["text"].to_pylist()])
+        g = pa.table({"fp": fps}).group_by("fp").aggregate([([], "count_all")])
+        return pa.table({"fp": g["fp"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    _out = pa.schema([("cluster_size", pa.int64()), ("n_clusters", pa.int64())])
+
+    def fin(tab: pa.Table) -> pa.Table:
+        if tab.num_rows == 0 or "fp" not in tab.column_names:
+            return _out.empty_table()
+        sizes = tab.group_by("fp").aggregate([("n", "sum")])
+        h = sizes.group_by("n_sum").aggregate([([], "count_all")])
+        return pa.table({"cluster_size": h["n_sum"].cast(pa.int64()),
+                         "n_clusters": h["count_all"].cast(pa.int64())})
+
+    parts = hash_exchange_apply(ds, ["fp"], part, fin,
+                                n_buckets=16).to_pandas()
+    out = parts.groupby("cluster_size", as_index=False).agg(
+        n_clusters=("n_clusters", "sum"))
+    return out.sort_values("cluster_size").reset_index(drop=True).astype(
+        np.int64)
+
+
+DEDUP_CLUSTER_HISTOGRAM_SQL = """
+WITH f AS (SELECT md5(text) AS fp FROM documents),
+c AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY fp)
+SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM c GROUP BY n
+"""

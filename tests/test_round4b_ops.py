@@ -169,3 +169,43 @@ def test_embedding_standardize_is_zero_mean_unit_var(sf_dir):
     # per-dimension population stats of the emitted z-scores
     assert np.abs(z.mean(axis=0)).max() < 1e-3
     assert np.abs(z.std(axis=0) - 1.0).max() < 1e-3
+
+
+def test_dedup_cluster_histogram_planted(tmp_path):
+    from research_knowledge_graph_ray.stages import dedup
+
+    texts = ["unique %d" % i for i in range(6)] + ["dup a"] * 3 + ["dup b"] * 2
+    tab = pa.table({"text": texts})
+    pq.write_table(tab, tmp_path / "documents.parquet")
+    df = dedup.dedup_cluster_histogram(str(tmp_path))
+    got = dict(zip(df["cluster_size"], df["n_clusters"]))
+    assert got == {1: 6, 2: 1, 3: 1}
+
+
+def test_event_type_islands_bruteforce(tmp_path):
+    import itertools
+
+    from research_knowledge_graph_ray.pipelines import windows
+
+    # two users, interleaved runs incl. same-type re-entry and a ts tie
+    ts = pd.to_datetime([
+        "2020-01-01 00:00", "2020-01-01 00:01", "2020-01-01 00:02",
+        "2020-01-01 00:03", "2020-01-01 00:03", "2020-01-01 00:05",
+        "2020-01-01 00:00", "2020-01-01 00:10",
+    ])
+    tab = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array(range(8), pa.int64()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "event_type": ["a", "a", "b", "b", "a", "a", "c", "c"],
+    })
+    pq.write_table(tab, tmp_path / "events.parquet")
+    df = windows.event_type_islands(str(tmp_path))
+    runs = [(u, et, n) for u, et, n
+            in zip(df["user_id"], df["event_type"], df["n_events"])]
+    # user 1: a-run(2), b-run(2), a-run(2 — re-entry after the ts-tie row);
+    # user 2: one c-run(2)
+    assert runs == [(1, "a", 2), (1, "b", 2), (1, "a", 2), (2, "c", 2)]
+    # intervals tile each user's events exactly
+    assert int(df["n_events"].sum()) == 8
+    assert (df["valid_from"] <= df["valid_to"]).all()
