@@ -1486,6 +1486,23 @@ QUERIES.update(
         # user exchange, vectorized boundary-cumsum reducer
         "event_type_islands": (windows.event_type_islands,
                                windows.EVENT_TYPE_ISLANDS_SQL),
+        # TPC-H Q17: correlated per-part AVG as a grouped self-aggregation —
+        # brand broadcast filter, (part,qty)-bounded partials, one exchange,
+        # integer cross-multiplied avg predicate
+        "q17_small_qty_revenue": (relational.q17_small_qty_revenue,
+                                  relational.Q17_SMALL_QTY_REVENUE_SQL),
+        # TPC-H Q18: GROUP-HAVING + join-back fused into one orderkey
+        # exchange, local top-100 per bucket
+        "q18_large_orders": (relational.q18_large_orders,
+                             relational.Q18_LARGE_ORDERS_SQL),
+        # TPC-H Q21: sole-blame supplier — within-order EXISTS/NOT-EXISTS
+        # evaluated per reducer after one orderkey exchange
+        "q21_blame_supplier": (relational.q21_blame_supplier,
+                               relational.Q21_BLAME_SUPPLIER_SQL),
+        # TPC-H Q22: scalar-avg broadcast (integer cross-multiplication) +
+        # custkey anti-join exchange, segment-bounded output
+        "q22_idle_rich": (relational.q22_idle_rich_customers,
+                          relational.Q22_IDLE_RICH_SQL),
     }
 )
 

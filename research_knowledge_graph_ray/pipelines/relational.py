@@ -2049,3 +2049,404 @@ SELECT promo_de4, total_de4,
                   * 1000000000) AS BIGINT) AS promo_share_e9
 FROM s
 """
+
+
+_Q17_BRAND = "Brand#1"
+
+
+def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """(n_small, revenue_cents) one row — TPC-H Q17 small-quantity-order
+    revenue: total extended price of lineitems whose quantity is below 20 %
+    of the per-part average quantity, for one brand's parts.
+
+    The correlated scalar subquery (per-part AVG over the same table)
+    becomes a grouped self-aggregation: the brand's partkeys are a
+    catalog-bound broadcast filter (the q14 recipe); each scan batch then
+    collapses to (partkey, qty) partials carrying (cnt, sum_cents) — qty is
+    1..50 integral, so partial rows are bounded by |parts of brand| × 50,
+    never raw lineitems. ONE partkey exchange reassembles each part's exact
+    (sum_qty, n) and evaluates the avg predicate by integer
+    cross-multiplication 5·q·n < sum_qty (0.2·avg with zero float
+    boundary), summing the surviving cents.
+
+    Reference parity: the reference has no relational layer; this is part
+    of the engine's §2.5/§2.4 aggregation+join surface (SURVEY.md) used by
+    curation pipelines for per-key outlier gating at 100 TB."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    brand_keys = pa.array(
+        part.filter(pc.equal(part["p_brand"], _Q17_BRAND))["p_partkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+    brand_ref = ray.put(brand_keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(brand_ref)
+        t = t.filter(pc.is_in(t["l_partkey"].cast(pa.int64()),
+                              value_set=keys))
+        q = pc.round(t["l_quantity"]).cast(pa.int64())
+        g = arrow_group_agg(
+            pa.table({"pk": t["l_partkey"].cast(pa.int64()),
+                      "q": q,
+                      "cnt": pa.array(np.ones(t.num_rows, np.int64)),
+                      "cents": _cents(t["l_extendedprice"])}),
+            ["pk", "q"], [("cnt", "sum"), ("cents", "sum")])
+        return g
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out = pa.schema([("n_small", pa.int64()), ("revenue_cents", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return _out.empty_table()
+        g = arrow_group_agg(t, ["pk", "q"], [("cnt", "sum"), ("cents", "sum")])
+        pk = g["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = g["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = g["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = g["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-part exact (sum_qty, n) via a second tiny group
+        pg = arrow_group_agg(
+            pa.table({"pk": pk, "sq": q * cnt, "n": cnt}),
+            ["pk"], [("sq", "sum"), ("n", "sum")])
+        ppk = pg["pk"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ppk)
+        ppk, sq, n = (ppk[order],
+                      pg["sq"].to_numpy(zero_copy_only=False)[order],
+                      pg["n"].to_numpy(zero_copy_only=False)[order])
+        pos = np.searchsorted(ppk, pk)
+        small = 5 * q * n[pos] < sq[pos]  # q < 0.2·(sq/n), integer-exact
+        return pa.table({
+            "n_small": pa.array([int(cnt[small].sum())], pa.int64()),
+            "revenue_cents": pa.array([int(cents[small].sum())], pa.int64()),
+        })
+
+    parts = hash_exchange_apply(li, ["pk"], lambda t: t, final,
+                                n_buckets=16).to_pandas()
+    if "n_small" not in parts.columns:
+        return pd.DataFrame({"n_small": [np.int64(0)],
+                             "revenue_cents": [np.int64(0)]})
+    return pd.DataFrame({
+        "n_small": [np.int64(parts["n_small"].sum())],
+        "revenue_cents": [np.int64(parts["revenue_cents"].sum())]})
+
+
+Q17_SMALL_QTY_REVENUE_SQL = f"""
+WITH b AS (SELECT p_partkey FROM part WHERE p_brand = '{_Q17_BRAND}'),
+l AS (SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem JOIN b ON l_partkey = p_partkey),
+a AS (SELECT l_partkey, SUM(q) AS sq, CAST(COUNT(*) AS BIGINT) AS n
+      FROM l GROUP BY 1)
+SELECT CAST(COALESCE(SUM(CASE WHEN 5 * q * n < sq THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_small,
+       CAST(COALESCE(SUM(CASE WHEN 5 * q * n < sq THEN cents ELSE 0 END), 0)
+            AS BIGINT) AS revenue_cents
+FROM l JOIN a USING (l_partkey)
+"""
+
+
+_Q18_MIN_QTY = 250
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """(o_custkey, o_orderkey, totalprice_cents, total_qty) — TPC-H Q18
+    large-volume-customer shape: orders whose total lineitem quantity
+    exceeds a threshold, ranked by order value (top 100, orderkey
+    tiebreak). Integer-exact money and quantities.
+
+    GROUP-HAVING + join-back in ONE exchange: lineitem scan batches
+    pre-collapse to (orderkey, qty) partials; orders rows ride the same
+    tagged union keyed by orderkey, so each reducer owns an orderkey
+    range, finishes the HAVING sum locally, joins the surviving keys to
+    their order row, and emits only a LOCAL top-100 — the driver ranks
+    n_buckets×100 rows. (The testdata schema carries no c_name; the
+    customer join-back of canonical Q18 is q10's demonstrated second
+    exchange and is elided here.)"""
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = arrow_group_agg(
+            pa.table({"k": t["l_orderkey"].cast(pa.int64()),
+                      "qty": pc.round(t["l_quantity"]).cast(pa.int64())}),
+            ["k"], [("qty", "sum")])
+        return pa.table({"k": g["k"], "qty": g["qty"],
+                         "cust": pa.nulls(g.num_rows, pa.int64()),
+                         "price": pa.nulls(g.num_rows, pa.int64()),
+                         "__side": pa.array(["li"] * g.num_rows)})
+
+    def orders_f(t: pa.Table) -> pa.Table:
+        return pa.table({"k": t["o_orderkey"].cast(pa.int64()),
+                         "qty": pa.nulls(t.num_rows, pa.int64()),
+                         "cust": t["o_custkey"].cast(pa.int64()),
+                         "price": _cents(t["o_totalprice"]),
+                         "__side": pa.array(["o"] * t.num_rows)})
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
+                    ).map_batches(li_partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(orders_f, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out = pa.schema([("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+                      ("totalprice_cents", pa.int64()),
+                      ("total_qty", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _out.empty_table()
+        lt = t.filter(pc.equal(t["__side"], "li"))
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return _out.empty_table()
+        qty = arrow_group_agg(
+            pa.table({"k": lt["k"].cast(pa.int64()),
+                      "qty": lt["qty"].cast(pa.int64())}),
+            ["k"], [("qty", "sum")])
+        qty = qty.filter(pc.greater(qty["qty"], _Q18_MIN_QTY))
+        if qty.num_rows == 0:
+            return _out.empty_table()
+        ok = pa.table({"k": ot["k"].cast(pa.int64()),
+                       "cust": ot["cust"].cast(pa.int64()),
+                       "price": ot["price"].cast(pa.int64())})
+        j = qty.join(ok, keys="k", join_type="inner")
+        out = pa.table({"o_custkey": j["cust"], "o_orderkey": j["k"],
+                        "totalprice_cents": j["price"],
+                        "total_qty": j["qty"]})
+        idx = pc.sort_indices(out, sort_keys=[
+            ("totalprice_cents", "descending"), ("o_orderkey", "ascending")])
+        return out.take(idx[:100])
+
+    parts = hash_exchange_apply(li.union(orders), ["k"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
+    if "o_orderkey" not in parts.columns:
+        parts = pd.DataFrame(columns=[f.name for f in _out])
+    out = parts.sort_values(["totalprice_cents", "o_orderkey"],
+                            ascending=[False, True]).head(100)
+    return out.reset_index(drop=True).astype(
+        {c: np.int64 for c in out.columns})
+
+
+Q18_LARGE_ORDERS_SQL = f"""
+WITH q AS (SELECT l_orderkey, CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT))
+                                   AS BIGINT) AS total_qty
+           FROM lineitem GROUP BY 1
+           HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > {_Q18_MIN_QTY})
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(ROUND(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       total_qty
+FROM orders JOIN q ON o_orderkey = l_orderkey
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q21_blame_supplier(sf_dir: str) -> pd.DataFrame:
+    """(l_suppkey, n_orders) top-20 — TPC-H Q21 waiting-supplier shape on
+    the testdata schema: suppliers who were the SOLE supplier with returned
+    ('R') lineitems on a multi-supplier order, counted per supplier. (The
+    canonical query's commit/receipt-date lateness predicate maps to the
+    returnflag here — same EXISTS(other supplier) ∧ NOT EXISTS(other late
+    supplier) correlated shape.)
+
+    Plan: scan batches pre-collapse to (orderkey, suppkey, any_R) partials
+    (max-combine keeps them mergeable across blocks); ONE orderkey exchange
+    lets each reducer evaluate the within-order predicate — ≥2 distinct
+    suppliers, exactly one flagged — and emit supplier-domain-bounded
+    (suppkey, n) partials the driver folds."""
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = pc.if_else(pc.equal(t["l_returnflag"], "R"),
+                       pa.scalar(1, pa.int64()), pa.scalar(0, pa.int64()))
+        return arrow_group_agg(
+            pa.table({"k": t["l_orderkey"].cast(pa.int64()),
+                      "s": t["l_suppkey"].cast(pa.int64()), "r": r}),
+            ["k", "s"], [("r", "max")])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_returnflag"]
+                    ).map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    _out = pa.schema([("l_suppkey", pa.int64()), ("n_orders", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return _out.empty_table()
+        g = arrow_group_agg(t, ["k", "s"], [("r", "max")])
+        per_order = arrow_group_agg(
+            pa.table({"k": g["k"], "ns": pa.array(
+                np.ones(g.num_rows, np.int64)), "nr": g["r"]}),
+            ["k"], [("ns", "sum"), ("nr", "sum")])
+        hit = per_order.filter(pc.and_(
+            pc.greater_equal(per_order["ns"], 2),
+            pc.equal(per_order["nr"], 1)))
+        if hit.num_rows == 0:
+            return _out.empty_table()
+        flagged = g.filter(pc.equal(g["r"], 1))
+        j = flagged.join(hit.select(["k"]), keys="k", join_type="inner")
+        return arrow_group_agg(
+            pa.table({"l_suppkey": j["s"],
+                      "n_orders": pa.array(np.ones(j.num_rows, np.int64))}),
+            ["l_suppkey"], [("n_orders", "sum")])
+
+    parts = hash_exchange_apply(li, ["k"], lambda t: t, final,
+                                n_buckets=16).to_pandas()
+    if "l_suppkey" not in parts.columns:
+        return pd.DataFrame({"l_suppkey": pd.Series(dtype=np.int64),
+                             "n_orders": pd.Series(dtype=np.int64)})
+    out = parts.groupby("l_suppkey", as_index=False).agg(
+        n_orders=("n_orders", "sum"))
+    out = out.sort_values(["n_orders", "l_suppkey"],
+                          ascending=[False, True]).head(20)
+    return out.reset_index(drop=True).astype(np.int64)
+
+
+Q21_BLAME_SUPPLIER_SQL = """
+WITH ls AS (SELECT l_orderkey, l_suppkey,
+                   MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+            FROM lineitem GROUP BY 1, 2),
+o AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS ns,
+             CAST(SUM(r) AS BIGINT) AS nr
+      FROM ls GROUP BY 1)
+SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ls JOIN o USING (l_orderkey)
+WHERE ns >= 2 AND nr = 1 AND r = 1
+GROUP BY 1 ORDER BY n_orders DESC, l_suppkey LIMIT 20
+"""
+
+
+_Q22_CUTOFF = "2000-01-01"
+
+
+def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """(c_mktsegment, n_cust, sum_acctbal_cents) — TPC-H Q22
+    global-sales-opportunity shape: customers with above-average positive
+    account balance and NO orders since a cutoff date, aggregated by
+    market segment. (The phone-prefix predicate of canonical Q22 maps to
+    the segment grouping here; the testdata has no c_phone.)
+
+    Two scalar+anti-join stages, both exchange-light: (1) one streamed
+    scalar pass over customer computes the exact positive-balance
+    sufficient stats (n_pos, sum_pos_cents) as per-block int partials —
+    the avg predicate is then the integer cross-multiplication
+    bal_cents·n_pos > sum_pos_cents, no float boundary; (2) recent orders
+    collapse to key-only distinct custkeys per block and ride ONE custkey
+    exchange with the balance-qualified customer rows, where each reducer
+    anti-joins (NOT EXISTS) and emits segment-domain-bounded partials."""
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    cutoff = np.datetime64(_Q22_CUTOFF, "us")
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        pos = pc.greater(cents, 0)
+        n = pc.sum(pos.cast(pa.int64()))
+        s = pc.sum(pc.if_else(pos, cents, pa.scalar(0, pa.int64())))
+        return pa.table({"n_pos": pa.array([n.as_py() or 0], pa.int64()),
+                         "s_pos": pa.array([s.as_py() or 0], pa.int64())})
+
+    stats = read_table(sf_dir, "customer", columns=["c_acctbal"]
+                       ).map_batches(bal_partial, batch_format="pyarrow",
+                                     zero_copy_batch=True).to_pandas()
+    n_pos = int(stats["n_pos"].sum())
+    s_pos = int(stats["s_pos"].sum())
+
+    def cust_f(t: pa.Table) -> pa.Table:
+        cents = _cents(t["c_acctbal"])
+        # bal > avg_pos  ⟺  bal_cents·n_pos > sum_pos_cents (ints)
+        keep = pc.greater(pc.multiply(cents, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(s_pos, pa.int64()))
+        t = t.filter(keep)
+        return pa.table({"k": t["c_custkey"].cast(pa.int64()),
+                         "seg": t["c_mktsegment"].cast(pa.string()),
+                         "bal": _cents(t["c_acctbal"]),
+                         "__side": pa.array(["c"] * t.num_rows)})
+
+    def orders_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], pa.scalar(cutoff)))
+        keys = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False)
+                         .astype(np.int64))
+        return pa.table({"k": keys,
+                         "seg": pa.nulls(len(keys), pa.string()),
+                         "bal": pa.nulls(len(keys), pa.int64()),
+                         "__side": pa.array(["o"] * len(keys))})
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_acctbal", "c_mktsegment"]
+                      ).map_batches(cust_f, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"]
+                        ).map_batches(orders_keys, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+
+    _out = pa.schema([("c_mktsegment", pa.string()), ("n_cust", pa.int64()),
+                      ("sum_acctbal_cents", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _out.empty_table()
+        ct = t.filter(pc.equal(t["__side"], "c"))
+        if ct.num_rows == 0:
+            return _out.empty_table()
+        active = np.unique(t.filter(pc.equal(t["__side"], "o"))["k"]
+                           .to_numpy(zero_copy_only=False).astype(np.int64))
+        ck = ct["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(active) == 0:
+            keep = ct  # empty probe side: every qualified customer is idle
+        else:
+            pos = np.searchsorted(active, ck)
+            hit = (pos < len(active)) & (
+                active[np.minimum(pos, len(active) - 1)] == ck)
+            keep = ct.filter(pa.array(~hit))
+        if keep.num_rows == 0:
+            return _out.empty_table()
+        return arrow_group_agg(
+            pa.table({"c_mktsegment": keep["seg"].cast(pa.string()),
+                      "n_cust": pa.array(np.ones(keep.num_rows, np.int64)),
+                      "sum_acctbal_cents": keep["bal"].cast(pa.int64())}),
+            ["c_mktsegment"], [("n_cust", "sum"), ("sum_acctbal_cents", "sum")])
+
+    parts = hash_exchange_apply(cust.union(orders), ["k"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
+    if "c_mktsegment" not in parts.columns:
+        return pd.DataFrame({"c_mktsegment": pd.Series(dtype=object),
+                             "n_cust": pd.Series(dtype=np.int64),
+                             "sum_acctbal_cents": pd.Series(dtype=np.int64)})
+    out = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_cust=("n_cust", "sum"),
+        sum_acctbal_cents=("sum_acctbal_cents", "sum"))
+    return out.sort_values("c_mktsegment").reset_index(drop=True).astype(
+        {"n_cust": np.int64, "sum_acctbal_cents": np.int64})
+
+
+Q22_IDLE_RICH_SQL = f"""
+WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+                  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                  AS s_pos
+           FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) > 0)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+       AS sum_acctbal_cents
+FROM customer, s
+WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > s_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
