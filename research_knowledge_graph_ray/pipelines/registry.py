@@ -1503,6 +1503,19 @@ QUERIES.update(
         # custkey anti-join exchange, segment-bounded output
         "q22_idle_rich": (relational.q22_idle_rich_customers,
                           relational.Q22_IDLE_RICH_SQL),
+        # common-neighbor link prediction over the part co-purchase graph —
+        # apex-keyed wedge exchange + pair-keyed anti-join; CN / integer
+        # resource-allocation / preferential-attachment scores
+        "link_prediction": (graphalgs.link_prediction,
+                            graphalgs.link_prediction_sql()),
+        # degree assortativity: six integer sufficient stats over the
+        # symmetrized edge stream, one identical-double Pearson r
+        "graph_assortativity": (
+            graphalgs.degree_assortativity,
+            graphalgs.degree_assortativity_sql(unnest_sql=_UNNEST)),
+        # Zipf's-law fit: exact top-k token counts → e6 ln grid → integer
+        # OLS sufficient stats (driver-side regression over k rows)
+        "zipf_fit": (textops.zipf_fit, textops.zipf_fit_sql()),
     }
 )
 

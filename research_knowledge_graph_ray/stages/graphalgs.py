@@ -1669,3 +1669,265 @@ s{r} AS (
 co{r} AS (SELECT ta, tb FROM s{r} WHERE sup >= {k - 2})""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT ta, tb FROM co{rounds} ORDER BY ta, tb")
+
+
+_LP_TOPK = 50
+_LP_MIN_CO = 2
+
+
+def link_prediction(sf_dir: str, k: int = _LP_TOPK,
+                    min_co: int = _LP_MIN_CO) -> pd.DataFrame:
+    """(part_a, part_b, cn, ra_e9, pa) top-k — common-neighbor link
+    prediction over the part co-purchase graph: parts are adjacent when
+    they appear together in ≥ ``min_co`` orders; NON-adjacent pairs are
+    ranked by shared-neighbor evidence. Three classic scores, all
+    integer-exact: ``cn`` = common-neighbor count, ``ra_e9`` = resource
+    allocation Σ_z 10⁹//d(z) (integer division per apex, order-free int
+    sum — the Adamic-Adar family without the float-log summation hazard),
+    ``pa`` = preferential attachment d(a)·d(b).
+
+    Plan: the thresholded edge set comes from the assoc_rules basket
+    machinery (distinct-basket partials → orderkey exchange → vectorized
+    pair emission → pair exchange); its graph-degree map is catalog-bound
+    and broadcasts. The symmetric adjacency then rides ONE apex-keyed
+    exchange — each reducer owns complete neighborhoods and emits all
+    neighbor pairs with the apex's RA term via the same group-offset index
+    arithmetic as :func:`_basket_pairs` (no per-apex Python loop; int64
+    ``np.add.reduceat`` keeps the RA sums exact) — and a pair-keyed second
+    exchange sums wedge evidence, drops existing edges (tagged-union
+    anti-join) and keeps a LOCAL top-k, so the driver ranks k×buckets
+    rows. Wedge fan-out is Σd² — inherent to the score (the oracle pays it
+    too); the `_BASKET_CAP` guard raises loudly on a degree that would
+    blow it up (the J6 hot-key doctrine: cap/salt + log, never silently).
+
+    Reference parity: generalizes the reference's shared-node candidate
+    generation (`src/services/graph_service.py:231-296`) from "≥1 shared
+    node → candidate" to ranked multi-evidence scoring."""
+    from .shuffle import arrow_group_agg, hash_exchange_apply
+
+    co, _ = _basket_pair_stats(sf_dir)
+    edges = co.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["co"], min_co))
+        .select(["pa", "pb"]),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # graph degree (≠ basket degree): adjacent-part count per part in the
+    # thresholded edge set — catalog-bound, computed driver-side
+    edf = edges.to_pandas()
+    both = pd.concat([edf["pa"], edf["pb"]], ignore_index=True)
+    deg = both.value_counts().sort_index()
+    dk = deg.index.to_numpy(np.int64)
+    dv = deg.to_numpy(np.int64)
+    deg_ref = ray.put((dk, dv))
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = np.concatenate([t["pa"].to_numpy(zero_copy_only=False),
+                            t["pb"].to_numpy(zero_copy_only=False)])
+        d = np.concatenate([t["pb"].to_numpy(zero_copy_only=False),
+                            t["pa"].to_numpy(zero_copy_only=False)])
+        return pa.table({"s": s.astype(np.int64), "t": d.astype(np.int64)})
+
+    und = edges.map_batches(sym, batch_format="pyarrow", zero_copy_batch=True)
+
+    _wedge_schema = pa.schema([
+        ("x", pa.int64()), ("y", pa.int64()), ("cn", pa.int64()),
+        ("ra_e9", pa.int64()), ("is_edge", pa.int8())])
+
+    def wedge_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return _wedge_schema.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = t["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(s)
+        order = np.lexsort((nb, s))
+        s, nb = s[order], nb[order]
+        if nb.max(initial=0) >= 1 << 31:
+            raise ValueError("partkey exceeds 2^31: widen the pair packing")
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = s[1:] != s[:-1]
+        gstart = np.flatnonzero(new)
+        sizes = np.diff(np.append(gstart, n))
+        if sizes.max(initial=0) > _BASKET_CAP:
+            raise ValueError(
+                f"neighborhood of {sizes.max()} exceeds cap {_BASKET_CAP}")
+        g = np.cumsum(new) - 1
+        r = np.arange(n, dtype=np.int64) - gstart[g]
+        cnt = sizes[g] - r - 1
+        total = int(cnt.sum())
+        if total == 0:
+            return _wedge_schema.empty_table()
+        a_idx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        block_start = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        b_idx = a_idx + (np.arange(total, dtype=np.int64) - block_start) + 1
+        dk_, dv_ = ray.get(deg_ref)
+        ra = 10**9 // dv_[np.searchsorted(dk_, s[a_idx])]
+        key = (nb[a_idx] << np.int64(32)) | nb[b_idx]
+        ks = np.argsort(key, kind="stable")
+        key_s, ra_s = key[ks], ra[ks]
+        bnd = np.empty(len(key_s), dtype=bool)
+        bnd[0] = True
+        bnd[1:] = key_s[1:] != key_s[:-1]
+        starts = np.flatnonzero(bnd)
+        uniq = key_s[starts]
+        cn = np.diff(np.append(starts, len(key_s))).astype(np.int64)
+        ra_sum = np.add.reduceat(ra_s, starts)  # int64-exact
+        return pa.table({
+            "x": (uniq >> np.int64(32)).astype(np.int64),
+            "y": (uniq & np.int64(0x7FFFFFFF)).astype(np.int64),
+            "cn": cn, "ra_e9": ra_sum.astype(np.int64),
+            "is_edge": np.zeros(len(uniq), np.int8)})
+
+    wedges = hash_exchange_apply(und, ["s"], lambda t: t, wedge_final)
+
+    edge_rows = edges.map_batches(
+        lambda t: pa.table({
+            "x": t["pa"].cast(pa.int64()), "y": t["pb"].cast(pa.int64()),
+            "cn": pa.array(np.zeros(t.num_rows, np.int64)),
+            "ra_e9": pa.array(np.zeros(t.num_rows, np.int64)),
+            "is_edge": pa.array(np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    _out = pa.schema([("part_a", pa.int64()), ("part_b", pa.int64()),
+                      ("cn", pa.int64()), ("ra_e9", pa.int64()),
+                      ("pa", pa.int64())])
+
+    def score_final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "is_edge" not in t.column_names:
+            return _out.empty_table()
+        wt = t.filter(pc.equal(t["is_edge"], 0))
+        if wt.num_rows == 0:
+            return _out.empty_table()
+        sc = arrow_group_agg(wt.select(["x", "y", "cn", "ra_e9"]),
+                             ["x", "y"], [("cn", "sum"), ("ra_e9", "sum")])
+        et = t.filter(pc.equal(t["is_edge"], 1))
+        if et.num_rows > 0:
+            ek = ((et["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+                   << np.int64(32))
+                  | et["y"].to_numpy(zero_copy_only=False).astype(np.int64))
+            ek = np.unique(ek)
+            sk = ((sc["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+                   << np.int64(32))
+                  | sc["y"].to_numpy(zero_copy_only=False).astype(np.int64))
+            pos = np.searchsorted(ek, sk)
+            hit = (pos < len(ek)) & (ek[np.minimum(pos, len(ek) - 1)] == sk)
+            sc = sc.filter(pa.array(~hit))
+        if sc.num_rows == 0:
+            return _out.empty_table()
+        dk_, dv_ = ray.get(deg_ref)
+        xa = sc["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ya = sc["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        pav = (dv_[np.searchsorted(dk_, xa)]
+               * dv_[np.searchsorted(dk_, ya)]).astype(np.int64)
+        out = pa.table({"part_a": xa, "part_b": ya,
+                        "cn": sc["cn"].cast(pa.int64()),
+                        "ra_e9": sc["ra_e9"].cast(pa.int64()),
+                        "pa": pav})
+        idx = pc.sort_indices(out, sort_keys=[
+            ("cn", "descending"), ("ra_e9", "descending"),
+            ("part_a", "ascending"), ("part_b", "ascending")])
+        return out.take(idx[:k])
+
+    parts = hash_exchange_apply(wedges.union(edge_rows), ["x", "y"],
+                                lambda t: t, score_final).to_pandas()
+    if "part_a" not in parts.columns:
+        parts = pd.DataFrame(columns=[f.name for f in _out])
+    out = parts.sort_values(["cn", "ra_e9", "part_a", "part_b"],
+                            ascending=[False, False, True, True]).head(k)
+    return out.reset_index(drop=True).astype(np.int64)
+
+
+def link_prediction_sql(k: int = _LP_TOPK, min_co: int = _LP_MIN_CO) -> str:
+    """Exact restatement of :func:`link_prediction` (wedge join + anti-join
+    against the ≥min_co co-purchase edge set; ``//`` keeps RA integer)."""
+    return f"""
+WITH b AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem),
+co AS (SELECT a.p AS ta, b.p AS tb FROM b a JOIN b b
+       ON a.k = b.k AND a.p < b.p GROUP BY 1, 2
+       HAVING COUNT(*) >= {min_co}),
+und AS (SELECT ta AS s, tb AS t FROM co UNION ALL SELECT tb, ta FROM co),
+deg AS (SELECT s AS term, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+wed AS (SELECT u1.t AS x, u2.t AS y, u1.s AS apex
+        FROM und u1 JOIN und u2 ON u1.s = u2.s AND u1.t < u2.t),
+sc AS (SELECT x, y, CAST(COUNT(*) AS BIGINT) AS cn,
+              CAST(SUM(1000000000 // d) AS BIGINT) AS ra_e9
+       FROM wed JOIN deg ON apex = term GROUP BY 1, 2),
+ne AS (SELECT sc.x, sc.y, sc.cn, sc.ra_e9 FROM sc
+       LEFT JOIN co ON sc.x = co.ta AND sc.y = co.tb WHERE co.ta IS NULL)
+SELECT CAST(x AS BIGINT) AS part_a, CAST(y AS BIGINT) AS part_b, cn, ra_e9,
+       CAST(da.d * db.d AS BIGINT) AS pa
+FROM ne JOIN deg da ON x = da.term JOIN deg db ON y = db.term
+ORDER BY cn DESC, ra_e9 DESC, part_a, part_b LIMIT {k}
+"""
+
+
+def degree_assortativity(sf_dir: str) -> pd.DataFrame:
+    """(n_edges, sum_dxdy, r_e9) one row — degree assortativity of the
+    entity co-occurrence graph: the Pearson correlation of endpoint degrees
+    over the directed (symmetrized) edge list. Positive r = hubs attach to
+    hubs; the standard structural health check before sampling walks or
+    training GNN-style models on the graph.
+
+    Six exact integer sufficient statistics summarize the whole edge
+    stream (the ``price_qty_regression`` recipe): degrees come from the
+    vocabulary-bound broadcast map, each block folds its (dx, dy) partial
+    sums, the driver adds O(blocks) rows, and r is ONE identical-double
+    expression over exact ints — no float summation order anywhere."""
+    import math
+
+    co, deg_df = _co_graph(sf_dir)
+    dmap_ref = ray.put(dict(zip(deg_df["term"], deg_df["d"].astype(np.int64))))
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        dmap = ray.get(dmap_ref)
+        dx = pd.concat([df["ta"], df["tb"]], ignore_index=True).map(dmap) \
+            .to_numpy(np.int64)
+        dy = pd.concat([df["tb"], df["ta"]], ignore_index=True).map(dmap) \
+            .to_numpy(np.int64)
+        return pd.DataFrame({
+            "n": [np.int64(len(dx))], "sx": [dx.sum()], "sy": [dy.sum()],
+            "sxx": [(dx * dx).sum()], "syy": [(dy * dy).sum()],
+            "sxy": [(dx * dy).sum()]})
+
+    parts = co.map_batches(part, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    sx, sy = int(parts["sx"].sum()), int(parts["sy"].sum())
+    sxx, syy = int(parts["sxx"].sum()), int(parts["syy"].sum())
+    sxy = int(parts["sxy"].sum())
+    den = float(n * sxx - sx * sx) * float(n * syy - sy * sy)
+    if den <= 0:
+        r_e9 = 0
+    else:
+        from .stats import _round_e9
+        r_e9 = _round_e9(float(n * sxy - sx * sy) / math.sqrt(den))
+    return pd.DataFrame({"n_edges": [np.int64(n)],
+                         "sum_dxdy": [np.int64(sxy)],
+                         "r_e9": [np.int64(r_e9)]})
+
+
+def degree_assortativity_sql(unnest_sql: str | None = None) -> str:
+    """Exact restatement of :func:`degree_assortativity` — the same integer
+    sufficient stats, the same single double expression for r."""
+    from ..pipelines.registry import _UNNEST
+
+    u = unnest_sql if unnest_sql is not None else _UNNEST
+    return f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({u})),
+co AS (SELECT a.term AS ta, b.term AS tb FROM dt a JOIN dt b
+       ON a.doc_id = b.doc_id AND a.term < b.term GROUP BY 1, 2),
+und AS (SELECT ta AS s, tb AS t FROM co UNION ALL SELECT tb, ta FROM co),
+deg AS (SELECT s AS term, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1),
+e AS (SELECT da.d AS dx, db.d AS dy FROM und
+      JOIN deg da ON s = da.term JOIN deg db ON t = db.term),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(dx) AS sx, SUM(dy) AS sy,
+              SUM(dx * dx) AS sxx, SUM(dy * dy) AS syy,
+              SUM(dx * dy) AS sxy FROM e)
+SELECT n AS n_edges, CAST(sxy AS BIGINT) AS sum_dxdy,
+       CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE) <= 0 THEN 0
+            ELSE CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                 * 1000000000) AS BIGINT) END AS r_e9
+FROM st
+"""

@@ -1876,3 +1876,79 @@ SELECT token, cnt_a, cnt_b,
        ) / 2.0 * 1000000000) AS BIGINT) AS js_term_e9
 FROM t
 """
+
+
+_ZIPF_K = 100
+
+
+def _round_half_away(v: float) -> int:
+    """DuckDB ROUND semantics (half away from zero) for a scaled double."""
+    f = math.floor(abs(v))
+    if abs(v) - f >= 0.5:
+        f += 1
+    return int(f) if v >= 0 else -int(f)
+
+
+def zipf_fit(sf_dir: str, k: int = _ZIPF_K) -> pd.DataFrame:
+    """(n_ranks, slope_e9, intercept_e9) one row — Zipf's-law fit of the
+    token frequency distribution: the OLS slope of ln(count) on ln(rank)
+    over the exact top-k tokens. Natural corpora sit near slope −1; a
+    synthetic or heavily deduplicated corpus drifts — the standard
+    distributional health check a curation pipeline runs per snapshot.
+
+    Rides the exact heavy-hitters exchange (:func:`top_tokens` — per-block
+    partial counts, one token exchange, k×buckets driver merge), so the
+    regression itself is driver-side over k rows. Each ln value is
+    quantized to an e6 integer grid FIRST (one identical-double ln+round
+    per row — the psi_drift recipe), and the OLS sufficient statistics are
+    exact integer sums over those grid values, so Ray and the oracle
+    divide identical integers; e6 keeps Σx·y far inside int64 at any k.
+
+    Reference parity: no counterpart — brief-mandated text-analysis
+    family (document/corpus statistics)."""
+    top = top_tokens(sf_dir, k=k)
+    n = len(top)
+    if n < 2:
+        return pd.DataFrame({"n_ranks": [np.int64(n)],
+                             "slope_e9": [np.int64(0)],
+                             "intercept_e9": [np.int64(0)]})
+    # rank order is the top_tokens order: count desc, token asc
+    xs = [_round_half_away(math.log(r) * 1e6) for r in range(1, n + 1)]
+    ys = [_round_half_away(math.log(int(c)) * 1e6) for c in top["n"]]
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = float(num) / float(den)
+    intercept_e9 = (float(sy) - slope * float(sx)) / float(n) * 1000.0
+    return pd.DataFrame({
+        "n_ranks": [np.int64(n)],
+        "slope_e9": [np.int64(_round_half_away(slope * 1e9))],
+        "intercept_e9": [np.int64(_round_half_away(intercept_e9))]})
+
+
+def zipf_fit_sql(k: int = _ZIPF_K) -> str:
+    """Exact restatement of :func:`zipf_fit` — same e6 ln grid, same
+    integer sufficient statistics, same double expressions."""
+    return f"""
+WITH c AS (SELECT t AS token, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+           WHERE t <> '' GROUP BY t
+           ORDER BY n DESC, token LIMIT {k}),
+r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank FROM c),
+q AS (SELECT CAST(ROUND(ln(rank) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(n) * 1000000) AS BIGINT) AS y FROM r),
+s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy FROM q)
+SELECT k AS n_ranks,
+       CAST(ROUND(CAST(k * sxy - sx * sy AS DOUBLE)
+                  / CAST(k * sxx - sx * sx AS DOUBLE)
+                  * 1000000000) AS BIGINT) AS slope_e9,
+       CAST(ROUND((CAST(sy AS DOUBLE)
+                   - CAST(k * sxy - sx * sy AS DOUBLE)
+                     / CAST(k * sxx - sx * sx AS DOUBLE)
+                     * CAST(sx AS DOUBLE))
+                  / CAST(k AS DOUBLE) * 1000) AS BIGINT) AS intercept_e9
+FROM s
+"""

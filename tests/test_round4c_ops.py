@@ -93,3 +93,76 @@ def test_q22_empty_probe_keeps_all_rich(tmp_path):
     # avg positive balance = 30.0 -> only custkey 3 qualifies
     assert out.to_dict("records") == [
         {"c_mktsegment": "B", "n_cust": 1, "sum_acctbal_cents": 6000}]
+
+
+def test_link_prediction_nonedges_and_scores(sf_dir):
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    got = graphalgs.link_prediction(sf_dir)
+    assert len(got) > 0
+    # rebuild the edge set brute-force and check every candidate is a
+    # NON-edge with the claimed common-neighbor count
+    li = pq.read_table(f"{sf_dir}/lineitem.parquet",
+                       columns=["l_orderkey", "l_partkey"]).to_pandas()
+    li = li.drop_duplicates()
+    pairs = {}
+    for _, g in li.groupby("l_orderkey"):
+        ps = sorted(set(g["l_partkey"]))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                pairs[(ps[i], ps[j])] = pairs.get((ps[i], ps[j]), 0) + 1
+    edges = {p for p, w in pairs.items() if w >= graphalgs._LP_MIN_CO}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for row in got.itertuples():
+        p = (int(row.part_a), int(row.part_b))
+        assert p not in edges  # predicted links must be non-edges
+        common = adj.get(p[0], set()) & adj.get(p[1], set())
+        assert row.cn == len(common)
+        assert row.ra_e9 == sum(10**9 // len(adj[z]) for z in common)
+        assert row.pa == len(adj[p[0]]) * len(adj[p[1]])
+
+
+def test_assortativity_bounds_and_symmetry(sf_dir):
+    from research_knowledge_graph_ray.stages import graphalgs
+
+    got = graphalgs.degree_assortativity(sf_dir)
+    r = int(got.loc[0, "r_e9"])
+    assert -10**9 <= r <= 10**9  # a correlation, scaled
+    assert int(got.loc[0, "n_edges"]) % 2 == 0  # symmetrized edge list
+
+
+def test_zipf_fit_slope_negative_and_exact(sf_dir):
+    import math
+
+    from research_knowledge_graph_ray.stages import textops
+
+    got = textops.zipf_fit(sf_dir)
+    # frequencies are non-increasing in rank -> OLS slope <= 0
+    assert int(got.loc[0, "slope_e9"]) <= 0
+    # brute-force the same quantized regression from top_tokens
+    top = textops.top_tokens(sf_dir, k=textops._ZIPF_K)
+    n = len(top)
+    xs = [textops._round_half_away(math.log(r) * 1e6)
+          for r in range(1, n + 1)]
+    ys = [textops._round_half_away(math.log(int(c)) * 1e6)
+          for c in top["n"]]
+    sx, sy = sum(xs), sum(ys)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sx * sy
+    den = n * sum(x * x for x in xs) - sx * sx
+    want = textops._round_half_away(num / den * 1e9)
+    assert int(got.loc[0, "slope_e9"]) == want
+
+
+def test_zipf_fit_degenerate_single_token(tmp_path):
+    import pyarrow as pa_mod
+
+    from research_knowledge_graph_ray.stages import textops
+
+    pq.write_table(pa_mod.table({"doc_id": [1], "text": ["hello"]}),
+                   tmp_path / "documents.parquet")
+    out = textops.zipf_fit(str(tmp_path))
+    assert out.loc[0, "n_ranks"] == 1
+    assert out.loc[0, "slope_e9"] == 0
