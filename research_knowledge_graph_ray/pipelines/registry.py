@@ -1516,6 +1516,14 @@ QUERIES.update(
         # Zipf's-law fit: exact top-k token counts → e6 ln grid → integer
         # OLS sufficient stats (driver-side regression over k rows)
         "zipf_fit": (textops.zipf_fit, textops.zipf_fit_sql()),
+        # TPC-H Q9: two catalog-bound broadcast lookups into one lineitem
+        # scan — nation×year-bounded partials, zero exchange
+        "q9_product_profit": (relational.q9_product_profit,
+                              relational.Q9_PRODUCT_PROFIT_SQL),
+        # TPC-H Q8: market share — bloom orders⋈customer, broadcast
+        # part-type/supplier maps, one orderkey exchange, year-bounded fold
+        "q8_market_share": (relational.q8_market_share,
+                            relational.Q8_MARKET_SHARE_SQL),
     }
 )
 

@@ -2450,3 +2450,264 @@ WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) * n_pos > s_pos
                     AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')
 GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
+
+
+def q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """(n_name, l_year, profit_de4) — TPC-H Q9 product-type profit shape on
+    the testdata schema (no partsupp: p_retailprice stands in for supplycost):
+    per supplier nation and ship year, Σ(discounted revenue − retail cost ×
+    quantity), integer-exact at the de4 (cents × basis-point) grid.
+
+    The cheapest possible plan for a three-dimension join: BOTH dimension
+    sides (part → retail cents, supplier → nation) are catalog-bound
+    broadcast maps, so the lineitem pass is pure scan-side partials bounded
+    by |nations| × |years| per block, with a driver fold — ZERO exchange
+    (the q6/q14 doctrine extended to two lookups)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    retail = np.rint(part["p_retailprice"].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+    plut = np.zeros(int(pk.max()) + 1, dtype=np.int64)
+    plut[pk] = retail
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    slut = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    slut[sk] = sn
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nk_name = dict(zip(nation["n_nationkey"].to_pylist(),
+                       nation["n_name"].to_pylist()))
+    luts = ray.put((plut, slut))
+
+    def partial(t: pa.Table) -> pa.Table:
+        pl, sl = ray.get(luts)
+        pkey = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nat = sl[skey]
+        yr = (t["l_shipdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        qty = pc.round(t["l_quantity"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        profit = cents * (10000 - bp) - pl[pkey] * qty * 10000
+        df = pd.DataFrame({"nk": nat, "l_year": yr, "profit_de4": profit})
+        g = df.groupby(["nk", "l_year"], as_index=False).agg(
+            profit_de4=("profit_de4", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+                 "l_discount", "l_shipdate"]
+    ).map_batches(partial, batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()
+    out = parts.groupby(["nk", "l_year"], as_index=False).agg(
+        profit_de4=("profit_de4", "sum"))
+    out["n_name"] = out["nk"].map(nk_name)
+    out = out.sort_values(["n_name", "l_year"]).reset_index(drop=True)
+    return out[["n_name", "l_year", "profit_de4"]].astype(
+        {"l_year": np.int64, "profit_de4": np.int64})
+
+
+Q9_PRODUCT_PROFIT_SQL = """
+SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))
+                - CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                  * CAST(ROUND(l_quantity) AS BIGINT) * 10000)
+            AS BIGINT) AS profit_de4
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_2"
+_Q8_TYPE = "PROMO"
+_Q8_LO = "1995-01-01"
+_Q8_HI = "1997-01-01"
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """(o_year, nation_de4, total_de4, share_e9) — TPC-H Q8 national market
+    share: within one region's customers buying one part type over a
+    two-year window, the share of revenue supplied by one nation, per order
+    year. Integer-exact money; one identical-double division per year.
+
+    The q5/q7 skeleton with conditional partials: region customers come
+    from the orders⋈customer bloom exchange join (customer is corpus-sized,
+    never broadcast); the part-type key set and supplier→nation map are
+    catalog-bound broadcasts into the lineitem scan, which pre-aggregates
+    (orderkey, rev_nation, rev_total); ONE orderkey exchange attaches the
+    order year and collapses to |years|-bounded partials."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+    from ..stages.join import hash_join_bloom
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    lo = np.datetime64(_Q8_LO, "us")
+    hi = np.datetime64(_Q8_HI, "us")
+
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    rk = dict(zip(region["r_name"].to_pylist(),
+                  region["r_regionkey"].to_pylist()))[_Q8_REGION]
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region_nk = pa.array(
+        nation.filter(pc.equal(nation["n_regionkey"], rk))["n_nationkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int32))
+    target_nk = dict(zip(nation["n_name"].to_pylist(),
+                         nation["n_nationkey"].to_pylist()))[_Q8_NATION]
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])
+    type_keys = pa.array(
+        part.filter(pc.equal(part["p_type"], _Q8_TYPE))["p_partkey"]
+        .to_numpy(zero_copy_only=False).astype(np.int64))
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    slut = np.full(int(sk.max()) + 1, -1, dtype=np.int64)
+    slut[sk] = sn
+    bcast = ray.put((type_keys, slut))
+
+    cust = read_table(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["c_nationkey"], value_set=region_nk)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_pre(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                    pc.less(t["o_orderdate"], pa.scalar(hi)))
+        return t.filter(m)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_pre, batch_format="pyarrow", zero_copy_batch=True)
+    obld = hash_join_bloom(orders, cust, "o_custkey", "c_custkey",
+                           ["o_orderkey", "o_custkey", "o_orderdate"],
+                           ["c_custkey"], n_buckets=16)
+
+    def ob_view(t: pa.Table) -> pa.Table:
+        yr = (t["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        return pa.table({
+            "__key": t["o_orderkey"].cast(pa.int64()).combine_chunks(),
+            "o_year": pa.array(yr),
+            "rev_nat": pa.nulls(t.num_rows, pa.int64()),
+            "rev_all": pa.nulls(t.num_rows, pa.int64()),
+            "__side": pa.array(["o"] * t.num_rows)})
+
+    ob = obld.map_batches(ob_view, batch_format="pyarrow", zero_copy_batch=True)
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keys, sl = ray.get(bcast)
+        t = t.filter(pc.is_in(t["l_partkey"].cast(pa.int64()),
+                              value_set=keys))
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        rev = cents * (10000 - bp)
+        skey = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_nat = sl[skey] == target_nk
+        g = arrow_group_agg(
+            pa.table({
+                "__key": t["l_orderkey"].cast(pa.int64()),
+                "o_year": pa.nulls(t.num_rows, pa.int64()),
+                "rev_nat": pa.array(np.where(is_nat, rev, 0)),
+                "rev_all": pa.array(rev)}),
+            ["__key"], [("o_year", "max"), ("rev_nat", "sum"),
+                        ("rev_all", "sum")])
+        return g.append_column("__side", pa.array(["li"] * g.num_rows))
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _mid = pa.schema([("o_year", pa.int64()), ("rev_nat", pa.int64()),
+                      ("rev_all", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return _mid.empty_table()
+        lt = t.filter(pc.equal(t["__side"], "li"))
+        ot = t.filter(pc.equal(t["__side"], "o"))
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return _mid.empty_table()
+        lg = arrow_group_agg(
+            pa.table({"__key": lt["__key"].cast(pa.int64()).combine_chunks(),
+                      "rev_nat": lt["rev_nat"].cast(pa.int64()).combine_chunks(),
+                      "rev_all": lt["rev_all"].cast(pa.int64()).combine_chunks()}),
+            ["__key"], [("rev_nat", "sum"), ("rev_all", "sum")])
+        ok = pa.table({"__key": ot["__key"].cast(pa.int64()).combine_chunks(),
+                       "o_year": ot["o_year"].cast(pa.int64()).combine_chunks()})
+        j = lg.join(ok, keys="__key", join_type="inner")
+        return arrow_group_agg(
+            pa.table({"o_year": j["o_year"], "rev_nat": j["rev_nat"],
+                      "rev_all": j["rev_all"]}),
+            ["o_year"], [("rev_nat", "sum"), ("rev_all", "sum")])
+
+    parts = hash_exchange_apply(li.union(ob), ["__key"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
+    if "o_year" not in parts.columns:
+        return pd.DataFrame({"o_year": pd.Series(dtype=np.int64),
+                             "nation_de4": pd.Series(dtype=np.int64),
+                             "total_de4": pd.Series(dtype=np.int64),
+                             "share_e9": pd.Series(dtype=np.int64)})
+    out = parts.groupby("o_year", as_index=False).agg(
+        nation_de4=("rev_nat", "sum"), total_de4=("rev_all", "sum"))
+    out["share_e9"] = [
+        np.int64(_round_e9_local(float(n) / float(d))) if d else np.int64(0)
+        for n, d in zip(out["nation_de4"], out["total_de4"])]
+    return out.sort_values("o_year").reset_index(drop=True).astype(
+        {"o_year": np.int64, "nation_de4": np.int64, "total_de4": np.int64,
+         "share_e9": np.int64})
+
+
+Q8_MARKET_SHARE_SQL = f"""
+WITH r AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)) AS rev,
+         (SELECT n_name FROM nation WHERE n_nationkey = s_nationkey)
+         = '{_Q8_NATION}' AS is_nat
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{_Q8_LO} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{_Q8_HI} 00:00:00'),
+s AS (SELECT o_year,
+             CAST(SUM(CASE WHEN is_nat THEN rev ELSE 0 END) AS BIGINT)
+             AS nation_de4,
+             CAST(SUM(rev) AS BIGINT) AS total_de4
+      FROM r GROUP BY 1)
+SELECT o_year, nation_de4, total_de4,
+       CASE WHEN total_de4 = 0 THEN 0
+            ELSE CAST(ROUND(CAST(nation_de4 AS DOUBLE)
+                            / CAST(total_de4 AS DOUBLE)
+                            * 1000000000) AS BIGINT) END AS share_e9
+FROM s ORDER BY o_year
+"""

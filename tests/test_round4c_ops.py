@@ -166,3 +166,62 @@ def test_zipf_fit_degenerate_single_token(tmp_path):
     out = textops.zipf_fit(str(tmp_path))
     assert out.loc[0, "n_ranks"] == 1
     assert out.loc[0, "slope_e9"] == 0
+
+
+def test_q9_profit_matches_bruteforce(sf_dir):
+    got = relational.q9_product_profit(sf_dir)
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_retailprice"]).to_pandas()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    li = pq.read_table(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"]).to_pandas()
+    li = (li.merge(part, left_on="l_partkey", right_on="p_partkey")
+            .merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+            .merge(nation, left_on="s_nationkey", right_on="n_nationkey"))
+    cents = np.rint(li["l_extendedprice"] * 100).astype(np.int64)
+    bp = np.rint(li["l_discount"] * 10000).astype(np.int64)
+    retail = np.rint(li["p_retailprice"] * 100).astype(np.int64)
+    qty = np.rint(li["l_quantity"]).astype(np.int64)
+    li["profit"] = cents * (10000 - bp) - retail * qty * 10000
+    li["l_year"] = li["l_shipdate"].dt.year.astype(np.int64)
+    want = (li.groupby(["n_name", "l_year"], as_index=False)
+              .agg(profit_de4=("profit", "sum"))
+              .sort_values(["n_name", "l_year"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, want[["n_name", "l_year", "profit_de4"]], check_dtype=False)
+
+
+def test_q8_share_bounds_and_consistency(sf_dir):
+    got = relational.q8_market_share(sf_dir)
+    # nation revenue never exceeds total; share in [0, 1e9]
+    assert (got["nation_de4"] <= got["total_de4"]).all()
+    assert got["share_e9"].between(0, 1_000_000_000).all()
+    # share is the exact e9 rounding of the integer ratio
+    for _, r in got.iterrows():
+        if r["total_de4"]:
+            want = relational._round_e9_local(
+                float(r["nation_de4"]) / float(r["total_de4"]))
+            assert int(r["share_e9"]) == want
+    # years confined to the window
+    lo = int(relational._Q8_LO[:4])
+    hi = int(relational._Q8_HI[:4])
+    assert got["o_year"].between(lo, hi).all()
+
+
+def test_q8_empty_window_returns_typed_empty(tmp_path, sf_dir):
+    import shutil
+
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "lineitem"]:
+        shutil.copy(f"{sf_dir}/{t}.parquet", tmp_path / f"{t}.parquet")
+    orders = pq.read_table(f"{sf_dir}/orders.parquet")
+    pq.write_table(orders.slice(0, 0), tmp_path / "orders.parquet")
+    out = relational.q8_market_share(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["o_year", "nation_de4", "total_de4",
+                                 "share_e9"]
