@@ -1524,6 +1524,35 @@ QUERIES.update(
         # part-type/supplier maps, one orderkey exchange, year-bounded fold
         "q8_market_share": (relational.q8_market_share,
                             relational.Q8_MARKET_SHARE_SQL),
+        # TPC-H Q13: left-outer count distribution — key-only custkey
+        # exchange, per-bucket histogram collapse, count-domain driver fold
+        "q13_customer_distribution": (
+            relational.q13_customer_distribution,
+            relational.Q13_CUSTOMER_DISTRIBUTION_SQL),
+        # TPC-H Q15: top supplier by quarter revenue — supplier-bounded
+        # scan partials, zero exchange, max-with-ties
+        "q15_top_supplier": (relational.q15_top_supplier,
+                             relational.Q15_TOP_SUPPLIER_SQL),
+        # TPC-H Q19: OR-of-ANDs part×lineitem predicate as broadcast LUT
+        # masks over one scan — zero exchange, zero join
+        "q19_disjunctive_revenue": (relational.q19_disjunctive_revenue,
+                                    relational.Q19_DISJUNCTIVE_SQL),
+        # TPC-H Q2: correlated-MIN supplier per part — packed-int64 argmin
+        # partials, one partkey exchange, catalog driver joins, top-100
+        "q2_min_cost_supplier": (relational.q2_min_cost_supplier,
+                                 relational.Q2_MIN_COST_SUPPLIER_SQL),
+        # TPC-H Q16: COUNT(DISTINCT supplier) per part class — suppkey-
+        # partitioned dedup exchange, group-bounded fold
+        "q16_supplier_part_counts": (relational.q16_supplier_part_counts,
+                                     relational.Q16_SUPPLIER_PART_COUNTS_SQL),
+        # TPC-H Q20: correlated majority-share semi-join — one partkey
+        # exchange, supplier-bounded winner set
+        "q20_dominant_suppliers": (relational.q20_dominant_suppliers,
+                                   relational.Q20_DOMINANT_SUPPLIERS_SQL),
+        # TPC-H Q12: big-big orderkey exchange join, flag×priority-bounded
+        # conditional counts
+        "q12_priority_lines": (relational.q12_priority_lines,
+                               relational.Q12_PRIORITY_LINES_SQL),
     }
 )
 

@@ -2711,3 +2711,613 @@ SELECT o_year, nation_de4, total_de4,
                             * 1000000000) AS BIGINT) END AS share_e9
 FROM s ORDER BY o_year
 """
+
+
+_Q13_EXCLUDE = "1-URGENT"
+
+
+def q13_customer_distribution(sf_dir: str) -> pd.DataFrame:
+    """(c_count, custdist) — TPC-H Q13 customer order-count distribution:
+    how many customers placed exactly k (non-urgent) orders, INCLUDING the
+    zero-order customers the left-outer join exists for.
+
+    The outer join never materializes pairs: both sides stream key-only
+    rows into ONE custkey exchange — customer emits (ck, 0), orders emits
+    per-block (ck, n) count partials — and each reducer collapses its
+    custkeys to a count-of-counts histogram, so the driver folds rows
+    bounded by buckets × max-orders-per-customer, never customers."""
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        lambda t: pa.table({"ck": t["c_custkey"].cast(pa.int64()),
+                            "n": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    def orders_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["o_orderpriority"], _Q13_EXCLUDE))
+        g = arrow_group_agg(
+            pa.table({"ck": t["o_custkey"].cast(pa.int64()),
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}),
+            ["ck"], [("n", "sum")])
+        return g
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderpriority"]
+    ).map_batches(orders_partial, batch_format="pyarrow",
+                  zero_copy_batch=True)
+
+    _out = pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ck" not in t.column_names:
+            return _out.empty_table()
+        g = arrow_group_agg(t, ["ck"], [("n", "sum")])
+        counts, freq = np.unique(
+            g["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True)
+        return pa.table({"c_count": pa.array(counts),
+                         "custdist": pa.array(freq.astype(np.int64))})
+
+    parts = hash_exchange_apply(cust.union(orders), ["ck"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
+    if "c_count" not in parts.columns:
+        return pd.DataFrame({"c_count": pd.Series(dtype=np.int64),
+                             "custdist": pd.Series(dtype=np.int64)})
+    out = parts.groupby("c_count", as_index=False).agg(
+        custdist=("custdist", "sum"))
+    out = out.sort_values(["custdist", "c_count"],
+                          ascending=[False, False]).reset_index(drop=True)
+    return out.astype({"c_count": np.int64, "custdist": np.int64})
+
+
+Q13_CUSTOMER_DISTRIBUTION_SQL = f"""
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_custkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority <> '{_Q13_EXCLUDE}') o
+    ON c_custkey = o_custkey
+  GROUP BY c_custkey) t
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+_Q15_LO = "1996-01-01"
+_Q15_HI = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """(s_suppkey, s_name, total_revenue_de4) — TPC-H Q15 top supplier:
+    the supplier(s) with maximum discounted revenue in one quarter, ties
+    kept (the view + scalar-max shape).
+
+    Supplier is catalog-bound, so the whole query is scan-side partials:
+    each lineitem block collapses to per-suppkey revenue sums (≤ |suppliers|
+    rows), the driver folds and takes the max — zero exchange."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+
+    lo = np.datetime64(_Q15_LO, "us")
+    hi = np.datetime64(_Q15_HI, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "s_suppkey": t["l_suppkey"].to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "rev": cents * (10000 - bp)})
+        g = df.groupby("s_suppkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = read_table(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    ).map_batches(partial, batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype=object),
+                             "total_revenue_de4": pd.Series(dtype=np.int64)})
+    rev = parts.groupby("s_suppkey", as_index=False).agg(
+        total_revenue_de4=("rev", "sum"))
+    top = rev[rev["total_revenue_de4"] == rev["total_revenue_de4"].max()]
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(supp, on="s_suppkey").sort_values(
+        "s_suppkey").reset_index(drop=True)
+    return out[["s_suppkey", "s_name", "total_revenue_de4"]].astype(
+        {"s_suppkey": np.int64, "total_revenue_de4": np.int64})
+
+
+Q15_TOP_SUPPLIER_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+              AS BIGINT) AS total_revenue_de4
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{_Q15_LO} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{_Q15_HI} 00:00:00'
+  GROUP BY 1)
+SELECT s_suppkey, s_name, total_revenue_de4
+FROM r JOIN supplier USING (s_suppkey)
+WHERE total_revenue_de4 = (SELECT MAX(total_revenue_de4) FROM r)
+ORDER BY s_suppkey
+"""
+
+
+_Q19_CLAUSES = [
+    ("Brand#11", 1, 5, 1, 11),
+    ("Brand#22", 1, 10, 10, 20),
+    ("Brand#33", 1, 15, 20, 30),
+]
+
+
+def q19_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """(revenue_de4) one row — TPC-H Q19 discounted revenue under an
+    OR-of-ANDs predicate mixing part attributes (brand, size) with lineitem
+    attributes (quantity).
+
+    Part attributes become two catalog-bound broadcast LUTs (brand-clause
+    id and size per partkey); every clause evaluates as a vectorized mask
+    over the lineitem scan, so the whole disjunction is a single pass with
+    scalar partials — zero exchange, zero join."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    brand = part["p_brand"].to_pylist()
+    size = part["p_size"].to_numpy(zero_copy_only=False).astype(np.int64)
+    clause_id = np.full(int(pk.max()) + 1, -1, dtype=np.int64)
+    size_lut = np.zeros(int(pk.max()) + 1, dtype=np.int64)
+    size_lut[pk] = size
+    bmap = {b: i for i, (b, *_rest) in enumerate(_Q19_CLAUSES)}
+    cid = np.array([bmap.get(b, -1) for b in brand], dtype=np.int64)
+    clause_id[pk] = cid
+    luts = ray.put((clause_id, size_lut))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cl, sl = ray.get(luts)
+        pkey = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = pc.round(t["l_quantity"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        c = cl[pkey]
+        s = sl[pkey]
+        keep = np.zeros(len(pkey), dtype=bool)
+        for i, (_b, slo, shi, qlo, qhi) in enumerate(_Q19_CLAUSES):
+            keep |= ((c == i) & (s >= slo) & (s <= shi)
+                     & (qty >= qlo) & (qty <= qhi))
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        bp = pc.round(pc.multiply(t["l_discount"], 10000)).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        rev = int((cents[keep] * (10000 - bp[keep])).sum())
+        return pa.table({"revenue_de4": pa.array([rev], pa.int64())})
+
+    parts = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(partial, batch_format="pyarrow",
+                  zero_copy_batch=True).to_pandas()
+    return pd.DataFrame(
+        {"revenue_de4": [np.int64(parts["revenue_de4"].sum())]})
+
+
+Q19_DISJUNCTIVE_SQL = """
+SELECT CAST(COALESCE(SUM(
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+         * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT))), 0)
+       AS BIGINT) AS revenue_de4
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE """ + " OR ".join(
+    f"""(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}
+     AND CAST(ROUND(l_quantity) AS BIGINT) BETWEEN {qlo} AND {qhi})"""
+    for b, slo, shi, qlo, qhi in _Q19_CLAUSES)
+
+
+_Q2_SIZE_LO = 10
+_Q2_SIZE_HI = 20
+_Q2_TYPE = "LARGE"
+_Q2_PACK = 1 << 21  # suppkey fits below; packed min = lexicographic argmin
+
+
+def q2_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """(s_acctbal_cents, s_name, n_name, p_partkey, min_price_cents) —
+    TPC-H Q2 minimum-cost-supplier shape on the testdata schema: for every
+    part of one size/type class, the supplier offering the lowest observed
+    price (lineitem extendedprice stands in for partsupp supplycost),
+    suppkey as the deterministic tiebreak, top 100 by account balance.
+
+    The correlated MIN subquery is ONE partkey exchange of packed-int64
+    argmin partials (price_cents << 21 | suppkey — integer min IS the
+    lexicographic (price, suppkey) argmin, the similarity.py:225 trick);
+    supplier/nation attributes are catalog-bound driver-side joins on the
+    ≤|parts| result."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_size", "p_type"])
+    m = pc.and_(pc.and_(pc.greater_equal(part["p_size"], _Q2_SIZE_LO),
+                        pc.less_equal(part["p_size"], _Q2_SIZE_HI)),
+                pc.equal(part["p_type"], _Q2_TYPE))
+    keys = pa.array(part.filter(m)["p_partkey"]
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+    keys_ref = ray.put(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["l_partkey"].cast(pa.int64()),
+                              value_set=ray.get(keys_ref)))
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return arrow_group_agg(
+            pa.table({"pk": t["l_partkey"].cast(pa.int64()),
+                      "packed": pa.array(cents * _Q2_PACK + sk)}),
+            ["pk"], [("packed", "min")])
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out = pa.schema([("pk", pa.int64()), ("packed", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return _out.empty_table()
+        return arrow_group_agg(t, ["pk"], [("packed", "min")])
+
+    parts = hash_exchange_apply(li, ["pk"], lambda t: t, final,
+                                n_buckets=16).to_pandas()
+    cols = ["s_acctbal_cents", "s_name", "n_name", "p_partkey",
+            "min_price_cents"]
+    if "pk" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=(object if c in
+                            ("s_name", "n_name") else np.int64))
+                             for c in cols})
+    parts["p_partkey"] = parts["pk"]
+    parts["min_price_cents"] = parts["packed"] // _Q2_PACK
+    parts["s_suppkey"] = parts["packed"] % _Q2_PACK
+    supp = pq.read_table(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]
+    ).to_pandas()
+    supp["s_acctbal_cents"] = np.rint(
+        supp["s_acctbal"] * 100).astype(np.int64)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"]).to_pandas()
+    out = (parts.merge(supp, on="s_suppkey")
+           .merge(nation, left_on="s_nationkey", right_on="n_nationkey"))
+    out = out.sort_values(
+        ["s_acctbal_cents", "n_name", "s_name", "p_partkey"],
+        ascending=[False, True, True, True]).head(100).reset_index(drop=True)
+    return out[cols].astype({"s_acctbal_cents": np.int64,
+                             "p_partkey": np.int64,
+                             "min_price_cents": np.int64})
+
+
+Q2_MIN_COST_SUPPLIER_SQL = f"""
+WITH cand AS (SELECT p_partkey FROM part
+              WHERE p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}
+                AND p_type = '{_Q2_TYPE}'),
+mp AS (SELECT l_partkey AS p_partkey,
+              MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                  * {_Q2_PACK} + l_suppkey) AS packed
+       FROM lineitem JOIN cand ON l_partkey = p_partkey GROUP BY 1)
+SELECT CAST(ROUND(s_acctbal * 100) AS BIGINT) AS s_acctbal_cents,
+       s_name, n_name, p_partkey,
+       CAST(packed // {_Q2_PACK} AS BIGINT) AS min_price_cents
+FROM mp JOIN supplier ON packed % {_Q2_PACK} = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+_Q16_BRAND_NOT = "Brand#45"
+_Q16_TYPE_NOT = "PROMO"
+_Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+_Q16_COMPLAINT_SUFFIX = "7"
+
+
+def q16_supplier_part_counts(sf_dir: str) -> pd.DataFrame:
+    """(p_brand, p_type, p_size, supplier_cnt) — TPC-H Q16 supplier count
+    per part-attribute group: distinct suppliers observed shipping parts of
+    each (brand, type, size) class, excluding complaint-list suppliers
+    (lineitem stands in for partsupp as the part↔supplier association).
+
+    COUNT(DISTINCT) across groups partitions on SUPPKEY, not the group key:
+    the scan emits block-distinct (group-id, suppkey) pairs, one suppkey
+    exchange dedups globally (each supplier lives in exactly one bucket, so
+    per-group partial counts add without double-counting), and the driver
+    folds rows bounded by |groups| × buckets."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    m = pc.and_(pc.and_(pc.not_equal(part["p_brand"], _Q16_BRAND_NOT),
+                        pc.not_equal(part["p_type"], _Q16_TYPE_NOT)),
+                pc.is_in(part["p_size"],
+                         value_set=pa.array(list(_Q16_SIZES),
+                                            part["p_size"].type)))
+    part = part.filter(m)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    groups = pd.DataFrame({
+        "p_brand": part["p_brand"].to_pylist(),
+        "p_type": part["p_type"].to_pylist(),
+        "p_size": part["p_size"].to_numpy(zero_copy_only=False)
+        .astype(np.int64)}).drop_duplicates().reset_index(drop=True)
+    gkey = {(b, t, s): i for i, (b, t, s) in enumerate(
+        zip(groups["p_brand"], groups["p_type"], groups["p_size"]))}
+    gid_of_part = np.array(
+        [gkey[(b, t, int(s))] for b, t, s in zip(
+            part["p_brand"].to_pylist(), part["p_type"].to_pylist(),
+            part["p_size"].to_numpy(zero_copy_only=False))],
+        dtype=np.int64)
+    max_pk = int(pk.max()) if len(pk) else 0
+    gid_lut = np.full(max_pk + 1, -1, dtype=np.int64)
+    gid_lut[pk] = gid_of_part
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    bad = pa.array(
+        supp.filter(pc.ends_with(supp["s_name"], _Q16_COMPLAINT_SUFFIX))
+        ["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    bcast = ray.put((gid_lut, bad))
+
+    def partial(t: pa.Table) -> pa.Table:
+        gl, badkeys = ray.get(bcast)
+        pkey = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (pkey <= len(gl) - 1) & (gl[np.minimum(pkey, len(gl) - 1)] >= 0)
+        t = t.filter(pa.array(ok))
+        t = t.filter(pc.invert(pc.is_in(
+            t["l_suppkey"].cast(pa.int64()), value_set=badkeys)))
+        pkey = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = pa.table({"gid": pa.array(gl[pkey]),
+                      "sk": t["l_suppkey"].cast(pa.int64())})
+        return d.group_by(["gid", "sk"]).aggregate([])
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey"]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out = pa.schema([("gid", pa.int64()), ("n", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "gid" not in t.column_names:
+            return _out.empty_table()
+        d = t.group_by(["gid", "sk"]).aggregate([])
+        return arrow_group_agg(
+            pa.table({"gid": d["gid"],
+                      "n": pa.array(np.ones(d.num_rows, np.int64))}),
+            ["gid"], [("n", "sum")])
+
+    parts = hash_exchange_apply(li, ["sk"], lambda t: t, final,
+                                n_buckets=16).to_pandas()
+    if "gid" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame({"p_brand": pd.Series(dtype=object),
+                             "p_type": pd.Series(dtype=object),
+                             "p_size": pd.Series(dtype=np.int64),
+                             "supplier_cnt": pd.Series(dtype=np.int64)})
+    agg = parts.groupby("gid", as_index=False).agg(supplier_cnt=("n", "sum"))
+    out = groups.join(agg.set_index("gid"), how="inner")
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True]).reset_index(drop=True)
+    return out[["p_brand", "p_type", "p_size", "supplier_cnt"]].astype(
+        {"p_size": np.int64, "supplier_cnt": np.int64})
+
+
+Q16_SUPPLIER_PART_COUNTS_SQL = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{_Q16_BRAND_NOT}' AND p_type <> '{_Q16_TYPE_NOT}'
+  AND p_size IN {_Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%{_Q16_COMPLAINT_SUFFIX}')
+GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+_Q20_PREFIX = "small"
+_Q20_LO = "1996-01-01"
+_Q20_HI = "1997-01-01"
+
+
+def q20_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
+    """(s_suppkey, s_name) — TPC-H Q20 nested-semi-join shape: suppliers
+    who shipped MORE THAN HALF of some prefix-named part's total quantity
+    in one year (availqty > 0.5·sum(qty) restated over the observed
+    shipments; integer cross-multiplication 2·q > total avoids the 0.5).
+
+    Prefix partkeys broadcast into the scan; per-block (partkey, suppkey)
+    qty partials; ONE partkey exchange evaluates the correlated total and
+    emits the qualifying suppkeys (supplier-domain-bounded); the final
+    name join is a catalog lookup on the driver."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_name"])
+    keys = pa.array(
+        part.filter(pc.starts_with(part["p_name"], _Q20_PREFIX))
+        ["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64))
+    keys_ref = ray.put(keys)
+    lo = np.datetime64(_Q20_LO, "us")
+    hi = np.datetime64(_Q20_HI, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        t = t.filter(pc.is_in(t["l_partkey"].cast(pa.int64()),
+                              value_set=ray.get(keys_ref)))
+        return arrow_group_agg(
+            pa.table({"pk": t["l_partkey"].cast(pa.int64()),
+                      "sk": t["l_suppkey"].cast(pa.int64()),
+                      "q": pc.round(t["l_quantity"]).cast(pa.int64())}),
+            ["pk", "sk"], [("q", "sum")])
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out = pa.schema([("sk", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return _out.empty_table()
+        g = arrow_group_agg(t, ["pk", "sk"], [("q", "sum")])
+        df = g.to_pandas()
+        tot = df.groupby("pk")["q"].transform("sum")
+        win = df.loc[2 * df["q"] > tot, "sk"].drop_duplicates()
+        return pa.table({"sk": pa.array(win.to_numpy(np.int64))})
+
+    parts = hash_exchange_apply(li, ["pk"], lambda t: t, final,
+                                n_buckets=16).to_pandas()
+    if "sk" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype=np.int64),
+                             "s_name": pd.Series(dtype=object)})
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    sk = parts["sk"].drop_duplicates()
+    out = supp[supp["s_suppkey"].isin(set(sk))].sort_values(
+        "s_suppkey").reset_index(drop=True)
+    return out[["s_suppkey", "s_name"]].astype({"s_suppkey": np.int64})
+
+
+Q20_DOMINANT_SUPPLIERS_SQL = f"""
+WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_PREFIX}%'),
+agg AS (SELECT l_partkey, l_suppkey,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS q
+        FROM lineitem JOIN pp ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '{_Q20_LO} 00:00:00'
+          AND l_shipdate < TIMESTAMP '{_Q20_HI} 00:00:00'
+        GROUP BY 1, 2),
+tot AS (SELECT l_partkey, SUM(q) AS tq FROM agg GROUP BY 1)
+SELECT DISTINCT s_suppkey, s_name
+FROM agg JOIN tot USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE 2 * q > tq ORDER BY s_suppkey
+"""
+
+
+_Q12_LO = "1996-01-01"
+_Q12_HI = "1997-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """(l_returnflag, high_line_count, low_line_count) — TPC-H Q12 shape on
+    the testdata schema (no l_shipmode: l_returnflag takes its place as the
+    grouping column; the orders join still carries the priority split).
+
+    Both sides are corpus-sized, so this is ONE orderkey exchange: lineitem
+    blocks collapse to (orderkey, flag)-keyed line counts, orders blocks
+    ship (orderkey, is_high) bits, and each reducer joins locally and emits
+    flag×2-bounded partials for a driver fold."""
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    lo = np.datetime64(_Q12_LO, "us")
+    hi = np.datetime64(_Q12_HI, "us")
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)))
+        t = t.filter(m)
+        g = arrow_group_agg(
+            pa.table({"__key": t["l_orderkey"].cast(pa.int64()),
+                      "flag": t["l_returnflag"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}),
+            ["__key", "flag"], [("n", "sum")])
+        return g.append_column("hi", pa.nulls(g.num_rows, pa.int64()))
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_shipdate"]
+    ).map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def o_view(t: pa.Table) -> pa.Table:
+        is_hi = pc.is_in(t["o_orderpriority"],
+                         value_set=pa.array(list(_Q12_HIGH))).cast(pa.int64())
+        return pa.table({"__key": t["o_orderkey"].cast(pa.int64()),
+                         "flag": pa.nulls(t.num_rows, pa.string()),
+                         "n": pa.nulls(t.num_rows, pa.int64()),
+                         "hi": is_hi})
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(o_view, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out = pa.schema([("l_returnflag", pa.string()),
+                      ("high_line_count", pa.int64()),
+                      ("low_line_count", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "flag" not in t.column_names:
+            return _out.empty_table()
+        lt = t.filter(pc.is_valid(t["flag"]))
+        ot = t.filter(pc.is_valid(t["hi"]))
+        if lt.num_rows == 0 or ot.num_rows == 0:
+            return _out.empty_table()
+        lg = arrow_group_agg(
+            pa.table({"__key": lt["__key"].cast(pa.int64()).combine_chunks(),
+                      "flag": lt["flag"].combine_chunks(),
+                      "n": lt["n"].cast(pa.int64()).combine_chunks()}),
+            ["__key", "flag"], [("n", "sum")])
+        ok = pa.table({"__key": ot["__key"].cast(pa.int64()).combine_chunks(),
+                       "hi": ot["hi"].cast(pa.int64()).combine_chunks()})
+        j = lg.join(ok, keys="__key", join_type="inner")
+        n = j["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi_bit = j["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return arrow_group_agg(
+            pa.table({"l_returnflag": j["flag"],
+                      "high_line_count": pa.array(n * hi_bit),
+                      "low_line_count": pa.array(n * (1 - hi_bit))}),
+            ["l_returnflag"],
+            [("high_line_count", "sum"), ("low_line_count", "sum")])
+
+    parts = hash_exchange_apply(li.union(orders), ["__key"], lambda t: t,
+                                final, n_buckets=16).to_pandas()
+    if "l_returnflag" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype=object),
+                             "high_line_count": pd.Series(dtype=np.int64),
+                             "low_line_count": pd.Series(dtype=np.int64)})
+    out = parts.groupby("l_returnflag", as_index=False).agg(
+        high_line_count=("high_line_count", "sum"),
+        low_line_count=("low_line_count", "sum"))
+    out = out.sort_values("l_returnflag").reset_index(drop=True)
+    return out.astype({"high_line_count": np.int64,
+                       "low_line_count": np.int64})
+
+
+Q12_PRIORITY_LINES_SQL = f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('{_Q12_HIGH[0]}',
+                '{_Q12_HIGH[1]}') THEN 1 ELSE 0 END) AS BIGINT)
+       AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('{_Q12_HIGH[0]}',
+                '{_Q12_HIGH[1]}') THEN 0 ELSE 1 END) AS BIGINT)
+       AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{_Q12_LO} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{_Q12_HI} 00:00:00'
+GROUP BY 1 ORDER BY 1
+"""
