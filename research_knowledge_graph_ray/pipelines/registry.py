@@ -1553,6 +1553,10 @@ QUERIES.update(
         # conditional counts
         "q12_priority_lines": (relational.q12_priority_lines,
                                relational.Q12_PRIORITY_LINES_SQL),
+        # TPC-H Q11: global-share HAVING — one partkey exchange, driver
+        # folds bucket subtotals, integer cross-multiplied threshold
+        "q11_important_stock": (relational.q11_important_stock,
+                                relational.Q11_IMPORTANT_STOCK_SQL),
     }
 )
 

@@ -3321,3 +3321,74 @@ WHERE l_shipdate >= TIMESTAMP '{_Q12_LO} 00:00:00'
   AND l_shipdate < TIMESTAMP '{_Q12_HI} 00:00:00'
 GROUP BY 1 ORDER BY 1
 """
+
+
+_Q11_NUM = 3  # keep parts with value > 1.5 x the mean part value
+_Q11_DEN = 2
+
+
+def q11_important_stock(sf_dir: str) -> pd.DataFrame:
+    """(p_partkey, value_cents) — TPC-H Q11 important-stock shape: parts
+    whose total shipped value (price × quantity) exceeds a multiple of the
+    MEAN part value, descending by value (lineitem stands in for partsupp
+    availqty × supplycost; the mean-relative threshold is the
+    scale-invariant restatement of Q11's fixed global fraction — a fixed
+    fraction empties as |parts| grows).
+
+    The correlated global-scalar HAVING needs no second pass: ONE partkey
+    exchange yields exact per-part values, the driver folds bucket
+    subtotals into (total, n_parts) and applies the integer
+    cross-multiplied threshold value·DEN·n > NUM·total in Python ints
+    (arbitrary precision — no wrap at any scale)."""
+    from ..sources.tables import read_table
+    from ..stages.shuffle import arrow_group_agg, hash_exchange_apply
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        qty = pc.round(t["l_quantity"]).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return arrow_group_agg(
+            pa.table({"pk": t["l_partkey"].cast(pa.int64()),
+                      "v": pa.array(cents * qty)}),
+            ["pk"], [("v", "sum")])
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    ).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    _out = pa.schema([("pk", pa.int64()), ("v", pa.int64())])
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.column_names:
+            return _out.empty_table()
+        return arrow_group_agg(t, ["pk"], [("v", "sum")])
+
+    parts = hash_exchange_apply(li, ["pk"], lambda t: t, final,
+                                n_buckets=16).to_pandas()
+    if "pk" not in parts.columns or len(parts) == 0:
+        return pd.DataFrame({"p_partkey": pd.Series(dtype=np.int64),
+                             "value_cents": pd.Series(dtype=np.int64)})
+    total = int(parts["v"].sum())
+    n = len(parts)
+    keep = parts[parts["v"].astype(object) * _Q11_DEN * n
+                 > _Q11_NUM * total]
+    out = keep.rename(columns={"pk": "p_partkey", "v": "value_cents"})
+    out = out.sort_values(["value_cents", "p_partkey"],
+                          ascending=[False, True]).reset_index(drop=True)
+    return out[["p_partkey", "value_cents"]].astype(
+        {"p_partkey": np.int64, "value_cents": np.int64})
+
+
+Q11_IMPORTANT_STOCK_SQL = f"""
+WITH v AS (SELECT l_partkey AS p_partkey,
+                  CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * CAST(ROUND(l_quantity) AS BIGINT))
+                       AS BIGINT) AS value_cents
+           FROM lineitem GROUP BY 1)
+SELECT p_partkey, value_cents FROM v
+WHERE CAST(value_cents AS HUGEINT) * {_Q11_DEN}
+      * (SELECT COUNT(*) FROM v)
+      > CAST({_Q11_NUM} AS HUGEINT) * (SELECT SUM(value_cents) FROM v)
+ORDER BY value_cents DESC, p_partkey
+"""

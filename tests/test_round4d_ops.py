@@ -149,3 +149,15 @@ def test_q2_packed_argmin_tiebreaks_on_suppkey(tmp_path):
     assert len(out) == 1
     assert out.loc[0, "s_name"] == "Supplier#8"
     assert out.loc[0, "min_price_cents"] == 500
+
+
+def test_q11_threshold_planted(tmp_path):
+    # values 100, 100, 100, 1000 -> mean 325; 1.5x mean = 487.5; only the
+    # 1000-value part qualifies
+    pq.write_table(pa.table({
+        "l_partkey": [1, 2, 3, 4],
+        "l_quantity": [1.0, 1.0, 1.0, 1.0],
+        "l_extendedprice": [1.00, 1.00, 1.00, 10.00],
+    }), tmp_path / "lineitem.parquet")
+    out = relational.q11_important_stock(str(tmp_path))
+    assert out.to_dict("records") == [{"p_partkey": 4, "value_cents": 1000}]
