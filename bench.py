@@ -150,6 +150,23 @@ SUITE: list[tuple[str, str]] = [
     ("embedding_standardize", "stats.embedding_standardize"),
     ("dedup_cluster_histogram", "dedup.dedup_cluster_histogram"),
     ("event_type_islands", "windows.event_type_islands"),
+    ("q17_small_qty_revenue", "relational.q17_small_qty_revenue"),
+    ("q18_large_orders", "relational.q18_large_orders"),
+    ("q21_blame_supplier", "relational.q21_blame_supplier"),
+    ("q22_idle_rich", "relational.q22_idle_rich_customers"),
+    ("link_prediction", "graphalgs.link_prediction"),
+    ("graph_assortativity", "graphalgs.degree_assortativity"),
+    ("zipf_fit", "textops.zipf_fit"),
+    ("q9_product_profit", "relational.q9_product_profit"),
+    ("q8_market_share", "relational.q8_market_share"),
+    ("q13_customer_distribution", "relational.q13_customer_distribution"),
+    ("q15_top_supplier", "relational.q15_top_supplier"),
+    ("q19_disjunctive_revenue", "relational.q19_disjunctive_revenue"),
+    ("q2_min_cost_supplier", "relational.q2_min_cost_supplier"),
+    ("q16_supplier_part_counts", "relational.q16_supplier_part_counts"),
+    ("q20_dominant_suppliers", "relational.q20_dominant_suppliers"),
+    ("q12_priority_lines", "relational.q12_priority_lines"),
+    ("q11_important_stock", "relational.q11_important_stock"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 
