@@ -167,6 +167,7 @@ SUITE: list[tuple[str, str]] = [
     ("q20_dominant_suppliers", "relational.q20_dominant_suppliers"),
     ("q12_priority_lines", "relational.q12_priority_lines"),
     ("q11_important_stock", "relational.q11_important_stock"),
+    ("semantic_decontaminate", "dedup.semantic_decontaminate"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

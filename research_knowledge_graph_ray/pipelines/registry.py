@@ -1557,6 +1557,11 @@ QUERIES.update(
         # folds bucket subtotals, integer cross-multiplied threshold
         "q11_important_stock": (relational.q11_important_stock,
                                 relational.Q11_IMPORTANT_STOCK_SQL),
+        # embedding-space decontamination: benchmark-sized eval matrix
+        # broadcast once, one zero-shuffle exact-int64 matmul pass,
+        # big-int cosine threshold (semantic complement of decontaminate)
+        "semantic_decontaminate": (dedup.semantic_decontaminate,
+                                   dedup.SEMANTIC_DECONTAMINATE_SQL),
     }
 )
 

@@ -2069,3 +2069,111 @@ c AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS n FROM f GROUP BY fp)
 SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM c GROUP BY n
 """
+
+
+_SDECON_EVERY = 20    # vec_id % EVERY == 0 -> held-out eval/benchmark set
+_SDECON_NUM = 3       # flag train vecs with cosine >= 3/10 vs ANY eval vec
+_SDECON_DEN = 10
+
+
+def semantic_decontaminate(sf_dir: str, every: int = _SDECON_EVERY,
+                           tau_num: int = _SDECON_NUM,
+                           tau_den: int = _SDECON_DEN) -> pd.DataFrame:
+    """(vec_id, n_hits) — embedding-space decontamination: training vectors
+    whose cosine similarity to ANY held-out eval/benchmark vector reaches
+    tau, with the exact count of offending eval vectors. The semantic
+    complement of the n-gram `textops.decontaminate` — catches paraphrased
+    eval leakage that token overlap misses (the contamination analyses in
+    GPT-3/PaLM appendices do both).
+
+    Same value-hash-gated integer metric as
+    :func:`embedding_near_dups_q`: components quantize half-away to e6
+    ints, the threshold is ``S>0 ∧ tau_den²·S² ≥ tau_num²·‖a‖²·‖b‖²``
+    evaluated exactly (object/HUGEINT on both engines).
+
+    Scale shape: the eval set is benchmark-sized BY DEFINITION, so its
+    (m×d int64) matrix broadcasts once via ``ray.put``; scoring is one
+    zero-shuffle streaming pass (exact int64 matmul per batch, n_hits
+    folded per block), output bounded by contaminated docs. The exact
+    pairwise test costs O(batch·m) big-int comparisons on the S>0 half —
+    at larger m, prefilter in float64 with an epsilon margin and recheck
+    only the border exactly (the sketch path is unnecessary while m stays
+    benchmark-sized)."""
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+
+    def _q_e6(vecs: np.ndarray) -> np.ndarray:
+        ax = np.abs(vecs * 1e6)
+        fl = np.floor(ax)
+        fl[ax - fl >= 0.5] += 1.0
+        return (fl * np.where(vecs >= 0, 1.0, -1.0)).astype(np.int64)
+
+    def eval_rows(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(ids % every == 0))
+
+    etab = ds.map_batches(eval_rows, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    if len(etab) == 0:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "n_hits": pd.Series(dtype=np.int64)})
+    qe = _q_e6(np.stack(etab["embedding"].to_numpy()).astype(np.float64))
+    ne = np.einsum("ij,ij->i", qe, qe)            # ‖eval‖² exact int64
+    bcast = ray.put((qe, ne))
+
+    def score(t: pa.Table) -> pa.Table:
+        qm, nm = ray.get(bcast)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        train = ids % every != 0
+        ids = ids[train]
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "n_hits": pa.array([], pa.int64())})
+        vecs = np.stack(
+            t["embedding"].to_pandas().to_numpy()[train]).astype(np.float64)
+        q = _q_e6(vecs)
+        S = q @ qm.T                               # ≤ dim·1e12: exact int64
+        na = np.einsum("ij,ij->i", q, q)
+        ii, jj = np.nonzero(S > 0)
+        s = S[ii, jj]
+        # exact big-int threshold on the positive-dot survivors
+        lhs = (s.astype(object) ** 2) * (tau_den * tau_den)
+        rhs = (na[ii].astype(object) * nm[jj].astype(object)) \
+            * (tau_num * tau_num)
+        hit_rows = ii[np.asarray(lhs >= rhs, dtype=bool)]
+        n_hits = np.bincount(hit_rows, minlength=len(ids)).astype(np.int64)
+        keep = n_hits > 0
+        return pa.table({"vec_id": pa.array(ids[keep]),
+                         "n_hits": pa.array(n_hits[keep])})
+
+    out = ds.map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"vec_id": pd.Series(dtype=np.int64),
+                             "n_hits": pd.Series(dtype=np.int64)})
+    return out.sort_values("vec_id").reset_index(drop=True).astype(
+        {"vec_id": np.int64, "n_hits": np.int64})
+
+
+SEMANTIC_DECONTAMINATE_SQL = f"""
+WITH el AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS q
+  FROM embeddings
+),
+nq AS (SELECT vec_id, CAST(SUM(q * q) AS BIGINT) AS nn FROM el GROUP BY 1),
+dots AS (
+  SELECT t.vec_id AS tid, e.vec_id AS eid, CAST(SUM(t.q * e.q) AS BIGINT) AS s
+  FROM el t JOIN el e ON t.d = e.d
+  WHERE t.vec_id % {_SDECON_EVERY} <> 0 AND e.vec_id % {_SDECON_EVERY} = 0
+  GROUP BY 1, 2
+)
+SELECT tid AS vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM dots JOIN nq na ON na.vec_id = tid JOIN nq nb ON nb.vec_id = eid
+WHERE s > 0
+  AND CAST(s AS HUGEINT) * CAST(s AS HUGEINT)
+      * {_SDECON_DEN * _SDECON_DEN}
+      >= CAST(na.nn AS HUGEINT) * CAST(nb.nn AS HUGEINT)
+        * {_SDECON_NUM * _SDECON_NUM}
+GROUP BY 1 ORDER BY 1
+"""

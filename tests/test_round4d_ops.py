@@ -161,3 +161,18 @@ def test_q11_threshold_planted(tmp_path):
     }), tmp_path / "lineitem.parquet")
     out = relational.q11_important_stock(str(tmp_path))
     assert out.to_dict("records") == [{"p_partkey": 4, "value_cents": 1000}]
+
+
+def test_semantic_decontaminate_planted(tmp_path):
+    from research_knowledge_graph_ray.stages import dedup
+
+    d = 8
+    ev = [1.0] + [0.0] * (d - 1)        # eval vec (id 20 -> id % 20 == 0)
+    leak = [0.9] + [0.1] * (d - 1)      # near-copy of the eval vec
+    ortho = [0.0] * (d - 1) + [1.0]     # orthogonal -> S <= 0 vs eval
+    pq.write_table(pa.table({
+        "vec_id": pa.array([20, 1, 2], pa.int64()),
+        "embedding": pa.array([ev, leak, ortho], pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+    out = dedup.semantic_decontaminate(str(tmp_path))
+    assert out.to_dict("records") == [{"vec_id": 1, "n_hits": 1}]
