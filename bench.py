@@ -168,6 +168,8 @@ SUITE: list[tuple[str, str]] = [
     ("q12_priority_lines", "relational.q12_priority_lines"),
     ("q11_important_stock", "relational.q11_important_stock"),
     ("semantic_decontaminate", "dedup.semantic_decontaminate"),
+    ("nb_classify", "textops.nb_classify"),
+    ("token_label_mi", "textops.token_label_mi"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

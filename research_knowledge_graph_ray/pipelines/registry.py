@@ -1562,6 +1562,13 @@ QUERIES.update(
         # big-int cosine threshold (semantic complement of decontaminate)
         "semantic_decontaminate": (dedup.semantic_decontaminate,
                                    dedup.SEMANTIC_DECONTAMINATE_SQL),
+        # multinomial Naive Bayes domain classifier — training is ONE token
+        # exchange (labels×vocab-bounded), integer log-prob scoring pass
+        "nb_classify": (textops.nb_classify, textops.NB_CLASSIFY_SQL),
+        # token↔label mutual-information terms — the nb_classify exchange,
+        # per-row identical-double MI terms (psi_drift recipe)
+        "token_label_mi": (textops.token_label_mi,
+                           textops.TOKEN_LABEL_MI_SQL),
     }
 )
 

@@ -1952,3 +1952,220 @@ SELECT k AS n_ranks,
                   / CAST(k AS DOUBLE) * 1000) AS BIGINT) AS intercept_e9
 FROM s
 """
+
+
+def nb_classify(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, pred_source, correct) — multinomial Naive Bayes trained on
+    the corpus itself (labels = source, Laplace-smoothed token likelihoods)
+    and applied back to every document — the classic lightweight
+    domain/quality classifier of the fastText-filtering recipe, with
+    training reduced to pure counting.
+
+    Training IS one token exchange: per-block (source, token) count
+    partials collapse to a vocabulary×labels-bounded table; the driver
+    derives ROUND(ln((n_lt+1)/(n_l+V))·1e9) int64 log-likelihoods and
+    ROUND(ln(n_docs_l/n_docs)·1e9) priors — integer log-probs make every
+    per-doc sum order-independent, so the SQL restatement matches exactly
+    (the doc_logprob doctrine). Scoring is a zero-shuffle map: one L×V
+    int64 matrix broadcast, per-batch index_in lookup + add.at fold,
+    argmax with smallest-label tie-break.
+
+    Scale note: the broadcast is L×V ints (vocabulary-bound, the
+    doc_logprob assumption); an open vocabulary swaps the lookup for a
+    token hash join."""
+    from .shuffle import hash_exchange_apply
+    from .stats import _round_e9
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+
+    def lt_partial(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        src = batch["source"].take(parent.filter(keep))
+        t = pa.table({"source": src, "token": flat.filter(keep),
+                      "n": pa.array(np.ones(len(src), np.int64))})
+        return t.group_by(["source", "token"]).aggregate(
+            [("n", "sum")]).rename_columns(["source", "token", "n"])
+
+    lt = hash_exchange_apply(
+        docs, ["token"], lt_partial,
+        lambda tab: tab.group_by(["source", "token"]).aggregate(
+            [("n", "sum")]).rename_columns(["source", "token", "n"]),
+        n_buckets=16,
+    ).to_pandas()  # labels × vocabulary — bounded
+
+    labels = sorted(lt["source"].unique())
+    vocab = sorted(lt["token"].unique())
+    lidx = {s: i for i, s in enumerate(labels)}
+    tidx = {t: i for i, t in enumerate(vocab)}
+    V = len(vocab)
+    n_lt = np.zeros((len(labels), V), dtype=np.int64)
+    n_lt[lt["source"].map(lidx), lt["token"].map(tidx)] = lt["n"]
+    n_l = n_lt.sum(axis=1)
+    logp = np.empty((len(labels), V), dtype=np.int64)
+    for li in range(len(labels)):
+        den = float(n_l[li] + V)
+        logp[li] = [_round_e9(math.log(float(n + 1) / den))
+                    for n in n_lt[li]]
+
+    # priors from doc counts (one tiny bounded partial pass)
+    def dc_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch["source"])
+        return pa.table({"source": vc.field("values"),
+                         "n": vc.field("counts").cast(pa.int64())})
+
+    dc = docs.map_batches(dc_partial, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas()
+    dc = dc.groupby("source")["n"].sum()
+    n_docs = float(dc.sum())
+    prior = np.array([_round_e9(math.log(float(dc[s]) / n_docs))
+                      for s in labels], dtype=np.int64)
+    bcast = ray.put((pa.array(vocab, pa.string()), logp, prior,
+                     np.asarray(labels, dtype=object)))
+
+    def score(batch: pa.Table) -> pa.Table:
+        varr, lp, pri, labs = ray.get(bcast)
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        idx = pc.index_in(flat.filter(keep), value_set=varr)
+        if idx.null_count:
+            raise ValueError("token outside the training vocabulary")
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        scores = np.tile(pri, (len(batch), 1))        # (n_docs, L)
+        np.add.at(scores, par, lp[:, idx].T)
+        pred = scores.argmax(axis=1)   # first max = smallest label index
+        pred_lbl = labs[pred]
+        actual = np.asarray(batch["source"].to_pylist(), dtype=object)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "pred_source": pa.array(pred_lbl.tolist(), pa.string()),
+            "correct": pa.array((pred_lbl == actual).astype(np.int64))})
+
+    out = docs.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": np.int64, "correct": np.int64})
+
+
+NB_CLASSIFY_SQL = """
+WITH tk AS (
+  SELECT doc_id, source, t.token
+  FROM (SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  WHERE t.token <> ''
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tk),
+lt AS (SELECT source AS lbl, token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM tk GROUP BY 1, 2),
+ltot AS (SELECT lbl, CAST(SUM(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
+prior AS (SELECT source AS lbl,
+                 CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM documents)) * 1e9) AS BIGINT)
+                 AS prior_e9
+          FROM documents GROUP BY 1),
+score AS (
+  SELECT t.doc_id, l.lbl,
+         SUM(CAST(ROUND(LN((COALESCE(lt.n, 0) + 1.0)
+                           / (ltot.nl + vocab.v)) * 1e9) AS BIGINT)) AS s
+  FROM tk t
+  CROSS JOIN (SELECT DISTINCT source AS lbl FROM documents) l
+  JOIN ltot ON ltot.lbl = l.lbl
+  CROSS JOIN vocab
+  LEFT JOIN lt ON lt.lbl = l.lbl AND lt.token = t.token
+  GROUP BY 1, 2)
+SELECT r.doc_id, r.lbl AS pred_source,
+       CAST(CASE WHEN r.lbl = d.source THEN 1 ELSE 0 END AS BIGINT)
+       AS correct
+FROM (SELECT doc_id, lbl,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s + prior_e9 DESC, lbl) AS rn
+      FROM score JOIN prior USING (lbl)) r
+JOIN documents d USING (doc_id)
+WHERE r.rn = 1 ORDER BY r.doc_id
+"""
+
+
+def token_label_mi(sf_dir: str) -> pd.DataFrame:
+    """(token, source, n, mi_term_e9) — pointwise mutual-information terms
+    between token occurrences and source labels: the feature-selection
+    report ranking which tokens identify which domain (the counting half of
+    an information-gain vocabulary cut before classifier training).
+
+    Rides the same token exchange as :func:`nb_classify` (labels×vocab-
+    bounded output); each term (n_tl/N)·ln(n_tl·N/(n_t·n_l)) is emitted PER
+    ROW as one identical-double expression over exact integer counts (the
+    psi_drift recipe — no cross-engine float-sum order exists), e9-rounded.
+    Zero-count combinations carry no row (0·ln0 = 0 convention both
+    engines)."""
+    from .shuffle import hash_exchange_apply
+    from .stats import _round_e9
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["text", "source"])
+
+    def lt_partial(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        src = batch["source"].take(parent.filter(keep))
+        t = pa.table({"source": src, "token": flat.filter(keep),
+                      "n": pa.array(np.ones(len(src), np.int64))})
+        return t.group_by(["source", "token"]).aggregate(
+            [("n", "sum")]).rename_columns(["source", "token", "n"])
+
+    lt = hash_exchange_apply(
+        docs, ["token"], lt_partial,
+        lambda tab: tab.group_by(["source", "token"]).aggregate(
+            [("n", "sum")]).rename_columns(["source", "token", "n"]),
+        n_buckets=16,
+    ).to_pandas()  # labels × vocabulary — bounded
+    if len(lt) == 0:
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "source": pd.Series(dtype=object),
+                             "n": pd.Series(dtype=np.int64),
+                             "mi_term_e9": pd.Series(dtype=np.int64)})
+    N = int(lt["n"].sum())
+    n_t = lt.groupby("token")["n"].sum()
+    n_l = lt.groupby("source")["n"].sum()
+    terms = [
+        _round_e9((float(n) / N)
+                  * math.log(float(n) * N
+                             / (float(n_t[tok]) * float(n_l[src]))))
+        for tok, src, n in zip(lt["token"], lt["source"], lt["n"])
+    ]
+    out = pd.DataFrame({"token": lt["token"], "source": lt["source"],
+                        "n": lt["n"].astype(np.int64),
+                        "mi_term_e9": np.asarray(terms, np.int64)})
+    return out.sort_values(
+        ["mi_term_e9", "token", "source"],
+        ascending=[False, True, True]).reset_index(drop=True)
+
+
+TOKEN_LABEL_MI_SQL = """
+WITH tk AS (
+  SELECT source, t.token
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  WHERE t.token <> ''
+),
+lt AS (SELECT token, source, CAST(COUNT(*) AS BIGINT) AS n
+       FROM tk GROUP BY 1, 2),
+tt AS (SELECT token, SUM(n) AS nt FROM lt GROUP BY 1),
+ll AS (SELECT source, SUM(n) AS nl FROM lt GROUP BY 1),
+tot AS (SELECT SUM(n) AS nn FROM lt)
+SELECT lt.token, lt.source, lt.n,
+       CAST(ROUND((CAST(lt.n AS DOUBLE) / tot.nn)
+                  * LN(CAST(lt.n AS DOUBLE) * tot.nn
+                       / (CAST(tt.nt AS DOUBLE) * ll.nl)) * 1e9)
+            AS BIGINT) AS mi_term_e9
+FROM lt JOIN tt USING (token) JOIN ll USING (source) CROSS JOIN tot
+ORDER BY mi_term_e9 DESC, lt.token, lt.source
+"""

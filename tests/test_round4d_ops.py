@@ -176,3 +176,44 @@ def test_semantic_decontaminate_planted(tmp_path):
     }), tmp_path / "embeddings.parquet")
     out = dedup.semantic_decontaminate(str(tmp_path))
     assert out.to_dict("records") == [{"vec_id": 1, "n_hits": 1}]
+
+
+def test_nb_classify_separable_classes(tmp_path):
+    from research_knowledge_graph_ray.stages import textops
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "apple banana apple", "fruit"))
+        rows.append((100 + i, "bolt gear bolt", "metal"))
+    # one doc that mixes but leans fruit
+    rows.append((200, "apple apple gear", "fruit"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    }), tmp_path / "documents.parquet")
+    out = textops.nb_classify(str(tmp_path))
+    by_id = dict(zip(out["doc_id"], out["pred_source"]))
+    assert all(by_id[i] == "fruit" for i in range(10))
+    assert all(by_id[100 + i] == "metal" for i in range(10))
+    assert by_id[200] == "fruit"
+    assert int(out["correct"].sum()) == len(rows)
+
+
+def test_token_label_mi_signal_ranks_top(tmp_path):
+    from research_knowledge_graph_ray.stages import textops
+
+    # 'apple' appears only under fruit, 'shared' under both equally:
+    # the discriminative token's MI term must rank strictly higher
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": ["apple apple shared", "bolt bolt shared"],
+        "source": ["fruit", "metal"],
+    }), tmp_path / "documents.parquet")
+    out = textops.token_label_mi(str(tmp_path))
+    term = {(t, s): m for t, s, m in
+            zip(out["token"], out["source"], out["mi_term_e9"])}
+    assert term[("apple", "fruit")] > term[("shared", "fruit")]
+    # shared token carries zero information (p_tl = p_t * p_l exactly)
+    assert term[("shared", "fruit")] == 0
+    assert term[("shared", "metal")] == 0
