@@ -54,6 +54,7 @@ _MODS = {
     "graphalgs": "research_knowledge_graph_ray.stages.graphalgs",
     "stats": "research_knowledge_graph_ray.stages.stats",
     "sampling": "research_knowledge_graph_ray.stages.sampling",
+    "evalops": "research_knowledge_graph_ray.stages.evalops",
 }
 
 SUITE: list[tuple[str, str]] = [
@@ -170,6 +171,12 @@ SUITE: list[tuple[str, str]] = [
     ("semantic_decontaminate", "dedup.semantic_decontaminate"),
     ("nb_classify", "textops.nb_classify"),
     ("token_label_mi", "textops.token_label_mi"),
+    ("classifier_kappa", "evalops.classifier_kappa"),
+    ("calibration_bins", "evalops.calibration_bins"),
+    ("quality_ensemble", "evalops.quality_ensemble"),
+    ("ngram_diversity", "evalops.ngram_diversity"),
+    ("padding_waste", "evalops.padding_waste"),
+    ("ks_drift", "evalops.ks_drift"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

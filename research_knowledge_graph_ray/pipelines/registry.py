@@ -1572,6 +1572,36 @@ QUERIES.update(
     }
 )
 
+# Curation-evaluation report family (stages/evalops.py): filter agreement,
+# calibration, ensemble voting, corpus diversity, padding planning, KS drift.
+from ..stages import evalops  # noqa: E402
+
+QUERIES.update(
+    {
+        # Cohen's kappa between the two quality gates — one fused feature
+        # pass, 4-cell confusion partials, Python-int exact kappa
+        "classifier_kappa": (evalops.classifier_kappa,
+                             evalops.CLASSIFIER_KAPPA_SQL),
+        # reliability diagram: logit bins vs Gopher agreement rate —
+        # bin-domain-bounded driver fold
+        "calibration_bins": (evalops.calibration_bins,
+                             evalops.CALIBRATION_BINS_SQL),
+        # per-source 3-gate vote histogram, one fused pass
+        "quality_ensemble": (evalops.quality_ensemble,
+                             evalops.QUALITY_ENSEMBLE_SQL),
+        # per-source bigram type/token ratio (Self-BLEU's distinct-share
+        # half) — one gram exchange, vocabulary-bounded
+        "ngram_diversity": (evalops.ngram_diversity,
+                            evalops.NGRAM_DIVERSITY_SQL),
+        # power-of-two length-bucket padding overhead report
+        "padding_waste": (evalops.padding_waste,
+                          evalops.PADDING_WASTE_SQL),
+        # exact two-sample KS statistic between two sources' length
+        # distributions — value-domain-bounded fold, HUGEINT oracle
+        "ks_drift": (evalops.ks_drift, evalops.KS_DRIFT_SQL),
+    }
+)
+
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering: the correctness driver samples the FIRST 50 registry

@@ -1,0 +1,538 @@
+"""Curation-evaluation report operators over the documents table.
+
+The quality-filter family (textops.quality_logreg / gopher_filter) tells a
+pipeline WHAT to keep; these operators tell its operators whether the
+filters can be trusted: inter-classifier agreement (Cohen's kappa), score
+calibration against an independent rule set, ensemble voting, corpus
+n-gram diversity (the distinct-share half of Self-BLEU), training
+padding-waste planning, and a two-sample Kolmogorov-Smirnov drift gate.
+
+All outputs are exact integers (basis points / counts) so the DuckDB
+oracles compare bit-for-bit; every driver-side fold in this module is
+domain-bounded (2x2 confusion cells, score bins, fixed length buckets,
+sources x buckets, the drift column's value domain) — never corpus-bounded.
+
+Reference parity note: no counterpart in the reference (sequential
+LLM-agent app); brief-mandated training-data curation family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .textops import (
+    STOPWORD_PATTERN,
+    _GOPHER_KINDS_SQL,
+    _GOPHER_MAX_WLEN100,
+    _GOPHER_MAX_WORDS,
+    _GOPHER_MIN_ALPHA_BP,
+    _GOPHER_MIN_STOP_KINDS,
+    _GOPHER_MIN_WLEN100,
+    _GOPHER_MIN_WORDS,
+    _GOPHER_STOPWORDS,
+    _QLR_BIAS,
+    _QLR_LEN_CAP,
+    _QLR_W_DIGIT,
+    _QLR_W_LEN,
+    _QLR_W_STOP,
+    _QLR_W_WLEN,
+    _doc_ngrams,
+)
+
+
+def _doc_features(batch: pa.Table) -> dict[str, np.ndarray]:
+    """Shared vectorized feature pass: every signal both classifiers need,
+    computed once per batch (one Arrow scan, no Python rows)."""
+    text = batch["text"]
+    n_chars = pc.utf8_length(text).cast(pa.int64())
+    no_space = pc.utf8_length(
+        pc.replace_substring(text, pattern=" ", replacement="")
+    ).cast(pa.int64())
+    n_tokens = pc.add(pc.subtract(n_chars, no_space), 1)
+    low = pc.utf8_lower(text)
+    n_stop = pc.count_substring_regex(low, pattern=STOPWORD_PATTERN).cast(pa.int64())
+    n_digit = pc.count_substring_regex(text, pattern="[0-9]").cast(pa.int64())
+    n_alpha = pc.count_substring_regex(low, pattern="[a-z]").cast(pa.int64())
+    kinds = None
+    for w in _GOPHER_STOPWORDS:
+        k = pc.cast(
+            pc.greater(
+                pc.count_substring_regex(low, pattern=rf"\b{w}\b"), 0
+            ),
+            pa.int64(),
+        )
+        kinds = k if kinds is None else pc.add(kinds, k)
+    out = {
+        "n_chars": n_chars,
+        "no_space": no_space,
+        "n_tokens": n_tokens,
+        "n_stop": n_stop,
+        "n_digit": n_digit,
+        "n_alpha": n_alpha,
+        "n_stop_kinds": kinds,
+    }
+    return {k: v.to_numpy(zero_copy_only=False).astype(np.int64)
+            for k, v in out.items()}
+
+
+def _logreg_logit(f: dict[str, np.ndarray]) -> np.ndarray:
+    safe_tok = np.maximum(f["n_tokens"], 1)
+    safe_chr = np.maximum(f["n_chars"], 1)
+    stop_bp = f["n_stop"] * 10000 // safe_tok
+    digit_bp = f["n_digit"] * 10000 // safe_chr
+    wlen100 = f["no_space"] * 100 // safe_tok
+    len_cap = np.minimum(f["n_tokens"], _QLR_LEN_CAP)
+    return (_QLR_BIAS + _QLR_W_LEN * len_cap + _QLR_W_STOP * stop_bp
+            + _QLR_W_DIGIT * digit_bp + _QLR_W_WLEN * wlen100)
+
+
+def _gopher_keep(f: dict[str, np.ndarray]) -> np.ndarray:
+    safe_tok = np.maximum(f["n_tokens"], 1)
+    safe_chr = np.maximum(f["n_chars"], 1)
+    wlen100 = f["no_space"] * 100 // safe_tok
+    alpha_bp = f["n_alpha"] * 10000 // safe_chr
+    keep = (
+        (f["n_tokens"] >= _GOPHER_MIN_WORDS)
+        & (f["n_tokens"] <= _GOPHER_MAX_WORDS)
+        & (wlen100 >= _GOPHER_MIN_WLEN100)
+        & (wlen100 <= _GOPHER_MAX_WLEN100)
+        & (alpha_bp >= _GOPHER_MIN_ALPHA_BP)
+        & (f["n_stop_kinds"] >= _GOPHER_MIN_STOP_KINDS)
+    )
+    return keep.astype(np.int64)
+
+
+# SQL fragments restating the two keep rules (shared by every oracle below).
+_LOGIT_SQL = f"""
+  {_QLR_BIAS}
+  + {_QLR_W_LEN} * LEAST(n_tokens, {_QLR_LEN_CAP})
+  + {_QLR_W_STOP} * (n_stop * 10000 // GREATEST(n_tokens, 1))
+  + ({_QLR_W_DIGIT}) * (n_digit * 10000 // GREATEST(n_chars, 1))
+  + {_QLR_W_WLEN} * ((n_chars - n_space) * 100 // GREATEST(n_tokens, 1))
+"""
+
+_GKEEP_SQL = f"""
+  CASE WHEN n_tokens BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND (n_chars - n_space) * 100 // GREATEST(n_tokens, 1)
+            BETWEEN {_GOPHER_MIN_WLEN100} AND {_GOPHER_MAX_WLEN100}
+        AND n_alpha * 10000 // GREATEST(n_chars, 1) >= {_GOPHER_MIN_ALPHA_BP}
+        AND n_stop_kinds >= {_GOPHER_MIN_STOP_KINDS}
+       THEN 1 ELSE 0 END
+"""
+
+_FEAT_SQL = rf"""
+  SELECT doc_id, source,
+    CAST(LENGTH(text) AS BIGINT) AS n_chars,
+    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_space,
+    CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+      AS n_tokens,
+    CAST(COALESCE(len(regexp_extract_all(lower(text), '\b(the|a)\b')), 0)
+      AS BIGINT) AS n_stop,
+    CAST(COALESCE(len(regexp_extract_all(text, '[0-9]')), 0) AS BIGINT)
+      AS n_digit,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]')) AS BIGINT) AS n_alpha,
+    CAST({_GOPHER_KINDS_SQL} AS BIGINT) AS n_stop_kinds
+  FROM documents
+"""
+
+
+def classifier_kappa(sf_dir: str) -> pd.DataFrame:
+    """(n, n00, n01, n10, n11, po_bp, pe_bp, kappa_bp) — Cohen's kappa
+    between the two deterministic quality gates (quality_logreg keep vs
+    gopher_filter keep): the inter-classifier agreement check a curation
+    pipeline runs before trusting an ensemble of filters.
+
+    Plan: ONE fused vectorized pass computes both verdicts per doc (the two
+    gates share their feature extraction — no join, no second scan); each
+    block emits a 4-cell confusion partial; the driver folds the cells in
+    unbounded Python ints (cell-domain-bounded: 4 ints per block), so the
+    kappa numerator ``po_num*N - pe_num`` is exact at ANY corpus size —
+    ``pe_num`` is O(N^2) and would wrap int64 past ~3e9 docs, hence Python
+    ints here and HUGEINT in the oracle. Degenerate marginals (pe == 1,
+    which forces po == 1) emit kappa_bp = 10000 by convention, stated in
+    the oracle too. Floor-division basis points throughout.
+    """
+
+    def confusion(batch: pa.Table) -> pd.DataFrame:
+        f = _doc_features(batch)
+        a = (_logreg_logit(f) >= 0).astype(np.int64)
+        b = _gopher_keep(f)
+        cell = a * 2 + b
+        cnt = np.bincount(cell, minlength=4).astype(np.int64)
+        return pd.DataFrame(
+            {"n00": [cnt[0]], "n01": [cnt[1]], "n10": [cnt[2]], "n11": [cnt[3]]}
+        )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    parts = ds.map_batches(confusion, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    n00, n01 = int(parts["n00"].sum()), int(parts["n01"].sum())
+    n10, n11 = int(parts["n10"].sum()), int(parts["n11"].sum())
+    n = n00 + n01 + n10 + n11
+    po_num = n00 + n11
+    pe_num = (n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)
+    po_bp = 10000 * po_num // n
+    pe_bp = 10000 * pe_num // (n * n)
+    denom = n * n - pe_num
+    kappa_bp = 10000 if denom == 0 else 10000 * (po_num * n - pe_num) // denom
+    return pd.DataFrame(
+        [[n, n00, n01, n10, n11, po_bp, pe_bp, kappa_bp]],
+        columns=["n", "n00", "n01", "n10", "n11", "po_bp", "pe_bp",
+                 "kappa_bp"],
+    ).astype(np.int64)
+
+
+CLASSIFIER_KAPPA_SQL = f"""
+WITH f AS ({_FEAT_SQL}),
+v AS (
+  SELECT CASE WHEN ({_LOGIT_SQL}) >= 0 THEN 1 ELSE 0 END AS a,
+         {_GKEEP_SQL} AS b
+  FROM f),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n00,
+    CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n01,
+    CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n10,
+    CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n11
+  FROM v),
+k AS (
+  SELECT n00 + n01 + n10 + n11 AS n, n00, n01, n10, n11,
+         n00 + n11 AS po_num,
+         (n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11) AS pe_num
+  FROM c)
+SELECT CAST(n AS BIGINT) AS n, CAST(n00 AS BIGINT) AS n00,
+       CAST(n01 AS BIGINT) AS n01, CAST(n10 AS BIGINT) AS n10,
+       CAST(n11 AS BIGINT) AS n11,
+       CAST(10000 * po_num // n AS BIGINT) AS po_bp,
+       CAST(10000 * pe_num // (n * n) AS BIGINT) AS pe_bp,
+       CAST(CASE WHEN n * n - pe_num = 0 THEN 10000
+                 ELSE 10000 * (po_num * n - pe_num) // (n * n - pe_num)
+            END AS BIGINT) AS kappa_bp
+FROM k
+"""
+
+
+# Calibration binning: logit bins of width 500, shifted by a fixed lower
+# bound so floor division is sign-safe identically in numpy and SQL. The
+# logit is bounded below by BIAS + W_DIGIT*10000 = -67500 > _CAL_LB
+# (feature shares are <= 10000 bp by construction); enforced at runtime.
+_CAL_LB = -100_000
+_CAL_W = 500
+
+
+def calibration_bins(sf_dir: str) -> pd.DataFrame:
+    """(bin_lo, n_docs, n_pos, pos_rate_bp) — reliability diagram of the
+    linear quality classifier's score against the independent Gopher rule
+    set: per logit bin, how often does the rule-based gate agree? The
+    standard calibration check before using a learned filter's score as a
+    sampling weight (CCNet-style).
+
+    Same fused single pass as classifier_kappa; per-block (bin, n, n_pos)
+    partials; driver fold is bin-domain-bounded (score range / bin width,
+    a few hundred cells, independent of corpus size). Exact integers.
+    """
+
+    def per_bin(batch: pa.Table) -> pd.DataFrame:
+        f = _doc_features(batch)
+        logit = _logreg_logit(f)
+        if logit.size and int(logit.min()) < _CAL_LB:
+            raise ValueError("logit below the fixed calibration lower bound")
+        b = (logit - _CAL_LB) // _CAL_W
+        pos = _gopher_keep(f)
+        df = pd.DataFrame({"b": b, "pos": pos})
+        g = df.groupby("b", as_index=False).agg(
+            n_docs=("pos", "size"), n_pos=("pos", "sum"))
+        return g
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    parts = ds.map_batches(per_bin, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby("b", as_index=False).sum()
+    g["bin_lo"] = _CAL_LB + g["b"] * _CAL_W
+    g["pos_rate_bp"] = g["n_pos"] * 10000 // g["n_docs"]
+    out = g[["bin_lo", "n_docs", "n_pos", "pos_rate_bp"]].astype(np.int64)
+    return out.sort_values("bin_lo").reset_index(drop=True)
+
+
+CALIBRATION_BINS_SQL = f"""
+WITH f AS ({_FEAT_SQL}),
+v AS (
+  SELECT ({_LOGIT_SQL}) AS logit, {_GKEEP_SQL} AS pos FROM f),
+b AS (
+  SELECT {_CAL_LB} + ((logit - ({_CAL_LB})) // {_CAL_W}) * {_CAL_W} AS bin_lo,
+         pos
+  FROM v)
+SELECT CAST(bin_lo AS BIGINT) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(pos) * 10000 // COUNT(*) AS BIGINT) AS pos_rate_bp
+FROM b GROUP BY 1
+"""
+
+
+# Ensemble vote thresholds for the cheap stopword-ratio gate (vote 1).
+_ENS_STOP_LO = 100
+_ENS_STOP_HI = 5000
+
+
+def quality_ensemble(sf_dir: str) -> pd.DataFrame:
+    """(source, votes, n_docs) — ensemble quality report: three independent
+    deterministic gates vote per document (stopword-ratio in
+    [_ENS_STOP_LO, _ENS_STOP_HI] bp, linear-classifier keep, Gopher rules
+    keep) and the corpus is summarized by per-source vote histogram — the
+    curation-dashboard view of how filters overlap across sources.
+
+    One fused pass (all three gates share the feature extraction), per-block
+    (source, votes) partials, driver fold bounded by sources x 4 cells.
+    """
+
+    def votes(batch: pa.Table) -> pd.DataFrame:
+        f = _doc_features(batch)
+        stop_bp = f["n_stop"] * 10000 // np.maximum(f["n_tokens"], 1)
+        v1 = ((stop_bp >= _ENS_STOP_LO) & (stop_bp <= _ENS_STOP_HI)).astype(np.int64)
+        v2 = (_logreg_logit(f) >= 0).astype(np.int64)
+        v3 = _gopher_keep(f)
+        df = pd.DataFrame(
+            {"source": batch["source"].to_pandas(), "votes": v1 + v2 + v3})
+        return df.groupby(["source", "votes"], as_index=False).agg(
+            n_docs=("votes", "size"))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    parts = ds.map_batches(votes, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby(["source", "votes"], as_index=False)["n_docs"].sum()
+    g["votes"] = g["votes"].astype(np.int64)
+    g["n_docs"] = g["n_docs"].astype(np.int64)
+    return g.sort_values(["source", "votes"]).reset_index(drop=True)
+
+
+QUALITY_ENSEMBLE_SQL = f"""
+WITH f AS ({_FEAT_SQL}),
+v AS (
+  SELECT source,
+    (CASE WHEN n_stop * 10000 // GREATEST(n_tokens, 1)
+               BETWEEN {_ENS_STOP_LO} AND {_ENS_STOP_HI}
+          THEN 1 ELSE 0 END)
+    + (CASE WHEN ({_LOGIT_SQL}) >= 0 THEN 1 ELSE 0 END)
+    + ({_GKEEP_SQL}) AS votes
+  FROM f)
+SELECT source, CAST(votes AS BIGINT) AS votes,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM v GROUP BY 1, 2
+"""
+
+
+def ngram_diversity(sf_dir: str, n: int = 2) -> pd.DataFrame:
+    """(source, n_grams, n_distinct, ttr_bp) — per-source word n-gram
+    type/token ratio: the distinct-share half of Self-BLEU, the standard
+    diversity audit for synthetic/generated training corpora (low ttr ==
+    mode-collapsed or templated source).
+
+    Plan: per-block (source, gram, count) partials feed ONE hash exchange
+    on the gram (the decontaminate/doc_logprob_bigram machinery — only the
+    shrunk gram table moves, never text); each bucket finishes its share of
+    the distinct/total sums per source, and the driver folds
+    sources x buckets rows. No corpus-bounded state anywhere: the exchange
+    output is n-gram-vocabulary-bounded, the fold is fixed-size.
+    """
+    from .shuffle import hash_exchange_apply
+
+    def gram_partial(batch: pa.Table) -> pa.Table:
+        doc_idx, grams = _doc_ngrams(batch, n)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({"source": src.take(pa.array(doc_idx)), "g": grams})
+        return (t.group_by(["source", "g"])
+                .aggregate([("g", "count")])
+                .rename_columns(["source", "g", "cnt"]))
+
+    def bucket_final(tab: pa.Table) -> pa.Table:
+        merged = (tab.group_by(["source", "g"])
+                  .aggregate([("cnt", "sum")])
+                  .rename_columns(["source", "g", "cnt"]))
+        return (merged.group_by("source")
+                .aggregate([("g", "count"), ("cnt", "sum")])
+                .rename_columns(["source", "n_distinct", "n_grams"]))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    parts = hash_exchange_apply(ds, ["g"], gram_partial, bucket_final,
+                                n_buckets=16).to_pandas()
+    g = parts.groupby("source", as_index=False)[["n_distinct", "n_grams"]].sum()
+    g["ttr_bp"] = g["n_distinct"] * 10000 // g["n_grams"]
+    out = g[["source", "n_grams", "n_distinct", "ttr_bp"]]
+    out = out.astype({"n_grams": np.int64, "n_distinct": np.int64,
+                      "ttr_bp": np.int64})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+NGRAM_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents),
+bg AS (
+  SELECT source,
+         unnest(list_transform(range(1, len(w)),
+                i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+  FROM toks WHERE len(w) >= 2)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+       CAST(COUNT(DISTINCT g) * 10000 // COUNT(*) AS BIGINT) AS ttr_bp
+FROM bg GROUP BY 1
+"""
+
+
+# Power-of-two sequence-length buckets (tokens). Fixed, small, and raised
+# loudly if a document overflows the largest bucket.
+_PAD_BUCKETS = (16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def padding_waste(sf_dir: str) -> pd.DataFrame:
+    """(bucket, n_docs, sum_tokens, pad_tokens, waste_bp) — training batch
+    padding plan: documents are assigned to the smallest power-of-two
+    sequence-length bucket that fits their whitespace token count, and the
+    report gives the padding overhead per bucket — the planning input for
+    length-bucketed batching (pack_sequences' histogram sibling).
+
+    One streamed pass, per-block bucket partials, driver fold bounded by
+    len(_PAD_BUCKETS) cells. Exact integers; a document longer than the
+    largest bucket raises (extend the table deliberately, don't truncate
+    silently).
+    """
+    buckets = np.asarray(_PAD_BUCKETS, dtype=np.int64)
+
+    def per_bucket(batch: pa.Table) -> pd.DataFrame:
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(
+            pc.replace_substring(text, pattern=" ", replacement="")
+        ).cast(pa.int64())
+        n_tokens = (pc.add(pc.subtract(n_chars, no_space), 1)
+                    .to_numpy(zero_copy_only=False).astype(np.int64))
+        idx = np.searchsorted(buckets, n_tokens, side="left")
+        if idx.size and int(idx.max()) >= len(buckets):
+            raise ValueError("document exceeds the largest padding bucket")
+        df = pd.DataFrame({"bucket": buckets[idx], "tok": n_tokens})
+        return df.groupby("bucket", as_index=False).agg(
+            n_docs=("tok", "size"), sum_tokens=("tok", "sum"))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    parts = ds.map_batches(per_bucket, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby("bucket", as_index=False).sum()
+    g["pad_tokens"] = g["bucket"] * g["n_docs"] - g["sum_tokens"]
+    g["waste_bp"] = g["pad_tokens"] * 10000 // (g["bucket"] * g["n_docs"])
+    return (g[["bucket", "n_docs", "sum_tokens", "pad_tokens", "waste_bp"]]
+            .astype(np.int64).sort_values("bucket").reset_index(drop=True))
+
+
+_PAD_BUCKET_SQL = "CASE " + " ".join(
+    f"WHEN n_tokens <= {b} THEN {b}" for b in _PAD_BUCKETS
+) + " END"
+
+PADDING_WASTE_SQL = f"""
+WITH t AS (
+  SELECT CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens
+  FROM documents),
+b AS (SELECT {_PAD_BUCKET_SQL} AS bucket, n_tokens FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(bucket * COUNT(*) - SUM(n_tokens) AS BIGINT) AS pad_tokens,
+       CAST((bucket * COUNT(*) - SUM(n_tokens)) * 10000
+            // (bucket * COUNT(*)) AS BIGINT) AS waste_bp
+FROM b GROUP BY bucket
+"""
+
+
+_KS_SRC_A = "src0"
+_KS_SRC_B = "src1"
+
+
+def ks_drift(sf_dir: str, src_a: str = _KS_SRC_A,
+             src_b: str = _KS_SRC_B) -> pd.DataFrame:
+    """(n_a, n_b, at_value, ks_bp) — exact two-sample Kolmogorov-Smirnov
+    statistic between two sources' document-length (n_chars) distributions:
+    the distribution-free drift gate that complements psi_drift (binned) and
+    source_js (token-level) — ships with no binning choice at all.
+
+    Plan: per-block (value, side) count partials — the only thing that
+    moves; the driver folds a table bounded by the drift column's VALUE
+    DOMAIN (document character lengths, thousands of distinct values at
+    most — for unbounded-domain columns use psi_drift's fixed binning
+    instead; stated bound, loudly checked). The sup statistic is computed
+    in unbounded Python ints (cum_a*n_b - cum_b*n_a is O(N^2) and would
+    wrap int64 past ~3e9 docs — HUGEINT in the oracle); ties broken to the
+    smallest value attaining the sup so the report row is deterministic.
+    """
+    _DOMAIN_CAP = 1_000_000
+
+    def per_value(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["source"].isin([src_a, src_b])
+        df = df[m]
+        side = (df["source"] == src_b).astype(np.int64)
+        g = pd.DataFrame({"v": df["n_chars"].astype(np.int64), "side": side})
+        out = g.groupby(["v", "side"], as_index=False).size()
+        return out.rename(columns={"size": "cnt"})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+    parts = ds.map_batches(per_value, batch_format="pandas").to_pandas()
+    g = parts.groupby(["v", "side"], as_index=False)["cnt"].sum()
+    if g["v"].nunique() > _DOMAIN_CAP:
+        raise ValueError("drift column value domain exceeds the driver-fold "
+                         "bound; use the binned psi_drift recipe")
+    piv = g.pivot_table(index="v", columns="side", values="cnt",
+                        fill_value=0, aggfunc="sum").sort_index()
+    ca = piv.get(0, pd.Series(dtype=np.int64)).to_numpy(np.int64)
+    cb = piv.get(1, pd.Series(dtype=np.int64)).to_numpy(np.int64)
+    vals = piv.index.to_numpy(np.int64)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    cum_a, cum_b = np.cumsum(ca), np.cumsum(cb)
+    best_num, best_v = -1, -1
+    for v, a, b in zip(vals, cum_a, cum_b):
+        num = abs(int(a) * n_b - int(b) * n_a)
+        if num > best_num:
+            best_num, best_v = num, int(v)
+    ks_bp = 10000 * best_num // (n_a * n_b)
+    return pd.DataFrame(
+        [[n_a, n_b, best_v, ks_bp]],
+        columns=["n_a", "n_b", "at_value", "ks_bp"]).astype(np.int64)
+
+
+KS_DRIFT_SQL = f"""
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END AS side
+  FROM documents WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')),
+g AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+  FROM d GROUP BY 1),
+c AS (
+  SELECT v, SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b
+  FROM g),
+n AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM g),
+k AS (
+  SELECT v, ABS(cum_a * n.n_b - cum_b * n.n_a) AS dnum, n.n_a, n.n_b
+  FROM c, n)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(v AS BIGINT) AS at_value,
+       CAST(10000 * dnum // (n_a * n_b) AS BIGINT) AS ks_bp
+FROM k ORDER BY dnum DESC, v ASC LIMIT 1
+"""

@@ -1,0 +1,99 @@
+"""Algorithmic invariants for the curation-evaluation report family
+(stages/evalops.py). Value parity vs DuckDB is pinned registry-wide in
+test_queries_vs_duckdb; these pin the math on structural invariants and
+planted degenerate inputs."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from research_knowledge_graph_ray.stages import evalops
+
+
+def _n_docs(sf_dir):
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def test_kappa_confusion_partitions_corpus(sf_dir):
+    got = evalops.classifier_kappa(sf_dir)
+    row = got.iloc[0]
+    assert row["n00"] + row["n01"] + row["n10"] + row["n11"] == row["n"]
+    assert row["n"] == _n_docs(sf_dir)
+    assert -10000 <= row["kappa_bp"] <= 10000
+    assert 0 <= row["po_bp"] <= 10000 and 0 <= row["pe_bp"] <= 10000
+
+
+def test_kappa_degenerate_marginals_convention(tmp_path):
+    # every doc fails both gates identically -> pe == po == 1, kappa := 1
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["x y z", "x y z", "x y z"],
+    }), tmp_path / "documents.parquet")
+    got = evalops.classifier_kappa(str(tmp_path))
+    row = got.iloc[0]
+    assert row["n00"] == 3 and row["n11"] == 0
+    assert row["kappa_bp"] == 10000
+
+
+def test_calibration_bins_partition_and_rates(sf_dir):
+    got = evalops.calibration_bins(sf_dir)
+    assert int(got["n_docs"].sum()) == _n_docs(sf_dir)
+    assert (got["n_pos"] <= got["n_docs"]).all()
+    assert (got["pos_rate_bp"] == got["n_pos"] * 10000 // got["n_docs"]).all()
+    assert (got["bin_lo"] % evalops._CAL_W == 0).all()
+    assert got["bin_lo"].is_monotonic_increasing
+
+
+def test_quality_ensemble_votes_partition(sf_dir):
+    got = evalops.quality_ensemble(sf_dir)
+    assert int(got["n_docs"].sum()) == _n_docs(sf_dir)
+    assert got["votes"].between(0, 3).all()
+    # one row per (source, votes) cell
+    assert not got.duplicated(["source", "votes"]).any()
+
+
+def test_ngram_diversity_bounds(sf_dir):
+    got = evalops.ngram_diversity(sf_dir)
+    assert (got["n_distinct"] <= got["n_grams"]).all()
+    assert got["ttr_bp"].between(1, 10000).all()
+    # trigram diversity uses the same machinery with n=3: per source there
+    # are strictly fewer trigrams than bigrams (one fewer per document)
+    tri = evalops.ngram_diversity(sf_dir, n=3)
+    merged = got.merge(tri, on="source", suffixes=("_2", "_3"))
+    assert len(merged) == len(got)
+    assert (merged["n_grams_3"] < merged["n_grams_2"]).all()
+    assert (merged["n_distinct_3"] <= merged["n_grams_3"]).all()
+
+
+def test_padding_waste_accounting(sf_dir):
+    got = evalops.padding_waste(sf_dir)
+    assert int(got["n_docs"].sum()) == _n_docs(sf_dir)
+    assert set(got["bucket"]).issubset(set(evalops._PAD_BUCKETS))
+    assert (got["pad_tokens"] == got["bucket"] * got["n_docs"]
+            - got["sum_tokens"]).all()
+    assert (got["waste_bp"] < 10000).all() and (got["waste_bp"] >= 0).all()
+
+
+def test_padding_waste_overflow_raises(tmp_path):
+    import pytest
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": [" ".join(["w"] * (evalops._PAD_BUCKETS[-1] + 1))],
+    }), tmp_path / "documents.parquet")
+    with pytest.raises(Exception, match="largest padding bucket"):
+        evalops.padding_waste(str(tmp_path))
+
+
+def test_ks_drift_bounds_and_identity(sf_dir, tmp_path):
+    got = evalops.ks_drift(sf_dir)
+    row = got.iloc[0]
+    assert 0 <= row["ks_bp"] <= 10000
+    assert row["n_a"] > 0 and row["n_b"] > 0
+    # identical distributions -> KS sup is 0 at every value; smallest wins
+    pq.write_table(pa.table({
+        "source": ["src0", "src1", "src0", "src1"],
+        "n_chars": pa.array([10, 10, 20, 20], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    same = evalops.ks_drift(str(tmp_path)).iloc[0]
+    assert same["ks_bp"] == 0 and same["at_value"] == 10
