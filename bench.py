@@ -177,6 +177,8 @@ SUITE: list[tuple[str, str]] = [
     ("ngram_diversity", "evalops.ngram_diversity"),
     ("padding_waste", "evalops.padding_waste"),
     ("ks_drift", "evalops.ks_drift"),
+    ("itemsets3", "graphalgs.itemsets3"),
+    ("knn_density", "similarity.knn_density"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

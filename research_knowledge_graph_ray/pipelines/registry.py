@@ -1599,6 +1599,12 @@ QUERIES.update(
         # exact two-sample KS statistic between two sources' length
         # distributions — value-domain-bounded fold, HUGEINT oracle
         "ks_drift": (evalops.ks_drift, evalops.KS_DRIFT_SQL),
+        # A-priori frequent triples — frequent-pair broadcast prunes the
+        # cubic enumeration; downward closure keeps the brute oracle exact
+        "itemsets3": (graphalgs.itemsets3, graphalgs.ITEMSETS3_SQL),
+        # kNN-density outlier score: k-th neighbor similarity via the
+        # adaptive join, zero-shuffle rank filter
+        "knn_density": (similarity.knn_density, similarity.KNN_DENSITY_SQL),
     }
 )
 

@@ -1931,3 +1931,154 @@ SELECT n AS n_edges, CAST(sxy AS BIGINT) AS sum_dxdy,
                  * 1000000000) AS BIGINT) END AS r_e9
 FROM st
 """
+
+
+# ---------------------------------------------------------------------------
+# A-priori frequent triples (size-3 itemsets)
+# ---------------------------------------------------------------------------
+
+_ITEMSETS3_CAP = 256  # pruned-basket cap before triple enumeration (loud)
+
+_TRIPLES_SCHEMA = pa.schema([("p1", pa.int64()), ("p2", pa.int64()),
+                             ("p3", pa.int64()), ("n", pa.int64())])
+
+
+def _in_sorted(sorted_arr: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    if len(sorted_arr) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    idx = np.minimum(np.searchsorted(sorted_arr, vals), len(sorted_arr) - 1)
+    return sorted_arr[idx] == vals
+
+
+def itemsets3(sf_dir: str, min_sup: int = 2) -> "ray.data.Dataset":
+    """(p1, p2, p3, support) — frequent size-3 itemsets over order baskets
+    with support >= ``min_sup``: the A-priori step past the pair mining of
+    :func:`assoc_rules`.
+
+    The PRUNE is the scale story, not the enumeration: pass 1 reuses the
+    pair exchange to get frequent pairs, whose packed keys are broadcast
+    once (the A-priori candidate table — broadcast-sized by construction,
+    since min_sup grows with the corpus precisely to keep it so). Pass 2 is
+    ONE orderkey exchange; inside each bucket a basket first drops items in
+    no frequent pair, then enumerates triples of the SURVIVORS only
+    (size-templated index arithmetic, no per-order Python beyond the
+    distinct-size loop), and keeps a candidate only when all three sub-pairs
+    are frequent — the downward-closure property guarantees no frequent
+    triple is lost, which is why the brute 3-way self-join oracle matches
+    exactly. A final triple-key exchange sums partial counts. Pruned
+    baskets past ``_ITEMSETS3_CAP`` raise loudly (cubic enumeration needs
+    the cap raised deliberately, not silently)."""
+    from itertools import combinations
+
+    from ..sources.tables import read_table
+    from .shuffle import arrow_group_agg, hash_exchange_apply
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    def co_sum(t: pa.Table) -> pa.Table:
+        return arrow_group_agg(t, ["pa", "pb"], [("co", "sum")])
+
+    co = hash_exchange_apply(
+        hash_exchange_apply(ds, ["l_orderkey"], _basket_distinct,
+                            _basket_pairs),
+        ["pa", "pb"], co_sum, co_sum)
+
+    fp = co.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["co"], min_sup)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if len(fp):
+        pk = np.sort((fp["pa"].to_numpy(np.int64) << np.int64(32))
+                     | fp["pb"].to_numpy(np.int64))
+        items = np.unique(np.concatenate(
+            [fp["pa"].to_numpy(np.int64), fp["pb"].to_numpy(np.int64)]))
+    else:
+        pk = np.array([], dtype=np.int64)
+        items = np.array([], dtype=np.int64)
+    cand_ref = ray.put((pk, items))
+
+    def triples(t: pa.Table) -> pa.Table:
+        pk_s, items_s = ray.get(cand_ref)
+        t = _basket_distinct(t)  # global dedup post-exchange
+        o = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["l_partkey"].to_numpy(zero_copy_only=False)
+        keep = _in_sorted(items_s, p)
+        o, p = o[keep], p[keep]
+        n = len(p)
+        if n == 0:
+            return _TRIPLES_SCHEMA.empty_table()
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = o[1:] != o[:-1]
+        gstart = np.flatnonzero(new)
+        sizes = np.diff(np.append(gstart, n))
+        if sizes.max(initial=0) > _ITEMSETS3_CAP:
+            raise ValueError(
+                f"pruned basket of {sizes.max()} frequent-pair items exceeds "
+                f"cap {_ITEMSETS3_CAP}; raise it deliberately")
+        i1 = []
+        i2 = []
+        i3 = []
+        tmpl_cache: dict[int, np.ndarray] = {}
+        for s in np.unique(sizes):
+            s = int(s)
+            if s < 3:
+                continue
+            tmpl = tmpl_cache.setdefault(
+                s, np.array(list(combinations(range(s), 3)), dtype=np.int64))
+            starts = gstart[sizes == s]
+            idx = starts[:, None, None] + tmpl[None, :, :]
+            idx = idx.reshape(-1, 3)
+            i1.append(idx[:, 0])
+            i2.append(idx[:, 1])
+            i3.append(idx[:, 2])
+        if not i1:
+            return _TRIPLES_SCHEMA.empty_table()
+        a = p[np.concatenate(i1)]
+        b = p[np.concatenate(i2)]
+        c = p[np.concatenate(i3)]
+        # downward closure: every sub-pair must be frequent
+        m = (_in_sorted(pk_s, (a << np.int64(32)) | b)
+             & _in_sorted(pk_s, (a << np.int64(32)) | c)
+             & _in_sorted(pk_s, (b << np.int64(32)) | c))
+        if not m.any():
+            return _TRIPLES_SCHEMA.empty_table()
+        df = pd.DataFrame({"p1": a[m], "p2": b[m], "p3": c[m]})
+        g = df.groupby(["p1", "p2", "p3"], as_index=False).size()
+        return pa.table({"p1": g["p1"].to_numpy(np.int64),
+                         "p2": g["p2"].to_numpy(np.int64),
+                         "p3": g["p3"].to_numpy(np.int64),
+                         "n": g["size"].to_numpy(np.int64)})
+
+    def tri_sum(t: pa.Table) -> pa.Table:
+        return arrow_group_agg(t, ["p1", "p2", "p3"], [("n", "sum")])
+
+    tri = hash_exchange_apply(
+        hash_exchange_apply(ds, ["l_orderkey"], _basket_distinct, triples),
+        ["p1", "p2", "p3"], tri_sum, tri_sum)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["n"], min_sup))
+        return pa.table({"p1": t["p1"].cast(pa.int64()),
+                         "p2": t["p2"].cast(pa.int64()),
+                         "p3": t["p3"].cast(pa.int64()),
+                         "support": t["n"].cast(pa.int64())})
+
+    return tri.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+def itemsets3_sql(min_sup: int = 2) -> str:
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+       CAST(COUNT(*) AS BIGINT) AS support
+FROM op a
+JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN op c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_sup}
+"""
+
+
+ITEMSETS3_SQL = itemsets3_sql()

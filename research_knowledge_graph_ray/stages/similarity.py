@@ -11,6 +11,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -1614,3 +1615,62 @@ c{i} AS MATERIALIZED (SELECT q.vec_id, q.v, {mind} AS d2
     return ("WITH " + ",".join(parts) + "\nSELECT CAST(step AS BIGINT) AS step, "
             "CAST(vec_id AS BIGINT) AS vec_id, CAST(d2_min AS BIGINT) AS d2_min "
             "FROM (" + " UNION ALL ".join(sel) + ")")
+
+
+# ---------------------------------------------------------------------------
+# kNN density / outlier scoring
+# ---------------------------------------------------------------------------
+
+# Outlier gate on the k-th neighbor similarity: measured sf0.001/sf0.01
+# 3rd-NN sim_e6 p05 ~ 277k, median ~ 314k, so 280k exercises both classes
+# at test scale.
+_KNN_DENSITY_TAU_E6 = 280_000
+
+
+def knn_density(sf_dir: str, k: int = 3,
+                tau_e6: int = _KNN_DENSITY_TAU_E6) -> "ray.data.Dataset":
+    """(vec_id, kth_sim_e6, is_outlier) — kNN-density outlier score per
+    embedding: the cosine similarity of each vector's k-th nearest neighbor
+    (low k-th-NN similarity == isolated point), with a fixed-threshold
+    outlier flag. The distance-to-kth-neighbor score is the classic
+    density-based anomaly detector for embedding-space corpus audits
+    (mislabeled / off-distribution documents sit alone).
+
+    Rides :func:`knn_join_auto` — brute broadcast matmul under the byte cap,
+    exact-config IVF past it — then a zero-shuffle rank filter; no work
+    beyond the join itself. Exact integers end-to-end given the join's e6
+    quantization, so the SQL oracle (rank-k row of the same self-join)
+    matches bit-for-bit."""
+
+    ds = knn_join_auto(sf_dir, k=k)
+
+    def kth(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch["nn_rank"], k))
+        sim = t["sim_e6"].cast(pa.int64())
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "kth_sim_e6": sim,
+            "is_outlier": pc.cast(pc.less(sim, tau_e6), pa.int64()),
+        })
+
+    return ds.map_batches(kth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_density_sql(k: int = 3, tau_e6: int = _KNN_DENSITY_TAU_E6) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+        CAST(ROUND(list_cosine_similarity(a.v, b.v) * 1000000) AS BIGINT)
+          AS sim_e6
+      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim_e6 DESC, nn_id) AS rnk
+      FROM s)
+SELECT vec_id, sim_e6 AS kth_sim_e6,
+       CAST(CASE WHEN sim_e6 < {tau_e6} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM r WHERE rnk = {k}
+"""
+
+
+KNN_DENSITY_SQL = knn_density_sql()

@@ -97,3 +97,45 @@ def test_ks_drift_bounds_and_identity(sf_dir, tmp_path):
     }), tmp_path / "documents.parquet")
     same = evalops.ks_drift(str(tmp_path)).iloc[0]
     assert same["ks_bp"] == 0 and same["at_value"] == 10
+
+
+def test_itemsets3_planted_triples(tmp_path):
+    # orders 1..3 share basket {10,20,30}; order 4 adds a non-repeating one
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4, 4], pa.int64()),
+        "l_partkey": pa.array([10, 20, 30, 10, 20, 30, 10, 20, 30,
+                               40, 50, 60], pa.int64()),
+    }), tmp_path / "lineitem.parquet")
+    from research_knowledge_graph_ray.stages.graphalgs import itemsets3
+    got = itemsets3(str(tmp_path)).to_pandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert (row["p1"], row["p2"], row["p3"], row["support"]) == (10, 20, 30, 3)
+
+
+def test_itemsets3_downward_closure(sf_dir):
+    from research_knowledge_graph_ray.stages.graphalgs import (
+        _basket_pair_stats, itemsets3)
+    got = itemsets3(sf_dir).to_pandas()
+    assert (got["p1"] < got["p2"]).all() and (got["p2"] < got["p3"]).all()
+    assert (got["support"] >= 2).all()
+    co = _basket_pair_stats(sf_dir)[0].to_pandas()
+    freq = {(a, b) for a, b, c in zip(co["pa"], co["pb"], co["co"]) if c >= 2}
+    for _, r in got.iterrows():
+        assert (r["p1"], r["p2"]) in freq
+        assert (r["p1"], r["p3"]) in freq
+        assert (r["p2"], r["p3"]) in freq
+
+
+def test_knn_density_matches_join_rank_k(sf_dir):
+    from research_knowledge_graph_ray.stages.similarity import (
+        _KNN_DENSITY_TAU_E6, knn_density, knn_join)
+    got = knn_density(sf_dir).to_pandas().sort_values("vec_id")
+    base = knn_join(sf_dir, k=3).to_pandas()
+    kth = (base[base["nn_rank"] == 3].set_index("vec_id")["sim_e6"]
+           .sort_index())
+    assert got["vec_id"].is_unique
+    assert (got.set_index("vec_id")["kth_sim_e6"] == kth).all()
+    assert (got["is_outlier"]
+            == (got["kth_sim_e6"] < _KNN_DENSITY_TAU_E6).astype(int)).all()
+    assert 0 < got["is_outlier"].sum() < len(got)  # threshold binds
