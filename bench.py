@@ -179,6 +179,8 @@ SUITE: list[tuple[str, str]] = [
     ("ks_drift", "evalops.ks_drift"),
     ("itemsets3", "graphalgs.itemsets3"),
     ("knn_density", "similarity.knn_density"),
+    ("novelty_curve", "textops.novelty_curve"),
+    ("bootstrap_ci", "stats.bootstrap_ci"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

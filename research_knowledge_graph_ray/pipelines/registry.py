@@ -1605,6 +1605,13 @@ QUERIES.update(
         # kNN-density outlier score: k-th neighbor similarity via the
         # adaptive join, zero-shuffle rank filter
         "knn_density": (similarity.knn_density, similarity.KNN_DENSITY_SQL),
+        # per-doc n-gram novelty vs everything ingested before it — one
+        # gram exchange (vocab-bounded first-occurrence table broadcast),
+        # one zero-shuffle scoring pass
+        "novelty_curve": (textops.novelty_curve, textops.NOVELTY_CURVE_SQL),
+        # deterministic Poisson bootstrap of the mean order price —
+        # md5-keyed integer inverse-CDF weights, replicate-bounded fold
+        "bootstrap_ci": (stats.bootstrap_ci, stats.BOOTSTRAP_CI_SQL),
     }
 )
 

@@ -2153,3 +2153,88 @@ SELECT x.vec_id, CAST(x.i AS BIGINT) AS i,
             END AS BIGINT) AS z_e6
 FROM x JOIN m USING (i)
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+# Poisson(1) CDF thresholds scaled to 2^32 as exact integers (computed once
+# from math.exp(-1)/k!): a uniform u32 maps to the inverse-CDF weight by
+# counting thresholds <= u32. Weights past 8 occurrences carry ~2e-5 of the
+# mass and clamp to 8 — stated in the oracle identically.
+_BOOT_THRESH = (1580030168, 3160060337, 3950075421, 4213413783,
+                4279248373, 4292415291, 4294609777, 4294923276)
+_BOOT_REPS = 16
+
+
+def bootstrap_ci(sf_dir: str, n_reps: int = _BOOT_REPS) -> pd.DataFrame:
+    """(replicate, n, sum_cents, mean_e6) — deterministic Poisson bootstrap
+    of the mean order price: each replicate re-weights every order by a
+    Poisson(1) draw keyed on ``md5(orderkey|replicate)`` (the hash_sample
+    recipe — no RNG state, so replicates are reproducible across runs,
+    retries and cluster sizes, and restatable in SQL). Per-replicate totals
+    give the bootstrap distribution of the mean — the standard
+    scale-friendly resampling scheme (each row is weighted independently,
+    so the pass streams; a true multinomial resample would need global
+    coordination).
+
+    One corpus pass emits per-block (replicate, n, sum) partials; the
+    driver fold is replicate-bounded. ``mean_e6`` is exact integer floor
+    division done in Python ints (sum_cents·1e6 overflows int64 past ~9e12
+    cents — HUGEINT in the oracle)."""
+    import hashlib
+
+    thresh = np.asarray(_BOOT_THRESH, dtype=np.int64)
+
+    def per_rep(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        reps = []
+        for r in range(n_reps):
+            u = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(f"{int(o)}|{r}".encode()).digest()[:4], "big")
+                 for o in ok),
+                dtype=np.int64, count=len(ok))
+            w = np.searchsorted(thresh, u, side="right")
+            reps.append((r, int(w.sum()), int((w * cents).sum())))
+        return pd.DataFrame(reps, columns=["replicate", "n", "sum_cents"])
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey", "o_totalprice"])
+    parts = ds.map_batches(per_rep, batch_format="pandas").to_pandas()
+    g = parts.groupby("replicate", as_index=False).sum()
+    # a replicate can draw zero total weight on a tiny input; emit -1
+    # (stated in the oracle identically) rather than divide by zero
+    mean_e6 = [int(s) * 1_000_000 // int(n) if int(n) else -1
+               for s, n in zip(g["sum_cents"], g["n"])]
+    g["mean_e6"] = np.asarray(mean_e6, dtype=np.int64)
+    return (g[["replicate", "n", "sum_cents", "mean_e6"]]
+            .astype(np.int64).sort_values("replicate").reset_index(drop=True))
+
+
+def bootstrap_ci_sql(n_reps: int = _BOOT_REPS) -> str:
+    cases = " ".join(
+        f"WHEN u32 < {t} THEN {k}" for k, t in enumerate(_BOOT_THRESH))
+    return f"""
+WITH o AS (SELECT CAST(o_orderkey AS VARCHAR) AS ok,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+r AS (SELECT range AS rep FROM range({n_reps})),
+u AS (SELECT rep, cents,
+        ('0x' || substr(md5(ok || '|' || CAST(rep AS VARCHAR)), 1, 8))::UBIGINT
+          AS u32
+      FROM o, r),
+w AS (SELECT rep, cents, CASE {cases} ELSE 8 END AS w FROM u)
+SELECT CAST(rep AS BIGINT) AS replicate, CAST(SUM(w) AS BIGINT) AS n,
+       CAST(SUM(w * cents) AS BIGINT) AS sum_cents,
+       CAST(CASE WHEN SUM(w) = 0 THEN -1
+                 ELSE CAST(SUM(w * cents) AS HUGEINT) * 1000000
+                      // CAST(SUM(w) AS HUGEINT) END AS BIGINT) AS mean_e6
+FROM w GROUP BY 1
+"""
+
+
+BOOTSTRAP_CI_SQL = bootstrap_ci_sql()

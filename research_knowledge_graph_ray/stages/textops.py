@@ -2169,3 +2169,88 @@ SELECT lt.token, lt.source, lt.n,
 FROM lt JOIN tt USING (token) JOIN ll USING (source) CROSS JOIN tot
 ORDER BY mi_term_e9 DESC, lt.token, lt.source
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve
+# ---------------------------------------------------------------------------
+
+def novelty_curve(sf_dir: str, n: int = 2) -> "ray.data.Dataset":
+    """(doc_id, n_grams, n_novel, novelty_bp) — per-document n-gram novelty
+    against everything ingested BEFORE it (corpus order = doc_id): a gram
+    instance is novel iff this document is the gram's first-occurrence
+    document. The marginal-diversity curve a curation pipeline watches to
+    decide when additional data stops contributing new n-grams (the
+    instance-level complement of ngram_diversity's corpus totals).
+
+    Plan: pass 1 reuses the decontaminate gram machinery — per-block
+    (gram, min doc_id) partials through ONE gram exchange, output bounded by
+    the n-gram vocabulary and broadcast once (the doc_logprob vocab-broadcast
+    recipe; swap for a hash join when the open-web vocabulary outgrows
+    memory). Pass 2 streams the corpus again and scores each doc with two
+    vectorized lookups — no second exchange. Docs with < n tokens are
+    excluded (no gram exists), matching the oracle's join semantics.
+    """
+    from .shuffle import hash_exchange_apply
+
+    def gram_min(batch: pa.Table) -> pa.Table:
+        doc_idx, grams = _doc_ngrams(batch, n)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"g": grams, "first_doc": pa.array(ids[doc_idx])})
+        return (t.group_by("g").aggregate([("first_doc", "min")])
+                .rename_columns(["g", "first_doc"]))
+
+    first = hash_exchange_apply(
+        _read_docs(sf_dir), ["g"], gram_min,
+        lambda t: t.group_by("g").aggregate([("first_doc", "min")])
+        .rename_columns(["g", "first_doc"]),
+        n_buckets=16,
+    ).to_pandas()  # n-gram-vocabulary-bound
+    vocab = pa.array(first["g"], type=pa.string())
+    fdoc = first["first_doc"].to_numpy(np.int64)
+    ref = ray.put((vocab, fdoc))
+
+    def score(batch: pa.Table) -> pa.Table:
+        voc, fd = ray.get(ref)
+        doc_idx, grams = _doc_ngrams(batch, n)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.index_in(grams, value_set=voc)
+        if idx.null_count:
+            raise ValueError("gram missing from the first-occurrence table")
+        novel = (fd[idx.to_numpy(zero_copy_only=False)]
+                 == ids[doc_idx]).astype(np.int64)
+        n_rows = len(batch)
+        tot = np.bincount(doc_idx, minlength=n_rows).astype(np.int64)
+        nov = np.zeros(n_rows, dtype=np.int64)
+        np.add.at(nov, doc_idx, novel)
+        m = tot > 0
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "n_grams": pa.array(tot[m]),
+            "n_novel": pa.array(nov[m]),
+            "novelty_bp": pa.array(nov[m] * 10000 // tot[m]),
+        })
+
+    return _read_docs(sf_dir).map_batches(score, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+
+
+NOVELTY_CURVE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS w
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)),
+                i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
+  FROM toks WHERE len(w) >= 2),
+first AS (SELECT g, MIN(doc_id) AS first_doc FROM bg GROUP BY 1)
+SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = bg.doc_id THEN 1 ELSE 0 END) * 10000
+            // COUNT(*) AS BIGINT) AS novelty_bp
+FROM bg JOIN first f USING (g) GROUP BY bg.doc_id
+"""

@@ -139,3 +139,50 @@ def test_knn_density_matches_join_rank_k(sf_dir):
     assert (got["is_outlier"]
             == (got["kth_sim_e6"] < _KNN_DENSITY_TAU_E6).astype(int)).all()
     assert 0 < got["is_outlier"].sum() < len(got)  # threshold binds
+
+
+def test_novelty_curve_planted_duplicate(tmp_path):
+    from research_knowledge_graph_ray.stages.textops import novelty_curve
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["alpha beta gamma", "alpha beta gamma", "delta epsilon"],
+    }), tmp_path / "documents.parquet")
+    got = (novelty_curve(str(tmp_path)).to_pandas()
+           .set_index("doc_id").sort_index())
+    # doc 0 introduces everything; its verbatim copy introduces nothing
+    assert got.loc[0, "novelty_bp"] == 10000
+    assert got.loc[1, "n_novel"] == 0 and got.loc[1, "novelty_bp"] == 0
+    assert got.loc[2, "novelty_bp"] == 10000
+
+
+def test_novelty_curve_bounds(sf_dir):
+    from research_knowledge_graph_ray.stages.textops import novelty_curve
+    got = novelty_curve(sf_dir).to_pandas()
+    assert (got["n_novel"] <= got["n_grams"]).all()
+    assert got["novelty_bp"].between(0, 10000).all()
+    # the earliest doc with a bigram is all-novel by construction
+    first = got.sort_values("doc_id").iloc[0]
+    assert first["novelty_bp"] == 10000
+
+
+def test_bootstrap_ci_deterministic_weights(sf_dir, tmp_path):
+    import hashlib
+
+    from research_knowledge_graph_ray.stages import stats as st
+    got = st.bootstrap_ci(sf_dir)
+    assert len(got) == st._BOOT_REPS
+    again = st.bootstrap_ci(sf_dir)
+    assert got.equals(again)
+    assert (got["mean_e6"] > 0).all()
+    # planted single order: weight equals the integer inverse CDF of its hash
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([7], pa.int64()),
+        "o_totalprice": pa.array([10.0]),
+    }), tmp_path / "orders.parquet")
+    one = st.bootstrap_ci(str(tmp_path), n_reps=4).set_index("replicate")
+    thresh = np.asarray(st._BOOT_THRESH)
+    for r in range(4):
+        u = int.from_bytes(hashlib.md5(f"7|{r}".encode()).digest()[:4], "big")
+        w = int(np.searchsorted(thresh, u, side="right"))
+        assert one.loc[r, "n"] == w
+        assert one.loc[r, "sum_cents"] == w * 1000
