@@ -181,6 +181,9 @@ SUITE: list[tuple[str, str]] = [
     ("knn_density", "similarity.knn_density"),
     ("novelty_curve", "textops.novelty_curve"),
     ("bootstrap_ci", "stats.bootstrap_ci"),
+    ("dedup_ensemble", "dedup.dedup_ensemble"),
+    ("regression_by_group", "stats.regression_by_group"),
+    ("mixing_plan", "sampling.mixing_plan"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

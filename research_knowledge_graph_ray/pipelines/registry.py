@@ -352,35 +352,8 @@ SELECT md5(text) AS fp, CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
 FROM documents GROUP BY md5(text)
 """
 
-# exact SQL restatement of stages/dedup.py simhash_pairs: md5-derived word
-# feature hashes (occurrence-weighted sign votes, bit set iff vote > 0),
-# 4×16-bit band blocking, Hamming ≤ 3 via bit_count(xor)
-DEDUP_SIMHASH_SQL = r"""
-WITH w AS (SELECT doc_id,
-             unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                x -> x <> '')) AS w
-           FROM documents),
-h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM w),
-bits AS (SELECT doc_id, b.bit,
-                SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
-         FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b GROUP BY 1, 2),
-sims AS (SELECT doc_id,
-                SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
-                         ELSE 0::UBIGINT END)::UBIGINT AS sh
-         FROM bits GROUP BY 1),
-alldocs AS (SELECT d.doc_id, COALESCE(s.sh, 0::UBIGINT) AS sh
-            FROM documents d LEFT JOIN sims s USING (doc_id)),
-bands AS (SELECT doc_id, sh, b.band, (sh >> (b.band * 16)) & 65535 AS band_val
-          FROM alldocs CROSS JOIN (SELECT unnest(range(4)) AS band) b),
-cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                a.sh AS sa, b.sh AS sb
-         FROM bands a JOIN bands b
-           ON a.band = b.band AND a.band_val = b.band_val
-          AND a.doc_id < b.doc_id)
-SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
-       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 3
-"""
+# SQL restatement lives beside the operator in stages/dedup.py
+DEDUP_SIMHASH_SQL = dedup.DEDUP_SIMHASH_SQL
 
 
 # SQL restatement lives beside the operator in stages/dedup.py (shared
@@ -1612,6 +1585,17 @@ QUERIES.update(
         # deterministic Poisson bootstrap of the mean order price —
         # md5-keyed integer inverse-CDF weights, replicate-bounded fold
         "bootstrap_ci": (stats.bootstrap_ci, stats.BOOTSTRAP_CI_SQL),
+        # ensemble near-dup audit: star exact pairs ∪ MinHash ∪ SimHash,
+        # distributed CC, 7-scalar summary; oracle composes the three gated
+        # pair SQLs + recursive closure
+        "dedup_ensemble": (dedup.dedup_ensemble, dedup.dedup_ensemble_sql()),
+        # per-shipmode OLS — grouped sufficient-stats partials, group-
+        # bounded fold, identical-double fits, degenerate-group convention
+        "regression_by_group": (stats.regression_by_group,
+                                stats.REGRESSION_BY_GROUP_SQL),
+        # temperature (alpha=0.5) source-mixing plan — integer floor-sqrt
+        # weights, all ratios integer floor division, source-bounded fold
+        "mixing_plan": (sampling.mixing_plan, sampling.MIXING_PLAN_SQL),
     }
 )
 

@@ -2177,3 +2177,145 @@ WHERE s > 0
         * {_SDECON_NUM * _SDECON_NUM}
 GROUP BY 1 ORDER BY 1
 """
+
+
+# exact SQL restatement of stages/dedup.py simhash_pairs: md5-derived word
+# feature hashes (occurrence-weighted sign votes, bit set iff vote > 0),
+# 4×16-bit band blocking, Hamming ≤ 3 via bit_count(xor)
+DEDUP_SIMHASH_SQL = r"""
+WITH w AS (SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> '')) AS w
+           FROM documents),
+h AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM w),
+bits AS (SELECT doc_id, b.bit,
+                SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM h CROSS JOIN (SELECT unnest(range(64)) AS bit) b GROUP BY 1, 2),
+sims AS (SELECT doc_id,
+                SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << bit)
+                         ELSE 0::UBIGINT END)::UBIGINT AS sh
+         FROM bits GROUP BY 1),
+alldocs AS (SELECT d.doc_id, COALESCE(s.sh, 0::UBIGINT) AS sh
+            FROM documents d LEFT JOIN sims s USING (doc_id)),
+bands AS (SELECT doc_id, sh, b.band, (sh >> (b.band * 16)) & 65535 AS band_val
+          FROM alldocs CROSS JOIN (SELECT unnest(range(4)) AS band) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                a.sh AS sa, b.sh AS sb
+         FROM bands a JOIN bands b
+           ON a.band = b.band AND a.band_val = b.band_val
+          AND a.doc_id < b.doc_id)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ensemble dedup audit (exact ∪ MinHash ∪ SimHash)
+# ---------------------------------------------------------------------------
+
+def dedup_ensemble(sf_dir: str) -> pd.DataFrame:
+    """(n_pairs_exact, n_pairs_minhash, n_pairs_simhash, n_pairs_union,
+    n_docs_linked, n_clusters, max_cluster) — ensemble near-dup audit: the
+    union of three already-gated pair dataflows (exact content-hash star
+    pairs, MinHash-LSH candidates, SimHash band pairs) closed into connected
+    components. The production question this answers: how much MORE does
+    each sketch family link beyond the others, and how big do merged dup
+    clusters get when all detectors vote.
+
+    Composition, not new machinery: exact pairs are STAR edges (fp-min →
+    member), linear in group size and CC-equivalent to the clique; the
+    union is one pair-key dedup exchange; components run on the fully
+    distributed min-label-propagation CC (no driver edge set). The one-row
+    summary is aggregated with Dataset ops; only 7 scalars land on the
+    driver. Empty-graph convention: max_cluster = -1 (stated in the
+    oracle)."""
+    from .canonicalize import connected_components_ds
+    from .shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pd.DataFrame:
+        texts = batch["text"].to_pylist()
+        return pd.DataFrame({
+            "fp": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts],
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False)
+            .astype(np.int64)})
+
+    def star(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["fp", "doc_id"])
+        m = df.groupby("fp")["doc_id"].transform("min")
+        keep = df["doc_id"] > m
+        return pd.DataFrame({"doc_a": m[keep].to_numpy(np.int64),
+                             "doc_b": df["doc_id"][keep].to_numpy(np.int64)})
+
+    ex = bucketed_group_apply(
+        ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True),
+        ["fp"], lambda d: d, star)
+    mh = minhash_candidate_pairs(sf_dir).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+    sh = simhash_pairs(sf_dir).map_batches(
+        lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    n_ex, n_mh, n_sh = ex.count(), mh.count(), sh.count()
+
+    def pair_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["doc_a", "doc_b"])
+
+    union = bucketed_group_apply(ex.union(mh).union(sh),
+                                 ["doc_a", "doc_b"],
+                                 pair_distinct, pair_distinct)
+    n_union = union.count()
+    edges = union.map_batches(
+        lambda df: pd.DataFrame({"a": df["doc_a"], "b": df["doc_b"]}),
+        batch_format="pandas")
+    labels = connected_components_ds(edges)
+    n_linked = labels.count()
+    if n_linked:
+        sizes = labels.groupby("label").count()
+        n_clusters = sizes.count()
+        max_cluster = int(sizes.max("count()"))
+    else:
+        n_clusters, max_cluster = 0, -1
+    return pd.DataFrame(
+        [[n_ex, n_mh, n_sh, n_union, n_linked, n_clusters, max_cluster]],
+        columns=["n_pairs_exact", "n_pairs_minhash", "n_pairs_simhash",
+                 "n_pairs_union", "n_docs_linked", "n_clusters",
+                 "max_cluster"]).astype(np.int64)
+
+
+def dedup_ensemble_sql() -> str:
+    return f"""
+WITH RECURSIVE
+ex AS (
+  SELECT g.m AS doc_a, d.doc_id AS doc_b
+  FROM (SELECT md5(text) AS fp, MIN(doc_id) AS m
+        FROM documents GROUP BY 1) g
+  JOIN (SELECT doc_id, md5(text) AS fp FROM documents) d USING (fp)
+  WHERE d.doc_id > g.m),
+mh AS (SELECT doc_a, doc_b FROM ({minhash_pairs_sql()})),
+sh AS (SELECT doc_a, doc_b FROM ({DEDUP_SIMHASH_SQL})),
+up AS (SELECT DISTINCT doc_a, doc_b FROM (
+       SELECT * FROM ex UNION ALL SELECT * FROM mh
+       UNION ALL SELECT * FROM sh)),
+e AS (SELECT DISTINCT a, b FROM (
+       SELECT doc_a AS a, doc_b AS b FROM up
+       UNION ALL SELECT doc_b, doc_a FROM up)),
+nodes AS (SELECT DISTINCT a AS n FROM e),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN e ON r.m = e.a),
+comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY n),
+cl AS (SELECT c, COUNT(*) AS sz FROM comp GROUP BY c)
+SELECT CAST((SELECT COUNT(*) FROM ex) AS BIGINT) AS n_pairs_exact,
+       CAST((SELECT COUNT(*) FROM mh) AS BIGINT) AS n_pairs_minhash,
+       CAST((SELECT COUNT(*) FROM sh) AS BIGINT) AS n_pairs_simhash,
+       CAST((SELECT COUNT(*) FROM up) AS BIGINT) AS n_pairs_union,
+       CAST((SELECT COUNT(*) FROM comp) AS BIGINT) AS n_docs_linked,
+       CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_clusters,
+       CAST(COALESCE((SELECT MAX(sz) FROM cl), -1) AS BIGINT) AS max_cluster
+"""

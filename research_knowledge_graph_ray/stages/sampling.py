@@ -536,3 +536,84 @@ SELECT doc_id, source,
             ELSE 'test' END AS split
 FROM r
 """
+
+
+# ---------------------------------------------------------------------------
+# Temperature-mixing plan
+# ---------------------------------------------------------------------------
+
+def mixing_plan(sf_dir: str) -> pd.DataFrame:
+    """(source, tokens, weight, required_tokens, epochs_e6, upsampled) —
+    temperature-resampling plan across sources: target sampling weights
+    proportional to tokens^(1/2) (the standard alpha=0.5 temperature that
+    flattens the source distribution without inverting it), applied to a
+    budget equal to the total corpus token count. ``epochs_e6`` =
+    required/available; > 1e6 means the source must repeat (upsampled = 1)
+    — exactly the report a data-mixing stage consumes to build its
+    per-source repeat factors.
+
+    Exactness: the weight is the INTEGER floor(sqrt(tokens)) (the same
+    IEEE double sqrt then floor on both engines — loudly bounded to
+    tokens < 2^52 where the double is exact), so every downstream ratio is
+    integer floor division: no float summation order anywhere. One
+    streamed pass of per-block (source, tokens) partials; source-bounded
+    driver fold."""
+
+    def tok(batch: pa.Table) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        text = batch["text"]
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        no_space = pc.utf8_length(
+            pc.replace_substring(text, pattern=" ", replacement="")
+        ).cast(pa.int64())
+        nt = pc.add(pc.subtract(n_chars, no_space), 1)
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "tokens": nt.to_numpy(zero_copy_only=False).astype(np.int64)})
+        return df.groupby("source", as_index=False)["tokens"].sum()
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text", "source"])
+    g = (ds.map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+         .to_pandas().groupby("source", as_index=False)["tokens"].sum())
+    toks = g["tokens"].to_numpy(np.int64)
+    if toks.size and int(toks.max()) >= 1 << 52:
+        raise ValueError("per-source token count exceeds the exact-double "
+                         "sqrt bound (2^52); switch the weight to isqrt")
+    import math as _m
+
+    w = np.asarray([int(_m.floor(_m.sqrt(float(t)))) for t in toks],
+                   dtype=np.int64)
+    total = int(toks.sum())
+    denom = int(w.sum())
+    req = [total * int(wi) // denom for wi in w]
+    ep = [r * 1_000_000 // int(t) for r, t in zip(req, toks)]
+    out = pd.DataFrame({
+        "source": g["source"], "tokens": toks, "weight": w,
+        "required_tokens": np.asarray(req, dtype=np.int64),
+        "epochs_e6": np.asarray(ep, dtype=np.int64),
+        "upsampled": (np.asarray(ep, dtype=np.int64)
+                      > 1_000_000).astype(np.int64)})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+MIXING_PLAN_SQL = """
+WITH t AS (
+  SELECT source,
+    CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) AS BIGINT)
+      AS tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT source, tokens,
+             CAST(FLOOR(SQRT(CAST(tokens AS DOUBLE))) AS BIGINT) AS weight
+      FROM t),
+n AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
+             CAST(SUM(weight) AS BIGINT) AS denom FROM w)
+SELECT source, tokens, weight,
+       CAST(n.total * weight // n.denom AS BIGINT) AS required_tokens,
+       CAST((n.total * weight // n.denom) * 1000000 // tokens AS BIGINT)
+         AS epochs_e6,
+       CAST(CASE WHEN (n.total * weight // n.denom) * 1000000 // tokens
+                      > 1000000 THEN 1 ELSE 0 END AS BIGINT) AS upsampled
+FROM w, n
+"""

@@ -2238,3 +2238,86 @@ FROM w GROUP BY 1
 
 
 BOOTSTRAP_CI_SQL = bootstrap_ci_sql()
+
+
+def regression_by_group(sf_dir: str, group_col: str = "l_returnflag") -> pd.DataFrame:
+    """(group, n, corr_e9, slope_e9, intercept_e9) — per-returnflag OLS fit
+    of l_extendedprice (cents) on l_quantity: the grouped twin of
+    :func:`price_qty_regression` (segment-level price-model audit).
+
+    Per-block partials carry the six exact integer sufficient stats PER
+    GROUP (decimal strings — sums exceed int64 at scale); the driver fold is
+    group-domain-bounded (ship modes), and each group's fit is the same
+    identical-double expression as the global op. Degenerate groups
+    (zero x or y variance) emit corr = slope = 0 and intercept = mean y —
+    stated in the oracle identically."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(df["l_quantity"].to_numpy(np.float64)).astype(np.int64)
+        y = np.rint(df["l_extendedprice"].to_numpy(np.float64) * 100
+                    ).astype(np.int64)
+        g = pd.DataFrame({"group": df[group_col], "x": x, "y": y,
+                          "xx": x * x, "yy": y * y, "xy": x * y})
+        agg = g.groupby("group", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"))
+        for c in ("sx", "sy", "sxx", "syy", "sxy"):
+            agg[c] = agg[c].map(lambda v: str(int(v)))
+        return agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[group_col, "l_quantity", "l_extendedprice"])
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    for grp, sub in parts.groupby("group"):
+        n = int(sub["n"].sum())
+        sx, sy, sxx, syy, sxy = (
+            sum(int(v) for v in sub[c])
+            for c in ("sx", "sy", "sxx", "syy", "sxy"))
+        num = float(n * sxy - sx * sy)
+        den_x = float(n * sxx - sx * sx)
+        den_y = float(n * syy - sy * sy)
+        if den_x > 0 and den_y > 0:
+            slope = num / den_x
+            corr = _round_e9(num / math.sqrt(den_x * den_y))
+            slope_e9 = _round_e9(slope)
+            icept = _round_e9((float(sy) - slope * float(sx)) / float(n))
+        else:
+            corr, slope_e9 = 0, 0
+            icept = _round_e9(float(sy) / float(n))
+        rows.append((grp, n, corr, slope_e9, icept))
+    out = pd.DataFrame(rows, columns=["group", "n", "corr_e9", "slope_e9",
+                                      "intercept_e9"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("group").reset_index(drop=True)
+
+
+REGRESSION_BY_GROUP_SQL = """
+WITH b AS (SELECT l_returnflag AS grp,
+                  CAST(ROUND(l_quantity) AS HUGEINT) AS x,
+                  CAST(ROUND(l_extendedprice * 100) AS HUGEINT) AS y
+           FROM lineitem),
+s AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+      FROM b GROUP BY 1),
+t AS (SELECT grp, CAST(n AS BIGINT) AS n,
+             CAST(n*sxy - sx*sy AS DOUBLE) AS num,
+             CAST(n*sxx - sx*sx AS DOUBLE) AS den_x,
+             CAST(n*syy - sy*sy AS DOUBLE) AS den_y,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd FROM s)
+SELECT grp AS "group", n,
+  CAST(CASE WHEN den_x > 0 AND den_y > 0
+            THEN ROUND(num / sqrt(den_x * den_y) * 1000000000)
+            ELSE 0 END AS BIGINT) AS corr_e9,
+  CAST(CASE WHEN den_x > 0 AND den_y > 0
+            THEN ROUND(num / den_x * 1000000000) ELSE 0 END AS BIGINT)
+    AS slope_e9,
+  CAST(CASE WHEN den_x > 0 AND den_y > 0
+            THEN ROUND((syd - (num / den_x) * sxd) / CAST(n AS DOUBLE)
+                       * 1000000000)
+            ELSE ROUND(syd / CAST(n AS DOUBLE) * 1000000000)
+       END AS BIGINT) AS intercept_e9
+FROM t
+"""

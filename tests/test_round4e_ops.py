@@ -186,3 +186,66 @@ def test_bootstrap_ci_deterministic_weights(sf_dir, tmp_path):
         w = int(np.searchsorted(thresh, u, side="right"))
         assert one.loc[r, "n"] == w
         assert one.loc[r, "sum_cents"] == w * 1000
+
+
+def test_dedup_ensemble_invariants(sf_dir):
+    from research_knowledge_graph_ray.stages.dedup import dedup_ensemble
+    row = dedup_ensemble(sf_dir).iloc[0]
+    assert row["n_pairs_union"] >= max(row["n_pairs_exact"],
+                                       row["n_pairs_minhash"],
+                                       row["n_pairs_simhash"])
+    assert row["n_pairs_union"] <= (row["n_pairs_exact"]
+                                    + row["n_pairs_minhash"]
+                                    + row["n_pairs_simhash"])
+    if row["n_clusters"]:
+        assert row["n_docs_linked"] >= 2 * row["n_clusters"]
+        assert 2 <= row["max_cluster"] <= row["n_docs_linked"]
+
+
+def test_dedup_ensemble_planted_triplet(tmp_path):
+    from research_knowledge_graph_ray.stages.dedup import dedup_ensemble
+    text = " ".join(["alpha beta gamma delta"] * 10)
+    other = " ".join(["zeta eta theta iota"] * 10)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": [text, text, text, other],
+    }), tmp_path / "documents.parquet")
+    row = dedup_ensemble(str(tmp_path)).iloc[0]
+    assert row["n_pairs_exact"] == 2        # star: 0-1, 0-2
+    assert row["n_clusters"] == 1
+    assert row["max_cluster"] == 3 and row["n_docs_linked"] == 3
+
+
+def test_regression_by_group_partition_and_degenerate(sf_dir, tmp_path):
+    from research_knowledge_graph_ray.stages.stats import (
+        _round_e9, regression_by_group)
+    got = regression_by_group(sf_dir)
+    n_li = pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows
+    assert int(got["n"].sum()) == n_li
+    assert got["group"].is_unique
+    assert got["corr_e9"].abs().le(1_000_000_000).all()
+    # degenerate group (one row): corr = slope = 0, intercept = mean cents
+    pq.write_table(pa.table({
+        "l_returnflag": ["X"],
+        "l_quantity": pa.array([5.0]),
+        "l_extendedprice": pa.array([12.34]),
+    }), tmp_path / "lineitem.parquet")
+    one = regression_by_group(str(tmp_path)).iloc[0]
+    assert one["corr_e9"] == 0 and one["slope_e9"] == 0
+    assert one["intercept_e9"] == _round_e9(1234.0)
+
+
+def test_mixing_plan_accounting(sf_dir):
+    from research_knowledge_graph_ray.stages.sampling import mixing_plan
+    got = mixing_plan(sf_dir)
+    total = int(got["tokens"].sum())
+    assert int(got["required_tokens"].sum()) <= total  # floor division
+    assert (got["weight"] ** 2 <= got["tokens"]).all()
+    assert ((got["weight"] + 1) ** 2 > got["tokens"]).all()
+    assert (got["upsampled"] == (got["epochs_e6"] > 1_000_000)
+            .astype(int)).all()
+    # temperature flattening: the smallest source is upsampled relative to
+    # the largest (epochs ordering is inverse to size ordering)
+    smallest = got.loc[got["tokens"].idxmin()]
+    largest = got.loc[got["tokens"].idxmax()]
+    assert smallest["epochs_e6"] >= largest["epochs_e6"]
