@@ -184,6 +184,7 @@ SUITE: list[tuple[str, str]] = [
     ("dedup_ensemble", "dedup.dedup_ensemble"),
     ("regression_by_group", "stats.regression_by_group"),
     ("mixing_plan", "sampling.mixing_plan"),
+    ("knn_shapley", "similarity.knn_shapley"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1596,6 +1596,11 @@ QUERIES.update(
         # temperature (alpha=0.5) source-mixing plan — integer floor-sqrt
         # weights, all ratios integer floor division, source-bounded fold
         "mixing_plan": (sampling.mixing_plan, sampling.MIXING_PLAN_SQL),
+        # exact closed-form KNN-Shapley data valuation — eval slice
+        # broadcast, one key-row exchange on test_id, order-fixed backward
+        # recursion (recursive-CTE oracle); per-test group is train-sized
+        # by the closed form (IVF top-M truncation is the scale path)
+        "knn_shapley": (similarity.knn_shapley, similarity.KNN_SHAPLEY_SQL),
     }
 )
 

@@ -1674,3 +1674,153 @@ FROM r WHERE rnk = {k}
 
 
 KNN_DENSITY_SQL = knn_density_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact KNN-Shapley data valuation
+# ---------------------------------------------------------------------------
+
+_SHAP_TEST_MOD = 50
+_SHAP_K = 3
+
+
+def knn_shapley(sf_dir: str, k: int = _SHAP_K,
+                test_mod: int = _SHAP_TEST_MOD) -> "ray.data.Dataset":
+    """(test_id, train_id, rnk, shapley_e9) — exact closed-form KNN-Shapley
+    data valuation (Jia et al. 2019, "Efficient task-specific data valuation
+    for nearest neighbor algorithms", PVLDB 12(11)): each training point's
+    Shapley contribution to a K-NN classifier's accuracy on an eval slice
+    (vec_id % test_mod == 0), computed by the backward recursion
+    ``s_(N) = 1[y_(N)=y]/N``, ``s_(i) = s_(i+1) +
+    (1[y_(i)=y] - 1[y_(i+1)=y]) * min(K,i) / (K*i)`` over training points
+    ranked by cosine similarity (ties: smaller train_id nearer).
+
+    Dataflow: the eval slice is broadcast once (decontaminate recipe —
+    eval-slice-bounded by definition); ONE streamed pass emits (test,
+    train, sim, indicator) key rows; ONE exchange on test_id co-locates
+    each test point's ranking. The stated scale bound: a per-test group is
+    TRAIN-CORPUS-sized (the closed form ranks the whole training set — it
+    is inherently a per-test global sort); past worker-heap sizes, truncate
+    to the top-M candidates via the IVF prefilter — contributions beyond
+    rank M are O(1/M) by the recursion's min(K,i)/i factor. Float parity:
+    every term is one integer-numerator IEEE division and the recursion
+    fixes the summation order, so e9 rounding matches the recursive-CTE
+    oracle bit-for-bit."""
+    from .shuffle import bucketed_group_apply
+
+    def test_slice(batch: pa.Table) -> pa.Table:
+        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(ids_b % test_mod == 0))
+
+    t = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+         .map_batches(test_slice, batch_format="pyarrow",
+                      zero_copy_batch=True)
+         .to_arrow_refs())
+    # eval-slice-bounded; drop empty blocks (schema-less, the known Ray
+    # Data empty-block gotcha) before the concat
+    tabs = [tab for tab in map(ray.get, t) if tab.num_rows]
+    t = pa.concat_tables(tabs)
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    flat = np.asarray(t["embedding"].combine_chunks().flatten()
+                      .to_numpy(zero_copy_only=False), dtype=np.float64)
+    mat = flat.reshape(len(ids), -1)[order]
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    test_ref = ray.put((ids[order],
+                        mat / norms,
+                        t["label"].to_numpy().astype(np.int64)[order]))
+
+    def fan(batch: pa.Table) -> pd.DataFrame:
+        t_ids, t_unit, t_lab = ray.get(test_ref)
+        ids_b = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ids_b % test_mod != 0
+        if not keep.any():
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("test_id", "train_id", "sim_e6",
+                                           "ind")})
+        q = _batch_vecs(batch)[keep]
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(
+            np.int64)[keep]
+        ids_b = ids_b[keep]
+        nq = np.linalg.norm(q, axis=1, keepdims=True)
+        nq[nq == 0] = 1.0
+        sims = np.round((q / nq) @ t_unit.T * 1e6).astype(np.int64)
+        nt = len(t_ids)
+        ntr = len(ids_b)
+        return pd.DataFrame({
+            "test_id": np.tile(t_ids, ntr),
+            "train_id": np.repeat(ids_b, nt),
+            "sim_e6": sims.ravel(),
+            "ind": (lab[:, None] == t_lab[None, :]).astype(np.int64).ravel(),
+        })
+
+    rows = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]
+    ).map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
+
+    def shap(df: pd.DataFrame) -> pd.DataFrame:
+        from .stats import _round_e9_vec
+
+        out = []
+        for tid, sub in df.groupby("test_id"):
+            sub = sub.sort_values(["sim_e6", "train_id"],
+                                  ascending=[False, True])
+            ind = sub["ind"].to_numpy(np.int64)
+            n = len(ind)
+            ranks = np.arange(1, n, dtype=np.int64)          # i = 1..N-1
+            diff = (ind[:-1] - ind[1:]) * np.minimum(k, ranks)
+            terms = diff.astype(np.float64) / (k * ranks).astype(np.float64)
+            # cumsum order == the recursion: s_N, then +t_{N-1}, ... +t_1
+            seq = np.concatenate(([float(ind[-1]) / float(n)], terms[::-1]))
+            s = np.cumsum(seq)[::-1]                          # rank 1..N
+            out.append(pd.DataFrame({
+                "test_id": np.full(n, tid, dtype=np.int64),
+                "train_id": sub["train_id"].to_numpy(np.int64),
+                "rnk": np.arange(1, n + 1, dtype=np.int64),
+                "shapley_e9": _round_e9_vec(s),
+            }))
+        if not out:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                                 for c in ("test_id", "train_id", "rnk",
+                                           "shapley_e9")})
+        return pd.concat(out, ignore_index=True)
+
+    return bucketed_group_apply(rows, ["test_id"], lambda d: d, shap,
+                                n_buckets=8)
+
+
+def knn_shapley_sql(k: int = _SHAP_K, test_mod: int = _SHAP_TEST_MOD) -> str:
+    return f"""
+WITH RECURSIVE
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+tst AS (SELECT * FROM e WHERE vec_id % {test_mod} = 0),
+trn AS (SELECT * FROM e WHERE vec_id % {test_mod} <> 0),
+s AS (SELECT t.vec_id AS test_id, r.vec_id AS train_id,
+        CAST(ROUND(list_cosine_similarity(t.v, r.v) * 1000000) AS BIGINT)
+          AS sim_e6,
+        CASE WHEN r.label = t.label THEN 1 ELSE 0 END AS ind
+      FROM tst t, trn r),
+rk AS (SELECT *, row_number() OVER (PARTITION BY test_id
+                                    ORDER BY sim_e6 DESC, train_id) AS rnk,
+          COUNT(*) OVER (PARTITION BY test_id) AS n
+       FROM s),
+step(test_id, train_id, rnk, shap) AS (
+  SELECT test_id, train_id, rnk, CAST(ind AS DOUBLE) / n FROM rk
+  WHERE rnk = n
+  UNION ALL
+  SELECT cur.test_id, cur.train_id, cur.rnk,
+         st.shap + CAST((cur.ind - prv.ind) * LEAST({k}, cur.rnk) AS DOUBLE)
+                   / ({k} * cur.rnk)
+  FROM step st
+  JOIN rk prv ON prv.test_id = st.test_id AND prv.rnk = st.rnk
+  JOIN rk cur ON cur.test_id = st.test_id AND cur.rnk = st.rnk - 1)
+SELECT test_id, train_id, CAST(rnk AS BIGINT) AS rnk,
+       CAST(ROUND(shap * 1000000000) AS BIGINT) AS shapley_e9
+FROM step
+"""
+
+
+KNN_SHAPLEY_SQL = knn_shapley_sql()

@@ -249,3 +249,40 @@ def test_mixing_plan_accounting(sf_dir):
     smallest = got.loc[got["tokens"].idxmin()]
     largest = got.loc[got["tokens"].idxmax()]
     assert smallest["epochs_e6"] >= largest["epochs_e6"]
+
+
+def test_knn_shapley_efficiency_axiom(tmp_path):
+    # 1 test point (id 0), 4 train points; d=2 unit-ish vectors.
+    # Efficiency: sum of Shapley values == utility of the full training set
+    # == (1/K) * (matching labels among the K nearest).
+    from research_knowledge_graph_ray.stages.similarity import knn_shapley
+    vecs = [[1.0, 0.0], [1.0, 0.1], [0.9, 0.2], [0.0, 1.0], [-1.0, 0.5]]
+    labs = [7, 7, 3, 7, 3]   # test label 7
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64())),
+        "label": pa.array(labs, pa.int64()),
+    }), tmp_path / "embeddings.parquet")
+    got = knn_shapley(str(tmp_path), k=3, test_mod=5).to_pandas()
+    assert len(got) == 4 and got["test_id"].eq(0).all()
+    # nearest 3 by cosine: ids 1 (lab 7), 2 (lab 3), 3 (lab 7) -> utility 2/3
+    total = got["shapley_e9"].sum()
+    assert abs(total - round(2 / 3 * 1e9)) <= 4  # per-row e9 rounding slack
+    # symmetry/null: the farthest non-matching point contributes least
+    worst = got.sort_values("rnk").iloc[-1]
+    assert worst["shapley_e9"] <= got["shapley_e9"].max()
+
+
+def test_knn_shapley_rank_coverage(sf_dir):
+    from research_knowledge_graph_ray.stages.similarity import (
+        _SHAP_TEST_MOD, knn_shapley)
+    got = knn_shapley(sf_dir).to_pandas()
+    n_emb = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    n_test = len([i for i in range(n_emb) if i % _SHAP_TEST_MOD == 0])
+    n_train = n_emb - n_test
+    assert len(got) == n_test * n_train
+    # every test point ranks the full training set exactly once
+    per = got.groupby("test_id")["rnk"].agg(["min", "max", "size"])
+    assert (per["min"] == 1).all() and (per["max"] == n_train).all()
+    assert (per["size"] == n_train).all()
+    assert not got.duplicated(["test_id", "train_id"]).any()
