@@ -185,6 +185,8 @@ SUITE: list[tuple[str, str]] = [
     ("regression_by_group", "stats.regression_by_group"),
     ("mixing_plan", "sampling.mixing_plan"),
     ("knn_shapley", "similarity.knn_shapley"),
+    ("stylometry_delta", "evalops.stylometry_delta"),
+    ("group_dro_weights", "evalops.group_dro_weights"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

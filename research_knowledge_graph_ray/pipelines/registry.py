@@ -1601,6 +1601,14 @@ QUERIES.update(
         # recursion (recursive-CTE oracle); per-test group is train-sized
         # by the closed form (IVF top-M truncation is the scale path)
         "knn_shapley": (similarity.knn_shapley, similarity.KNN_SHAPLEY_SQL),
+        # Burrows' Delta style distance between sources — integer-MAD
+        # variant, one token exchange, S²×T-bounded driver math
+        "stylometry_delta": (evalops.stylometry_delta,
+                             evalops.STYLOMETRY_DELTA_SQL),
+        # Group-DRO source up-weights from per-source hinge loss — fused
+        # feature pass, source-bounded fold, one per-row exp
+        "group_dro_weights": (evalops.group_dro_weights,
+                              evalops.GROUP_DRO_WEIGHTS_SQL),
     }
 )
 

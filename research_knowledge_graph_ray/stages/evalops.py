@@ -536,3 +536,170 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(10000 * dnum // (n_a * n_b) AS BIGINT) AS ks_bp
 FROM k ORDER BY dnum DESC, v ASC LIMIT 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Stylometry (Burrows' Delta, integer-MAD variant)
+# ---------------------------------------------------------------------------
+
+_STYLO_TOP = 30  # most-frequent-token basis, the classic Delta feature set
+_Z_SHIFT = 10 ** 13  # > max |centered e9 freq| * 1e4; sign-safe floor div
+
+
+def stylometry_delta(sf_dir: str, top_t: int = _STYLO_TOP) -> pd.DataFrame:
+    """(src_a, src_b, delta) — Burrows' Delta authorship/style distance
+    between every source pair over the ``top_t`` globally most frequent
+    tokens, in an integer-exact variant: per-source relative frequencies as
+    e9 basis (cnt*1e9 // tokens), centered on the across-source integer
+    mean and scaled by the integer mean-absolute-deviation (MAD replaces
+    the classic z-score's std — same spirit, no float), Delta = mean |z_a -
+    z_b|. The duplicate-source / style-drift audit for corpus provenance.
+
+    Plan: ONE token exchange produces global counts; the top-T basis (a
+    fixed-size table) and the (source, token) count matrix are both
+    sources×T-bounded, so the driver fold and the pairwise Delta loop are
+    O(S²·T) on fixed domains — no second corpus pass, no floats anywhere.
+    Ties in the top-T cut break lexicographically (stated in the oracle)."""
+    from .shuffle import hash_exchange_apply
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        doc_idx, grams = _doc_ngrams(batch, 1)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({"source": src.take(pa.array(doc_idx)), "g": grams})
+        return (t.group_by(["source", "g"]).aggregate([("g", "count")])
+                .rename_columns(["source", "g", "cnt"]))
+
+    def bucket_final(tab: pa.Table) -> pa.Table:
+        return (tab.group_by(["source", "g"]).aggregate([("cnt", "sum")])
+                .rename_columns(["source", "g", "cnt"]))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    st = hash_exchange_apply(ds, ["g"], tok_partial, bucket_final,
+                             n_buckets=16).to_pandas()
+    # global top-T basis: count desc, token asc (vocabulary-bounded table)
+    tot = (st.groupby("g", as_index=False)["cnt"].sum()
+           .sort_values(["cnt", "g"], ascending=[False, True]))
+    basis = list(tot.head(top_t)["g"])
+    srcs = sorted(st["source"].unique())
+    toks_per_src = st.groupby("source")["cnt"].sum().to_dict()
+    cnt = {(r["source"], r["g"]): int(r["cnt"])
+           for _, r in st[st["g"].isin(basis)].iterrows()}
+    S = len(srcs)
+    # integer e9 relative frequencies, per-token mean and MAD across sources
+    z = {}
+    for g in basis:
+        f = [cnt.get((s, g), 0) * 1_000_000_000 // int(toks_per_src[s])
+             for s in srcs]
+        mean = sum(f) // S
+        mad = sum(abs(v - mean) for v in f) // S
+        for s, v in zip(srcs, f):
+            z[(s, g)] = ((v - mean) * 10_000 + _Z_SHIFT) // max(mad, 1)
+    rows = []
+    for i in range(S):
+        for j in range(i + 1, S):
+            d = sum(abs(z[(srcs[i], g)] - z[(srcs[j], g)])
+                    for g in basis) // len(basis)
+            rows.append((srcs[i], srcs[j], d))
+    out = pd.DataFrame(rows, columns=["src_a", "src_b", "delta"])
+    out["delta"] = out["delta"].astype(np.int64)
+    return out
+
+
+def stylometry_delta_sql(top_t: int = _STYLO_TOP) -> str:
+    return f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS g
+  FROM documents),
+st AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM toks GROUP BY 1, 2),
+basis AS (SELECT g FROM (SELECT g, SUM(cnt) AS n FROM st GROUP BY 1)
+          ORDER BY n DESC, g LIMIT {top_t}),
+tps AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS toks FROM st GROUP BY 1),
+f AS (SELECT s.source, b.g,
+        COALESCE(st.cnt, 0) * 1000000000 // s.toks AS fbp
+      FROM tps s CROSS JOIN basis b
+      LEFT JOIN st ON st.source = s.source AND st.g = b.g),
+m AS (SELECT g, CAST(SUM(fbp) AS BIGINT) // COUNT(*) AS mean FROM f
+      GROUP BY 1),
+md AS (SELECT f.g, CAST(SUM(ABS(fbp - m.mean)) AS BIGINT) // COUNT(*) AS mad
+       FROM f JOIN m USING (g) GROUP BY f.g),
+z AS (SELECT f.source, f.g,
+        ((fbp - m.mean) * 10000 + 10000000000000) // GREATEST(md.mad, 1) AS z
+      FROM f JOIN m USING (g) JOIN md ON md.g = f.g)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(SUM(ABS(a.z - b.z)) // COUNT(*) AS BIGINT) AS delta
+FROM z a JOIN z b ON a.g = b.g AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+STYLOMETRY_DELTA_SQL = stylometry_delta_sql()
+
+
+# ---------------------------------------------------------------------------
+# Group-DRO source weights
+# ---------------------------------------------------------------------------
+
+_DRO_ETA_E3 = 100  # eta = 0.1 per 1000 logit-units of mean loss
+
+
+def group_dro_weights(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, sum_loss, mean_loss_e6, dro_w_e9) — Group-DRO
+    style source weights (Sagawa et al. 2020): per-source mean hinge loss
+    of the linear quality classifier (loss = max(0, -logit) — how badly the
+    gate rejects a source), exponentiated into an unnormalized
+    distributionally-robust up-weight ``exp(eta * mean_loss)``. High-loss
+    sources get up-weighted for the next curation round — the worst-group
+    focus that plain mixture weights miss.
+
+    One fused feature pass, per-block (source, n, sum_loss) integer
+    partials, source-bounded fold. Floats appear ONLY in the final per-row
+    exp (one identical-double expression per source from exact integers —
+    no cross-row float accumulation, hence the unnormalized weight:
+    normalizing would sum floats in engine-dependent order)."""
+    import math
+
+    from .stats import _round_e9
+
+    def per_src(batch: pa.Table) -> pd.DataFrame:
+        f = _doc_features(batch)
+        loss = np.maximum(-_logreg_logit(f), 0)
+        df = pd.DataFrame({"source": batch["source"].to_pandas(),
+                           "loss": loss})
+        return df.groupby("source", as_index=False).agg(
+            n_docs=("loss", "size"), sum_loss=("loss", "sum"))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    parts = ds.map_batches(per_src, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby("source", as_index=False).sum()
+    mean_e6 = [int(s) * 1_000_000 // int(n)
+               for s, n in zip(g["sum_loss"], g["n_docs"])]
+    w = [_round_e9(math.exp(_DRO_ETA_E3 * m / 1_000_000_000_000.0))
+         for m in mean_e6]
+    out = pd.DataFrame({
+        "source": g["source"], "n_docs": g["n_docs"].astype(np.int64),
+        "sum_loss": g["sum_loss"].astype(np.int64),
+        "mean_loss_e6": np.asarray(mean_e6, dtype=np.int64),
+        "dro_w_e9": np.asarray(w, dtype=np.int64)})
+    return out.sort_values("source").reset_index(drop=True)
+
+
+GROUP_DRO_WEIGHTS_SQL = f"""
+WITH f AS ({_FEAT_SQL}),
+l AS (SELECT source, GREATEST(-({_LOGIT_SQL}), 0) AS loss FROM f),
+g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(loss) AS BIGINT) AS sum_loss
+      FROM l GROUP BY 1)
+SELECT source, n_docs, sum_loss,
+       CAST(sum_loss * 1000000 // n_docs AS BIGINT) AS mean_loss_e6,
+       CAST(ROUND(EXP({_DRO_ETA_E3} * (sum_loss * 1000000 // n_docs)
+                      / 1000000000000.0) * 1000000000) AS BIGINT) AS dro_w_e9
+FROM g
+"""

@@ -286,3 +286,43 @@ def test_knn_shapley_rank_coverage(sf_dir):
     assert (per["min"] == 1).all() and (per["max"] == n_train).all()
     assert (per["size"] == n_train).all()
     assert not got.duplicated(["test_id", "train_id"]).any()
+
+
+def test_stylometry_delta_metric_properties(sf_dir):
+    from research_knowledge_graph_ray.stages.evalops import stylometry_delta
+    got = stylometry_delta(sf_dir)
+    n_src = got[["src_a", "src_b"]].stack().nunique()
+    assert len(got) == n_src * (n_src - 1) // 2   # every unordered pair once
+    assert (got["src_a"] < got["src_b"]).all()
+    assert (got["delta"] >= 0).all()
+
+
+def test_stylometry_delta_identical_sources(tmp_path):
+    from research_knowledge_graph_ray.stages.evalops import stylometry_delta
+    # two sources with identical token distributions -> delta 0 between
+    # them; a third, different source sits at positive distance
+    docs = {"doc_id": [], "text": [], "source": []}
+    for i, (src, text) in enumerate(
+            [("a", "x y z w"), ("b", "x y z w"),
+             ("c", "q q q q")] * 3):
+        docs["doc_id"].append(i)
+        docs["text"].append(text)
+        docs["source"].append(src)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(docs["doc_id"], pa.int64()),
+        "text": docs["text"], "source": docs["source"],
+    }), tmp_path / "documents.parquet")
+    got = stylometry_delta(str(tmp_path)).set_index(["src_a", "src_b"])
+    assert got.loc[("a", "b"), "delta"] == 0
+    assert got.loc[("a", "c"), "delta"] > 0
+    assert got.loc[("a", "c"), "delta"] == got.loc[("b", "c"), "delta"]
+
+
+def test_group_dro_weights_monotone_in_loss(sf_dir):
+    from research_knowledge_graph_ray.stages.evalops import group_dro_weights
+    got = group_dro_weights(sf_dir)
+    assert (got["dro_w_e9"] >= 1_000_000_000).all()   # exp(x>=0) >= 1
+    s = got.sort_values("mean_loss_e6")
+    assert s["dro_w_e9"].is_monotonic_increasing
+    assert (got["mean_loss_e6"]
+            == got["sum_loss"] * 1_000_000 // got["n_docs"]).all()
