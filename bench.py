@@ -187,6 +187,8 @@ SUITE: list[tuple[str, str]] = [
     ("knn_shapley", "similarity.knn_shapley"),
     ("stylometry_delta", "evalops.stylometry_delta"),
     ("group_dro_weights", "evalops.group_dro_weights"),
+    ("nb_margin_topk", "textops.nb_margin_topk"),
+    ("conformal_threshold", "evalops.conformal_threshold"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1609,6 +1609,14 @@ QUERIES.update(
         # feature pass, source-bounded fold, one per-row exp
         "group_dro_weights": (evalops.group_dro_weights,
                               evalops.GROUP_DRO_WEIGHTS_SQL),
+        # margin-based active-learning acquisition riding the NB model —
+        # per-block top-k partials + k-bounded driver merge, integer margins
+        "nb_margin_topk": (textops.nb_margin_topk,
+                           textops.NB_MARGIN_TOPK_SQL),
+        # split-conformal calibration of the quality gate — order statistic
+        # by counting (value-domain-bounded fold), integer rank math
+        "conformal_threshold": (evalops.conformal_threshold,
+                                evalops.CONFORMAL_THRESHOLD_SQL),
     }
 )
 

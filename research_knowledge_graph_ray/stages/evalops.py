@@ -703,3 +703,90 @@ SELECT source, n_docs, sum_loss,
                       / 1000000000000.0) * 1000000000) AS BIGINT) AS dro_w_e9
 FROM g
 """
+
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal calibration of the quality gate
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA_BP = 1000   # alpha = 0.10 -> 90% target coverage
+_CONF_CAL_MOD = 10      # calibration slice: doc_id % 10 == 0
+
+
+def conformal_threshold(sf_dir: str, alpha_bp: int = _CONF_ALPHA_BP,
+                        cal_mod: int = _CONF_CAL_MOD) -> pd.DataFrame:
+    """(n_cal, q_rank, threshold, n_eval, n_covered, coverage_bp) — split
+    conformal calibration of the linear quality gate: nonconformity score =
+    −logit on a deterministic calibration slice (doc_id % cal_mod == 0);
+    the threshold is the ``ceil((n+1)(1−alpha))``-th smallest calibration
+    score (the finite-sample-corrected quantile), then coverage
+    (score ≤ threshold) is measured on the held-out rest. The
+    distribution-free guarantee says eval coverage ≥ 1−alpha in
+    expectation — this op is the audit that checks it on real data.
+
+    Exactness: the order statistic is found by counting, never sorting —
+    per-block (score, slice) value counts, driver fold bounded by the SCORE
+    VALUE DOMAIN (the integer logit range; loudly capped like ks_drift),
+    cumulative walk to the rank. Integer everything."""
+    _DOMAIN_CAP = 1_000_000
+
+    def per_value(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        score = -_logreg_logit(_doc_features(batch))
+        cal = (ids % cal_mod == 0).astype(np.int64)
+        df = pd.DataFrame({"v": score, "cal": cal})
+        return (df.groupby(["v", "cal"], as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    parts = ds.map_batches(per_value, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby(["v", "cal"], as_index=False)["cnt"].sum()
+    if g["v"].nunique() > _DOMAIN_CAP:
+        raise ValueError("score value domain exceeds the driver-fold bound")
+    piv = g.pivot_table(index="v", columns="cal", values="cnt",
+                        fill_value=0, aggfunc="sum").sort_index()
+    ev = piv[0].to_numpy(np.int64) if 0 in piv else np.zeros(len(piv), np.int64)
+    ca = piv[1].to_numpy(np.int64) if 1 in piv else np.zeros(len(piv), np.int64)
+    vals = piv.index.to_numpy(np.int64)
+    n_cal, n_eval = int(ca.sum()), int(ev.sum())
+    # ceil((n+1)(1-alpha)) with integer arithmetic; clamp to n_cal
+    q_rank = min(((n_cal + 1) * (10000 - alpha_bp) + 9999) // 10000, n_cal)
+    cum = np.cumsum(ca)
+    ti = int(np.searchsorted(cum, q_rank))
+    threshold = int(vals[ti])
+    n_cov = int(ev[vals <= threshold].sum())
+    coverage_bp = 10000 * n_cov // n_eval if n_eval else -1
+    return pd.DataFrame(
+        [[n_cal, q_rank, threshold, n_eval, n_cov, coverage_bp]],
+        columns=["n_cal", "q_rank", "threshold", "n_eval", "n_covered",
+                 "coverage_bp"]).astype(np.int64)
+
+
+CONFORMAL_THRESHOLD_SQL = f"""
+WITH f AS ({_FEAT_SQL}),
+s AS (SELECT doc_id, -({_LOGIT_SQL}) AS v FROM f),
+cal AS (SELECT v FROM s WHERE doc_id % {_CONF_CAL_MOD} = 0),
+ev AS (SELECT v FROM s WHERE doc_id % {_CONF_CAL_MOD} <> 0),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
+q AS (SELECT n_cal,
+             LEAST(((n_cal + 1) * {10000 - _CONF_ALPHA_BP} + 9999) // 10000,
+                   n_cal) AS q_rank
+      FROM n),
+rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM cal),
+thr AS (SELECT q.n_cal, q.q_rank, rk.v AS threshold
+        FROM q JOIN rk ON rk.rn = q.q_rank)
+SELECT n_cal, CAST(q_rank AS BIGINT) AS q_rank,
+       CAST(threshold AS BIGINT) AS threshold,
+       CAST((SELECT COUNT(*) FROM ev) AS BIGINT) AS n_eval,
+       CAST((SELECT COUNT(*) FROM ev WHERE v <= thr.threshold) AS BIGINT)
+         AS n_covered,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM ev) > 0
+                 THEN 10000 * (SELECT COUNT(*) FROM ev
+                               WHERE v <= thr.threshold)
+                      // (SELECT COUNT(*) FROM ev)
+                 ELSE -1 END AS BIGINT) AS coverage_bp
+FROM thr
+"""

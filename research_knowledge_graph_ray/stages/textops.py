@@ -1954,25 +1954,10 @@ FROM s
 """
 
 
-def nb_classify(sf_dir: str) -> pd.DataFrame:
-    """(doc_id, pred_source, correct) — multinomial Naive Bayes trained on
-    the corpus itself (labels = source, Laplace-smoothed token likelihoods)
-    and applied back to every document — the classic lightweight
-    domain/quality classifier of the fastText-filtering recipe, with
-    training reduced to pure counting.
-
-    Training IS one token exchange: per-block (source, token) count
-    partials collapse to a vocabulary×labels-bounded table; the driver
-    derives ROUND(ln((n_lt+1)/(n_l+V))·1e9) int64 log-likelihoods and
-    ROUND(ln(n_docs_l/n_docs)·1e9) priors — integer log-probs make every
-    per-doc sum order-independent, so the SQL restatement matches exactly
-    (the doc_logprob doctrine). Scoring is a zero-shuffle map: one L×V
-    int64 matrix broadcast, per-batch index_in lookup + add.at fold,
-    argmax with smallest-label tie-break.
-
-    Scale note: the broadcast is L×V ints (vocabulary-bound, the
-    doc_logprob assumption); an open vocabulary swaps the lookup for a
-    token hash join."""
+def _nb_model(sf_dir: str):
+    """Shared multinomial-NB trainer (nb_classify / nb_margin_topk): one
+    labels×vocab-bounded token exchange + a doc-count pass; returns the
+    documents Dataset and a ray.put ref of (vocab, logp, prior, labels)."""
     from .shuffle import hash_exchange_apply
     from .stats import _round_e9
 
@@ -2025,6 +2010,30 @@ def nb_classify(sf_dir: str) -> pd.DataFrame:
                       for s in labels], dtype=np.int64)
     bcast = ray.put((pa.array(vocab, pa.string()), logp, prior,
                      np.asarray(labels, dtype=object)))
+
+    return docs, bcast
+
+
+def nb_classify(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, pred_source, correct) — multinomial Naive Bayes trained on
+    the corpus itself (labels = source, Laplace-smoothed token likelihoods)
+    and applied back to every document — the classic lightweight
+    domain/quality classifier of the fastText-filtering recipe, with
+    training reduced to pure counting.
+
+    Training IS one token exchange: per-block (source, token) count
+    partials collapse to a vocabulary×labels-bounded table; the driver
+    derives ROUND(ln((n_lt+1)/(n_l+V))·1e9) int64 log-likelihoods and
+    ROUND(ln(n_docs_l/n_docs)·1e9) priors — integer log-probs make every
+    per-doc sum order-independent, so the SQL restatement matches exactly
+    (the doc_logprob doctrine). Scoring is a zero-shuffle map: one L×V
+    int64 matrix broadcast, per-batch index_in lookup + add.at fold,
+    argmax with smallest-label tie-break.
+
+    Scale note: the broadcast is L×V ints (vocabulary-bound, the
+    doc_logprob assumption); an open vocabulary swaps the lookup for a
+    token hash join."""
+    docs, bcast = _nb_model(sf_dir)
 
     def score(batch: pa.Table) -> pa.Table:
         varr, lp, pri, labs = ray.get(bcast)
@@ -2254,3 +2263,98 @@ SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
             // COUNT(*) AS BIGINT) AS novelty_bp
 FROM bg JOIN first f USING (g) GROUP BY bg.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Active-learning margin sampling (rides the NB model)
+# ---------------------------------------------------------------------------
+
+_MARGIN_K = 20
+
+
+def nb_margin_topk(sf_dir: str, k: int = _MARGIN_K) -> pd.DataFrame:
+    """(doc_id, pred_source, margin_e9) — the ``k`` most label-ambiguous
+    documents under the Naive Bayes domain classifier: margin = best
+    minus second-best posterior score (integer e9 log-prob units), smallest
+    first — the classic margin-based active-learning acquisition: these are
+    the documents a labeling budget should go to.
+
+    Rides :func:`_nb_model` (same labels×vocab exchange + broadcast); the
+    scoring pass emits ONLY a per-block top-k of (margin, doc_id) — the
+    dsir_resample recipe: no global sort, a k-bounded driver merge. Integer
+    margins make the cut exact; ties break on doc_id (stated in the
+    oracle)."""
+    docs, bcast = _nb_model(sf_dir)
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        varr, lp, pri, labs = ray.get(bcast)
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        idx = pc.index_in(flat.filter(keep), value_set=varr)
+        if idx.null_count:
+            raise ValueError("token outside the training vocabulary")
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        scores = np.tile(pri, (len(batch), 1))
+        np.add.at(scores, par, lp[:, idx].T)
+        order = np.argsort(-scores, axis=1, kind="stable")
+        best = order[:, 0]
+        rows = np.arange(len(best))
+        margin = scores[rows, best] - scores[rows, order[:, 1]]
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cut = np.lexsort((ids, margin))[:k]
+        return pd.DataFrame({
+            "doc_id": ids[cut],
+            "pred_source": np.asarray(labs, dtype=object)[best[cut]],
+            "margin_e9": margin[cut]})
+
+    parts = docs.map_batches(block_topk, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    out = parts.sort_values(["margin_e9", "doc_id"]).head(k)
+    return out.reset_index(drop=True).astype(
+        {"doc_id": np.int64, "margin_e9": np.int64,
+         "pred_source": "string"})
+
+
+def nb_margin_topk_sql(k: int = _MARGIN_K) -> str:
+    return f"""
+WITH tk AS (
+  SELECT doc_id, source, t.token
+  FROM (SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  WHERE t.token <> ''
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tk),
+lt AS (SELECT source AS lbl, token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM tk GROUP BY 1, 2),
+ltot AS (SELECT lbl, CAST(SUM(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
+prior AS (SELECT source AS lbl,
+                 CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM documents)) * 1e9) AS BIGINT)
+                 AS prior_e9
+          FROM documents GROUP BY 1),
+score AS (
+  SELECT t.doc_id, l.lbl,
+         SUM(CAST(ROUND(LN((COALESCE(lt.n, 0) + 1.0)
+                           / (ltot.nl + vocab.v)) * 1e9) AS BIGINT)) AS s
+  FROM tk t
+  CROSS JOIN (SELECT DISTINCT source AS lbl FROM documents) l
+  JOIN ltot ON ltot.lbl = l.lbl
+  CROSS JOIN vocab
+  LEFT JOIN lt ON lt.lbl = l.lbl AND lt.token = t.token
+  GROUP BY 1, 2),
+r AS (SELECT doc_id, lbl, s + prior_e9 AS total,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s + prior_e9 DESC, lbl) AS rn
+      FROM score JOIN prior USING (lbl))
+SELECT a.doc_id, a.lbl AS pred_source,
+       CAST(a.total - b.total AS BIGINT) AS margin_e9
+FROM r a JOIN r b ON a.doc_id = b.doc_id AND a.rn = 1 AND b.rn = 2
+ORDER BY margin_e9, a.doc_id LIMIT {k}
+"""
+
+
+NB_MARGIN_TOPK_SQL = nb_margin_topk_sql()

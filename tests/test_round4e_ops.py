@@ -326,3 +326,30 @@ def test_group_dro_weights_monotone_in_loss(sf_dir):
     assert s["dro_w_e9"].is_monotonic_increasing
     assert (got["mean_loss_e6"]
             == got["sum_loss"] * 1_000_000 // got["n_docs"]).all()
+
+
+def test_nb_margin_topk_is_global_minimum(sf_dir):
+    from research_knowledge_graph_ray.stages.textops import nb_margin_topk
+    got = nb_margin_topk(sf_dir, k=10)
+    assert len(got) == 10
+    assert (got["margin_e9"] >= 0).all()
+    assert got["margin_e9"].is_monotonic_increasing
+    # the cut is global: a larger k contains the smaller k's set
+    bigger = nb_margin_topk(sf_dir, k=25)
+    assert set(got["doc_id"]) <= set(bigger["doc_id"])
+
+
+def test_conformal_threshold_guarantee_shape(sf_dir):
+    from research_knowledge_graph_ray.stages.evalops import (
+        _CONF_CAL_MOD, conformal_threshold)
+    row = conformal_threshold(sf_dir).iloc[0]
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    n_cal = len([i for i in range(n_docs) if i % _CONF_CAL_MOD == 0])
+    assert row["n_cal"] == n_cal and row["n_eval"] == n_docs - n_cal
+    assert 1 <= row["q_rank"] <= row["n_cal"]
+    assert 0 <= row["coverage_bp"] <= 10000
+    # tighter alpha -> larger rank -> weakly larger threshold & coverage
+    strict = conformal_threshold(sf_dir, alpha_bp=100).iloc[0]
+    assert strict["q_rank"] >= row["q_rank"]
+    assert strict["threshold"] >= row["threshold"]
+    assert strict["coverage_bp"] >= row["coverage_bp"]
