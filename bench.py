@@ -189,6 +189,7 @@ SUITE: list[tuple[str, str]] = [
     ("group_dro_weights", "evalops.group_dro_weights"),
     ("nb_margin_topk", "textops.nb_margin_topk"),
     ("conformal_threshold", "evalops.conformal_threshold"),
+    ("nb_confusion", "textops.nb_confusion"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1617,6 +1617,9 @@ QUERIES.update(
         # by counting (value-domain-bounded fold), integer rank math
         "conformal_threshold": (evalops.conformal_threshold,
                                 evalops.CONFORMAL_THRESHOLD_SQL),
+        # NB confusion matrix (label-noise / domain-bleed audit) — rides
+        # _nb_model, S²-bounded confusion fold
+        "nb_confusion": (textops.nb_confusion, textops.NB_CONFUSION_SQL),
     }
 )
 

@@ -2214,6 +2214,9 @@ FROM cand WHERE bit_count(xor(sa, sb)) <= 3
 # Ensemble dedup audit (exact ∪ MinHash ∪ SimHash)
 # ---------------------------------------------------------------------------
 
+_ENSEMBLE_CC_DRIVER_CAP = 1 << 21  # pairs; past this the distributed CC runs
+
+
 def dedup_ensemble(sf_dir: str) -> pd.DataFrame:
     """(n_pairs_exact, n_pairs_minhash, n_pairs_simhash, n_pairs_union,
     n_docs_linked, n_clusters, max_cluster) — ensemble near-dup audit: the
@@ -2250,15 +2253,17 @@ def dedup_ensemble(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_a": m[keep].to_numpy(np.int64),
                              "doc_b": df["doc_id"][keep].to_numpy(np.int64)})
 
+    # materialize each pair table once: count() and the union otherwise
+    # re-execute the whole sketch dataflow (pair sets are key-only — tiny)
     ex = bucketed_group_apply(
         ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True),
-        ["fp"], lambda d: d, star)
+        ["fp"], lambda d: d, star).materialize()
     mh = minhash_candidate_pairs(sf_dir).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow",
-        zero_copy_batch=True)
+        zero_copy_batch=True).materialize()
     sh = simhash_pairs(sf_dir).map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow",
-        zero_copy_batch=True)
+        zero_copy_batch=True).materialize()
 
     n_ex, n_mh, n_sh = ex.count(), mh.count(), sh.count()
 
@@ -2269,17 +2274,46 @@ def dedup_ensemble(sf_dir: str) -> pd.DataFrame:
                                  ["doc_a", "doc_b"],
                                  pair_distinct, pair_distinct)
     n_union = union.count()
-    edges = union.map_batches(
-        lambda df: pd.DataFrame({"a": df["doc_a"], "b": df["doc_b"]}),
-        batch_format="pandas")
-    labels = connected_components_ds(edges)
-    n_linked = labels.count()
-    if n_linked:
-        sizes = labels.groupby("label").count()
-        n_clusters = sizes.count()
-        max_cluster = int(sizes.max("count()"))
+    # adaptive closure (the auto-join precedent): under the cap the pair
+    # set is driver-comfortable — one union-find beats several distributed
+    # label-propagation rounds' fixed costs; past it the fully distributed
+    # CC runs (no driver edge set). Same summary either way.
+    if n_union <= _ENSEMBLE_CC_DRIVER_CAP:
+        up = union.to_pandas()  # pair-count-bounded (just checked)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(up["doc_a"].astype(int), up["doc_b"].astype(int)):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = set(up["doc_a"].astype(int)) | set(up["doc_b"].astype(int))
+        from collections import Counter
+
+        sizes_c = Counter(find(x) for x in nodes)
+        n_linked = len(nodes)
+        n_clusters = len(sizes_c)
+        max_cluster = max(sizes_c.values()) if sizes_c else -1
     else:
-        n_clusters, max_cluster = 0, -1
+        edges = union.map_batches(
+            lambda df: pd.DataFrame({"a": df["doc_a"], "b": df["doc_b"]}),
+            batch_format="pandas")
+        labels = connected_components_ds(edges)
+        n_linked = labels.count()
+        if n_linked:
+            sizes = labels.groupby("label").count()
+            n_clusters = sizes.count()
+            max_cluster = int(sizes.max("count()"))
+        else:
+            n_clusters, max_cluster = 0, -1
     return pd.DataFrame(
         [[n_ex, n_mh, n_sh, n_union, n_linked, n_clusters, max_cluster]],
         columns=["n_pairs_exact", "n_pairs_minhash", "n_pairs_simhash",

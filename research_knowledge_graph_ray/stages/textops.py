@@ -2358,3 +2358,82 @@ ORDER BY margin_e9, a.doc_id LIMIT {k}
 
 
 NB_MARGIN_TOPK_SQL = nb_margin_topk_sql()
+
+
+def nb_confusion(sf_dir: str) -> pd.DataFrame:
+    """(source, pred_source, n_docs) — label-noise / domain-bleed audit:
+    the confusion matrix of the Naive Bayes domain classifier against the
+    corpus's own source labels. Off-diagonal mass localizes which sources
+    the classifier cannot tell apart — the confident-learning-style signal
+    that labels (or the sources themselves) are mixed.
+
+    Rides :func:`_nb_model`; the scoring pass emits per-block
+    (source, pred) count partials, folded on the driver (S²-bounded)."""
+    docs, bcast = _nb_model(sf_dir)
+
+    def confusion(batch: pa.Table) -> pd.DataFrame:
+        varr, lp, pri, labs = ray.get(bcast)
+        lists = pc.split_pattern(batch["text"], " ")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        idx = pc.index_in(flat.filter(keep), value_set=varr)
+        if idx.null_count:
+            raise ValueError("token outside the training vocabulary")
+        idx = idx.to_numpy(zero_copy_only=False).astype(np.int64)
+        par = parent.filter(keep).to_numpy(zero_copy_only=False)
+        scores = np.tile(pri, (len(batch), 1))
+        np.add.at(scores, par, lp[:, idx].T)
+        pred = np.asarray(labs, dtype=object)[scores.argmax(axis=1)]
+        df = pd.DataFrame({"source": batch["source"].to_pandas(),
+                           "pred_source": pred})
+        return df.groupby(["source", "pred_source"], as_index=False).size()
+
+    parts = docs.map_batches(confusion, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    out = (parts.groupby(["source", "pred_source"], as_index=False)["size"]
+           .sum().rename(columns={"size": "n_docs"}))
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return (out.sort_values(["source", "pred_source"])
+            .reset_index(drop=True).astype({"source": "string",
+                                            "pred_source": "string"}))
+
+
+NB_CONFUSION_SQL = """
+WITH tk AS (
+  SELECT doc_id, source, t.token
+  FROM (SELECT doc_id, source,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents) t
+  WHERE t.token <> ''
+),
+vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tk),
+lt AS (SELECT source AS lbl, token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM tk GROUP BY 1, 2),
+ltot AS (SELECT lbl, CAST(SUM(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
+prior AS (SELECT source AS lbl,
+                 CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
+                      / (SELECT COUNT(*) FROM documents)) * 1e9) AS BIGINT)
+                 AS prior_e9
+          FROM documents GROUP BY 1),
+score AS (
+  SELECT t.doc_id, l.lbl,
+         SUM(CAST(ROUND(LN((COALESCE(lt.n, 0) + 1.0)
+                           / (ltot.nl + vocab.v)) * 1e9) AS BIGINT)) AS s
+  FROM tk t
+  CROSS JOIN (SELECT DISTINCT source AS lbl FROM documents) l
+  JOIN ltot ON ltot.lbl = l.lbl
+  CROSS JOIN vocab
+  LEFT JOIN lt ON lt.lbl = l.lbl AND lt.token = t.token
+  GROUP BY 1, 2),
+pred AS (
+  SELECT doc_id, lbl AS pred_source
+  FROM (SELECT doc_id, lbl,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s + prior_e9 DESC, lbl) AS rn
+        FROM score JOIN prior USING (lbl))
+  WHERE rn = 1)
+SELECT d.source, p.pred_source, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN pred p USING (doc_id)
+GROUP BY 1, 2
+"""

@@ -353,3 +353,15 @@ def test_conformal_threshold_guarantee_shape(sf_dir):
     assert strict["q_rank"] >= row["q_rank"]
     assert strict["threshold"] >= row["threshold"]
     assert strict["coverage_bp"] >= row["coverage_bp"]
+
+
+def test_nb_confusion_consistent_with_classify(sf_dir):
+    from research_knowledge_graph_ray.stages.textops import (
+        nb_classify, nb_confusion)
+    conf = nb_confusion(sf_dir)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert int(conf["n_docs"].sum()) == n_docs
+    # diagonal mass equals nb_classify's correct count
+    diag = int(conf[conf["source"] == conf["pred_source"]]["n_docs"].sum())
+    cls = nb_classify(sf_dir)
+    assert diag == int(cls["correct"].sum())
