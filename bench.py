@@ -190,6 +190,8 @@ SUITE: list[tuple[str, str]] = [
     ("nb_margin_topk", "textops.nb_margin_topk"),
     ("conformal_threshold", "evalops.conformal_threshold"),
     ("nb_confusion", "textops.nb_confusion"),
+    ("length_percentiles", "evalops.length_percentiles"),
+    ("dup_rate_by_batch", "evalops.dup_rate_by_batch"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1620,6 +1620,14 @@ QUERIES.update(
         # NB confusion matrix (label-noise / domain-bleed audit) — rides
         # _nb_model, S²-bounded confusion fold
         "nb_confusion": (textops.nb_confusion, textops.NB_CONFUSION_SQL),
+        # per-source exact length percentiles by counting — sources×domain
+        # bounded fold
+        "length_percentiles": (evalops.length_percentiles,
+                               evalops.LENGTH_PERCENTILES_SQL),
+        # per-ingest-batch exact-dup rate — dup decided inside the fp
+        # exchange reducer (first-occurrence table never broadcast)
+        "dup_rate_by_batch": (evalops.dup_rate_by_batch,
+                              evalops.DUP_RATE_BY_BATCH_SQL),
     }
 )
 

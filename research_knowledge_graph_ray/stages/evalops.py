@@ -790,3 +790,129 @@ SELECT n_cal, CAST(q_rank AS BIGINT) AS q_rank,
                  ELSE -1 END AS BIGINT) AS coverage_bp
 FROM thr
 """
+
+
+# ---------------------------------------------------------------------------
+# Per-source length percentiles (corpus profiling)
+# ---------------------------------------------------------------------------
+
+_LEN_PCTS_BP = (5000, 9000, 9900)   # P50 / P90 / P99
+
+
+def length_percentiles(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, p50, p90, p99) — exact per-source document-length
+    (n_chars) percentiles, the corpus-profiling summary a curation dashboard
+    keys on (sudden P99 inflation == boilerplate/concatenation bugs).
+
+    percentile_disc semantics: the smallest value whose cumulative count
+    reaches ceil(p·n) — found by COUNTING, never sorting: one pass of
+    per-block (source, n_chars) count partials, driver fold bounded by
+    sources × the length value domain (loudly capped, ks_drift recipe)."""
+    _DOMAIN_CAP = 1_000_000
+
+    def per_value(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "cnt"})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+    parts = ds.map_batches(per_value, batch_format="pandas").to_pandas()
+    g = parts.groupby(["source", "n_chars"], as_index=False)["cnt"].sum()
+    if len(g) > _DOMAIN_CAP:
+        raise ValueError("source x length domain exceeds the driver-fold "
+                         "bound; bucket lengths first")
+    rows = []
+    for src, sub in g.groupby("source"):
+        sub = sub.sort_values("n_chars")
+        vals = sub["n_chars"].to_numpy(np.int64)
+        cnt = sub["cnt"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        cum = np.cumsum(cnt)
+        pct = []
+        for p_bp in _LEN_PCTS_BP:
+            rank = (n * p_bp + 9999) // 10000  # ceil(p*n), integer
+            pct.append(int(vals[int(np.searchsorted(cum, rank))]))
+        rows.append((src, n, *pct))
+    out = pd.DataFrame(rows, columns=["source", "n_docs", "p50", "p90",
+                                      "p99"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+LENGTH_PERCENTILES_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+         AS p50,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+         AS p90,
+       CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n_chars) AS BIGINT)
+         AS p99
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Ingest-batch dup-rate monitor
+# ---------------------------------------------------------------------------
+
+_DUP_BATCH = 100  # docs per ingest batch (doc_id order = ingest order)
+
+
+def dup_rate_by_batch(sf_dir: str, batch: int = _DUP_BATCH) -> pd.DataFrame:
+    """(batch, n_docs, n_dup, dup_bp) — exact-duplicate rate per ingest
+    batch (doc_id // batch): a document is a dup iff ANY earlier doc_id has
+    identical text. The per-ingest-wave dedup monitor — a rising curve says
+    the crawl is re-visiting content and the incremental-dedup gate should
+    tighten.
+
+    ONE key-only fp exchange decides dup-ness IN the reducer (each bucket
+    holds every (fp, doc_id) row of its hashes, so ``dup = doc_id >
+    min(doc_id of fp)`` is local — the first-occurrence table is
+    corpus-sized and must never be broadcast); reducers emit
+    batch-domain-bounded (batch, n, n_dup) partials for a tiny driver
+    fold. Text never moves."""
+    import hashlib
+
+    from .shuffle import hash_exchange_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+    def fp_rows(batch_t: pd.DataFrame) -> pd.DataFrame:
+        fps = [hashlib.md5(t.encode("utf-8")).hexdigest()
+               for t in batch_t["text"]]
+        return pd.DataFrame({"fp": fps,
+                             "doc_id": batch_t["doc_id"].astype(np.int64)})
+
+    def bucket_rates(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("fp")["doc_id"].transform("min")
+        out = pd.DataFrame({"batch": df["doc_id"].astype(np.int64) // batch,
+                            "dup": (df["doc_id"] > first).astype(np.int64)})
+        g = out.groupby("batch", as_index=False).agg(
+            n_docs=("dup", "size"), n_dup=("dup", "sum"))
+        return g
+
+    parts = hash_exchange_apply(ds, ["fp"], fp_rows, bucket_rates,
+                                fmt="pandas").to_pandas()
+    g = parts.groupby("batch", as_index=False).sum()
+    g["dup_bp"] = g["n_dup"] * 10000 // g["n_docs"]
+    return (g[["batch", "n_docs", "n_dup", "dup_bp"]].astype(np.int64)
+            .sort_values("batch").reset_index(drop=True))
+
+
+def dup_rate_by_batch_sql(batch: int = _DUP_BATCH) -> str:
+    return f"""
+WITH fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+first AS (SELECT fp, MIN(doc_id) AS first_doc FROM fp GROUP BY 1),
+d AS (SELECT fp.doc_id // {batch} AS batch,
+             CASE WHEN f.first_doc < fp.doc_id THEN 1 ELSE 0 END AS dup
+      FROM fp JOIN first f USING (fp))
+SELECT CAST(batch AS BIGINT) AS batch, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup) AS BIGINT) AS n_dup,
+       CAST(SUM(dup) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+FROM d GROUP BY 1
+"""
+
+
+DUP_RATE_BY_BATCH_SQL = dup_rate_by_batch_sql()

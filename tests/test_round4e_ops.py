@@ -365,3 +365,24 @@ def test_nb_confusion_consistent_with_classify(sf_dir):
     diag = int(conf[conf["source"] == conf["pred_source"]]["n_docs"].sum())
     cls = nb_classify(sf_dir)
     assert diag == int(cls["correct"].sum())
+
+
+def test_length_percentiles_ordering(sf_dir):
+    from research_knowledge_graph_ray.stages.evalops import length_percentiles
+    got = length_percentiles(sf_dir)
+    assert (got["p50"] <= got["p90"]).all() and (got["p90"] <= got["p99"]).all()
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    assert int(got["n_docs"].sum()) == n_docs
+
+
+def test_dup_rate_by_batch_planted(tmp_path):
+    from research_knowledge_graph_ray.stages.evalops import dup_rate_by_batch
+    # batch 0: originals; batch 1: all copies of batch 0
+    texts = [f"unique text number {i}" for i in range(4)]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": texts + texts,
+    }), tmp_path / "documents.parquet")
+    got = dup_rate_by_batch(str(tmp_path), batch=4).set_index("batch")
+    assert got.loc[0, "n_dup"] == 0 and got.loc[0, "dup_bp"] == 0
+    assert got.loc[1, "n_dup"] == 4 and got.loc[1, "dup_bp"] == 10000
