@@ -192,6 +192,8 @@ SUITE: list[tuple[str, str]] = [
     ("nb_confusion", "textops.nb_confusion"),
     ("length_percentiles", "evalops.length_percentiles"),
     ("dup_rate_by_batch", "evalops.dup_rate_by_batch"),
+    ("graph_diameter", "graphalgs.graph_diameter"),
+    ("graph_robustness", "graphalgs.graph_robustness"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1628,6 +1628,14 @@ QUERIES.update(
         # exchange reducer (first-occurrence table never broadcast)
         "dup_rate_by_batch": (evalops.dup_rate_by_batch,
                               evalops.DUP_RATE_BY_BATCH_SQL),
+        # double-sweep diameter bound — two frontier-join SSSP runs,
+        # chained Bellman-Ford oracle
+        "graph_diameter": (graphalgs.graph_diameter,
+                           graphalgs.GRAPH_DIAMETER_SQL),
+        # hub-removal fragmentation audit — degree exchange, fixed hub
+        # broadcast, distributed CC, 5-scalar summary
+        "graph_robustness": (graphalgs.graph_robustness,
+                             graphalgs.GRAPH_ROBUSTNESS_SQL),
     }
 )
 

@@ -2082,3 +2082,196 @@ GROUP BY 1, 2, 3 HAVING COUNT(*) >= {min_sup}
 
 
 ITEMSETS3_SQL = itemsets3_sql()
+
+
+# ---------------------------------------------------------------------------
+# Double-sweep diameter estimate
+# ---------------------------------------------------------------------------
+
+def graph_diameter(sf_dir: str, max_rounds: int = 10) -> pd.DataFrame:
+    """(src_a, ecc_a, src_b, ecc_b, n_reached) — double-sweep diameter
+    lower bound of the weight-sparsified supplier-part graph: SSSP from the
+    smallest node gives its eccentricity and farthest node b; SSSP from b
+    gives ecc_b — the classic 2-sweep bound (exact on trees, near-tight in
+    practice). Eccentricities are over the REACHED component (standard for
+    disconnected graphs); argmax ties break to the smallest node.
+
+    Pure composition: two runs of the pinned-partition frontier-join SSSP
+    core — the edge set is bucketed once per sweep, distances never land on
+    the driver except as the node-catalog-bound result used to pick the
+    next source."""
+    edges = _sp_weighted_edges(sf_dir)
+    src_a = int(edges.min("src"))
+    sym = _symmetrize(edges).materialize()
+    d1 = sssp_ds(sym, src_a, max_rounds=max_rounds).to_pandas()
+    d1 = d1.sort_values(["d", "node"], ascending=[False, True])
+    ecc_a = int(d1.iloc[0]["d"])
+    src_b = int(d1.iloc[0]["node"])
+    d2 = sssp_ds(sym, src_b, max_rounds=max_rounds).to_pandas()
+    ecc_b = int(d2["d"].max())
+    return pd.DataFrame(
+        [[src_a, ecc_a, src_b, ecc_b, len(d2)]],
+        columns=["src_a", "ecc_a", "src_b", "ecc_b", "n_reached"]
+    ).astype(np.int64)
+
+
+def graph_diameter_sql(iters: int = 10) -> str:
+    """Two chained fixed-iteration Bellman-Ford unrollings; sweep 2's
+    source is sweep 1's (max d, min node) row."""
+
+    def chain(tag: str, d0: str) -> str:
+        steps = [f"{tag}0 AS MATERIALIZED ({d0})"]
+        for t in range(1, iters + 1):
+            steps.append(f"""
+{tag}{t} AS MATERIALIZED (SELECT n, MIN(d) AS d FROM (
+           SELECT n, d FROM {tag}{t-1}
+           UNION ALL
+           SELECT sym.v AS n, {tag}{t-1}.d + sym.w AS d
+           FROM sym JOIN {tag}{t-1} ON sym.u = {tag}{t-1}.n)
+         GROUP BY n)""")
+        return ",".join(steps)
+
+    head = f"""
+WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+            HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
+sym AS (SELECT s AS u, p AS v, w FROM e0 UNION ALL SELECT p, s, w FROM e0),
+srca AS (SELECT MIN(l_suppkey) AS n FROM lineitem),"""
+    c1 = chain("da", "SELECT n, CAST(0 AS BIGINT) AS d FROM srca")
+    pick = f"""
+far AS (SELECT n, d FROM da{iters} ORDER BY d DESC, n LIMIT 1)"""
+    c2 = chain("db", "SELECT n, CAST(0 AS BIGINT) AS d FROM far")
+    tail = f"""
+SELECT CAST((SELECT n FROM srca) AS BIGINT) AS src_a,
+       CAST((SELECT d FROM far) AS BIGINT) AS ecc_a,
+       CAST((SELECT n FROM far) AS BIGINT) AS src_b,
+       CAST((SELECT MAX(d) FROM db{iters}) AS BIGINT) AS ecc_b,
+       CAST((SELECT COUNT(*) FROM db{iters}) AS BIGINT) AS n_reached"""
+    return head + c1 + "," + pick + "," + c2 + tail
+
+
+GRAPH_DIAMETER_SQL = graph_diameter_sql()
+
+
+# ---------------------------------------------------------------------------
+# Hub-removal robustness
+# ---------------------------------------------------------------------------
+
+_ROBUST_HUBS = 5
+_ROBUST_CC_DRIVER_CAP = 1 << 21  # edges; past this the distributed CC runs
+
+
+def graph_robustness(sf_dir: str, n_hubs: int = _ROBUST_HUBS) -> pd.DataFrame:
+    """(n_removed, n_nodes, n_edges, n_components, largest_cc) — targeted-
+    attack robustness of the sparsified supplier-part graph: remove the
+    ``n_hubs`` highest-degree nodes (ties to the smallest node id), then
+    measure what remains — the fragmentation audit behind 'is this graph
+    held together by a few hubs'.
+
+    Degrees ride one key-only exchange (node-catalog-bounded); the hub set
+    is a fixed-size broadcast filter on the edge stream; components run on
+    the distributed min-label CC. Only 5 scalars land on the driver."""
+    from .shuffle import hash_exchange_apply
+
+    edges = _sp_weighted_edges(sf_dir).materialize()
+    sym = _symmetrize(edges)
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        return (pa.table({"node": t["u"].cast(pa.int64())})
+                .group_by("node").aggregate([([], "count_all")])
+                .rename_columns(["node", "deg"]))
+
+    def deg_fin(t: pa.Table) -> pa.Table:
+        return (t.group_by("node").aggregate([("deg", "sum")])
+                .rename_columns(["node", "deg"]))
+
+    deg = hash_exchange_apply(sym, ["node"], deg_part, deg_fin).to_pandas()
+    hubs = set(deg.sort_values(["deg", "node"], ascending=[False, True])
+               .head(n_hubs)["node"].astype(int))
+    h_ref = ray.put(np.asarray(sorted(hubs), dtype=np.int64))
+
+    def strip(df: pd.DataFrame) -> pd.DataFrame:
+        hs = ray.get(h_ref)
+        keep = (~df["u"].isin(hs)) & (~df["v"].isin(hs))
+        sub = df[keep]
+        # orient one direction so edges count once
+        sub = sub[sub["u"] < sub["v"]]
+        return pd.DataFrame({"a": sub["u"].astype(np.int64),
+                             "b": sub["v"].astype(np.int64)})
+
+    rest = sym.map_batches(strip, batch_format="pandas").materialize()
+    n_edges = rest.count()
+    # adaptive closure (dedup_ensemble precedent): small edge sets close on
+    # the driver; past the cap the distributed min-label CC runs
+    if not n_edges:
+        n_nodes, n_comp, largest = 0, 0, -1
+    elif n_edges <= _ROBUST_CC_DRIVER_CAP:
+        up = rest.to_pandas()  # edge-count-bounded (just checked)
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(up["a"].astype(int), up["b"].astype(int)):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        from collections import Counter
+
+        nodes = set(up["a"].astype(int)) | set(up["b"].astype(int))
+        sizes_c = Counter(find(x) for x in nodes)
+        n_nodes, n_comp = len(nodes), len(sizes_c)
+        largest = max(sizes_c.values())
+    else:
+        from .canonicalize import connected_components_ds
+
+        labels = connected_components_ds(rest)
+        n_nodes = labels.count()
+        sizes = labels.groupby("label").count()
+        n_comp = sizes.count()
+        largest = int(sizes.max("count()"))
+    return pd.DataFrame(
+        [[len(hubs), n_nodes, n_edges, n_comp, largest]],
+        columns=["n_removed", "n_nodes", "n_edges", "n_components",
+                 "largest_cc"]).astype(np.int64)
+
+
+def graph_robustness_sql(n_hubs: int = _ROBUST_HUBS) -> str:
+    return f"""
+WITH RECURSIVE
+e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
+              CAST(MIN(l_quantity) AS BIGINT) AS w
+       FROM lineitem GROUP BY 1, 2
+       HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
+sym AS (SELECT s AS u, p AS v FROM e0 UNION ALL SELECT p, s FROM e0),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+        GROUP BY 1),
+hubs AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT {n_hubs}),
+rest AS (SELECT u AS a, v AS b FROM sym
+         WHERE u < v AND u NOT IN (SELECT node FROM hubs)
+           AND v NOT IN (SELECT node FROM hubs)),
+re AS (SELECT a, b FROM rest UNION SELECT b, a FROM rest),
+nodes AS (SELECT DISTINCT a AS n FROM re),
+reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, re.b FROM reach r JOIN re ON r.m = re.a),
+comp AS (SELECT n, MIN(m) AS c FROM reach GROUP BY n),
+cl AS (SELECT c, COUNT(*) AS sz FROM comp GROUP BY c)
+SELECT CAST((SELECT COUNT(*) FROM hubs) AS BIGINT) AS n_removed,
+       CAST((SELECT COUNT(*) FROM comp) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM rest) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM cl) AS BIGINT) AS n_components,
+       CAST(COALESCE((SELECT MAX(sz) FROM cl), -1) AS BIGINT) AS largest_cc
+FROM (SELECT 1)
+"""
+
+
+GRAPH_ROBUSTNESS_SQL = graph_robustness_sql()

@@ -386,3 +386,25 @@ def test_dup_rate_by_batch_planted(tmp_path):
     got = dup_rate_by_batch(str(tmp_path), batch=4).set_index("batch")
     assert got.loc[0, "n_dup"] == 0 and got.loc[0, "dup_bp"] == 0
     assert got.loc[1, "n_dup"] == 4 and got.loc[1, "dup_bp"] == 10000
+
+
+def test_graph_diameter_two_sweep_improves(sf_dir):
+    from research_knowledge_graph_ray.stages.graphalgs import graph_diameter
+    row = graph_diameter(sf_dir).iloc[0]
+    # the 2-sweep invariant: ecc from the far endpoint >= first ecc
+    assert row["ecc_b"] >= row["ecc_a"] > 0
+    assert row["src_a"] != row["src_b"]
+    assert row["n_reached"] > 1
+
+
+def test_graph_robustness_fragmentation_bounds(sf_dir):
+    from research_knowledge_graph_ray.stages.graphalgs import (
+        graph_robustness, _sp_weighted_edges, _symmetrize)
+    row = graph_robustness(sf_dir).iloc[0]
+    assert row["n_removed"] == 5
+    assert row["largest_cc"] <= row["n_nodes"]
+    assert row["n_components"] >= 1
+    # removing hubs strictly shrinks the edge set
+    sym = _symmetrize(_sp_weighted_edges(sf_dir))
+    total_undirected = sym.count() // 2
+    assert row["n_edges"] < total_undirected
