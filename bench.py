@@ -194,6 +194,7 @@ SUITE: list[tuple[str, str]] = [
     ("dup_rate_by_batch", "evalops.dup_rate_by_batch"),
     ("graph_diameter", "graphalgs.graph_diameter"),
     ("graph_robustness", "graphalgs.graph_robustness"),
+    ("shuffle_quality", "sampling.shuffle_quality"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

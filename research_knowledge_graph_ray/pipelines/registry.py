@@ -1636,6 +1636,10 @@ QUERIES.update(
         # broadcast, distributed CC, 5-scalar summary
         "graph_robustness": (graphalgs.graph_robustness,
                              graphalgs.GRAPH_ROBUSTNESS_SQL),
+        # inter-epoch Spearman rho — two rank-attach passes, one doc_id
+        # join, decimal-string Σd² partials (O(n³) past int64)
+        "shuffle_quality": (sampling.shuffle_quality,
+                            sampling.SHUFFLE_QUALITY_SQL),
     }
 )
 

@@ -617,3 +617,89 @@ SELECT source, tokens, weight,
                       > 1000000 THEN 1 ELSE 0 END AS BIGINT) AS upsampled
 FROM w, n
 """
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-quality audit (inter-epoch rank correlation)
+# ---------------------------------------------------------------------------
+
+def shuffle_quality(sf_dir: str, seed_a: int = SHUFFLE_SEED,
+                    seed_b: int = SHUFFLE_SEED + 1) -> pd.DataFrame:
+    """(n, rho_e9) — Spearman rank correlation between two epochs' training
+    orders (seeds a and b): the shuffle-quality audit — a sound epoch
+    shuffler decorrelates consecutive epochs, so rho should sit near 0; a
+    biased keying scheme (e.g. hashing a correlated field) shows up here
+    before it shows up as a training-order artifact.
+
+    Positions are permutations, so rho has the exact rational closed form
+    ``1 − 6·Σd² / (n(n²−1))``: two rank-attach passes (no global sort),
+    ONE doc_id hash join, per-block Σd² partials carried as decimal strings
+    (Σd² is O(n³) — far past int64 at corpus scale; HUGEINT in the
+    oracle), and the single rho division is one identical-double from
+    exact ints. Degenerate n ≤ 1 emits rho_e9 = 1e9 by stated
+    convention."""
+    from .shuffle import bucketed_group_apply
+
+    a = epoch_shuffle_ds(_read_docs(sf_dir, ["doc_id"]), seed=seed_a)
+    b = epoch_shuffle_ds(_read_docs(sf_dir, ["doc_id"]), seed=seed_b)
+
+    def tag(side: str):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                                 "pos": df["pos"].astype(np.int64),
+                                 "side": side})
+        return f
+
+    both = (a.map_batches(tag("a"), batch_format="pandas")
+            .union(b.map_batches(tag("b"), batch_format="pandas")))
+
+    def pair_d2(df: pd.DataFrame) -> pd.DataFrame:
+        piv = df.pivot_table(index="doc_id", columns="side", values="pos",
+                             aggfunc="first")
+        if "a" not in piv or "b" not in piv:
+            return pd.DataFrame({"n": [0], "sd2": ["0"]})
+        d = piv["a"].to_numpy(np.int64) - piv["b"].to_numpy(np.int64)
+        return pd.DataFrame({"n": [len(d)],
+                             "sd2": [str(int(np.dot(d, d)))]})
+
+    parts = bucketed_group_apply(both, ["doc_id"], lambda d: d,
+                                 pair_d2).to_pandas()
+    n = int(parts["n"].sum())
+    sd2 = sum(int(v) for v in parts["sd2"])
+    if n <= 1:
+        rho_e9 = 1_000_000_000
+    else:
+        from .stats import _round_e9
+
+        den = n * (n * n - 1)
+        rho_e9 = _round_e9(float(den - 6 * sd2) / float(den))
+    return pd.DataFrame([[n, rho_e9]], columns=["n", "rho_e9"]).astype(
+        np.int64)
+
+
+def shuffle_quality_sql(seed_a: int = SHUFFLE_SEED,
+                        seed_b: int = SHUFFLE_SEED + 1) -> str:
+    return f"""
+WITH a AS (SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '-{seed_a}'),
+                             doc_id) - 1 AS HUGEINT) AS pos
+           FROM documents),
+b AS (SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (
+                    ORDER BY md5(CAST(doc_id AS VARCHAR) || '-{seed_b}'),
+                             doc_id) - 1 AS HUGEINT) AS pos
+      FROM documents),
+j AS (SELECT a.pos - b.pos AS d FROM a JOIN b USING (doc_id)),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(d * d) AS sd2 FROM j)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(CASE WHEN n <= 1 THEN 1000000000
+                 ELSE ROUND(CAST(n * (n * n - 1) - 6 * sd2 AS DOUBLE)
+                            / CAST(n * (n * n - 1) AS DOUBLE)
+                            * 1000000000)
+            END AS BIGINT) AS rho_e9
+FROM s
+"""
+
+
+SHUFFLE_QUALITY_SQL = shuffle_quality_sql()

@@ -408,3 +408,13 @@ def test_graph_robustness_fragmentation_bounds(sf_dir):
     sym = _symmetrize(_sp_weighted_edges(sf_dir))
     total_undirected = sym.count() // 2
     assert row["n_edges"] < total_undirected
+
+
+def test_shuffle_quality_identity_and_decorrelation(sf_dir):
+    from research_knowledge_graph_ray.stages.sampling import shuffle_quality
+    same = shuffle_quality(sf_dir, seed_a=7, seed_b=7).iloc[0]
+    assert same["rho_e9"] == 1_000_000_000   # identical permutation
+    diff = shuffle_quality(sf_dir).iloc[0]
+    assert abs(diff["rho_e9"]) < 200_000_000  # epochs decorrelate
+    assert diff["n"] == pq.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows
