@@ -195,6 +195,7 @@ SUITE: list[tuple[str, str]] = [
     ("graph_diameter", "graphalgs.graph_diameter"),
     ("graph_robustness", "graphalgs.graph_robustness"),
     ("shuffle_quality", "sampling.shuffle_quality"),
+    ("events_seasonality", "windows.events_seasonality"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

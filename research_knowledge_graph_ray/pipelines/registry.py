@@ -1640,6 +1640,9 @@ QUERIES.update(
         # join, decimal-string Σd² partials (O(n³) past int64)
         "shuffle_quality": (sampling.shuffle_quality,
                             sampling.SHUFFLE_QUALITY_SQL),
+        # day-of-week seasonality profile — date-domain-bounded fold
+        "events_seasonality": (windows.events_seasonality,
+                               windows.EVENTS_SEASONALITY_SQL),
     }
 )
 

@@ -1681,3 +1681,54 @@ SELECT user_id, event_type, MIN(ts) AS valid_from, MAX(ts) AS valid_to,
        CAST(COUNT(*) AS BIGINT) AS n_events
 FROM g GROUP BY user_id, event_type, grp
 """
+
+
+# ---------------------------------------------------------------------------
+# Day-of-week seasonality profile
+# ---------------------------------------------------------------------------
+
+def events_seasonality(sf_dir: str) -> pd.DataFrame:
+    """(dow, n_days, n_events, mean_per_day_e6, share_bp) — day-of-week
+    seasonality profile of the event stream: events per weekday, the mean
+    daily volume for that weekday, and its share of all traffic — the
+    baseline profile an anomaly monitor (events_hourly / hourly_anomalies)
+    normalizes against. ISO dow (Mon=1..Sun=7), matching DuckDB's
+    ``isodow``.
+
+    One pass of per-block (date, dow) count partials; the driver fold is
+    bounded by the DATE DOMAIN (days in the stream — thousands at most for
+    years of data; the ks_drift-style stated bound). All integers except
+    one floor division per row."""
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def per_day(df: pd.DataFrame) -> pd.DataFrame:
+        ts = pd.to_datetime(df["ts"])
+        d = pd.DataFrame({"date": ts.dt.date.astype(str),
+                          "dow": ts.dt.isocalendar().day.astype(np.int64)})
+        return d.groupby(["date", "dow"], as_index=False).size()
+
+    parts = ds.map_batches(per_day, batch_format="pandas").to_pandas()
+    days = parts.groupby(["date", "dow"], as_index=False)["size"].sum()
+    total = int(days["size"].sum())
+    g = days.groupby("dow", as_index=False).agg(
+        n_days=("date", "nunique"), n_events=("size", "sum"))
+    g["mean_per_day_e6"] = (g["n_events"] * 1_000_000 // g["n_days"])
+    g["share_bp"] = g["n_events"] * 10000 // total
+    return (g[["dow", "n_days", "n_events", "mean_per_day_e6", "share_bp"]]
+            .astype(np.int64).sort_values("dow").reset_index(drop=True))
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH d AS (SELECT CAST(ts AS DATE) AS date,
+                  CAST(isodow(ts) AS BIGINT) AS dow
+           FROM events),
+day_counts AS (SELECT date, dow, CAST(COUNT(*) AS BIGINT) AS n
+               FROM d GROUP BY 1, 2),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM day_counts)
+SELECT dow, CAST(COUNT(DISTINCT date) AS BIGINT) AS n_days,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(n) * 1000000 // COUNT(DISTINCT date) AS BIGINT)
+         AS mean_per_day_e6,
+       CAST(SUM(n) * 10000 // (SELECT t FROM tot) AS BIGINT) AS share_bp
+FROM day_counts GROUP BY dow
+"""

@@ -418,3 +418,13 @@ def test_shuffle_quality_identity_and_decorrelation(sf_dir):
     assert abs(diff["rho_e9"]) < 200_000_000  # epochs decorrelate
     assert diff["n"] == pq.read_metadata(
         f"{sf_dir}/documents.parquet").num_rows
+
+
+def test_events_seasonality_partition(sf_dir):
+    from research_knowledge_graph_ray.pipelines.windows import (
+        events_seasonality)
+    got = events_seasonality(sf_dir)
+    n_ev = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    assert int(got["n_events"].sum()) == n_ev
+    assert got["dow"].between(1, 7).all()
+    assert 9990 <= int(got["share_bp"].sum()) <= 10000  # floor rounding
