@@ -1565,7 +1565,7 @@ QUERIES.update(
         # per-source bigram type/token ratio (Self-BLEU's distinct-share
         # half) — one gram exchange, vocabulary-bounded
         "ngram_diversity": (evalops.ngram_diversity,
-                            evalops.NGRAM_DIVERSITY_SQL),
+                            evalops.ngram_diversity_sql()),
         # power-of-two length-bucket padding overhead report
         "padding_waste": (evalops.padding_waste,
                           evalops.PADDING_WASTE_SQL),
@@ -1616,7 +1616,7 @@ QUERIES.update(
         # split-conformal calibration of the quality gate — order statistic
         # by counting (value-domain-bounded fold), integer rank math
         "conformal_threshold": (evalops.conformal_threshold,
-                                evalops.CONFORMAL_THRESHOLD_SQL),
+                                evalops.conformal_threshold_sql()),
         # NB confusion matrix (label-noise / domain-bleed audit) — rides
         # _nb_model, S²-bounded confusion fold
         "nb_confusion": (textops.nb_confusion, textops.NB_CONFUSION_SQL),

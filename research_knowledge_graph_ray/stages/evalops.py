@@ -375,7 +375,10 @@ def ngram_diversity(sf_dir: str, n: int = 2) -> pd.DataFrame:
     return out.sort_values("source").reset_index(drop=True)
 
 
-NGRAM_DIVERSITY_SQL = """
+def ngram_diversity_sql(n: int = 2) -> str:
+    """k-parameterized oracle (the bm25_search_sql precedent) so a
+    non-default ``n`` cannot silently diverge from the registered SQL."""
+    return f"""
 WITH toks AS (
   SELECT source,
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -383,14 +386,18 @@ WITH toks AS (
   FROM documents),
 bg AS (
   SELECT source,
-         unnest(list_transform(range(1, len(w)),
-                i -> array_to_string(list_slice(w, i, i + 1), ' '))) AS g
-  FROM toks WHERE len(w) >= 2)
+         unnest(list_transform(range(1, len(w) - {n - 2}),
+                i -> array_to_string(list_slice(w, i, i + {n - 1}), ' ')))
+           AS g
+  FROM toks WHERE len(w) >= {n})
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
        CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
        CAST(COUNT(DISTINCT g) * 10000 // COUNT(*) AS BIGINT) AS ttr_bp
 FROM bg GROUP BY 1
 """
+
+
+NGRAM_DIVERSITY_SQL = ngram_diversity_sql()
 
 
 # Power-of-two sequence-length buckets (tokens). Fixed, small, and raised
@@ -432,10 +439,17 @@ def padding_waste(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(per_bucket, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
     g = parts.groupby("bucket", as_index=False).sum()
-    g["pad_tokens"] = g["bucket"] * g["n_docs"] - g["sum_tokens"]
-    g["waste_bp"] = g["pad_tokens"] * 10000 // (g["bucket"] * g["n_docs"])
-    return (g[["bucket", "n_docs", "sum_tokens", "pad_tokens", "waste_bp"]]
-            .astype(np.int64).sort_values("bucket").reset_index(drop=True))
+    # fold in Python ints: bucket*n_docs*1e4 is O(N) x 4096 x 1e4 and would
+    # wrap int64 on extreme corpora (HUGEINT covers the oracle side)
+    rows = []
+    for b, nd, st in zip(g["bucket"], g["n_docs"], g["sum_tokens"]):
+        b, nd, st = int(b), int(nd), int(st)
+        pad = b * nd - st
+        rows.append((b, nd, st, pad, pad * 10000 // (b * nd)))
+    out = pd.DataFrame(rows, columns=["bucket", "n_docs", "sum_tokens",
+                                      "pad_tokens", "waste_bp"])
+    return (out.astype(np.int64).sort_values("bucket")
+            .reset_index(drop=True))
 
 
 _PAD_BUCKET_SQL = "CASE " + " ".join(
@@ -451,9 +465,10 @@ b AS (SELECT {_PAD_BUCKET_SQL} AS bucket, n_tokens FROM t)
 SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
-       CAST(bucket * COUNT(*) - SUM(n_tokens) AS BIGINT) AS pad_tokens,
-       CAST((bucket * COUNT(*) - SUM(n_tokens)) * 10000
-            // (bucket * COUNT(*)) AS BIGINT) AS waste_bp
+       CAST(CAST(bucket AS HUGEINT) * COUNT(*) - SUM(n_tokens) AS BIGINT)
+         AS pad_tokens,
+       CAST((CAST(bucket AS HUGEINT) * COUNT(*) - SUM(n_tokens)) * 10000
+            // (CAST(bucket AS HUGEINT) * COUNT(*)) AS BIGINT) AS waste_bp
 FROM b GROUP BY bucket
 """
 
@@ -621,7 +636,7 @@ basis AS (SELECT g FROM (SELECT g, SUM(cnt) AS n FROM st GROUP BY 1)
           ORDER BY n DESC, g LIMIT {top_t}),
 tps AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS toks FROM st GROUP BY 1),
 f AS (SELECT s.source, b.g,
-        COALESCE(st.cnt, 0) * 1000000000 // s.toks AS fbp
+        CAST(COALESCE(st.cnt, 0) AS HUGEINT) * 1000000000 // s.toks AS fbp
       FROM tps s CROSS JOIN basis b
       LEFT JOIN st ON st.source = s.source AND st.g = b.g),
 m AS (SELECT g, CAST(SUM(fbp) AS BIGINT) // COUNT(*) AS mean FROM f
@@ -765,14 +780,16 @@ def conformal_threshold(sf_dir: str, alpha_bp: int = _CONF_ALPHA_BP,
                  "coverage_bp"]).astype(np.int64)
 
 
-CONFORMAL_THRESHOLD_SQL = f"""
+def conformal_threshold_sql(alpha_bp: int = _CONF_ALPHA_BP,
+                            cal_mod: int = _CONF_CAL_MOD) -> str:
+    return f"""
 WITH f AS ({_FEAT_SQL}),
 s AS (SELECT doc_id, -({_LOGIT_SQL}) AS v FROM f),
-cal AS (SELECT v FROM s WHERE doc_id % {_CONF_CAL_MOD} = 0),
-ev AS (SELECT v FROM s WHERE doc_id % {_CONF_CAL_MOD} <> 0),
+cal AS (SELECT v FROM s WHERE doc_id % {cal_mod} = 0),
+ev AS (SELECT v FROM s WHERE doc_id % {cal_mod} <> 0),
 n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal),
 q AS (SELECT n_cal,
-             LEAST(((n_cal + 1) * {10000 - _CONF_ALPHA_BP} + 9999) // 10000,
+             LEAST(((n_cal + 1) * {10000 - alpha_bp} + 9999) // 10000,
                    n_cal) AS q_rank
       FROM n),
 rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM cal),
@@ -790,6 +807,9 @@ SELECT n_cal, CAST(q_rank AS BIGINT) AS q_rank,
                  ELSE -1 END AS BIGINT) AS coverage_bp
 FROM thr
 """
+
+
+CONFORMAL_THRESHOLD_SQL = conformal_threshold_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -610,11 +610,13 @@ w AS (SELECT source, tokens,
 n AS (SELECT CAST(SUM(tokens) AS BIGINT) AS total,
              CAST(SUM(weight) AS BIGINT) AS denom FROM w)
 SELECT source, tokens, weight,
-       CAST(n.total * weight // n.denom AS BIGINT) AS required_tokens,
-       CAST((n.total * weight // n.denom) * 1000000 // tokens AS BIGINT)
-         AS epochs_e6,
-       CAST(CASE WHEN (n.total * weight // n.denom) * 1000000 // tokens
-                      > 1000000 THEN 1 ELSE 0 END AS BIGINT) AS upsampled
+       CAST(CAST(n.total AS HUGEINT) * weight // n.denom AS BIGINT)
+         AS required_tokens,
+       CAST((CAST(n.total AS HUGEINT) * weight // n.denom) * 1000000
+            // tokens AS BIGINT) AS epochs_e6,
+       CAST(CASE WHEN (CAST(n.total AS HUGEINT) * weight // n.denom)
+                      * 1000000 // tokens > 1000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS upsampled
 FROM w, n
 """
 

@@ -2199,20 +2199,24 @@ def bootstrap_ci(sf_dir: str, n_reps: int = _BOOT_REPS) -> pd.DataFrame:
                  for o in ok),
                 dtype=np.int64, count=len(ok))
             w = np.searchsorted(thresh, u, side="right")
-            reps.append((r, int(w.sum()), int((w * cents).sum())))
+            # decimal-string carry (linear_sufficient_stats recipe): the
+            # cross-block fold must not wrap int64 at corpus scale
+            reps.append((r, int(w.sum()), str(int((w * cents).sum()))))
         return pd.DataFrame(reps, columns=["replicate", "n", "sum_cents"])
 
     ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
                                columns=["o_orderkey", "o_totalprice"])
     parts = ds.map_batches(per_rep, batch_format="pandas").to_pandas()
-    g = parts.groupby("replicate", as_index=False).sum()
-    # a replicate can draw zero total weight on a tiny input; emit -1
-    # (stated in the oracle identically) rather than divide by zero
-    mean_e6 = [int(s) * 1_000_000 // int(n) if int(n) else -1
-               for s, n in zip(g["sum_cents"], g["n"])]
-    g["mean_e6"] = np.asarray(mean_e6, dtype=np.int64)
-    return (g[["replicate", "n", "sum_cents", "mean_e6"]]
-            .astype(np.int64).sort_values("replicate").reset_index(drop=True))
+    rows = []
+    for rep, sub in parts.groupby("replicate"):
+        n = int(sub["n"].sum())
+        sc = sum(int(v) for v in sub["sum_cents"])  # unbounded Python ints
+        # a replicate can draw zero total weight on a tiny input; emit -1
+        # (stated in the oracle identically) rather than divide by zero
+        rows.append((int(rep), n, sc, sc * 1_000_000 // n if n else -1))
+    g = pd.DataFrame(rows, columns=["replicate", "n", "sum_cents", "mean_e6"])
+    return (g.astype(np.int64).sort_values("replicate")
+            .reset_index(drop=True))
 
 
 def bootstrap_ci_sql(n_reps: int = _BOOT_REPS) -> str:
