@@ -196,6 +196,7 @@ SUITE: list[tuple[str, str]] = [
     ("graph_robustness", "graphalgs.graph_robustness"),
     ("shuffle_quality", "sampling.shuffle_quality"),
     ("events_seasonality", "windows.events_seasonality"),
+    ("pair_betweenness", "graphalgs.pair_betweenness"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1643,6 +1643,10 @@ QUERIES.update(
         # day-of-week seasonality profile — date-domain-bounded fold
         "events_seasonality": (windows.events_seasonality,
                                windows.EVENTS_SEASONALITY_SQL),
+        # exact Brandes pair dependency (fixed endpoint pair) — two
+        # frontier-join BFS-σ runs, integer path counts, one node join
+        "pair_betweenness": (graphalgs.pair_betweenness,
+                             graphalgs.PAIR_BETWEENNESS_SQL),
     }
 )
 

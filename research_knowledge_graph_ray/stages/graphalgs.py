@@ -2275,3 +2275,213 @@ FROM (SELECT 1)
 
 
 GRAPH_ROBUSTNESS_SQL = graph_robustness_sql()
+
+
+# ---------------------------------------------------------------------------
+# BFS with shortest-path counts + exact pair-dependency betweenness
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _bfs_scatter(edges_tab, frontier_tab, n_buckets: int):
+    """Level-synchronous BFS scatter: join the pinned edge bucket with its
+    frontier slice (all at level L), emit (v, sig) path-count candidates
+    pre-summed per v and split by v bucket."""
+    import pyarrow as pa
+
+    from .shuffle import _split_by_bucket
+
+    empty = pa.table({"v": pa.array([], pa.int64()),
+                      "sig": pa.array([], pa.int64())})
+    if (edges_tab.num_rows == 0 or frontier_tab.num_rows == 0
+            or frontier_tab.num_columns == 0):
+        return tuple([empty] * n_buckets) if n_buckets > 1 else empty
+    e = edges_tab.to_pandas()
+    f = frontier_tab.to_pandas()
+    j = e.merge(f, left_on="u", right_on="node", how="inner", sort=False)
+    if j.empty:
+        return tuple([empty] * n_buckets) if n_buckets > 1 else empty
+    out = (pd.DataFrame({"v": j["v"].astype(np.int64),
+                         "sig": j["sig"].astype(np.int64)})
+           .groupby("v", as_index=False).agg(sig=("sig", "sum")))
+    if int(out["sig"].max()) >= 1 << 62:
+        raise OverflowError("BFS path count approaching int64; this graph "
+                            "needs big-int sigma carry")
+    pieces = _split_by_bucket(pa.Table.from_pandas(out, preserve_index=False),
+                              ["v"], n_buckets)
+    return tuple(pieces) if n_buckets > 1 else pieces[0]
+
+
+@ray.remote(num_returns=3)
+def _bfs_gather(state_tab, level: int, *pieces):
+    """Level-synchronous BFS gather: candidates for UNSEEN nodes become the
+    next frontier with d = level and sigma = the cross-bucket sum (every
+    shortest path to a level-L+1 node passes a level-L node, so the sum is
+    the exact path count). Seen nodes are final — candidates ignored."""
+    import pyarrow as pa
+
+    st = (state_tab.to_pandas() if state_tab.num_columns
+          else pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                             "d": pd.Series(dtype=np.int64),
+                             "sig": pd.Series(dtype=np.int64)}))
+    empty_f = pa.table({"node": pa.array([], pa.int64()),
+                        "sig": pa.array([], pa.int64())})
+    valid = [p for p in pieces if p.num_columns > 0 and p.num_rows > 0]
+    if not valid:
+        return (pa.Table.from_pandas(st, preserve_index=False), empty_f, 0)
+    cand = (pa.concat_tables(valid).to_pandas()
+            .groupby("v", as_index=False).agg(sig=("sig", "sum"))
+            .rename(columns={"v": "node"}))
+    if len(cand) and int(cand["sig"].max()) >= 1 << 62:
+        raise OverflowError("BFS path count approaching int64")
+    new = cand[~cand["node"].isin(st["node"])]
+    if new.empty:
+        return (pa.Table.from_pandas(st, preserve_index=False), empty_f, 0)
+    add = pd.DataFrame({"node": new["node"].astype(np.int64),
+                        "d": np.int64(level),
+                        "sig": new["sig"].astype(np.int64)})
+    st2 = pd.concat([st, add], ignore_index=True)
+    front = add[["node", "sig"]]
+    return (pa.Table.from_pandas(st2, preserve_index=False),
+            pa.Table.from_pandas(front, preserve_index=False),
+            int(len(add)))
+
+
+def bfs_sigma_ds(sym: "ray.data.Dataset", src: int, max_rounds: int = 20,
+                 n_buckets: int = 8) -> "ray.data.Dataset":
+    """(node, d, sig) — BFS levels + exact shortest-path counts from
+    ``src`` over an unweighted symmetric edge Dataset (u, v): the Brandes
+    forward pass, as the same pinned-partition frontier join as
+    :func:`sssp_ds` (edges bucketed once; per-bucket state slices in the
+    object store; the driver reads one scalar per round)."""
+    from .shuffle import _split_by_bucket
+
+    ident = lambda t: t  # noqa: E731
+    e_bucketed = hash_exchange_apply(sym, ["u"], ident, ident,
+                                     n_buckets=n_buckets)
+    E = e_bucketed.to_arrow_refs()
+    n_buckets = len(E)
+
+    seed = pa.table({"node": pa.array([src], pa.int64()),
+                     "d": pa.array([0], pa.int64()),
+                     "sig": pa.array([1], pa.int64())})
+    seed_f = pa.table({"node": pa.array([src], pa.int64()),
+                       "sig": pa.array([1], pa.int64())})
+    D = [ray.put(p) for p in _split_by_bucket(seed, ["node"], n_buckets)]
+    F = [ray.put(p) for p in _split_by_bucket(seed_f, ["node"], n_buckets)]
+
+    for level in range(1, max_rounds + 1):
+        cps = [
+            _bfs_scatter.options(num_returns=n_buckets).remote(
+                E[b], F[b], n_buckets)
+            for b in range(n_buckets)
+        ]
+        if n_buckets == 1:
+            cps = [[c] for c in cps]
+        outs = [
+            _bfs_gather.remote(D[b], level,
+                               *[cps[s][b] for s in range(n_buckets)])
+            for b in range(n_buckets)
+        ]
+        D = [o[0] for o in outs]
+        F = [o[1] for o in outs]
+        grew = sum(ray.get([o[2] for o in outs]))
+        if grew == 0:
+            break
+    else:
+        raise RuntimeError("BFS did not converge within max_rounds")
+    import ray.data as rd
+
+    return rd.from_arrow_refs(D)
+
+
+_BTW_SRC = 1
+_BTW_DST = 2
+
+
+def pair_betweenness(sf_dir: str, src: int = _BTW_SRC,
+                     dst: int = _BTW_DST) -> pd.DataFrame:
+    """(node, d_from_src, sigma_prod, sigma_st, share_e9) — exact
+    pair-dependency betweenness for the fixed supplier pair (src, dst) on
+    the sparsified supplier-part graph: a node v lies on a shortest
+    src-dst path iff d_s(v) + d_t(v) = d(s,t), and its share of those
+    paths is σ_s(v)·σ_t(v) / σ_st — the Brandes pair dependency, with
+    path counts EXACT integers (no δ-recursion floats). Endpoints
+    excluded, rows sorted by node.
+
+    Two runs of the frontier-join BFS-σ core + one node hash join; the
+    single share division is one identical-double from exact ints."""
+    from .shuffle import bucketed_group_apply
+    from .stats import _round_e9_vec
+
+    edges = _sp_weighted_edges(sf_dir)
+    sym = (_symmetrize(edges)
+           .map_batches(lambda df: df[["u", "v"]], batch_format="pandas")
+           .materialize())
+    fs = bfs_sigma_ds(sym, src).to_pandas().rename(
+        columns={"d": "ds", "sig": "sigs"})
+    ft = bfs_sigma_ds(sym, dst).to_pandas().rename(
+        columns={"d": "dt", "sig": "sigt"})
+    j = fs.merge(ft, on="node", how="inner", sort=False)
+    t_row = j[j["node"] == dst]
+    if t_row.empty:
+        return pd.DataFrame(columns=["node", "d_from_src", "sigma_prod",
+                                     "sigma_st", "share_e9"]).astype(np.int64)
+    D = int(t_row.iloc[0]["ds"])
+    sigma_st = int(t_row.iloc[0]["sigs"])
+    on = j[(j["ds"] + j["dt"] == D)
+           & (j["node"] != src) & (j["node"] != dst)]
+    prod = (on["sigs"].to_numpy(np.int64) * on["sigt"].to_numpy(np.int64))
+    share = _round_e9_vec(prod.astype(np.float64) / float(sigma_st))
+    out = pd.DataFrame({
+        "node": on["node"].to_numpy(np.int64),
+        "d_from_src": on["ds"].to_numpy(np.int64),
+        "sigma_prod": prod,
+        "sigma_st": np.full(len(on), sigma_st, dtype=np.int64),
+        "share_e9": share})
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def pair_betweenness_sql(src: int = _BTW_SRC, dst: int = _BTW_DST,
+                         levels: int = 18) -> str:
+    """Unrolled level-synchronous BFS-σ from each endpoint (seen-set
+    accumulated across levels), then the pair-dependency join."""
+
+    def chain(tag: str, start: str) -> str:
+        parts = [f"{tag}l0 AS (SELECT {start} AS node, 0 AS d, "
+                 f"CAST(1 AS HUGEINT) AS sig)",
+                 f"{tag}s0 AS (SELECT node FROM {tag}l0)"]
+        for t in range(1, levels + 1):
+            parts.append(f"""
+{tag}l{t} AS MATERIALIZED (
+  SELECT e.v AS node, {t} AS d, SUM(p.sig) AS sig
+  FROM {tag}l{t-1} p JOIN sym e ON e.u = p.node
+  WHERE e.v NOT IN (SELECT node FROM {tag}s{t-1})
+  GROUP BY e.v)""")
+            parts.append(f"""
+{tag}s{t} AS MATERIALIZED (SELECT node FROM {tag}s{t-1}
+  UNION ALL SELECT node FROM {tag}l{t})""")
+        alls = " UNION ALL ".join(f"SELECT * FROM {tag}l{t}"
+                                  for t in range(levels + 1))
+        parts.append(f"{tag}all AS ({alls})")
+        return ",".join(parts)
+
+    return f"""
+WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+            HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
+sym AS (SELECT s AS u, p AS v FROM e0 UNION ALL SELECT p, s FROM e0),
+{chain("fa", str(src))},
+{chain("fb", str(dst))},
+tt AS (SELECT d AS dd, sig AS sst FROM faall WHERE node = {dst})
+SELECT CAST(a.node AS BIGINT) AS node, CAST(a.d AS BIGINT) AS d_from_src,
+       CAST(a.sig * b.sig AS BIGINT) AS sigma_prod,
+       CAST(tt.sst AS BIGINT) AS sigma_st,
+       CAST(ROUND(CAST(a.sig * b.sig AS DOUBLE) / CAST(tt.sst AS DOUBLE)
+                  * 1000000000) AS BIGINT) AS share_e9
+FROM faall a JOIN fball b USING (node), tt
+WHERE a.d + b.d = tt.dd AND a.node <> {src} AND a.node <> {dst}
+"""
+
+
+PAIR_BETWEENNESS_SQL = pair_betweenness_sql()

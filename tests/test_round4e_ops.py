@@ -428,3 +428,34 @@ def test_events_seasonality_partition(sf_dir):
     assert int(got["n_events"].sum()) == n_ev
     assert got["dow"].between(1, 7).all()
     assert 9990 <= int(got["share_bp"].sum()) <= 10000  # floor rounding
+
+
+def test_pair_betweenness_exact_path_algebra(tmp_path):
+    # diamond graph: 1 - {10,11} - 2 plus a longer detour 1-12-13-2
+    # shortest 1->2 distance 2 via two parallel middles, sigma_st = 2
+    from research_knowledge_graph_ray.stages.graphalgs import (
+        _PART_OFFSET, pair_betweenness)
+    # encode edges via lineitem rows (suppkey-part edges, weight=min qty<=5)
+    rows = [(1, 10, 1.0), (2, 10, 1.0), (1, 11, 1.0), (2, 11, 1.0),
+            (1, 12, 1.0), (3, 12, 1.0), (3, 13, 1.0), (2, 13, 1.0)]
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_quantity": pa.array([r[2] for r in rows]),
+    }), tmp_path / "lineitem.parquet")
+    got = pair_betweenness(str(tmp_path), src=1, dst=2)
+    assert (got["sigma_st"] == 2).all()
+    mids = dict(zip(got["node"], got["sigma_prod"]))
+    assert mids[10 + _PART_OFFSET] == 1 and mids[11 + _PART_OFFSET] == 1
+    # detour nodes (distance 2+2 > 2) are not on any shortest path
+    assert (12 + _PART_OFFSET) not in mids and 3 not in mids
+    assert (got["share_e9"] == 500_000_000).all()
+
+
+def test_pair_betweenness_share_bounds(sf_dir):
+    from research_knowledge_graph_ray.stages.graphalgs import pair_betweenness
+    got = pair_betweenness(sf_dir)
+    if len(got):
+        assert (got["sigma_prod"] >= 1).all()
+        assert (got["sigma_prod"] <= got["sigma_st"]).all()
+        assert got["share_e9"].between(0, 1_000_000_000).all()
