@@ -197,6 +197,8 @@ SUITE: list[tuple[str, str]] = [
     ("shuffle_quality", "sampling.shuffle_quality"),
     ("events_seasonality", "windows.events_seasonality"),
     ("pair_betweenness", "graphalgs.pair_betweenness"),
+    ("graph_closeness", "graphalgs.graph_closeness"),
+    ("graph_hop_histogram", "graphalgs.graph_hop_histogram"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

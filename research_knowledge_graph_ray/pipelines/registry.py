@@ -1647,6 +1647,12 @@ QUERIES.update(
         # frontier-join BFS-σ runs, integer path counts, one node join
         "pair_betweenness": (graphalgs.pair_betweenness,
                              graphalgs.PAIR_BETWEENNESS_SQL),
+        # exact integer closeness for a fixed seed set — one SSSP per seed
+        "graph_closeness": (graphalgs.graph_closeness,
+                            graphalgs.GRAPH_CLOSENESS_SQL),
+        # BFS expansion profile from a fixed source — hop-domain fold
+        "graph_hop_histogram": (graphalgs.graph_hop_histogram,
+                                graphalgs.GRAPH_HOP_HISTOGRAM_SQL),
     }
 )
 

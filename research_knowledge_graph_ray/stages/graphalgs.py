@@ -2485,3 +2485,119 @@ WHERE a.d + b.d = tt.dd AND a.node <> {src} AND a.node <> {dst}
 
 
 PAIR_BETWEENNESS_SQL = pair_betweenness_sql()
+
+
+# ---------------------------------------------------------------------------
+# Seed-set closeness centrality + hop histogram
+# ---------------------------------------------------------------------------
+
+_CLOSENESS_SEEDS = (1, 2, 3)
+
+
+def graph_closeness(sf_dir: str,
+                    seeds: tuple = _CLOSENESS_SEEDS) -> pd.DataFrame:
+    """(seed, n_reached, sum_dist, closeness_e9) — exact closeness
+    centrality of a fixed seed set on the weight-sparsified supplier-part
+    graph: closeness = (n_reached − 1) / Σ dist over the reached component
+    (the standard disconnected-graph convention). One frontier-join SSSP
+    run per seed; the division is integer floor at e9 — no floats at all.
+    """
+    edges = _sp_weighted_edges(sf_dir)
+    sym = _symmetrize(edges).materialize()
+    rows = []
+    for s in seeds:
+        d = sssp_ds(sym, int(s)).to_pandas()
+        n = len(d)
+        sd = int(d["d"].sum())
+        clo = (n - 1) * 1_000_000_000 // sd if sd else 0
+        rows.append((int(s), n, sd, clo))
+    return pd.DataFrame(rows, columns=["seed", "n_reached", "sum_dist",
+                                       "closeness_e9"]).astype(np.int64)
+
+
+def graph_closeness_sql(seeds: tuple = _CLOSENESS_SEEDS,
+                        iters: int = 10) -> str:
+    def chain(tag: str, src: int) -> str:
+        steps = [f"{tag}0 AS (SELECT CAST({src} AS BIGINT) AS n, "
+                 f"CAST(0 AS BIGINT) AS d)"]
+        for t in range(1, iters + 1):
+            steps.append(f"""
+{tag}{t} AS MATERIALIZED (SELECT n, MIN(d) AS d FROM (
+           SELECT n, d FROM {tag}{t-1}
+           UNION ALL
+           SELECT sym.v AS n, {tag}{t-1}.d + sym.w AS d
+           FROM sym JOIN {tag}{t-1} ON sym.u = {tag}{t-1}.n)
+         GROUP BY n)""")
+        return ",".join(steps)
+
+    chains = ",".join(chain(f"c{i}", int(s)) for i, s in enumerate(seeds))
+    sels = " UNION ALL ".join(f"""
+SELECT CAST({int(s)} AS BIGINT) AS seed,
+       CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(d) AS BIGINT) AS sum_dist,
+       CAST(CASE WHEN SUM(d) > 0
+                 THEN (COUNT(*) - 1) * 1000000000 // SUM(d)
+                 ELSE 0 END AS BIGINT) AS closeness_e9
+FROM c{i}{iters}""" for i, s in enumerate(seeds))
+    return f"""
+WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+            HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
+sym AS (SELECT s AS u, p AS v, w FROM e0 UNION ALL SELECT p, s, w FROM e0),
+{chains}
+{sels}
+"""
+
+
+GRAPH_CLOSENESS_SQL = graph_closeness_sql()
+
+
+def graph_hop_histogram(sf_dir: str, src: int = _BTW_SRC) -> pd.DataFrame:
+    """(d, n_nodes, sum_sigma) — BFS hop histogram from a fixed source:
+    how many nodes sit at each unweighted hop distance and how many
+    shortest paths reach that shell (Σσ). The expansion profile that sizes
+    frontier rounds for every BFS-shaped op (SSSP, sampling, diameter).
+
+    One run of the frontier-join BFS-σ core; the histogram fold is
+    hop-domain-bounded (graph diameter)."""
+    edges = _sp_weighted_edges(sf_dir)
+    sym = (_symmetrize(edges)
+           .map_batches(lambda df: df[["u", "v"]], batch_format="pandas")
+           .materialize())
+    st = bfs_sigma_ds(sym, src).to_pandas()
+    g = st.groupby("d", as_index=False).agg(
+        n_nodes=("node", "size"), sum_sigma=("sig", "sum"))
+    return (g.astype(np.int64).sort_values("d").reset_index(drop=True))
+
+
+def graph_hop_histogram_sql(src: int = _BTW_SRC, levels: int = 18) -> str:
+    parts = [f"l0 AS (SELECT CAST({src} AS BIGINT) AS node, 0 AS d, "
+             f"CAST(1 AS HUGEINT) AS sig)",
+             "s0 AS (SELECT node FROM l0)"]
+    for t in range(1, levels + 1):
+        parts.append(f"""
+l{t} AS MATERIALIZED (
+  SELECT e.v AS node, {t} AS d, SUM(p.sig) AS sig
+  FROM l{t-1} p JOIN sym e ON e.u = p.node
+  WHERE e.v NOT IN (SELECT node FROM s{t-1})
+  GROUP BY e.v)""")
+        parts.append(f"""
+s{t} AS MATERIALIZED (SELECT node FROM s{t-1}
+  UNION ALL SELECT node FROM l{t})""")
+    alls = " UNION ALL ".join(f"SELECT * FROM l{t}" for t in range(levels + 1))
+    return f"""
+WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+            HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
+sym AS (SELECT s AS u, p AS v FROM e0 UNION ALL SELECT p, s FROM e0),
+{",".join(parts)},
+f AS ({alls})
+SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(SUM(sig) AS BIGINT) AS sum_sigma
+FROM f GROUP BY d
+"""
+
+
+GRAPH_HOP_HISTOGRAM_SQL = graph_hop_histogram_sql()
