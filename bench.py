@@ -199,6 +199,7 @@ SUITE: list[tuple[str, str]] = [
     ("pair_betweenness", "graphalgs.pair_betweenness"),
     ("graph_closeness", "graphalgs.graph_closeness"),
     ("graph_hop_histogram", "graphalgs.graph_hop_histogram"),
+    ("mask_corruption_pairs", "sampling.mask_corruption_pairs"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

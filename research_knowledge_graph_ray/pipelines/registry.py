@@ -1653,6 +1653,10 @@ QUERIES.update(
         # BFS expansion profile from a fixed source — hop-domain fold
         "graph_hop_histogram": (graphalgs.graph_hop_histogram,
                                 graphalgs.GRAPH_HOP_HISTOGRAM_SQL),
+        # deterministic T5-style token-mask pair generation — md5-keyed
+        # mask, zero shuffle, fingerprint payloads
+        "mask_corruption_pairs": (sampling.mask_corruption_pairs,
+                                  sampling.MASK_CORRUPTION_PAIRS_SQL),
     }
 )
 

@@ -705,3 +705,80 @@ FROM s
 
 
 SHUFFLE_QUALITY_SQL = shuffle_quality_sql()
+
+
+# ---------------------------------------------------------------------------
+# Deterministic token-mask corruption pairs (T5/MLM-style)
+# ---------------------------------------------------------------------------
+
+_MASK_P_BP = 1500   # 15% token mask rate
+_MASK_SEED = 11
+
+
+def mask_corruption_pairs(sf_dir: str, p_bp: int = _MASK_P_BP,
+                          seed: int = _MASK_SEED) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_masked, visible_fp, target_fp) — deterministic
+    denoising-objective pair generation (the T5/MLM data prep): each
+    whitespace token is masked iff ``md5(doc_id:pos:seed) < p``, the
+    visible stream is the unmasked tokens in order, the target stream the
+    masked ones. Fingerprints (md5 of each side) stand in for the payloads
+    so the output stays narrow (contrastive_pairs precedent); a real
+    pipeline would carry the streams themselves.
+
+    Hash-keyed masking is the scale story: the mask is a pure function of
+    (doc_id, pos, seed) — no RNG state, stable under retries, cluster-size
+    independent, and restatable in SQL. One streamed pass, zero shuffle."""
+    thr = p_bp * (1 << 32) // 10000
+
+    def corrupt(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {"doc_id": [], "n_tokens": [], "n_masked": [],
+               "visible_fp": [], "target_fp": []}
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            toks = text.split(" ")
+            vis, tgt = [], []
+            for pos, t in enumerate(toks, start=1):
+                u = int.from_bytes(
+                    hashlib.md5(f"{did}:{pos}:{seed}".encode()).digest()[:4],
+                    "big")
+                (tgt if u < thr else vis).append(t)
+            out["doc_id"].append(int(did))
+            out["n_tokens"].append(len(toks))
+            out["n_masked"].append(len(tgt))
+            out["visible_fp"].append(
+                hashlib.md5(" ".join(vis).encode()).hexdigest())
+            out["target_fp"].append(
+                hashlib.md5(" ".join(tgt).encode()).hexdigest())
+        return pd.DataFrame(out)
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mask_corruption_pairs_sql(p_bp: int = _MASK_P_BP,
+                              seed: int = _MASK_SEED) -> str:
+    thr = p_bp * (1 << 32) // 10000
+    return f"""
+WITH toks AS (
+  SELECT doc_id, w AS tok, pos
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       LATERAL (SELECT unnest(ws) AS w,
+                       generate_subscripts(ws, 1) AS pos)),
+m AS (
+  SELECT doc_id, tok, pos,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                             CAST(pos AS VARCHAR) || ':{seed}'), 1, 8))
+           ::UBIGINT < {thr} AS masked
+  FROM toks)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       md5(COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (WHERE NOT masked), '')) AS visible_fp,
+       md5(COALESCE(string_agg(tok, ' ' ORDER BY pos)
+                    FILTER (WHERE masked), '')) AS target_fp
+FROM m GROUP BY doc_id
+"""
+
+
+MASK_CORRUPTION_PAIRS_SQL = mask_corruption_pairs_sql()

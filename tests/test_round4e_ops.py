@@ -482,3 +482,19 @@ def test_graph_hop_histogram_shell_algebra(sf_dir):
     assert got["d"].is_monotonic_increasing
     # path counts per shell grow at least as fast as node counts
     assert (got["sum_sigma"] >= got["n_nodes"]).all()
+
+
+def test_mask_corruption_pairs_deterministic_and_rate(sf_dir):
+    from research_knowledge_graph_ray.stages.sampling import (
+        mask_corruption_pairs)
+    a = mask_corruption_pairs(sf_dir).to_pandas().sort_values("doc_id")
+    b = mask_corruption_pairs(sf_dir).to_pandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert (a["n_masked"] <= a["n_tokens"]).all()
+    # empirical mask rate within a loose band of the 15% target
+    rate = a["n_masked"].sum() / a["n_tokens"].sum()
+    assert 0.10 < rate < 0.20
+    # a different seed produces different masks somewhere
+    c = mask_corruption_pairs(sf_dir, seed=12).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert not c["visible_fp"].equals(a.reset_index(drop=True)["visible_fp"])
