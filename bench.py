@@ -200,6 +200,8 @@ SUITE: list[tuple[str, str]] = [
     ("graph_closeness", "graphalgs.graph_closeness"),
     ("graph_hop_histogram", "graphalgs.graph_hop_histogram"),
     ("mask_corruption_pairs", "sampling.mask_corruption_pairs"),
+    ("negative_sampling_table", "textops.negative_sampling_table"),
+    ("token_spectrum", "textops.token_spectrum"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

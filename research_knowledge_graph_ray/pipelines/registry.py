@@ -1657,6 +1657,13 @@ QUERIES.update(
         # mask, zero shuffle, fingerprint payloads
         "mask_corruption_pairs": (sampling.mask_corruption_pairs,
                                   sampling.MASK_CORRUPTION_PAIRS_SQL),
+        # word2vec unigram^0.75 negative-sampling table — one token
+        # exchange, top-V cut, per-row identical-double pow
+        "negative_sampling_table": (textops.negative_sampling_table,
+                                    textops.NEGATIVE_SAMPLING_TABLE_SQL),
+        # Good-Turing frequency-of-frequencies spectrum — k-domain fold
+        "token_spectrum": (textops.token_spectrum,
+                           textops.TOKEN_SPECTRUM_SQL),
     }
 )
 

@@ -2437,3 +2437,109 @@ SELECT d.source, p.pred_source, CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM documents d JOIN pred p USING (doc_id)
 GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding-training data prep: negative-sampling table + frequency spectrum
+# ---------------------------------------------------------------------------
+
+_NEG_TOP_V = 50
+
+
+def negative_sampling_table(sf_dir: str, top_v: int = _NEG_TOP_V) -> pd.DataFrame:
+    """(token, cnt, weight_e6) — the word2vec negative-sampling table:
+    unigram counts raised to the 3/4 power (Mikolov et al. 2013's smoothing
+    that up-weights the tail), for the ``top_v`` most frequent tokens
+    (count desc, token asc ties). The sampler itself then walks the weight
+    column; emitting per-row weights (not cumulative) keeps every value a
+    single identical-double ``pow`` from an exact count — a cumulative
+    column would accumulate float error in engine-dependent order.
+
+    One token exchange (vocabulary-bounded), top-V driver cut."""
+    from .shuffle import hash_exchange_apply
+    from .stats import _round_e9
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        _, grams = _doc_ngrams(batch, 1)
+        t = pa.table({"g": grams})
+        return (t.group_by("g").aggregate([("g", "count")])
+                .rename_columns(["g", "cnt"]))
+
+    counts = hash_exchange_apply(
+        _read_docs(sf_dir), ["g"], tok_partial,
+        lambda t: t.group_by("g").aggregate([("cnt", "sum")])
+        .rename_columns(["g", "cnt"]),
+        n_buckets=16).to_pandas()
+    top = (counts.sort_values(["cnt", "g"], ascending=[False, True])
+           .head(top_v))
+    w = [int(_round_e9(float(int(c)) ** 0.75) // 1000)  # e9 -> e6
+         for c in top["cnt"]]
+    out = pd.DataFrame({"token": top["g"].to_numpy(dtype=object),
+                        "cnt": top["cnt"].to_numpy(np.int64),
+                        "weight_e6": np.asarray(w, dtype=np.int64)})
+    return out.reset_index(drop=True).astype({"token": "string"})
+
+
+def negative_sampling_table_sql(top_v: int = _NEG_TOP_V) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS g
+  FROM documents),
+c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+top AS (SELECT g, cnt FROM c ORDER BY cnt DESC, g LIMIT {top_v})
+SELECT g AS token, cnt,
+       CAST(ROUND(POWER(CAST(cnt AS DOUBLE), 0.75) * 1000000000) AS BIGINT)
+         // 1000 AS weight_e6
+FROM top
+"""
+
+
+NEGATIVE_SAMPLING_TABLE_SQL = negative_sampling_table_sql()
+
+
+def token_spectrum(sf_dir: str) -> pd.DataFrame:
+    """(k, m_k, mass_bp) — token frequency-of-frequencies spectrum: m_k =
+    number of token TYPES occurring exactly k times, and the share of all
+    token instances those types carry — the Good-Turing input (m_1/N is
+    the classic unseen-mass estimate, readable off the k=1 row).
+
+    One token exchange; per-bucket count-of-counts partials; the driver
+    fold is k-domain-bounded (distinct frequency values are O(sqrt N) by a
+    counting argument — Σ k·m_k = N caps how many distinct k fit)."""
+    from .shuffle import hash_exchange_apply
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        _, grams = _doc_ngrams(batch, 1)
+        t = pa.table({"g": grams})
+        return (t.group_by("g").aggregate([("g", "count")])
+                .rename_columns(["g", "cnt"]))
+
+    def bucket_spectrum(t: pa.Table) -> pa.Table:
+        merged = (t.group_by("g").aggregate([("cnt", "sum")])
+                  .rename_columns(["g", "cnt"]))
+        return (merged.group_by("cnt").aggregate([("g", "count")])
+                .rename_columns(["k", "m_k"]))
+
+    parts = hash_exchange_apply(
+        _read_docs(sf_dir), ["g"], tok_partial, bucket_spectrum,
+        n_buckets=16).to_pandas()
+    g = parts.groupby("k", as_index=False)["m_k"].sum()
+    n_total = int((g["k"] * g["m_k"]).sum())
+    g["mass_bp"] = g["k"] * g["m_k"] * 10000 // n_total
+    return (g[["k", "m_k", "mass_bp"]].astype(np.int64)
+            .sort_values("k").reset_index(drop=True))
+
+
+TOKEN_SPECTRUM_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS g
+  FROM documents),
+c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+sp AS (SELECT cnt AS k, CAST(COUNT(*) AS BIGINT) AS m_k FROM c GROUP BY 1),
+n AS (SELECT CAST(SUM(k * m_k) AS BIGINT) AS t FROM sp)
+SELECT k, m_k, CAST(k * m_k * 10000 // (SELECT t FROM n) AS BIGINT)
+         AS mass_bp
+FROM sp
+"""

@@ -498,3 +498,23 @@ def test_mask_corruption_pairs_deterministic_and_rate(sf_dir):
     c = mask_corruption_pairs(sf_dir, seed=12).to_pandas().sort_values(
         "doc_id").reset_index(drop=True)
     assert not c["visible_fp"].equals(a.reset_index(drop=True)["visible_fp"])
+
+
+def test_negative_sampling_table_smoothing(sf_dir):
+    from research_knowledge_graph_ray.stages.textops import (
+        negative_sampling_table)
+    got = negative_sampling_table(sf_dir)
+    assert got["cnt"].is_monotonic_decreasing
+    # ^0.75 smoothing compresses the range: weight ratios < count ratios
+    hi, lo = got.iloc[0], got.iloc[-1]
+    if lo["cnt"] < hi["cnt"]:
+        assert (hi["weight_e6"] / lo["weight_e6"]
+                < hi["cnt"] / lo["cnt"])
+
+
+def test_token_spectrum_mass_identity(sf_dir):
+    from research_knowledge_graph_ray.stages.textops import token_spectrum
+    got = token_spectrum(sf_dir)
+    assert (got["m_k"] >= 1).all() and (got["k"] >= 1).all()
+    # sum k*m_k == total token instances; shares nearly partition 10000
+    assert 9900 <= int(got["mass_bp"].sum()) <= 10000
