@@ -1632,6 +1632,34 @@ def ktruss(sf_dir: str, k: int = _TRUSS_K,
                                  "tb": df["term_b"].astype(str)}),
         batch_format="pandas").materialize()
     thresh = k - 2
+    # adaptive peel (dedup_ensemble closure precedent): the co-occurrence
+    # graph is VOCABULARY-bounded, so under the edge cap the whole peel
+    # runs as local joins — one driver pass beats rounds × (degree pass +
+    # two exchanges) of fixed per-stage latency. The distributed loop
+    # remains the past-cap path with identical round semantics.
+    if co.count() <= _TRUSS_DRIVER_CAP:
+        e = co.to_pandas()
+        for _ in range(rounds):
+            if e.empty:
+                break
+            w = e.merge(e, left_on="tb", right_on="ta",
+                        suffixes=("1", "2"))
+            t = w.merge(e, left_on=["ta1", "tb2"], right_on=["ta", "tb"])
+            tri = t[["ta1", "tb1", "tb2"]]
+            pairs = pd.concat([
+                tri.rename(columns={"ta1": "ta", "tb1": "tb"})[["ta", "tb"]],
+                tri.rename(columns={"ta1": "ta", "tb2": "tb"})[["ta", "tb"]],
+                tri.rename(columns={"tb1": "ta", "tb2": "tb"})[["ta", "tb"]],
+            ], ignore_index=True)
+            sup = pairs.groupby(["ta", "tb"], as_index=False).size()
+            e = (sup[sup["size"] >= thresh][["ta", "tb"]]
+                 .reset_index(drop=True))
+        import ray.data as rd
+
+        return rd.from_pandas(e.astype({"ta": str, "tb": str})
+                              if len(e) else
+                              pd.DataFrame({"ta": pd.Series(dtype=str),
+                                            "tb": pd.Series(dtype=str)}))
     for _ in range(rounds):
         sup = _edge_support(co)
         co = sup.map_batches(
@@ -1670,6 +1698,8 @@ co{r} AS (SELECT ta, tb FROM s{r} WHERE sup >= {k - 2})""")
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT ta, tb FROM co{rounds} ORDER BY ta, tb")
 
+
+_TRUSS_DRIVER_CAP = 1 << 21  # edges; vocabulary-bounded graph in practice
 
 _LP_TOPK = 50
 _LP_MIN_CO = 2

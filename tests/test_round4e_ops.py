@@ -518,3 +518,17 @@ def test_token_spectrum_mass_identity(sf_dir):
     assert (got["m_k"] >= 1).all() and (got["k"] >= 1).all()
     # sum k*m_k == total token instances; shares nearly partition 10000
     assert 9900 <= int(got["mass_bp"].sum()) <= 10000
+
+
+def test_ktruss_adaptive_path_matches_distributed(sf_dir):
+    from research_knowledge_graph_ray.stages import graphalgs as g
+    drv = (g.ktruss(sf_dir).to_pandas()
+           .sort_values(["ta", "tb"]).reset_index(drop=True))
+    cap = g._TRUSS_DRIVER_CAP
+    g._TRUSS_DRIVER_CAP = -1
+    try:
+        dist = (g.ktruss(sf_dir).to_pandas()
+                .sort_values(["ta", "tb"]).reset_index(drop=True))
+    finally:
+        g._TRUSS_DRIVER_CAP = cap
+    pd.testing.assert_frame_equal(drv, dist)
