@@ -4,6 +4,7 @@ test_queries_vs_duckdb; these pin the math on structural invariants and
 planted degenerate inputs."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
