@@ -202,6 +202,8 @@ SUITE: list[tuple[str, str]] = [
     ("mask_corruption_pairs", "sampling.mask_corruption_pairs"),
     ("negative_sampling_table", "textops.negative_sampling_table"),
     ("token_spectrum", "textops.token_spectrum"),
+    ("events_dup_audit", "windows.events_dup_audit"),
+    ("embedding_mean_drift", "stats.embedding_mean_drift"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1664,6 +1664,14 @@ QUERIES.update(
         # Good-Turing frequency-of-frequencies spectrum — k-domain fold
         "token_spectrum": (textops.token_spectrum,
                            textops.TOKEN_SPECTRUM_SQL),
+        # at-least-once duplicate-delivery audit — one payload-key
+        # exchange, LAG-gap semantics in the reducer
+        "events_dup_audit": (windows.events_dup_audit,
+                             windows.EVENTS_DUP_AUDIT_SQL),
+        # per-dimension centroid drift between ingest halves — kmeans
+        # quantizer, dimension-bounded string-carried fold
+        "embedding_mean_drift": (stats.embedding_mean_drift,
+                                 stats.embedding_mean_drift_sql()),
     }
 )
 

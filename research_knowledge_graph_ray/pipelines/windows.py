@@ -1732,3 +1732,77 @@ SELECT dow, CAST(COUNT(DISTINCT date) AS BIGINT) AS n_days,
        CAST(SUM(n) * 10000 // (SELECT t FROM tot) AS BIGINT) AS share_bp
 FROM day_counts GROUP BY dow
 """
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-delivery audit
+# ---------------------------------------------------------------------------
+
+# tuned so both classes bind on the synthetic stream (measured same-key
+# gap p10 ~ 71k/161k s at sf0.001/0.01 — the Gopher-threshold precedent)
+_EVDUP_WINDOW_S = 200_000
+
+
+def events_dup_audit(sf_dir: str,
+                     window_s: int = _EVDUP_WINDOW_S) -> pd.DataFrame:
+    """(event_type, n_events, n_dups, dup_bp) — duplicate-delivery audit:
+    an event is a duplicate iff the SAME (user, type, props) payload was
+    already delivered within ``window_s`` seconds — the at-least-once
+    ingestion idempotency check every event pipeline runs.
+
+    ONE exchange on the payload key (user, type, props) co-locates each
+    key's deliveries; the reducer sorts its own small group by time and
+    compares adjacent gaps (LAG semantics, stated in the oracle); output
+    partials are type-domain-bounded."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "props", "ts"])
+
+    def audit(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "props", "ts"])
+        us = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = ((df["user_id"].to_numpy() == df["user_id"].shift().to_numpy())
+                & (df["event_type"].to_numpy()
+                   == df["event_type"].shift().to_numpy())
+                & (df["props"].to_numpy() == df["props"].shift().to_numpy()))
+        gap_ok = np.zeros(len(df), dtype=bool)
+        if len(df) > 1:
+            gap_ok[1:] = (us[1:] - us[:-1]) <= window_s * 1_000_000
+        dup = same & gap_ok
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "dup": dup.astype(np.int64)})
+        return out.groupby("event_type", as_index=False).agg(
+            n_events=("dup", "size"), n_dups=("dup", "sum"))
+
+    parts = bucketed_group_apply(
+        ds, ["user_id", "event_type", "props"], lambda d: d,
+        audit).to_pandas()
+    g = parts.groupby("event_type", as_index=False).sum()
+    g["dup_bp"] = g["n_dups"] * 10000 // g["n_events"]
+    return (g[["event_type", "n_events", "n_dups", "dup_bp"]]
+            .astype({"n_events": np.int64, "n_dups": np.int64,
+                     "dup_bp": np.int64})
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def events_dup_audit_sql(window_s: int = _EVDUP_WINDOW_S) -> str:
+    return f"""
+WITH l AS (
+  SELECT event_type,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type, props
+                                 ORDER BY ts) IS NOT NULL
+               AND epoch_us(ts) - epoch_us(
+                     LAG(ts) OVER (PARTITION BY user_id, event_type, props
+                                   ORDER BY ts)) <= CAST({window_s} AS BIGINT) * 1000000
+              THEN 1 ELSE 0 END AS dup
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dup) AS BIGINT) AS n_dups,
+       CAST(SUM(dup) * 10000 // COUNT(*) AS BIGINT) AS dup_bp
+FROM l GROUP BY 1
+"""
+
+
+EVENTS_DUP_AUDIT_SQL = events_dup_audit_sql()

@@ -2325,3 +2325,94 @@ SELECT grp AS "group", n,
        END AS BIGINT) AS intercept_e9
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Embedding mean-vector drift
+# ---------------------------------------------------------------------------
+
+_EMB_DRIFT_SPLIT_MOD = 2
+
+
+def embedding_mean_drift(sf_dir: str) -> pd.DataFrame:
+    """(dim, n_a, n_b, sum_a_q, sum_b_q, delta_e6) — per-dimension drift of
+    the embedding mean vector between two ingest halves (vec_id parity):
+    the centroid-shift monitor a re-embedding pipeline runs after a model
+    or preprocphrase change — a shifted mean in specific dimensions
+    localizes WHAT moved, which the scalar cosine drift can't.
+
+    Coordinates are quantized exactly like the kmeans trainer
+    (floor(x*1e6), translation-checked), so sums are exact integers; one
+    streamed pass emits per-block per-dim partials (2·d ints), the fold is
+    dimension-bounded, and delta_e6 = sum_a_q//n_a − sum_b_q//n_b is pure
+    integer floor math — sign-safe because the _KM_OFFSET translation keeps
+    every quantized coordinate nonnegative (the documented kmeans bound)."""
+
+    from .similarity import _km_quant
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ids, q = _km_quant(batch)
+        side = (ids % _EMB_DRIFT_SPLIT_MOD == 0)
+        rows = []
+        for tag, m in (("a", side), ("b", ~side)):
+            if m.any():
+                s = q[m].sum(axis=0)
+                rows.append(pd.DataFrame({
+                    "dim": np.arange(q.shape[1], dtype=np.int64),
+                    "side": tag, "n": int(m.sum()),
+                    "s": [str(int(v)) for v in s]}))
+        if not rows:
+            return pd.DataFrame({"dim": pd.Series(dtype=np.int64),
+                                 "side": pd.Series(dtype=str),
+                                 "n": pd.Series(dtype=np.int64),
+                                 "s": pd.Series(dtype=str)})
+        return pd.concat(rows, ignore_index=True)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    rows = []
+    for dim, sub in parts.groupby("dim"):
+        a = sub[sub["side"] == "a"]
+        b = sub[sub["side"] == "b"]
+        na = int(a["n"].sum())
+        nb = int(b["n"].sum())
+        sa = sum(int(v) for v in a["s"])
+        sb = sum(int(v) for v in b["s"])
+        delta = (sa * 1_000_000 // na) - (sb * 1_000_000 // nb)
+        rows.append((int(dim), na, nb, sa, sb, delta))
+    out = pd.DataFrame(rows, columns=["dim", "n_a", "n_b", "sum_a_q",
+                                      "sum_b_q", "delta_e6"])
+    return out.astype(np.int64).sort_values("dim").reset_index(drop=True)
+
+
+def embedding_mean_drift_sql() -> str:
+    from .similarity import _KM_OFFSET, _KM_SCALE
+
+    return f"""
+WITH x AS (
+  SELECT vec_id % {_EMB_DRIFT_SPLIT_MOD} = 0 AS side_a,
+         generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(FLOOR(unnest(embedding)::DOUBLE * {_KM_SCALE}) AS BIGINT)
+           + {_KM_OFFSET} AS q
+  FROM embeddings),
+g AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN side_a THEN 1 ELSE 0 END) AS HUGEINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN side_a THEN 0 ELSE 1 END) AS HUGEINT)
+           AS n_b,
+         CAST(SUM(CASE WHEN side_a THEN q ELSE 0 END) AS HUGEINT)
+           AS sum_a_q,
+         CAST(SUM(CASE WHEN side_a THEN 0 ELSE q END) AS HUGEINT)
+           AS sum_b_q
+  FROM x GROUP BY 1)
+SELECT CAST(dim AS BIGINT) AS dim,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(sum_a_q AS BIGINT) AS sum_a_q,
+       CAST(sum_b_q AS BIGINT) AS sum_b_q,
+       CAST(sum_a_q * 1000000 // n_a - sum_b_q * 1000000 // n_b AS BIGINT)
+         AS delta_e6
+FROM g
+"""

@@ -533,3 +533,30 @@ def test_ktruss_adaptive_path_matches_distributed(sf_dir):
     finally:
         g._TRUSS_DRIVER_CAP = cap
     pd.testing.assert_frame_equal(drv, dist)
+
+
+def test_events_dup_audit_planted(tmp_path):
+    from research_knowledge_graph_ray.pipelines.windows import (
+        events_dup_audit)
+    ts = pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:10:00",
+                         "2026-01-05 00:00:00", "2026-01-01 00:00:00"])
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": ["click", "click", "click", "click"],
+        "props": ["p", "p", "p", "p"],
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), tmp_path / "events.parquet")
+    got = events_dup_audit(str(tmp_path), window_s=3600).iloc[0]
+    # the 10-minute repeat is a dup; the 4-days-later one is not; user 2
+    # has no prior delivery
+    assert got["n_events"] == 4 and got["n_dups"] == 1
+
+
+def test_embedding_mean_drift_shapes(sf_dir):
+    from research_knowledge_graph_ray.stages.stats import embedding_mean_drift
+    got = embedding_mean_drift(sf_dir)
+    assert got["dim"].is_monotonic_increasing and got["dim"].iloc[0] == 0
+    n = pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    assert (got["n_a"] + got["n_b"] == n).all()
+    # the translation keeps sums positive; deltas stay small vs the offset
+    assert (got["sum_a_q"] > 0).all() and (got["sum_b_q"] > 0).all()
