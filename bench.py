@@ -204,6 +204,7 @@ SUITE: list[tuple[str, str]] = [
     ("token_spectrum", "textops.token_spectrum"),
     ("events_dup_audit", "windows.events_dup_audit"),
     ("embedding_mean_drift", "stats.embedding_mean_drift"),
+    ("permutation_test", "stats.permutation_test"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1672,6 +1672,11 @@ QUERIES.update(
         # quantizer, dimension-bounded string-carried fold
         "embedding_mean_drift": (stats.embedding_mean_drift,
                                  stats.embedding_mean_drift_sql()),
+        # md5-keyed randomization test (significance companion to
+        # ks_drift) — cross-multiplied integer mean comparison, Python-int
+        # fold (HUGEINT oracle)
+        "permutation_test": (stats.permutation_test,
+                             stats.PERMUTATION_TEST_SQL),
     }
 )
 

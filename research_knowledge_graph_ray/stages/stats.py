@@ -2416,3 +2416,137 @@ SELECT CAST(dim AS BIGINT) AS dim,
          AS delta_e6
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic randomization test
+# ---------------------------------------------------------------------------
+
+_PERM_REPS = 64
+_PERM_SRC_A = "src0"
+_PERM_SRC_B = "src1"
+
+
+def permutation_test(sf_dir: str, n_reps: int = _PERM_REPS,
+                     src_a: str = _PERM_SRC_A,
+                     src_b: str = _PERM_SRC_B) -> pd.DataFrame:
+    """(n_reps, n_a, n_b, obs_diff_num, n_extreme, p_bp) — deterministic
+    randomization test for the mean document-length difference between two
+    sources: under each replicate every doc is re-assigned a side by
+    ``md5(doc_id|rep)`` with P(a) = n_a/(n_a+n_b), and the replicate is
+    extreme iff its |mean difference| ≥ the observed one. p = share of
+    extreme replicates — the significance companion to ks_drift (which
+    gives the statistic but no calibrated p).
+
+    Mean differences never materialize as floats: |sa/na − sb/nb| ≥
+    |SA/NA − SB/NB| is evaluated by integer cross-multiplication in
+    unbounded Python ints (the products are O(n²·Σx²) — far past int64;
+    HUGEINT covers the oracle at test scale, stated there). Replicate
+    sides are pure hash functions (bootstrap_ci recipe): one tiny count
+    pass then one streamed pass with per-block (rep, side, n, sum)
+    partials carried as decimal strings; the fold is replicate-bounded.
+    Degenerate replicates (either side empty) count as extreme (stated in
+    the oracle)."""
+    import hashlib
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+
+    def base_counts(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["source"].isin([src_a, src_b])]
+        side_b = (m["source"] == src_b).astype(int)
+        g = pd.DataFrame({"side": side_b,
+                          "x": m["n_chars"].astype(np.int64)})
+        out = g.groupby("side", as_index=False).agg(
+            n=("x", "size"), s=("x", "sum"))
+        out["s"] = out["s"].map(lambda v: str(int(v)))
+        return out
+
+    base = ds.map_batches(base_counts, batch_format="pandas").to_pandas()
+    n_a = int(base.loc[base["side"] == 0, "n"].sum())
+    n_b = int(base.loc[base["side"] == 1, "n"].sum())
+    s_a = sum(int(v) for v in base.loc[base["side"] == 0, "s"])
+    s_b = sum(int(v) for v in base.loc[base["side"] == 1, "s"])
+    thr = n_a * (1 << 32) // (n_a + n_b)
+
+    def per_rep(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["source"].isin([src_a, src_b])]
+        ids = m["doc_id"].to_numpy(np.int64)
+        x = m["n_chars"].to_numpy(np.int64)
+        rows = []
+        for r in range(n_reps):
+            u = np.fromiter(
+                (int.from_bytes(
+                    hashlib.md5(f"{int(d)}|{r}".encode()).digest()[:4],
+                    "big")
+                 for d in ids), dtype=np.int64, count=len(ids))
+            a = u < thr
+            rows.append((r, int(a.sum()), str(int(x[a].sum())),
+                         int((~a).sum()), str(int(x[~a].sum()))))
+        return pd.DataFrame(rows, columns=["rep", "na", "sa", "nb", "sb"])
+
+    parts = ds.map_batches(per_rep, batch_format="pandas").to_pandas()
+    obs_num = abs(s_a * n_b - s_b * n_a)
+    n_extreme = 0
+    for r, sub in parts.groupby("rep"):
+        na = int(sub["na"].sum())
+        nb = int(sub["nb"].sum())
+        sa = sum(int(v) for v in sub["sa"])
+        sb = sum(int(v) for v in sub["sb"])
+        if na == 0 or nb == 0:
+            n_extreme += 1
+            continue
+        # |sa/na - sb/nb| >= |SA/NA - SB/NB|  <=>  cross-multiplied form
+        if abs(sa * nb - sb * na) * (n_a * n_b) >= obs_num * (na * nb):
+            n_extreme += 1
+    p_bp = 10000 * n_extreme // n_reps
+    return pd.DataFrame(
+        [[n_reps, n_a, n_b, obs_num, n_extreme, p_bp]],
+        columns=["n_reps", "n_a", "n_b", "obs_diff_num", "n_extreme",
+                 "p_bp"]).astype(np.int64)
+
+
+def permutation_test_sql(n_reps: int = _PERM_REPS,
+                         src_a: str = _PERM_SRC_A,
+                         src_b: str = _PERM_SRC_B) -> str:
+    return f"""
+WITH d AS (SELECT doc_id, CAST(n_chars AS HUGEINT) AS x,
+                  CASE WHEN source = '{src_b}' THEN 1 ELSE 0 END AS side
+           FROM documents WHERE source IN ('{src_a}', '{src_b}')),
+base AS (SELECT
+    CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS n_a,
+    CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS n_b,
+    SUM(CASE WHEN side = 0 THEN x ELSE 0 END) AS s_a,
+    SUM(CASE WHEN side = 1 THEN x ELSE 0 END) AS s_b
+  FROM d),
+thr AS (SELECT n_a * 4294967296 // (n_a + n_b) AS t FROM base),
+r AS (SELECT range AS rep FROM range({n_reps})),
+asg AS (SELECT rep, x,
+          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+                              CAST(rep AS VARCHAR)), 1, 8))::UBIGINT
+            < (SELECT t FROM thr) AS is_a
+        FROM d, r),
+reps AS (SELECT rep,
+    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+    SUM(CASE WHEN is_a THEN x ELSE 0 END) AS sa,
+    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS HUGEINT) AS nb,
+    SUM(CASE WHEN is_a THEN 0 ELSE x END) AS sb
+  FROM asg GROUP BY 1),
+ex AS (SELECT rep,
+    CASE WHEN na = 0 OR nb = 0 THEN 1
+         WHEN ABS(sa * nb - sb * na) * (base.n_a * base.n_b)
+              >= ABS(base.s_a * base.n_b - base.s_b * base.n_a) * (na * nb)
+         THEN 1 ELSE 0 END AS extreme
+  FROM reps, base)
+SELECT CAST({n_reps} AS BIGINT) AS n_reps,
+       CAST(base.n_a AS BIGINT) AS n_a, CAST(base.n_b AS BIGINT) AS n_b,
+       CAST(ABS(base.s_a * base.n_b - base.s_b * base.n_a) AS BIGINT)
+         AS obs_diff_num,
+       CAST((SELECT SUM(extreme) FROM ex) AS BIGINT) AS n_extreme,
+       CAST(10000 * (SELECT SUM(extreme) FROM ex) // {n_reps} AS BIGINT)
+         AS p_bp
+FROM base
+"""
+
+
+PERMUTATION_TEST_SQL = permutation_test_sql()

@@ -560,3 +560,25 @@ def test_embedding_mean_drift_shapes(sf_dir):
     assert (got["n_a"] + got["n_b"] == n).all()
     # the translation keeps sums positive; deltas stay small vs the offset
     assert (got["sum_a_q"] > 0).all() and (got["sum_b_q"] > 0).all()
+
+
+def test_permutation_test_null_and_signal(tmp_path):
+    from research_knowledge_graph_ray.stages.stats import permutation_test
+    # identical distributions: observed diff 0 -> every replicate extreme
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "source": ["src0", "src1"] * 4,
+        "n_chars": pa.array([100, 100, 200, 200, 300, 300, 400, 400],
+                            pa.int64()),
+    }), tmp_path / "documents.parquet")
+    null = permutation_test(str(tmp_path)).iloc[0]
+    assert null["obs_diff_num"] == 0 and null["p_bp"] == 10000
+    # strong signal: disjoint ranges -> few replicates as extreme
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(20)), pa.int64()),
+        "source": ["src0"] * 10 + ["src1"] * 10,
+        "n_chars": pa.array([10] * 10 + [10_000] * 10, pa.int64()),
+    }), tmp_path / "documents.parquet")
+    sig = permutation_test(str(tmp_path)).iloc[0]
+    assert sig["obs_diff_num"] > 0
+    assert sig["p_bp"] < 2000
