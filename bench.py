@@ -205,6 +205,7 @@ SUITE: list[tuple[str, str]] = [
     ("events_dup_audit", "windows.events_dup_audit"),
     ("embedding_mean_drift", "stats.embedding_mean_drift"),
     ("permutation_test", "stats.permutation_test"),
+    ("containment_pairs", "dedup.containment_pairs"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

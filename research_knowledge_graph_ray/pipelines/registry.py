@@ -1677,6 +1677,10 @@ QUERIES.update(
         # fold (HUGEINT oracle)
         "permutation_test": (stats.permutation_test,
                              stats.PERMUTATION_TEST_SQL),
+        # asymmetric shingle containment (quote-inclusion dedup) — shared
+        # shingle-intersection core, only the finalize ratio differs
+        "containment_pairs": (dedup.containment_pairs,
+                              dedup.CONTAINMENT_PAIRS_SQL),
     }
 )
 

@@ -310,21 +310,12 @@ def jaccard(text_a: str, text_b: str, k: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def ngram_jaccard_pairs(
-    sf_dir: str, k: int = 3, threshold_bp: int = 100, max_doc_id: int = 100,
-    max_docs_per_shingle: int = 512,
-) -> "ray.data.Dataset":
-    """(doc_a, doc_b, jac_bp) — EXACT k-word-shingle Jaccard ≥ threshold, as
-    pure dataflow: distinct (doc, shingle) rows → shingle-keyed exchange emits
-    per-shingle co-occurrence pairs → pair-keyed exchange sums |A∩B| → union
-    sizes via broadcast of the per-doc shingle counts → integer-bp Jaccard.
-
-    The inner n-gram Jaccard dedup family (exact verifier to MinHash's
-    estimate). ``max_doc_id`` bounds the subset for the SQL-oracle gate;
-    production use verifies MinHash candidates instead of all pairs, and hot
-    shingles (boilerplate) are capped at ``max_docs_per_shingle`` docs —
-    a shingle shared by more docs than that carries no discriminative signal.
-    """
+def _shingle_intersections(sf_dir: str, k: int, max_doc_id: int,
+                           max_docs_per_shingle: int):
+    """Shared shingle-pair core (ngram_jaccard_pairs / containment_pairs):
+    distinct (doc, shingle) rows → shingle exchange emits co-occurrence
+    pairs → returns (inter Dataset of per-bucket |A∩B| partials, size_ref
+    broadcast of per-doc distinct-shingle counts)."""
     import pyarrow.compute as pc
 
     ds = ray.data.read_parquet(
@@ -374,6 +365,26 @@ def ngram_jaccard_pairs(
             inter=("doc_a", "size"))
 
     inter = bucketed_group_apply(rows, ["sh"], lambda df: df, shingle_pairs)
+    return inter, size_ref
+
+
+def ngram_jaccard_pairs(
+    sf_dir: str, k: int = 3, threshold_bp: int = 100, max_doc_id: int = 100,
+    max_docs_per_shingle: int = 512,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, jac_bp) — EXACT k-word-shingle Jaccard ≥ threshold, as
+    pure dataflow: distinct (doc, shingle) rows → shingle-keyed exchange emits
+    per-shingle co-occurrence pairs → pair-keyed exchange sums |A∩B| → union
+    sizes via broadcast of the per-doc shingle counts → integer-bp Jaccard.
+
+    The inner n-gram Jaccard dedup family (exact verifier to MinHash's
+    estimate). ``max_doc_id`` bounds the subset for the SQL-oracle gate;
+    production use verifies MinHash candidates instead of all pairs, and hot
+    shingles (boilerplate) are capped at ``max_docs_per_shingle`` docs —
+    a shingle shared by more docs than that carries no discriminative signal.
+    """
+    inter, size_ref = _shingle_intersections(sf_dir, k, max_doc_id,
+                                             max_docs_per_shingle)
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(inter=("inter", "sum"))
@@ -387,6 +398,68 @@ def ngram_jaccard_pairs(
 
     return bucketed_group_apply(inter, ["doc_a", "doc_b"],
                                 lambda df: df, finalize)
+
+
+# binds at both test scales (measured max containment 10000/1250 bp at
+# sf0.001/0.01, p90 ~ 470)
+_CONT_THRESHOLD_BP = 1000
+
+
+def containment_pairs(
+    sf_dir: str, k: int = 3, threshold_bp: int = _CONT_THRESHOLD_BP,
+    max_doc_id: int = 100, max_docs_per_shingle: int = 512,
+) -> "ray.data.Dataset":
+    """(doc_a, doc_b, cont_ab_bp, cont_ba_bp) — exact ASYMMETRIC shingle
+    containment for co-shingled pairs: cont(A→B) = |A∩B| / |A|. Jaccard
+    misses quote-inclusion (a short doc fully embedded in a long one keeps
+    Jaccard low while containment hits 100%) — this is the standard
+    complement for catching partial-copy/quotation duplication. Pairs kept
+    when EITHER direction reaches ``threshold_bp``.
+
+    Identical dataflow to :func:`ngram_jaccard_pairs` (shared
+    `_shingle_intersections` core) — only the finalize ratio differs."""
+    inter, size_ref = _shingle_intersections(sf_dir, k, max_doc_id,
+                                             max_docs_per_shingle)
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["doc_a", "doc_b"], as_index=False).agg(inter=("inter", "sum"))
+        sm = ray.get(size_ref)
+        na = g["doc_a"].map(sm).astype(np.int64)
+        nb = g["doc_b"].map(sm).astype(np.int64)
+        g["cont_ab_bp"] = (g["inter"] * 10000 // na).astype(np.int64)
+        g["cont_ba_bp"] = (g["inter"] * 10000 // nb).astype(np.int64)
+        g = g[(g["cont_ab_bp"] >= threshold_bp)
+              | (g["cont_ba_bp"] >= threshold_bp)]
+        return g[["doc_a", "doc_b", "cont_ab_bp", "cont_ba_bp"]]
+
+    return bucketed_group_apply(inter, ["doc_a", "doc_b"],
+                                lambda df: df, finalize)
+
+
+def containment_pairs_sql(k: int = 3,
+                          threshold_bp: int = _CONT_THRESHOLD_BP,
+                          max_doc_id: int = 100) -> str:
+    concat = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    return rf"""
+WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS ws
+           FROM documents WHERE doc_id < {max_doc_id}),
+g AS (SELECT DISTINCT doc_id, {concat} AS sh
+      FROM d, UNNEST(range(1, len(ws) - {k - 2})) AS t(i)),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                 CAST(COUNT(*) AS BIGINT) AS i
+          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(i * 10000 // sa.n AS BIGINT) AS cont_ab_bp,
+       CAST(i * 10000 // sb.n AS BIGINT) AS cont_ba_bp
+FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+WHERE i * 10000 // sa.n >= {threshold_bp}
+   OR i * 10000 // sb.n >= {threshold_bp}
+"""
+
+
+CONTAINMENT_PAIRS_SQL = containment_pairs_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -582,3 +582,21 @@ def test_permutation_test_null_and_signal(tmp_path):
     sig = permutation_test(str(tmp_path)).iloc[0]
     assert sig["obs_diff_num"] > 0
     assert sig["p_bp"] < 2000
+
+
+def test_containment_pairs_quote_inclusion(tmp_path):
+    # doc 1 is a verbatim excerpt of doc 0: containment(1 in 0) == 100%
+    # while Jaccard stays low — the case this op exists for
+    from research_knowledge_graph_ray.stages.dedup import containment_pairs
+    long = " ".join(f"w{i}" for i in range(60))
+    short = " ".join(f"w{i}" for i in range(10))     # prefix excerpt
+    other = " ".join(f"z{i}" for i in range(30))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": [long, short, other],
+    }), tmp_path / "documents.parquet")
+    got = containment_pairs(str(tmp_path)).to_pandas()
+    row = got[(got["doc_a"] == 0) & (got["doc_b"] == 1)].iloc[0]
+    assert row["cont_ba_bp"] == 10000          # the excerpt is fully inside
+    assert row["cont_ab_bp"] < 2000            # the long doc is not
+    assert not ((got["doc_a"] == 0) & (got["doc_b"] == 2)).any()
