@@ -253,6 +253,36 @@ def connected_components_driver(edges: Iterable[tuple[str, str]]) -> dict[str, s
     return {x: find(x) for x in list(parent) if find(x) != x}
 
 
+def driver_component_summary(pairs, a_col: str = "a",
+                             b_col: str = "b") -> tuple[int, int, int]:
+    """(n_nodes, n_components, largest) — union-find closure of a
+    DRIVER-SIZED pair DataFrame (the adaptive small-side path shared by
+    dedup_ensemble / graph_robustness; callers must have checked their
+    edge-count cap first — the distributed min-label CC is the past-cap
+    twin)."""
+    from collections import Counter
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs[a_col].astype(int), pairs[b_col].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = set(pairs[a_col].astype(int)) | set(pairs[b_col].astype(int))
+    sizes = Counter(find(x) for x in nodes)
+    largest = max(sizes.values()) if sizes else -1
+    return len(nodes), len(sizes), largest
+
+
 def connected_components_ds(
     edges_ds: "ray.data.Dataset", max_iters: int = 16
 ) -> "ray.data.Dataset":

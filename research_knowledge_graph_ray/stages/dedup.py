@@ -2345,36 +2345,18 @@ def dedup_ensemble(sf_dir: str) -> pd.DataFrame:
 
     union = bucketed_group_apply(ex.union(mh).union(sh),
                                  ["doc_a", "doc_b"],
-                                 pair_distinct, pair_distinct)
+                                 pair_distinct, pair_distinct).materialize()
     n_union = union.count()
     # adaptive closure (the auto-join precedent): under the cap the pair
     # set is driver-comfortable — one union-find beats several distributed
     # label-propagation rounds' fixed costs; past it the fully distributed
     # CC runs (no driver edge set). Same summary either way.
     if n_union <= _ENSEMBLE_CC_DRIVER_CAP:
+        from .canonicalize import driver_component_summary
+
         up = union.to_pandas()  # pair-count-bounded (just checked)
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for a, b in zip(up["doc_a"].astype(int), up["doc_b"].astype(int)):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        nodes = set(up["doc_a"].astype(int)) | set(up["doc_b"].astype(int))
-        from collections import Counter
-
-        sizes_c = Counter(find(x) for x in nodes)
-        n_linked = len(nodes)
-        n_clusters = len(sizes_c)
-        max_cluster = max(sizes_c.values()) if sizes_c else -1
+        n_linked, n_clusters, max_cluster = driver_component_summary(
+            up, "doc_a", "doc_b")
     else:
         edges = union.map_batches(
             lambda df: pd.DataFrame({"a": df["doc_a"], "b": df["doc_b"]}),

@@ -180,7 +180,13 @@ def classifier_kappa(sf_dir: str) -> pd.DataFrame:
     po_bp = 10000 * po_num // n
     pe_bp = 10000 * pe_num // (n * n)
     denom = n * n - pe_num
-    kappa_bp = 10000 if denom == 0 else 10000 * (po_num * n - pe_num) // denom
+    if denom == 0:
+        kappa_bp = 10000
+    else:
+        # DuckDB's integer `//` truncates toward zero while Python floors;
+        # kappa can be negative, so truncate explicitly to match the oracle
+        num = 10000 * (po_num * n - pe_num)
+        kappa_bp = abs(num) // denom * (1 if num >= 0 else -1)
     return pd.DataFrame(
         [[n, n00, n01, n10, n11, po_bp, pe_bp, kappa_bp]],
         columns=["n", "n00", "n01", "n10", "n11", "po_bp", "pe_bp",

@@ -835,7 +835,7 @@ WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
             FROM lineitem GROUP BY 1, 2
             HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
 sym AS (SELECT s AS u, p AS v, w FROM e0 UNION ALL SELECT p, s, w FROM e0),
-d0 AS (SELECT MIN(l_suppkey) AS n, CAST(0 AS BIGINT) AS d FROM lineitem)"""
+d0 AS (SELECT MIN(s) AS n, CAST(0 AS BIGINT) AS d FROM e0)"""
     steps = []
     for t in range(1, iters + 1):
         steps.append(f"""
@@ -2167,7 +2167,7 @@ WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
             FROM lineitem GROUP BY 1, 2
             HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
 sym AS (SELECT s AS u, p AS v, w FROM e0 UNION ALL SELECT p, s, w FROM e0),
-srca AS (SELECT MIN(l_suppkey) AS n FROM lineitem),"""
+srca AS (SELECT MIN(s) AS n FROM e0),"""
     c1 = chain("da", "SELECT n, CAST(0 AS BIGINT) AS d FROM srca")
     pick = f"""
 far AS (SELECT n, d FROM da{iters} ORDER BY d DESC, n LIMIT 1)"""
@@ -2237,28 +2237,10 @@ def graph_robustness(sf_dir: str, n_hubs: int = _ROBUST_HUBS) -> pd.DataFrame:
     if not n_edges:
         n_nodes, n_comp, largest = 0, 0, -1
     elif n_edges <= _ROBUST_CC_DRIVER_CAP:
+        from .canonicalize import driver_component_summary
+
         up = rest.to_pandas()  # edge-count-bounded (just checked)
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:
-                parent[x], x = root, parent[x]
-            return root
-
-        for a, b in zip(up["a"].astype(int), up["b"].astype(int)):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        from collections import Counter
-
-        nodes = set(up["a"].astype(int)) | set(up["b"].astype(int))
-        sizes_c = Counter(find(x) for x in nodes)
-        n_nodes, n_comp = len(nodes), len(sizes_c)
-        largest = max(sizes_c.values())
+        n_nodes, n_comp, largest = driver_component_summary(up, "a", "b")
     else:
         from .canonicalize import connected_components_ds
 
@@ -2333,7 +2315,8 @@ def _bfs_scatter(edges_tab, frontier_tab, n_buckets: int):
     out = (pd.DataFrame({"v": j["v"].astype(np.int64),
                          "sig": j["sig"].astype(np.int64)})
            .groupby("v", as_index=False).agg(sig=("sig", "sum")))
-    if int(out["sig"].max()) >= 1 << 62:
+    # wrap shows up as negative after an int64 sum — check both bounds
+    if int(out["sig"].max()) >= 1 << 62 or int(out["sig"].min()) < 0:
         raise OverflowError("BFS path count approaching int64; this graph "
                             "needs big-int sigma carry")
     pieces = _split_by_bucket(pa.Table.from_pandas(out, preserve_index=False),
@@ -2361,7 +2344,8 @@ def _bfs_gather(state_tab, level: int, *pieces):
     cand = (pa.concat_tables(valid).to_pandas()
             .groupby("v", as_index=False).agg(sig=("sig", "sum"))
             .rename(columns={"v": "node"}))
-    if len(cand) and int(cand["sig"].max()) >= 1 << 62:
+    if len(cand) and (int(cand["sig"].max()) >= 1 << 62
+                      or int(cand["sig"].min()) < 0):
         raise OverflowError("BFS path count approaching int64")
     new = cand[~cand["node"].isin(st["node"])]
     if new.empty:
@@ -2376,7 +2360,11 @@ def _bfs_gather(state_tab, level: int, *pieces):
             int(len(add)))
 
 
-def bfs_sigma_ds(sym: "ray.data.Dataset", src: int, max_rounds: int = 20,
+_BFS_LEVELS = 20
+
+
+def bfs_sigma_ds(sym: "ray.data.Dataset", src: int,
+                 max_rounds: int = _BFS_LEVELS,
                  n_buckets: int = 8) -> "ray.data.Dataset":
     """(node, d, sig) — BFS levels + exact shortest-path counts from
     ``src`` over an unweighted symmetric edge Dataset (u, v): the Brandes
@@ -2460,7 +2448,14 @@ def pair_betweenness(sf_dir: str, src: int = _BTW_SRC,
     sigma_st = int(t_row.iloc[0]["sigs"])
     on = j[(j["ds"] + j["dt"] == D)
            & (j["node"] != src) & (j["node"] != dst)]
-    prod = (on["sigs"].to_numpy(np.int64) * on["sigt"].to_numpy(np.int64))
+    # Python-int products: two guarded int64 factors can still overflow
+    # their product; raise loudly like the oracle's HUGEINT->BIGINT cast
+    prod_py = [int(a) * int(b)
+               for a, b in zip(on["sigs"], on["sigt"])]
+    if any(p >= 1 << 63 for p in prod_py):
+        raise OverflowError("sigma product exceeds int64; truncate the "
+                            "ranking or carry big-int sigma")
+    prod = np.asarray(prod_py, dtype=np.int64)
     share = _round_e9_vec(prod.astype(np.float64) / float(sigma_st))
     out = pd.DataFrame({
         "node": on["node"].to_numpy(np.int64),
@@ -2472,7 +2467,7 @@ def pair_betweenness(sf_dir: str, src: int = _BTW_SRC,
 
 
 def pair_betweenness_sql(src: int = _BTW_SRC, dst: int = _BTW_DST,
-                         levels: int = 18) -> str:
+                         levels: int = _BFS_LEVELS) -> str:
     """Unrolled level-synchronous BFS-σ from each endpoint (seen-set
     accumulated across levels), then the pair-dependency join."""
 
@@ -2601,7 +2596,8 @@ def graph_hop_histogram(sf_dir: str, src: int = _BTW_SRC) -> pd.DataFrame:
     return (g.astype(np.int64).sort_values("d").reset_index(drop=True))
 
 
-def graph_hop_histogram_sql(src: int = _BTW_SRC, levels: int = 18) -> str:
+def graph_hop_histogram_sql(src: int = _BTW_SRC,
+                            levels: int = _BFS_LEVELS) -> str:
     parts = [f"l0 AS (SELECT CAST({src} AS BIGINT) AS node, 0 AS d, "
              f"CAST(1 AS HUGEINT) AS sig)",
              "s0 AS (SELECT node FROM l0)"]

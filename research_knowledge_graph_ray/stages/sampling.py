@@ -661,8 +661,10 @@ def shuffle_quality(sf_dir: str, seed_a: int = SHUFFLE_SEED,
         if "a" not in piv or "b" not in piv:
             return pd.DataFrame({"n": [0], "sd2": ["0"]})
         d = piv["a"].to_numpy(np.int64) - piv["b"].to_numpy(np.int64)
-        return pd.DataFrame({"n": [len(d)],
-                             "sd2": [str(int(np.dot(d, d)))]})
+        # Σd² in unbounded Python ints — np.dot would accumulate in int64
+        # and wrap silently at the corpus sizes the fold is meant to cover
+        sd2 = sum(int(v) * int(v) for v in d)
+        return pd.DataFrame({"n": [len(d)], "sd2": [str(sd2)]})
 
     parts = bucketed_group_apply(both, ["doc_id"], lambda d: d,
                                  pair_d2).to_pandas()

@@ -2062,8 +2062,10 @@ def nb_classify(sf_dir: str) -> pd.DataFrame:
         {"doc_id": np.int64, "correct": np.int64})
 
 
-NB_CLASSIFY_SQL = """
-WITH tk AS (
+# Shared NB scoring CTE chain (training + per-(doc,label) scores) — the
+# SQL twin of _nb_model, composed into all three NB oracles so they cannot
+# drift apart (the _FEAT_SQL precedent).
+_NB_SCORE_CTES = """WITH tk AS (
   SELECT doc_id, source, t.token
   FROM (SELECT doc_id, source,
                unnest(string_split(text, ' ')) AS token
@@ -2088,7 +2090,9 @@ score AS (
   JOIN ltot ON ltot.lbl = l.lbl
   CROSS JOIN vocab
   LEFT JOIN lt ON lt.lbl = l.lbl AND lt.token = t.token
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+NB_CLASSIFY_SQL = _NB_SCORE_CTES + """
 SELECT r.doc_id, r.lbl AS pred_source,
        CAST(CASE WHEN r.lbl = d.source THEN 1 ELSE 0 END AS BIGINT)
        AS correct
@@ -2299,11 +2303,20 @@ def nb_margin_topk(sf_dir: str, k: int = _MARGIN_K) -> pd.DataFrame:
         par = parent.filter(keep).to_numpy(zero_copy_only=False)
         scores = np.tile(pri, (len(batch), 1))
         np.add.at(scores, par, lp[:, idx].T)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # mirror the oracle: token-less docs have no score rows, and a
+        # single-label model has no rank-2 score -> empty margin set
+        has_tok = np.zeros(len(batch), dtype=bool)
+        has_tok[np.unique(par)] = True
+        if scores.shape[1] < 2 or not has_tok.any():
+            return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                                 "pred_source": pd.Series(dtype=object),
+                                 "margin_e9": pd.Series(dtype=np.int64)})
+        scores, ids = scores[has_tok], ids[has_tok]
         order = np.argsort(-scores, axis=1, kind="stable")
         best = order[:, 0]
         rows = np.arange(len(best))
         margin = scores[rows, best] - scores[rows, order[:, 1]]
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         cut = np.lexsort((ids, margin))[:k]
         return pd.DataFrame({
             "doc_id": ids[cut],
@@ -2319,33 +2332,7 @@ def nb_margin_topk(sf_dir: str, k: int = _MARGIN_K) -> pd.DataFrame:
 
 
 def nb_margin_topk_sql(k: int = _MARGIN_K) -> str:
-    return f"""
-WITH tk AS (
-  SELECT doc_id, source, t.token
-  FROM (SELECT doc_id, source,
-               unnest(string_split(text, ' ')) AS token
-        FROM documents) t
-  WHERE t.token <> ''
-),
-vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tk),
-lt AS (SELECT source AS lbl, token, CAST(COUNT(*) AS BIGINT) AS n
-       FROM tk GROUP BY 1, 2),
-ltot AS (SELECT lbl, CAST(SUM(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
-prior AS (SELECT source AS lbl,
-                 CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
-                      / (SELECT COUNT(*) FROM documents)) * 1e9) AS BIGINT)
-                 AS prior_e9
-          FROM documents GROUP BY 1),
-score AS (
-  SELECT t.doc_id, l.lbl,
-         SUM(CAST(ROUND(LN((COALESCE(lt.n, 0) + 1.0)
-                           / (ltot.nl + vocab.v)) * 1e9) AS BIGINT)) AS s
-  FROM tk t
-  CROSS JOIN (SELECT DISTINCT source AS lbl FROM documents) l
-  JOIN ltot ON ltot.lbl = l.lbl
-  CROSS JOIN vocab
-  LEFT JOIN lt ON lt.lbl = l.lbl AND lt.token = t.token
-  GROUP BY 1, 2),
+    return _NB_SCORE_CTES + f""",
 r AS (SELECT doc_id, lbl, s + prior_e9 AS total,
              ROW_NUMBER() OVER (PARTITION BY doc_id
                                 ORDER BY s + prior_e9 DESC, lbl) AS rn
@@ -2384,9 +2371,12 @@ def nb_confusion(sf_dir: str) -> pd.DataFrame:
         par = parent.filter(keep).to_numpy(zero_copy_only=False)
         scores = np.tile(pri, (len(batch), 1))
         np.add.at(scores, par, lp[:, idx].T)
+        # mirror the oracle's JOIN pred: token-less docs carry no score row
+        has_tok = np.zeros(len(batch), dtype=bool)
+        has_tok[np.unique(par)] = True
         pred = np.asarray(labs, dtype=object)[scores.argmax(axis=1)]
         df = pd.DataFrame({"source": batch["source"].to_pandas(),
-                           "pred_source": pred})
+                           "pred_source": pred})[has_tok]
         return df.groupby(["source", "pred_source"], as_index=False).size()
 
     parts = docs.map_batches(confusion, batch_format="pyarrow",
@@ -2399,33 +2389,7 @@ def nb_confusion(sf_dir: str) -> pd.DataFrame:
                                             "pred_source": "string"}))
 
 
-NB_CONFUSION_SQL = """
-WITH tk AS (
-  SELECT doc_id, source, t.token
-  FROM (SELECT doc_id, source,
-               unnest(string_split(text, ' ')) AS token
-        FROM documents) t
-  WHERE t.token <> ''
-),
-vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tk),
-lt AS (SELECT source AS lbl, token, CAST(COUNT(*) AS BIGINT) AS n
-       FROM tk GROUP BY 1, 2),
-ltot AS (SELECT lbl, CAST(SUM(n) AS BIGINT) AS nl FROM lt GROUP BY 1),
-prior AS (SELECT source AS lbl,
-                 CAST(ROUND(LN(CAST(COUNT(*) AS DOUBLE)
-                      / (SELECT COUNT(*) FROM documents)) * 1e9) AS BIGINT)
-                 AS prior_e9
-          FROM documents GROUP BY 1),
-score AS (
-  SELECT t.doc_id, l.lbl,
-         SUM(CAST(ROUND(LN((COALESCE(lt.n, 0) + 1.0)
-                           / (ltot.nl + vocab.v)) * 1e9) AS BIGINT)) AS s
-  FROM tk t
-  CROSS JOIN (SELECT DISTINCT source AS lbl FROM documents) l
-  JOIN ltot ON ltot.lbl = l.lbl
-  CROSS JOIN vocab
-  LEFT JOIN lt ON lt.lbl = l.lbl AND lt.token = t.token
-  GROUP BY 1, 2),
+NB_CONFUSION_SQL = _NB_SCORE_CTES + """,
 pred AS (
   SELECT doc_id, lbl AS pred_source
   FROM (SELECT doc_id, lbl,

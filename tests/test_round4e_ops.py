@@ -464,12 +464,16 @@ def test_pair_betweenness_share_bounds(sf_dir):
 
 def test_graph_closeness_identity(sf_dir):
     from research_knowledge_graph_ray.stages.graphalgs import (
-        graph_closeness, sssp)
+        _sp_weighted_edges, _symmetrize, graph_closeness, sssp_ds)
     got = graph_closeness(sf_dir).set_index("seed")
-    # seed 1's row must agree with the registered SSSP run when src == 1
-    base = sssp(sf_dir)
-    if int(base["node"].min()) <= 1:
-        pass  # sssp source is MIN supplier; only structural checks below
+    # each seed's row must reproduce an independent SSSP run's aggregates
+    sym = _symmetrize(_sp_weighted_edges(sf_dir)).materialize()
+    for seed in got.index:
+        d = sssp_ds(sym, int(seed)).to_pandas()
+        assert got.loc[seed, "n_reached"] == len(d)
+        assert got.loc[seed, "sum_dist"] == int(d["d"].sum())
+        assert got.loc[seed, "closeness_e9"] == (
+            (len(d) - 1) * 1_000_000_000 // int(d["d"].sum()))
     assert (got["closeness_e9"] > 0).all()
     assert (got["sum_dist"] > got["n_reached"] - 1).all()  # weights >= 1
 
