@@ -206,6 +206,7 @@ SUITE: list[tuple[str, str]] = [
     ("embedding_mean_drift", "stats.embedding_mean_drift"),
     ("permutation_test", "stats.permutation_test"),
     ("containment_pairs", "dedup.containment_pairs"),
+    ("quality_percentile", "evalops.quality_percentile"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1681,6 +1681,10 @@ QUERIES.update(
         # shingle-intersection core, only the finalize ratio differs
         "containment_pairs": (dedup.containment_pairs,
                               dedup.CONTAINMENT_PAIRS_SQL),
+        # exact rank-transform of the quality score — counting percentiles,
+        # value-domain-bounded cumulative map broadcast, zero sort
+        "quality_percentile": (evalops.quality_percentile,
+                               evalops.QUALITY_PERCENTILE_SQL),
     }
 )
 

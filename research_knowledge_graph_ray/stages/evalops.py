@@ -942,3 +942,60 @@ FROM d GROUP BY 1
 
 
 DUP_RATE_BY_BATCH_SQL = dup_rate_by_batch_sql()
+
+
+def quality_percentile(sf_dir: str) -> "ray.data.Dataset":
+    """(doc_id, logit, pct_bp) — exact percentile normalization of the
+    quality classifier's score: pct = 10000·|{docs with smaller logit}|/n.
+    Sampling weights and mixture curricula want a scale-free [0,1] score,
+    not raw logits — and the rank transform is the distribution-free way
+    to get one.
+
+    Percentiles by COUNTING (never a global sort): one pass folds the
+    logit value-count table (value-domain-bounded, loudly capped — the
+    conformal_threshold recipe), the cumulative map is broadcast once, and
+    a second streamed pass attaches each doc's percentile with one
+    searchsorted. Exact integers end-to-end."""
+    _DOMAIN_CAP = 1_000_000
+
+    def per_value(batch: pa.Table) -> pd.DataFrame:
+        logit = _logreg_logit(_doc_features(batch))
+        return (pd.DataFrame({"v": logit}).groupby("v", as_index=False)
+                .size().rename(columns={"size": "cnt"}))
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    parts = ds.map_batches(per_value, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = (parts.groupby("v", as_index=False)["cnt"].sum()
+         .sort_values("v").reset_index(drop=True))
+    if len(g) > _DOMAIN_CAP:
+        raise ValueError("logit value domain exceeds the driver-fold bound")
+    vals = g["v"].to_numpy(np.int64)
+    below = np.concatenate(([0], np.cumsum(g["cnt"].to_numpy(np.int64))[:-1]))
+    n = int(g["cnt"].sum())
+    ref = ray.put((vals, below, n))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        v, b, total = ray.get(ref)
+        logit = _logreg_logit(_doc_features(batch))
+        idx = np.searchsorted(v, logit)
+        pct = b[idx] * 10000 // total
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "logit": pa.array(logit),
+            "pct_bp": pa.array(pct)})
+
+    return ds.map_batches(attach, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+QUALITY_PERCENTILE_SQL = f"""
+WITH f AS ({_FEAT_SQL}),
+s AS (SELECT doc_id, ({_LOGIT_SQL}) AS logit FROM f),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM s)
+SELECT a.doc_id, CAST(a.logit AS BIGINT) AS logit,
+       CAST((SELECT COUNT(*) FROM s b WHERE b.logit < a.logit) * 10000
+            // (SELECT t FROM n) AS BIGINT) AS pct_bp
+FROM s a
+"""

@@ -604,3 +604,15 @@ def test_containment_pairs_quote_inclusion(tmp_path):
     assert row["cont_ba_bp"] == 10000          # the excerpt is fully inside
     assert row["cont_ab_bp"] < 2000            # the long doc is not
     assert not ((got["doc_a"] == 0) & (got["doc_b"] == 2)).any()
+
+
+def test_quality_percentile_rank_properties(sf_dir):
+    from research_knowledge_graph_ray.stages.evalops import quality_percentile
+    got = quality_percentile(sf_dir).to_pandas()
+    assert len(got) == _n_docs(sf_dir)
+    assert got["pct_bp"].between(0, 9999).all()
+    # rank transform is monotone in the score
+    s = got.sort_values(["logit", "doc_id"])
+    assert s["pct_bp"].is_monotonic_increasing
+    # the minimum-score docs sit at percentile 0
+    assert got.loc[got["logit"].idxmin(), "pct_bp"] == 0
