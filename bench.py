@@ -207,6 +207,7 @@ SUITE: list[tuple[str, str]] = [
     ("permutation_test", "stats.permutation_test"),
     ("containment_pairs", "dedup.containment_pairs"),
     ("quality_percentile", "evalops.quality_percentile"),
+    ("related_terms", "kgflat.related_terms"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -975,3 +975,59 @@ s AS (
 SELECT doc_id, score FROM s WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT {k}
 """
+
+
+_RELATED_K = 5
+
+
+def related_terms(sf_dir: str, k: int = _RELATED_K) -> "ray.data.Dataset":
+    """(term, related, n_docs, rnk) — the related-entities serving table:
+    each term's top-k co-occurring terms (count desc, term asc ties) — the
+    precomputed "people also mention" panel a KG serving layer reads per
+    entity.
+
+    Rides :func:`cooccurrence`; pairs fan out in both directions, then ONE
+    term-keyed exchange ranks inside each term's group (per-group top-k,
+    never a global sort). Output is terms x k — serving-table sized."""
+    from ..stages.shuffle import bucketed_group_apply
+
+    co = cooccurrence(sf_dir)
+
+    def both(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "term": pd.concat([df["term_a"], df["term_b"]],
+                              ignore_index=True),
+            "related": pd.concat([df["term_b"], df["term_a"]],
+                                 ignore_index=True),
+            "n_docs": pd.concat([df["n_docs"], df["n_docs"]],
+                                ignore_index=True).astype(np.int64)})
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["term", "n_docs", "related"],
+                            ascending=[True, False, True])
+        df["rnk"] = df.groupby("term").cumcount() + 1
+        out = df[df["rnk"] <= k]
+        return out.astype({"n_docs": np.int64, "rnk": np.int64})
+
+    return bucketed_group_apply(co.map_batches(both, batch_format="pandas"),
+                                ["term"], lambda d: d, topk)
+
+
+def related_terms_sql(k: int = _RELATED_K, unnest_sql: str | None = None) -> str:
+    from .registry import _UNNEST
+
+    u = unnest_sql if unnest_sql is not None else _UNNEST
+    return f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({u})),
+co AS (SELECT a.term AS ta, b.term AS tb, CAST(COUNT(*) AS BIGINT) AS n
+       FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+       GROUP BY 1, 2),
+dir AS (SELECT ta AS term, tb AS related, n FROM co
+        UNION ALL SELECT tb, ta, n FROM co),
+r AS (SELECT term, related, n AS n_docs,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY n DESC, related) AS rnk
+      FROM dir)
+SELECT term, related, n_docs, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {k}
+"""

@@ -1685,6 +1685,11 @@ QUERIES.update(
         # value-domain-bounded cumulative map broadcast, zero sort
         "quality_percentile": (evalops.quality_percentile,
                                evalops.QUALITY_PERCENTILE_SQL),
+        # related-entities serving table: per-term top-k co-occurrences —
+        # one term-keyed exchange, per-group top-k (unnest injected, the
+        # ktruss_sql precedent)
+        "related_terms": (kgflat.related_terms,
+                          kgflat.related_terms_sql(unnest_sql=_UNNEST)),
     }
 )
 

@@ -616,3 +616,16 @@ def test_quality_percentile_rank_properties(sf_dir):
     assert s["pct_bp"].is_monotonic_increasing
     # the minimum-score docs sit at percentile 0
     assert got.loc[got["logit"].idxmin(), "pct_bp"] == 0
+
+
+def test_related_terms_serving_shape(sf_dir):
+    from research_knowledge_graph_ray.pipelines.kgflat import related_terms
+    got = related_terms(sf_dir).to_pandas()
+    per = got.groupby("term")
+    assert (per["rnk"].min() == 1).all()
+    assert (per["rnk"].max() <= 5).all()
+    # ranking is by count desc within each term
+    for _, sub in per:
+        s = sub.sort_values("rnk")
+        assert s["n_docs"].is_monotonic_decreasing or len(s) == 1
+    assert not got.duplicated(["term", "related"]).any()
