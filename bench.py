@@ -208,6 +208,7 @@ SUITE: list[tuple[str, str]] = [
     ("containment_pairs", "dedup.containment_pairs"),
     ("quality_percentile", "evalops.quality_percentile"),
     ("related_terms", "kgflat.related_terms"),
+    ("rich_club", "graphalgs.rich_club"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

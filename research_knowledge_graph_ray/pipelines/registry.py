@@ -1690,6 +1690,9 @@ QUERIES.update(
         # ktruss_sql precedent)
         "related_terms": (kgflat.related_terms,
                           kgflat.related_terms_sql(unnest_sql=_UNNEST)),
+        # rich-club coefficient per degree threshold — degree exchange,
+        # bounded rich-set broadcasts, exact integer phi
+        "rich_club": (graphalgs.rich_club, graphalgs.RICH_CLUB_SQL),
     }
 )
 

@@ -2627,3 +2627,89 @@ FROM f GROUP BY d
 
 
 GRAPH_HOP_HISTOGRAM_SQL = graph_hop_histogram_sql()
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient
+# ---------------------------------------------------------------------------
+
+_RICH_KS = (2, 4, 8, 16)
+
+
+def rich_club(sf_dir: str, ks: tuple = _RICH_KS) -> pd.DataFrame:
+    """(k, n_rich, e_rich, phi_bp) — rich-club coefficient of the
+    sparsified supplier-part graph: for each degree threshold k, the share
+    of possible edges actually present among nodes of degree > k
+    (phi = 2·E_rich / (n·(n−1))). A rising phi(k) says hubs preferentially
+    interconnect — the structural signal behind hub-removal fragility
+    (graph_robustness's analytical twin).
+
+    Degrees ride one key-only exchange (node-catalog-bounded); each
+    threshold's rich set is a bounded broadcast filter over the edge
+    stream; per-threshold edge counts are streamed scalars. Exact
+    integers throughout."""
+    from .shuffle import hash_exchange_apply
+
+    edges = _sp_weighted_edges(sf_dir).materialize()
+    sym = _symmetrize(edges).materialize()
+
+    def deg_part(t: pa.Table) -> pa.Table:
+        return (pa.table({"node": t["u"].cast(pa.int64())})
+                .group_by("node").aggregate([([], "count_all")])
+                .rename_columns(["node", "deg"]))
+
+    def deg_fin(t: pa.Table) -> pa.Table:
+        return (t.group_by("node").aggregate([("deg", "sum")])
+                .rename_columns(["node", "deg"]))
+
+    deg = hash_exchange_apply(sym, ["node"], deg_part, deg_fin).to_pandas()
+    rows = []
+    for k in ks:
+        rich = np.sort(deg.loc[deg["deg"] > k, "node"].to_numpy(np.int64))
+        r_ref = ray.put(rich)
+
+        def count_rich(df: pd.DataFrame) -> pd.DataFrame:
+            rs = ray.get(r_ref)
+            m = (df["u"].isin(rs) & df["v"].isin(rs)
+                 & (df["u"] < df["v"]))
+            return pd.DataFrame({"e": [int(m.sum())]})
+
+        e_rich = int(sym.map_batches(count_rich, batch_format="pandas")
+                     .to_pandas()["e"].sum())
+        n = len(rich)
+        denom = n * (n - 1)  # 2 * C(n,2)
+        phi_bp = 2 * e_rich * 10000 // denom if denom else -1
+        rows.append((int(k), n, e_rich, phi_bp))
+    return pd.DataFrame(rows, columns=["k", "n_rich", "e_rich", "phi_bp"]
+                        ).astype(np.int64)
+
+
+def rich_club_sql(ks: tuple = _RICH_KS) -> str:
+    sels = " UNION ALL ".join(f"""
+SELECT CAST({k} AS BIGINT) AS k,
+       CAST((SELECT COUNT(*) FROM deg WHERE deg > {k}) AS BIGINT) AS n_rich,
+       CAST((SELECT COUNT(*) FROM e0 e
+             WHERE e.s IN (SELECT node FROM deg WHERE deg > {k})
+               AND e.p IN (SELECT node FROM deg WHERE deg > {k}))
+            AS BIGINT) AS e_rich,
+       CAST(CASE WHEN (SELECT COUNT(*) FROM deg WHERE deg > {k}) >= 2
+            THEN 2 * (SELECT COUNT(*) FROM e0 e
+                      WHERE e.s IN (SELECT node FROM deg WHERE deg > {k})
+                        AND e.p IN (SELECT node FROM deg WHERE deg > {k}))
+                 * 10000
+                 // ((SELECT COUNT(*) FROM deg WHERE deg > {k})
+                     * ((SELECT COUNT(*) FROM deg WHERE deg > {k}) - 1))
+            ELSE -1 END AS BIGINT) AS phi_bp""" for k in ks)
+    return f"""
+WITH e0 AS (SELECT l_suppkey AS s, l_partkey + {_PART_OFFSET} AS p,
+                   CAST(MIN(l_quantity) AS BIGINT) AS w
+            FROM lineitem GROUP BY 1, 2
+            HAVING CAST(MIN(l_quantity) AS BIGINT) <= {_W_MAX}),
+sym AS (SELECT s AS u, p AS v FROM e0 UNION ALL SELECT p, s FROM e0),
+deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM sym
+        GROUP BY 1)
+{sels}
+"""
+
+
+RICH_CLUB_SQL = rich_club_sql()

@@ -629,3 +629,12 @@ def test_related_terms_serving_shape(sf_dir):
         s = sub.sort_values("rnk")
         assert s["n_docs"].is_monotonic_decreasing or len(s) == 1
     assert not got.duplicated(["term", "related"]).any()
+
+
+def test_rich_club_monotone_sets(sf_dir):
+    from research_knowledge_graph_ray.stages.graphalgs import rich_club
+    got = rich_club(sf_dir).sort_values("k")
+    # larger threshold -> smaller (or equal) rich set and edge count
+    assert got["n_rich"].is_monotonic_decreasing
+    assert got["e_rich"].is_monotonic_decreasing
+    assert got["phi_bp"].between(-1, 10000).all()
