@@ -209,6 +209,7 @@ SUITE: list[tuple[str, str]] = [
     ("quality_percentile", "evalops.quality_percentile"),
     ("related_terms", "kgflat.related_terms"),
     ("rich_club", "graphalgs.rich_club"),
+    ("revenue_concentration", "stats.revenue_concentration"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

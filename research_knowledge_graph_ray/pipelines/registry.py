@@ -1693,6 +1693,10 @@ QUERIES.update(
         # rich-club coefficient per degree threshold — degree exchange,
         # bounded rich-set broadcasts, exact integer phi
         "rich_club": (graphalgs.rich_club, graphalgs.RICH_CLUB_SQL),
+        # Pareto revenue concentration — custkey exchange + exact counting
+        # quantile threshold + scalar fold; hot-key tail sizing audit
+        "revenue_concentration": (stats.revenue_concentration,
+                                  stats.REVENUE_CONCENTRATION_SQL),
     }
 )
 

@@ -2550,3 +2550,77 @@ FROM base
 
 
 PERMUTATION_TEST_SQL = permutation_test_sql()
+
+
+def revenue_concentration(sf_dir: str) -> pd.DataFrame:
+    """(n_customers, threshold_cents, n_top, top_revenue_cents,
+    total_revenue_cents, share_bp) — Pareto concentration of revenue: the
+    share held by customers at or above the P90 of per-customer totals
+    (the 80/20 audit every commercial dataset profile runs; here it also
+    sizes the hot-key tail every exchange has to survive).
+
+    Per-customer totals are ONE custkey exchange (key + cents only); the
+    P90 threshold comes from the exact counting-quantile machinery
+    (:func:`exact_group_quantiles` over the totals Dataset — never a
+    sort); the concentration pass folds three scalars per block. Ties at
+    the threshold count as top on both engines (>= threshold,
+    percentile_disc value). Exact integers end-to-end."""
+    from .shuffle import hash_exchange_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        g = pd.DataFrame({"ck": df["o_custkey"].astype(np.int64),
+                          "cents": cents})
+        return g.groupby("ck", as_index=False)["cents"].sum()
+
+    totals = hash_exchange_apply(
+        ds, ["ck"], part,
+        lambda df: df.groupby("ck", as_index=False)["cents"].sum(),
+        fmt="pandas").materialize()
+    thr = int(exact_group_quantiles(totals, "cents", None, [0.9])
+              .iloc[0]["p90"])
+
+    def conc(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["cents"].to_numpy(np.int64)
+        top = c >= thr
+        return pd.DataFrame({
+            "n": [len(c)], "n_top": [int(top.sum())],
+            "top_sum": [str(int(c[top].sum()))],
+            "tot_sum": [str(int(c.sum()))]})
+
+    parts = totals.map_batches(conc, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    n_top = int(parts["n_top"].sum())
+    top_sum = sum(int(v) for v in parts["top_sum"])
+    tot_sum = sum(int(v) for v in parts["tot_sum"])
+    share_bp = top_sum * 10000 // tot_sum if tot_sum else -1
+    return pd.DataFrame(
+        [[n, thr, n_top, top_sum, tot_sum, share_bp]],
+        columns=["n_customers", "threshold_cents", "n_top",
+                 "top_revenue_cents", "total_revenue_cents", "share_bp"]
+    ).astype(np.int64)
+
+
+REVENUE_CONCENTRATION_SQL = """
+WITH t AS (SELECT o_custkey,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+q AS (SELECT CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+               AS BIGINT) AS thr FROM t)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       (SELECT thr FROM q) AS threshold_cents,
+       CAST(SUM(CASE WHEN cents >= (SELECT thr FROM q) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_top,
+       CAST(SUM(CASE WHEN cents >= (SELECT thr FROM q) THEN cents
+                     ELSE 0 END) AS BIGINT) AS top_revenue_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_revenue_cents,
+       CAST(SUM(CASE WHEN cents >= (SELECT thr FROM q) THEN cents
+                     ELSE 0 END) * 10000 // SUM(cents) AS BIGINT)
+         AS share_bp
+FROM t
+"""

@@ -638,3 +638,15 @@ def test_rich_club_monotone_sets(sf_dir):
     assert got["n_rich"].is_monotonic_decreasing
     assert got["e_rich"].is_monotonic_decreasing
     assert got["phi_bp"].between(-1, 10000).all()
+
+
+def test_revenue_concentration_pareto_bounds(sf_dir):
+    from research_knowledge_graph_ray.stages.stats import (
+        revenue_concentration)
+    row = revenue_concentration(sf_dir).iloc[0]
+    # P90 cut keeps ~10% of customers (ties can push it slightly over)
+    assert row["n_top"] >= row["n_customers"] // 10
+    assert row["n_top"] <= row["n_customers"] // 5
+    assert row["top_revenue_cents"] <= row["total_revenue_cents"]
+    # top decile must hold at least its proportional share
+    assert row["share_bp"] >= 1000
