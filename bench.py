@@ -210,6 +210,7 @@ SUITE: list[tuple[str, str]] = [
     ("related_terms", "kgflat.related_terms"),
     ("rich_club", "graphalgs.rich_club"),
     ("revenue_concentration", "stats.revenue_concentration"),
+    ("revenue_gini", "stats.revenue_gini"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -1697,6 +1697,9 @@ QUERIES.update(
         # quantile threshold + scalar fold; hot-key tail sizing audit
         "revenue_concentration": (stats.revenue_concentration,
                                   stats.REVENUE_CONCENTRATION_SQL),
+        # exact Gini via the rank-attach recipe — no global sort,
+        # string-carried O(n²·x) partials, one identical-double division
+        "revenue_gini": (stats.revenue_gini, stats.REVENUE_GINI_SQL),
     }
 )
 

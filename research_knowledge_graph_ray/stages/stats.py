@@ -2624,3 +2624,108 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
          AS share_bp
 FROM t
 """
+
+
+def revenue_gini(sf_dir: str, n_hist: int = 2048) -> pd.DataFrame:
+    """(n_customers, total_cents, gini_e9) — exact Gini coefficient of
+    per-customer revenue: G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over values
+    sorted ascending (ROW_NUMBER ranks; tie order is irrelevant to the sum
+    because tied values contribute x·Σranks regardless of order, but the
+    custkey tie-break is stated for determinism). The inequality summary
+    behind :func:`revenue_concentration`'s single Pareto point.
+
+    Per-customer totals are ONE custkey exchange; ranks attach with the
+    order_price_rank recipe (histogram offsets + per-bucket local sort —
+    no global sort); per-bucket (n, Σx, Σ rank·x) partials carry decimal
+    strings (rank·x is O(n²·x) — far past int64), the driver folds in
+    Python ints, and the single division is one identical-double (HUGEINT
+    oracle)."""
+    from .shuffle import bucketed_group_apply, hash_exchange_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        g = pd.DataFrame({"ck": df["o_custkey"].astype(np.int64),
+                          "cents": cents})
+        return g.groupby("ck", as_index=False)["cents"].sum()
+
+    totals = hash_exchange_apply(
+        ds, ["ck"], part,
+        lambda df: df.groupby("ck", as_index=False)["cents"].sum(),
+        fmt="pandas").materialize()
+
+    agg = totals.aggregate(Min("cents"), Max("cents"))
+    lo, hi = int(agg["min(cents)"]), int(agg["max(cents)"])
+    width = (hi - lo) or 1
+    scale = n_hist / width
+
+    def bucket_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) * scale).astype(np.int64), 0, n_hist - 1)
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        b = bucket_of(df["cents"].to_numpy(np.int64))
+        c = np.bincount(b, minlength=n_hist)
+        nz = np.nonzero(c)[0]
+        return pd.DataFrame({"b": nz, "cnt": c[nz]})
+
+    counts = (totals.map_batches(hist, batch_format="pandas").to_pandas()
+              .groupby("b", as_index=False).agg(cnt=("cnt", "sum")))
+    full = np.zeros(n_hist, dtype=np.int64)
+    full[counts["b"].to_numpy(np.int64)] = counts["cnt"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["b"] = bucket_of(df["cents"].to_numpy(np.int64))
+        return df
+
+    def bucket_partial(df: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        rows = []
+        for b, g in df.groupby("b", sort=False):
+            g = g.sort_values(["cents", "ck"])
+            x = g["cents"].to_numpy(np.int64)
+            ranks = offs[int(b)] + 1 + np.arange(len(x), dtype=np.int64)
+            srx = sum(int(r) * int(v) for r, v in zip(ranks, x))
+            rows.append((len(x), str(int(x.sum())), str(srx)))
+        if not rows:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64),
+                                 "sx": pd.Series(dtype=str),
+                                 "srx": pd.Series(dtype=str)})
+        return pd.DataFrame(rows, columns=["n", "sx", "srx"])
+
+    parts = bucketed_group_apply(
+        totals.map_batches(keyed, batch_format="pandas"), ["b"],
+        lambda d: d, bucket_partial).to_pandas()
+    n = int(parts["n"].sum())
+    sx = sum(int(v) for v in parts["sx"])
+    srx = sum(int(v) for v in parts["srx"])
+    num = 2 * srx - (n + 1) * sx
+    den = n * sx
+    gini_e9 = _round_e9(float(num) / float(den)) if den else -1
+    return pd.DataFrame([[n, sx, gini_e9]],
+                        columns=["n_customers", "total_cents", "gini_e9"]
+                        ).astype(np.int64)
+
+
+REVENUE_GINI_SQL = """
+WITH t AS (SELECT o_custkey,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS HUGEINT) AS cents
+           FROM orders GROUP BY 1),
+r AS (SELECT cents,
+             CAST(ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS HUGEINT)
+               AS rn
+      FROM t),
+s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, SUM(cents) AS sx,
+             SUM(rn * cents) AS srx FROM r)
+SELECT CAST(n AS BIGINT) AS n_customers, CAST(sx AS BIGINT) AS total_cents,
+       CAST(ROUND(CAST(2 * srx - (n + 1) * sx AS DOUBLE)
+                  / CAST(n * sx AS DOUBLE) * 1000000000) AS BIGINT)
+         AS gini_e9
+FROM s
+"""

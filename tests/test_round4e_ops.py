@@ -650,3 +650,24 @@ def test_revenue_concentration_pareto_bounds(sf_dir):
     assert row["top_revenue_cents"] <= row["total_revenue_cents"]
     # top decile must hold at least its proportional share
     assert row["share_bp"] >= 1000
+
+
+def test_revenue_gini_bounds_and_extremes(sf_dir, tmp_path):
+    from research_knowledge_graph_ray.stages.stats import revenue_gini
+    row = revenue_gini(sf_dir).iloc[0]
+    assert 0 <= row["gini_e9"] < 1_000_000_000
+    # perfectly equal revenues -> Gini exactly (n-1)/n - ... == 0? For
+    # equal x: 2*srx = (n+1)*sx exactly -> gini 0
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([10.0, 10.0, 10.0, 10.0]),
+    }), tmp_path / "orders.parquet")
+    eq = revenue_gini(str(tmp_path)).iloc[0]
+    assert eq["gini_e9"] == 0
+    # one customer holding everything -> Gini -> (n-1)/n
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([0.0, 0.0, 0.0, 100.0]),
+    }), tmp_path / "orders.parquet")
+    one = revenue_gini(str(tmp_path)).iloc[0]
+    assert one["gini_e9"] == 750_000_000  # (n-1)/n with n=4
