@@ -211,6 +211,7 @@ SUITE: list[tuple[str, str]] = [
     ("rich_club", "graphalgs.rich_club"),
     ("revenue_concentration", "stats.revenue_concentration"),
     ("revenue_gini", "stats.revenue_gini"),
+    ("token_snippets", "textops.token_snippets"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

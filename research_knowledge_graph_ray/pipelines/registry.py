@@ -1700,6 +1700,10 @@ QUERIES.update(
         # exact Gini via the rank-attach recipe — no global sort,
         # string-carried O(n²·x) partials, one identical-double division
         "revenue_gini": (stats.revenue_gini, stats.REVENUE_GINI_SQL),
+        # keyword-in-context serving table — basis broadcast, one scan,
+        # per-token smallest-doc top-k
+        "token_snippets": (textops.token_snippets,
+                           textops.TOKEN_SNIPPETS_SQL),
     }
 )
 

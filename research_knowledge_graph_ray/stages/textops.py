@@ -2507,3 +2507,97 @@ SELECT k, m_k, CAST(k * m_k * 10000 // (SELECT t FROM n) AS BIGINT)
          AS mass_bp
 FROM sp
 """
+
+
+# ---------------------------------------------------------------------------
+# Keyword-in-context snippets (serving table)
+# ---------------------------------------------------------------------------
+
+_KWIC_TOP = 5
+_KWIC_DOCS = 3
+_KWIC_PAD = 20
+
+
+def token_snippets(sf_dir: str, top_n: int = _KWIC_TOP,
+                   docs_per: int = _KWIC_DOCS,
+                   pad: int = _KWIC_PAD) -> pd.DataFrame:
+    """(token, doc_id, pos, snippet) — keyword-in-context serving table:
+    for each of the ``top_n`` most frequent tokens (count desc, token asc),
+    the first-occurrence snippet (±pad chars) from the ``docs_per``
+    smallest doc_ids containing it as a substring of the lowercased text
+    (substring semantics stated — "the" inside "theory" counts; the
+    KG-entity variant would swap in the mention extractor). The entity-card
+    preview panel a serving layer reads.
+
+    One vocabulary-bounded token exchange picks the basis (broadcast);
+    one streamed scan emits (token, doc, pos, snippet) key rows for basis
+    hits only; per-token smallest-doc top-k folds on the driver
+    (top_n × docs_per bounded)."""
+    from .shuffle import hash_exchange_apply
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        _, grams = _doc_ngrams(batch, 1)
+        t = pa.table({"g": grams})
+        return (t.group_by("g").aggregate([("g", "count")])
+                .rename_columns(["g", "cnt"]))
+
+    counts = hash_exchange_apply(
+        _read_docs(sf_dir), ["g"], tok_partial,
+        lambda t: t.group_by("g").aggregate([("cnt", "sum")])
+        .rename_columns(["g", "cnt"]),
+        n_buckets=16).to_pandas()
+    basis = list(counts.sort_values(["cnt", "g"], ascending=[False, True])
+                 .head(top_n)["g"])
+    b_ref = ray.put(basis)
+
+    def hits(batch: pa.Table) -> pd.DataFrame:
+        toks = ray.get(b_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = {"token": [], "doc_id": [], "pos": [], "snippet": []}
+        for did, text in zip(ids, batch["text"].to_pylist()):
+            low = text.lower()
+            for t in toks:
+                p = low.find(t)
+                if p < 0:
+                    continue
+                start = max(0, p - pad)
+                rows["token"].append(t)
+                rows["doc_id"].append(int(did))
+                rows["pos"].append(p + 1)  # 1-based, strpos parity
+                rows["snippet"].append(
+                    text[start:start + 2 * pad + len(t)])
+        return pd.DataFrame(rows)
+
+    parts = _read_docs(sf_dir).map_batches(
+        hits, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    out = (parts.sort_values(["token", "doc_id"])
+           .groupby("token", as_index=False).head(docs_per))
+    return (out.reset_index(drop=True)
+            .astype({"doc_id": np.int64, "pos": np.int64,
+                     "token": "string", "snippet": "string"}))
+
+
+def token_snippets_sql(top_n: int = _KWIC_TOP, docs_per: int = _KWIC_DOCS,
+                       pad: int = _KWIC_PAD) -> str:
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS g
+  FROM documents),
+c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY 1),
+basis AS (SELECT g FROM c ORDER BY cnt DESC, g LIMIT {top_n}),
+hit AS (
+  SELECT b.g AS token, d.doc_id,
+         strpos(lower(d.text), b.g) AS pos,
+         substr(d.text, GREATEST(1, strpos(lower(d.text), b.g) - {pad}),
+                2 * {pad} + LENGTH(b.g)) AS snippet
+  FROM basis b JOIN documents d ON strpos(lower(d.text), b.g) > 0),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id)
+         AS rn FROM hit)
+SELECT token, CAST(doc_id AS BIGINT) AS doc_id, CAST(pos AS BIGINT) AS pos,
+       snippet
+FROM r WHERE rn <= {docs_per}
+"""
+
+
+TOKEN_SNIPPETS_SQL = token_snippets_sql()

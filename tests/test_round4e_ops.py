@@ -671,3 +671,17 @@ def test_revenue_gini_bounds_and_extremes(sf_dir, tmp_path):
     }), tmp_path / "orders.parquet")
     one = revenue_gini(str(tmp_path)).iloc[0]
     assert one["gini_e9"] == 750_000_000  # (n-1)/n with n=4
+
+
+def test_token_snippets_window_semantics(sf_dir):
+    from research_knowledge_graph_ray.stages.textops import (
+        _KWIC_PAD, token_snippets)
+    got = token_snippets(sf_dir)
+    assert got.groupby("token").size().le(3).all()
+    for _, r in got.iterrows():
+        # the snippet window contains the token at the right offset
+        assert r["token"] in r["snippet"].lower()
+        assert len(r["snippet"]) <= 2 * _KWIC_PAD + len(r["token"])
+    # per token, the smallest doc_ids win
+    for _, sub in got.groupby("token"):
+        assert sub["doc_id"].is_monotonic_increasing or len(sub) == 1
