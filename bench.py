@@ -212,6 +212,7 @@ SUITE: list[tuple[str, str]] = [
     ("revenue_concentration", "stats.revenue_concentration"),
     ("revenue_gini", "stats.revenue_gini"),
     ("token_snippets", "textops.token_snippets"),
+    ("theil_terms", "stats.theil_terms"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

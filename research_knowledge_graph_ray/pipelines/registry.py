@@ -1704,6 +1704,9 @@ QUERIES.update(
         # per-token smallest-doc top-k
         "token_snippets": (textops.token_snippets,
                            textops.TOKEN_SNIPPETS_SQL),
+        # per-customer Theil terms — per-row identical doubles, no
+        # cross-row float sum (psi_drift doctrine)
+        "theil_terms": (stats.theil_terms, stats.THEIL_TERMS_SQL),
     }
 )
 

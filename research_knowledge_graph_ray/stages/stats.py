@@ -2729,3 +2729,72 @@ SELECT CAST(n AS BIGINT) AS n_customers, CAST(sx AS BIGINT) AS total_cents,
          AS gini_e9
 FROM s
 """
+
+
+def theil_terms(sf_dir: str) -> "ray.data.Dataset":
+    """(o_custkey, cents, term_e9) — per-customer Theil-T inequality terms
+    ``(x/S)·ln(n·x/S)``: summing them gives the Theil index, but the sum is
+    deliberately NOT emitted — a cross-row float sum has engine-dependent
+    order, while each per-row term is one identical-double expression from
+    exact integers (the psi_drift/token_label_mi doctrine). The
+    decomposable complement of :func:`revenue_gini` (Theil splits cleanly
+    into between/within-group parts downstream).
+
+    One custkey exchange for exact totals; (n, S) fold to two scalars
+    broadcast into a zero-shuffle scoring pass. Zero-revenue customers emit
+    term 0 (lim x→0 x·ln x = 0, stated in the oracle)."""
+    from .shuffle import hash_exchange_apply
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey", "o_totalprice"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["o_totalprice"].to_numpy(np.float64) * 100
+                        ).astype(np.int64)
+        g = pd.DataFrame({"ck": df["o_custkey"].astype(np.int64),
+                          "cents": cents})
+        return g.groupby("ck", as_index=False)["cents"].sum()
+
+    totals = hash_exchange_apply(
+        ds, ["ck"], part,
+        lambda df: df.groupby("ck", as_index=False)["cents"].sum(),
+        fmt="pandas").materialize()
+
+    def scalars(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [len(df)],
+                             "s": [str(int(df["cents"].sum()))]})
+
+    sc = totals.map_batches(scalars, batch_format="pandas").to_pandas()
+    n = int(sc["n"].sum())
+    s = sum(int(v) for v in sc["s"])
+    ref = ray.put((n, s))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        nn, ss = ray.get(ref)
+        x = df["cents"].to_numpy(np.int64).astype(np.float64)
+        share = x / float(ss)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(x > 0,
+                            share * np.log(float(nn) * x / float(ss)), 0.0)
+        return pd.DataFrame({"o_custkey": df["ck"].astype(np.int64),
+                             "cents": df["cents"].astype(np.int64),
+                             "term_e9": _round_e9_vec(term)})
+
+    return totals.map_batches(score, batch_format="pandas")
+
+
+THEIL_TERMS_SQL = """
+WITH t AS (SELECT o_custkey,
+                  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s FROM t)
+SELECT o_custkey, cents,
+       CAST(CASE WHEN cents > 0
+            THEN ROUND((CAST(cents AS DOUBLE) / CAST(n.s AS DOUBLE))
+                       * LN(CAST(n.n AS DOUBLE) * CAST(cents AS DOUBLE)
+                            / CAST(n.s AS DOUBLE)) * 1000000000)
+            ELSE 0 END AS BIGINT) AS term_e9
+FROM t, n
+"""

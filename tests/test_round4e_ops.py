@@ -685,3 +685,12 @@ def test_token_snippets_window_semantics(sf_dir):
     # per token, the smallest doc_ids win
     for _, sub in got.groupby("token"):
         assert sub["doc_id"].is_monotonic_increasing or len(sub) == 1
+
+
+def test_theil_terms_sum_nonnegative(sf_dir):
+    from research_knowledge_graph_ray.stages.stats import theil_terms
+    got = theil_terms(sf_dir).to_pandas()
+    # Theil index (sum of terms) is >= 0 by Jensen; equality iff uniform
+    assert int(got["term_e9"].sum()) >= 0
+    # share-weighted log terms: the largest earner has a positive term
+    assert got.loc[got["cents"].idxmax(), "term_e9"] > 0
