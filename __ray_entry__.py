@@ -31,7 +31,12 @@ def entry() -> Any:
     from research_knowledge_graph_ray.sources.adapter import read_flat_documents_as_spans
 
     docs = read_flat_documents_as_spans("/root/testdata/sf0.001")
-    res = build_graph(docs, vocab=KG_FLAT_VOCAB, aliases={}, entity_linking=False, link=True)
+    # entity_linking=True exercises the north-star alias/LSH + union-find
+    # canonicalization stage in the driver-facing flagship (aliases=None →
+    # default alias table). On the flat testdata vocab the aliases resolve to
+    # no-ops, so the emitted edges are identical to the content-hash run —
+    # pinned by tests/test_entry_contract.py.
+    res = build_graph(docs, vocab=KG_FLAT_VOCAB, aliases=None, entity_linking=True, link=True)
     return res.edges
 
 
