@@ -1556,18 +1556,25 @@ def rfm_segments(sf_dir: str) -> pd.DataFrame:
 
     Per-customer partials are associative (max, count-sum, cents-sum), so
     blocks pre-combine before the ONE custkey exchange; the per-customer
-    table is customer-bound (the documented broadcast class) and the three
-    medians mirror DuckDB percentile_disc exactly (sorted index
-    ceil(n/2)-1). Output is 8 rows."""
+    Dataset stays in the object store (never pulled to the driver — it is
+    customer-bound, i.e. grows with the corpus). The three medians come from
+    :func:`exact_group_quantiles` (histogram rank-refinement, driver folds
+    bounded by n_hist) and mirror DuckDB percentile_disc exactly (sorted
+    index ceil(n/2)-1); the segmentation itself is a broadcast-threshold
+    map_batches whose partials are 8-row bincounts. Output is ≤8 rows."""
     from .shuffle import grouped_aggregate
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         # serves as partial AND final combine (associative): raw order rows
-        # on the first call, already-partial (last_d, f, m) rows after
+        # on the first call, already-partial (last_d, f, m) rows after.
+        # last_d is carried as int64 epoch-micros (max-compatible, and
+        # exactly representable in the quantile histogram's float64 space —
+        # date micros ≈ 1.7e15 < 2^53)
         if "o_orderdate" in df.columns:
             df = pd.DataFrame({
                 "o_custkey": df["o_custkey"].to_numpy(np.int64),
-                "last_d": df["o_orderdate"].to_numpy("datetime64[us]"),
+                "last_d": df["o_orderdate"].to_numpy("datetime64[us]")
+                .astype(np.int64),
                 "f": np.ones(len(df), dtype=np.int64),
                 "m": np.rint(df["o_totalprice"].to_numpy(np.float64)
                              * 100.0).astype(np.int64),
@@ -1583,24 +1590,35 @@ def rfm_segments(sf_dir: str) -> pd.DataFrame:
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderdate", "o_totalprice"]),
         ["o_custkey"], part, n_buckets=16,
-    ).to_pandas()  # customer-bound
+    ).materialize()  # distributed — reused by 3 quantile passes + the seg pass
 
-    def disc_median(v: np.ndarray) -> np.int64:
-        s = np.sort(v)
-        return s[int(np.ceil(0.5 * len(s))) - 1]
+    rd, fd, md = (
+        int(exact_group_quantiles(per_cust, col, None, [0.5])["p50"].iloc[0])
+        for col in ("last_d", "f", "m")
+    )
 
-    rd = disc_median(per_cust["last_d"].to_numpy("datetime64[us]")
-                     .astype(np.int64))
-    fd = disc_median(per_cust["f"].to_numpy(np.int64))
-    md = disc_median(per_cust["m"].to_numpy(np.int64))
+    def seg_partial(t: pa.Table) -> pa.Table:
+        seg = (
+            (t["last_d"].to_numpy(zero_copy_only=False).astype(np.int64)
+             >= rd).astype(np.int64) * 4
+            + (t["f"].to_numpy(zero_copy_only=False) >= fd).astype(np.int64) * 2
+            + (t["m"].to_numpy(zero_copy_only=False) >= md).astype(np.int64)
+        )
+        cnt = np.bincount(seg, minlength=8).astype(np.int64)
+        return pa.table({"segment": np.arange(8, dtype=np.int64),
+                         "n_customers": cnt})
 
-    seg = ((per_cust["last_d"].to_numpy("datetime64[us]").astype(np.int64)
-            >= rd).astype(np.int64) * 4
-           + (per_cust["f"].to_numpy(np.int64) >= fd).astype(np.int64) * 2
-           + (per_cust["m"].to_numpy(np.int64) >= md).astype(np.int64))
-    g = pd.Series(seg).value_counts().sort_index()
-    return pd.DataFrame({"segment": g.index.to_numpy(np.int64),
-                         "n_customers": g.to_numpy(np.int64)})
+    # 8 rows per block cross to the driver — segment-bounded, not
+    # customer-bound
+    folded = (per_cust.map_batches(seg_partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+              .to_pandas()
+              .groupby("segment", as_index=False)["n_customers"].sum())
+    folded = folded[folded["n_customers"] > 0]
+    return pd.DataFrame({
+        "segment": folded["segment"].to_numpy(np.int64),
+        "n_customers": folded["n_customers"].to_numpy(np.int64),
+    }).reset_index(drop=True)
 
 
 RFM_SEGMENTS_SQL = """
@@ -1628,8 +1646,10 @@ def clv_by_cohort(sf_dir: str) -> pd.DataFrame:
     produced, and per-customer average as an exact integer floor-division.
 
     Associative per-customer partials (min year, cents sum) combine inside
-    blocks before ONE custkey exchange; the cohort rollup is
-    |years|-bounded."""
+    blocks before ONE custkey exchange; the cohort rollup is a SECOND
+    grouped_aggregate keyed by year — its partials collapse each block to
+    |years| rows before the exchange, so the customer-bound table never
+    reaches the driver and only a |years|-bounded result is pulled."""
     from .shuffle import grouped_aggregate
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
@@ -1651,10 +1671,25 @@ def clv_by_cohort(sf_dir: str) -> pd.DataFrame:
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderdate", "o_totalprice"]),
         ["o_custkey"], part, n_buckets=16,
-    ).to_pandas()  # customer-bound
+    )
 
-    g = (per_cust.groupby("y", as_index=False)
-         .agg(n_customers=("o_custkey", "count"), total_cents=("cents", "sum")))
+    def cohort(df: pd.DataFrame) -> pd.DataFrame:
+        # partial AND final combine: per-customer rows on the first call
+        # (discriminated by o_custkey), |years|-row partials after
+        if "o_custkey" in df.columns:
+            df = pd.DataFrame({
+                "y": df["y"].to_numpy(np.int64),
+                "n_customers": np.ones(len(df), dtype=np.int64),
+                "total_cents": df["cents"].to_numpy(np.int64),
+            })
+        else:
+            df = df[["y", "n_customers", "total_cents"]]
+        return (df.groupby("y", as_index=False)
+                .agg(n_customers=("n_customers", "sum"),
+                     total_cents=("total_cents", "sum")))
+
+    g = grouped_aggregate(per_cust, ["y"], cohort,
+                          n_buckets=4).to_pandas()  # |years|-bounded
     return pd.DataFrame({
         "cohort_year": g["y"].to_numpy(np.int64),
         "n_customers": g["n_customers"].to_numpy(np.int64),
@@ -1685,10 +1720,13 @@ def nation_supplier_hhi(sf_dir: str) -> pd.DataFrame:
     hot-key diagnostic over any partitioning column.
 
     Lineitem collapses to per-supplier cent partials inside each scan block
-    before ONE suppkey exchange (supplier-bound output); the
-    supplier→nation map broadcasts (catalog-bound) and the nation rollup is
-    |suppliers|-sized driver work. Floor-division shares are mirrored
-    exactly in SQL."""
+    before ONE suppkey exchange; the per-supplier Dataset stays distributed
+    (never pulled to the driver — it grows with the catalog·corpus). The
+    supplier→nation map broadcasts (catalog-bound, ray.put once), a first
+    bounded pass folds |nations| revenue totals on the driver, the totals
+    broadcast back, and a second pass emits per-nation (count, Σshare²)
+    partials — every driver fold is |nations|-bounded. Floor-division
+    shares are mirrored exactly in SQL."""
     import pyarrow.parquet as pq
     from .shuffle import grouped_aggregate
 
@@ -1709,19 +1747,52 @@ def nation_supplier_hhi(sf_dir: str) -> pd.DataFrame:
         ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
                               columns=["l_suppkey", "l_extendedprice"]),
         ["l_suppkey"], part, n_buckets=16,
-    ).to_pandas()  # supplier-bound
+    ).materialize()  # distributed — reused by the two bounded passes below
 
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"]).to_pandas()
     nat = pq.read_table(f"{sf_dir}/nation.parquet",
                         columns=["n_nationkey", "n_name"]).to_pandas()
-    m = (per_supp.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
-         .merge(nat, left_on="s_nationkey", right_on="n_nationkey"))
-    tot = m.groupby("n_name")["cents"].transform("sum").to_numpy(np.int64)
-    share_e4 = m["cents"].to_numpy(np.int64) * 10000 // tot
-    m = m.assign(sq=share_e4 * share_e4)
-    g = m.groupby("n_name", as_index=False).agg(
-        n_suppliers=("l_suppkey", "count"), hhi_e8=("sq", "sum"))
+    nname_of = dict(zip(nat["n_nationkey"].to_numpy(np.int64),
+                        nat["n_name"].astype(str)))
+    supp_nation_ref = ray.put({
+        int(k): nname_of[int(v)]
+        for k, v in zip(supp["s_suppkey"].to_numpy(np.int64),
+                        supp["s_nationkey"].to_numpy(np.int64))
+        if int(v) in nname_of
+    })
+
+    def attach_nation(t: pa.Table) -> pd.DataFrame:
+        sn = ray.get(supp_nation_ref)
+        names = pd.Series(t["l_suppkey"].to_numpy(zero_copy_only=False)).map(sn)
+        keep = names.notna().to_numpy()
+        return pd.DataFrame({
+            "n_name": names.to_numpy(dtype=object)[keep],
+            "cents": t["cents"].to_numpy(zero_copy_only=False)[keep],
+        })
+
+    def nation_tot(t: pa.Table) -> pd.DataFrame:
+        return (attach_nation(t).groupby("n_name", as_index=False)
+                .agg(cents=("cents", "sum")))
+
+    tot_by_nation = (per_supp.map_batches(nation_tot, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+                     .to_pandas()  # |nations| rows per block — bounded
+                     .groupby("n_name")["cents"].sum().to_dict())
+
+    def hhi_partial(t: pa.Table) -> pd.DataFrame:
+        df = attach_nation(t)
+        tot = df["n_name"].map(tot_by_nation).to_numpy(np.int64)
+        share_e4 = df["cents"].to_numpy(np.int64) * 10000 // tot
+        df = df.assign(sq=share_e4 * share_e4, one=np.int64(1))
+        return (df.groupby("n_name", as_index=False)
+                .agg(n_suppliers=("one", "sum"), hhi_e8=("sq", "sum")))
+
+    g = (per_supp.map_batches(hhi_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+         .to_pandas()  # |nations| rows per block — bounded
+         .groupby("n_name", as_index=False)
+         .agg(n_suppliers=("n_suppliers", "sum"), hhi_e8=("hhi_e8", "sum")))
     return (pd.DataFrame({"n_name": g["n_name"].astype(str),
                           "n_suppliers": g["n_suppliers"]
                           .to_numpy(np.int64),
