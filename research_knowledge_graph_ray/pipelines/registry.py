@@ -945,7 +945,15 @@ QUERIES: dict = {
     # edges through the real media_inventory stage (captions SQL-reachable)
     "kg_media_nodes": (kgflat.media_nodes, KG_MEDIA_NODES_SQL),
     "kg_media_edges": (kgflat.media_edges, KG_MEDIA_EDGES_SQL),
-    "rag_top_doc": (kgflat.rag_top_doc, None),  # hash-embedder retrieval — rows-only
+    # rag_top_doc is rows-only BY PROOF, not omission: its scores depend on
+    # embed_text's float32 L2 normalization (stages/embed.py:68 —
+    # np.linalg.norm over a float32 vector, i.e. BLAS snrm2 with
+    # implementation-defined internal accumulation), which no SQL expression
+    # can restate bit-identically; the CRC-3-gram integer accumulator AND the
+    # retrieval dataflow are oracle-gated through their exact-integer twins
+    # (`knn_topk` / `term_search` / `bm25_search`) and rag_top_doc itself is
+    # pinned against a sequential numpy re-embedding in tests/test_qa.py.
+    "rag_top_doc": (kgflat.rag_top_doc, None),
     # text analysis
     "text_stats": (textops.text_stats, TEXT_STATS_SQL),
     "text_quality": (textops.text_quality, TEXT_QUALITY_SQL),
@@ -1165,10 +1173,15 @@ QUERIES: dict = {
                              CUSTOMER_YEAR_SETOPS_SQL),
     # exact column profiler (one tagged exchange of per-block-distinct pairs)
     "table_profile": (stats.table_profile, TABLE_PROFILE_SQL),
-    # PCA via d×d covariance partials — float sums, approximate by
-    # construction; pinned vs numpy by tests/test_profiling_ops.py.
-    # The distributed portion (one-pass Gram sufficient statistics) is
-    # oracle-gated exactly by embedding_moments below.
+    # PCA is rows-only BY PROOF, not omission: the output is the spectrum of
+    # a dense covariance matrix, and symmetric eigendecomposition (LAPACK
+    # dsyevd — an iterative tridiagonal solver) has no SQL restatement that
+    # lands on identical doubles; float covariance sums are additionally
+    # order-dependent. Pinned vs single-machine numpy PCA by
+    # tests/test_profiling_ops.py, and the ENTIRE distributed portion
+    # (one-pass d×d Gram sufficient statistics) is oracle-gated bit-exactly
+    # by embedding_moments below — only the driver-local d×d eigensolve is
+    # outside the SQL gate.
     "embedding_pca": (stats.embedding_pca, None),
     # integer-quantized Gram matrix: the PCA dataflow with int64 sums,
     # bit-exact vs the unnest-self-join SQL restatement
@@ -1230,8 +1243,12 @@ QUERIES: dict = {
     # it — whichever plan runs must match the same oracle
     "knn_join_auto": (similarity.knn_join_auto, KNN_JOIN_SQL),
     # semantic (IVF-KNN) blocking stage of link_mode='semantic', standalone —
-    # rows-only: nprobe<n_centroids is approximate by contract; the exact
-    # config is pinned vs brute force in tests/test_semantic_linking.py
+    # rows-only BY PROOF, not omission: nprobe<n_centroids makes the output
+    # approximate by contract (it depends on k-means cell assignments, i.e.
+    # on float32-normalized hash embeddings — the same BLAS-snrm2
+    # non-expressibility as rag_top_doc); the exact-recall config is pinned
+    # vs brute force in tests/test_semantic_linking.py and the exact kNN
+    # dataflow is oracle-gated via knn_topk / knn_topk_ivf.
     "semantic_link_pairs": (link.semantic_link_pairs, None),
     # self-supervised training-pair generation (pair-key exchange negatives)
     "contrastive_pairs": (textops.contrastive_pairs, CONTRASTIVE_PAIRS_SQL),

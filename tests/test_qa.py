@@ -45,3 +45,29 @@ def test_answerer_pluggable():
     table = generate_documents(10, seed=1)
     res = answer_question(ray.data.from_arrow(table), "nerf", k=1, answerer=Custom())
     assert res["answer"] == "CUSTOM:1"
+
+
+def test_rag_top_doc_matches_sequential_reembedding(sf_dir):
+    """Direct pin for the rows-only registry entry: rag_top_doc's winner must
+    equal a sequential numpy re-embedding + argmax over the same adapter
+    output (the registry comment's stated gate)."""
+    from research_knowledge_graph_ray.pipelines.kgflat import rag_top_doc
+    from research_knowledge_graph_ray.sources.adapter import (
+        read_flat_documents_as_spans,
+    )
+
+    question = "stream filter window join"
+    got = rag_top_doc(sf_dir, question)
+    assert len(got) == 1
+
+    import pyarrow as pa
+
+    docs = read_flat_documents_as_spans(sf_dir).to_pandas()
+    emb = DocEmbedder()(pa.Table.from_pandas(docs, preserve_index=False))
+    q = embed_text(question).astype(np.float64)
+    sims = np.asarray(emb["embedding"], dtype=np.float64) @ q
+    ids = np.asarray(emb["doc_id"])
+    best = sorted(range(len(ids)),
+                  key=lambda i: (-round(sims[i] * 1e6), ids[i]))[0]
+    assert got["doc_id"].iloc[0] == ids[best]
+    assert int(got["sim_e6"].iloc[0]) == round(sims[best] * 1e6)
