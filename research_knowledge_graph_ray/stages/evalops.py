@@ -175,6 +175,8 @@ def classifier_kappa(sf_dir: str) -> pd.DataFrame:
     n00, n01 = int(parts["n00"].sum()), int(parts["n01"].sum())
     n10, n11 = int(parts["n10"].sum()), int(parts["n11"].sum())
     n = n00 + n01 + n10 + n11
+    if n == 0:
+        raise ValueError("classifier_kappa: empty documents table")
     po_num = n00 + n11
     pe_num = (n00 + n01) * (n00 + n10) + (n10 + n11) * (n01 + n11)
     po_bp = 10000 * po_num // n
@@ -260,6 +262,10 @@ def calibration_bins(sf_dir: str) -> pd.DataFrame:
                                columns=["doc_id", "text"])
     parts = ds.map_batches(per_bin, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    if parts.empty:  # all-empty input loses schema in Ray → guard explicitly
+        return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                             for c in ("bin_lo", "n_docs", "n_pos",
+                                       "pos_rate_bp")})
     g = parts.groupby("b", as_index=False).sum()
     g["bin_lo"] = _CAL_LB + g["b"] * _CAL_W
     g["pos_rate_bp"] = g["n_pos"] * 10000 // g["n_docs"]
@@ -314,6 +320,10 @@ def quality_ensemble(sf_dir: str) -> pd.DataFrame:
                                columns=["doc_id", "text", "source"])
     parts = ds.map_batches(votes, batch_format="pyarrow",
                            zero_copy_batch=True).to_pandas()
+    if parts.empty:  # all-empty input loses schema in Ray → guard explicitly
+        return pd.DataFrame({"source": pd.Series(dtype=object),
+                             "votes": pd.Series(dtype=np.int64),
+                             "n_docs": pd.Series(dtype=np.int64)})
     g = parts.groupby(["source", "votes"], as_index=False)["n_docs"].sum()
     g["votes"] = g["votes"].astype(np.int64)
     g["n_docs"] = g["n_docs"].astype(np.int64)

@@ -2370,7 +2370,13 @@ def bfs_sigma_ds(sym: "ray.data.Dataset", src: int,
     ``src`` over an unweighted symmetric edge Dataset (u, v): the Brandes
     forward pass, as the same pinned-partition frontier join as
     :func:`sssp_ds` (edges bucketed once; per-bucket state slices in the
-    object store; the driver reads one scalar per round)."""
+    object store; the driver reads one scalar per round).
+
+    Truncation semantics: if the frontier is still growing at
+    ``max_rounds``, the ≤``max_rounds``-level PARTIAL state is returned —
+    matching the unrolled-CTE SQL oracles (pair_betweenness /
+    graph_hop_histogram), which stop at the same level cap; nodes farther
+    than ``max_rounds`` hops are simply absent on both sides."""
     from .shuffle import _split_by_bucket
 
     ident = lambda t: t  # noqa: E731
@@ -2405,8 +2411,8 @@ def bfs_sigma_ds(sym: "ray.data.Dataset", src: int,
         grew = sum(ray.get([o[2] for o in outs]))
         if grew == 0:
             break
-    else:
-        raise RuntimeError("BFS did not converge within max_rounds")
+    # no else-raise: a frontier still growing at max_rounds yields the
+    # partial state, mirroring the oracle's fixed-depth unrolled CTE
     import ray.data as rd
 
     return rd.from_arrow_refs(D)

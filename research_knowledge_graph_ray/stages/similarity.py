@@ -1726,14 +1726,16 @@ def knn_shapley(sf_dir: str, k: int = _SHAP_K,
     flat = np.asarray(t["embedding"].combine_chunks().flatten()
                       .to_numpy(zero_copy_only=False), dtype=np.float64)
     mat = flat.reshape(len(ids), -1)[order]
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
-    test_ref = ray.put((ids[order],
-                        mat / norms,
+    # raw vectors + norms (NOT pre-normalized): the scorer restates DuckDB
+    # list_cosine_similarity's association dot/(|a|·|b|) so the e6 rounding
+    # boundary cannot diverge from the oracle
+    test_ref = ray.put((ids[order], mat, norms,
                         t["label"].to_numpy().astype(np.int64)[order]))
 
     def fan(batch: pa.Table) -> pd.DataFrame:
-        t_ids, t_unit, t_lab = ray.get(test_ref)
+        t_ids, t_mat, t_norms, t_lab = ray.get(test_ref)
         ids_b = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = ids_b % test_mod != 0
         if not keep.any():
@@ -1744,9 +1746,13 @@ def knn_shapley(sf_dir: str, k: int = _SHAP_K,
         lab = batch["label"].to_numpy(zero_copy_only=False).astype(
             np.int64)[keep]
         ids_b = ids_b[keep]
-        nq = np.linalg.norm(q, axis=1, keepdims=True)
+        nq = np.linalg.norm(q, axis=1)
         nq[nq == 0] = 1.0
-        sims = np.round((q / nq) @ t_unit.T * 1e6).astype(np.int64)
+        # dot/(|a|·|b|) — list_cosine_similarity's association, not
+        # (q/|q|)·(t/|t|): one division per pair instead of two per-vector
+        # scalings, so the float rounding path matches the oracle's
+        sims = np.round(q @ t_mat.T / (nq[:, None] * t_norms[None, :])
+                        * 1e6).astype(np.int64)
         nt = len(t_ids)
         ntr = len(ids_b)
         return pd.DataFrame({

@@ -2417,7 +2417,9 @@ def embedding_mean_drift(sf_dir: str) -> pd.DataFrame:
     streamed pass emits per-block per-dim partials (2·d ints), the fold is
     dimension-bounded, and delta_e6 = sum_a_q//n_a − sum_b_q//n_b is pure
     integer floor math — sign-safe because the _KM_OFFSET translation keeps
-    every quantized coordinate nonnegative (the documented kmeans bound)."""
+    every quantized coordinate nonnegative (the documented kmeans bound).
+    A one-sided split (every vec_id on one parity) emits the sentinel
+    delta_e6 = -1, stated identically in the oracle."""
 
     from .similarity import _km_quant
 
@@ -2451,7 +2453,10 @@ def embedding_mean_drift(sf_dir: str) -> pd.DataFrame:
         nb = int(b["n"].sum())
         sa = sum(int(v) for v in a["s"])
         sb = sum(int(v) for v in b["s"])
-        delta = (sa * 1_000_000 // na) - (sb * 1_000_000 // nb)
+        # one-sided split (every vec_id shares a parity): sentinel -1, the
+        # bootstrap_ci/rich_club convention, stated identically in the SQL
+        delta = (-1 if na == 0 or nb == 0
+                 else (sa * 1_000_000 // na) - (sb * 1_000_000 // nb))
         rows.append((int(dim), na, nb, sa, sb, delta))
     out = pd.DataFrame(rows, columns=["dim", "n_a", "n_b", "sum_a_q",
                                       "sum_b_q", "delta_e6"])
@@ -2483,8 +2488,9 @@ SELECT CAST(dim AS BIGINT) AS dim,
        CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(sum_a_q AS BIGINT) AS sum_a_q,
        CAST(sum_b_q AS BIGINT) AS sum_b_q,
-       CAST(sum_a_q * 1000000 // n_a - sum_b_q * 1000000 // n_b AS BIGINT)
-         AS delta_e6
+       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN -1
+                 ELSE sum_a_q * 1000000 // n_a - sum_b_q * 1000000 // n_b
+            END AS BIGINT) AS delta_e6
 FROM g
 """
 
