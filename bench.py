@@ -213,6 +213,12 @@ SUITE: list[tuple[str, str]] = [
     ("revenue_gini", "stats.revenue_gini"),
     ("token_snippets", "textops.token_snippets"),
     ("theil_terms", "stats.theil_terms"),
+    ("retrieval_eval", "kgflat.retrieval_eval"),
+    ("fleiss_kappa", "evalops.fleiss_kappa"),
+    ("token_fertility", "textops.token_fertility"),
+    ("rfm_segments", "stats.rfm_segments"),
+    ("clv_by_cohort", "stats.clv_by_cohort"),
+    ("nation_supplier_hhi", "stats.nation_supplier_hhi"),
     ("curate_corpus", "__curate__"),  # composed flagship, special-cased
 ]
 

@@ -977,6 +977,240 @@ ORDER BY score DESC, doc_id LIMIT {k}
 """
 
 
+_REVAL_QUERIES = (("hash", "join"), ("sort", "merge"),
+                  ("window", "stream"), ("filter", "scan"))
+_REVAL_K = 10
+
+
+def retrieval_eval(sf_dir: str, queries: tuple = _REVAL_QUERIES,
+                   k: int = _REVAL_K) -> pd.DataFrame:
+    """(query_id, qa, qb, n_rel, first_rel_rank, rr_e9, rel_at_k, recall_bp)
+    — retrieval-quality evaluation of the BM25 ranker against deterministic
+    relevance labels: for each fixed two-term query, a document is RELEVANT
+    iff it contains BOTH terms (word-boundary), while the ranker scores the
+    terms disjunctively — so partial matches can outrank true positives and
+    the metrics are non-trivial. Emits the standard retrieval-eval numbers,
+    all exact integers: reciprocal rank (rr_e9 = 10⁹ // rank of the first
+    relevant result), relevant-in-top-k, and recall@k in basis points
+    (sentinel -1 when a query has no relevant docs). The eval harness a
+    retrieval-backed curation pipeline runs before trusting its ranker.
+
+    Dataflow — NO exchange anywhere, three streamed passes with
+    query-bounded driver folds:
+    1. corpus stats (N, T, per-term df) — |terms|-bounded partials (the
+       bm25_search pass-1 machinery, same exact-integer scoring identity);
+    2. per-block, per query: local top-k candidate rows + the block's best
+       relevant row + a relevant-count partial — ≤ Q·(k+2) rows per block;
+    3. the global first-relevant doc broadcasts back and each block counts
+       docs ranked ahead of it — Q ints per block.
+
+    Reference parity note: no counterpart in the reference — brief-mandated
+    curation-evaluation family (retrieval metrics)."""
+    terms = sorted({t for q in queries for t in q})
+
+    def stats(batch: pa.Table) -> pd.DataFrame:
+        low = pc.utf8_lower(batch["text"])
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(
+            batch["text"], pattern=" ", replacement="")).cast(pa.int64())
+        dl = pc.add(pc.subtract(n_chars, no_space), 1)
+        row = {"n": [len(batch)], "t": [int(pc.sum(dl).as_py() or 0)],
+               "max_dl": [int(pc.max(dl).as_py() or 0)]}
+        for term in terms:
+            c = pc.count_substring_regex(low, rf"\b{re.escape(term)}\b")
+            row[f"df_{term}"] = [int(pc.sum(
+                pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0)]
+        return pd.DataFrame(row)
+
+    parts = _read_docs(sf_dir).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(parts["n"].sum())
+    t_total = int(parts["t"].sum())
+    idf = {
+        term: ((n - int(parts[f"df_{term}"].sum()) + 1) * _BM25_IDF_SCALE)
+        // (int(parts[f"df_{term}"].sum()) + 1)
+        for term in terms
+    }
+    # same loud int64 range guard as bm25_search (DuckDB raises on the same
+    # overflow); the ranking is scale-invariant in _BM25_IDF_SCALE
+    max_dl = int(parts["max_dl"].max())
+    if max(idf.values()) * 44 * max_dl * t_total >= 2 ** 63:
+        raise ValueError(
+            "retrieval_eval integer range exceeded (idf·44·tf·T ≥ 2^63); "
+            "reduce _BM25_IDF_SCALE — DuckDB would raise on the same "
+            "overflow")
+
+    def _tf_dl(batch: pa.Table):
+        low = pc.utf8_lower(batch["text"])
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(
+            batch["text"], pattern=" ", replacement="")).cast(pa.int64())
+        dl = pc.add(pc.subtract(n_chars, no_space), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = {
+            term: pc.count_substring_regex(
+                low, rf"\b{re.escape(term)}\b").cast(pa.int64())
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+            for term in terms
+        }
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return ids, tf, dl
+
+    def _contrib(term: str, tf: np.ndarray, dl: np.ndarray) -> np.ndarray:
+        num = idf[term] * 44 * tf * t_total
+        den = 20 * tf * t_total + 6 * t_total + 18 * dl * n
+        return num // den
+
+    # kind: 0 = local-top-k candidate row, 1 = relevant-count partial,
+    # 2 = block's best relevant (score>0) row
+    def cand(batch: pa.Table) -> pd.DataFrame:
+        ids, tf, dl = _tf_dl(batch)
+        qi_l, kind_l, id_l, sc_l, rel_l = [], [], [], [], []
+        for qi, (a, b) in enumerate(queries):
+            score = _contrib(a, tf[a], dl) + _contrib(b, tf[b], dl)
+            rel = ((tf[a] > 0) & (tf[b] > 0)).astype(np.int64)
+            qi_l.append(np.full(1, qi)); kind_l.append(np.full(1, 1))
+            id_l.append(np.full(1, -1)); sc_l.append(np.array([rel.sum()]))
+            rel_l.append(np.full(1, -1))
+            pos = score > 0
+            if pos.any():
+                p_ids, p_sc, p_rel = ids[pos], score[pos], rel[pos]
+                top = np.lexsort((p_ids, -p_sc))[:k]
+                m = len(top)
+                qi_l.append(np.full(m, qi)); kind_l.append(np.full(m, 0))
+                id_l.append(p_ids[top]); sc_l.append(p_sc[top])
+                rel_l.append(p_rel[top])
+                pr = pos & (rel == 1)
+                if pr.any():
+                    r_ids, r_sc = ids[pr], score[pr]
+                    bi = np.lexsort((r_ids, -r_sc))[0]
+                    qi_l.append(np.full(1, qi)); kind_l.append(np.full(1, 2))
+                    id_l.append(r_ids[bi:bi + 1]); sc_l.append(r_sc[bi:bi + 1])
+                    rel_l.append(np.full(1, 1))
+        return pd.DataFrame({
+            "qi": np.concatenate(qi_l), "kind": np.concatenate(kind_l),
+            "doc_id": np.concatenate(id_l), "score": np.concatenate(sc_l),
+            "rel": np.concatenate(rel_l),
+        }).astype(np.int64)
+
+    folded = _read_docs(sf_dir).map_batches(
+        cand, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+
+    best_rel: dict[int, tuple[int, int]] = {}  # qi -> (score, doc_id)
+    summary = []
+    for qi in range(len(queries)):
+        sub = folded[folded["qi"] == qi]
+        n_rel = int(sub[sub["kind"] == 1]["score"].sum())
+        topk = (sub[sub["kind"] == 0]
+                .sort_values(["score", "doc_id"], ascending=[False, True])
+                .head(k))
+        rel_at_k = int(topk["rel"].sum())
+        br = sub[sub["kind"] == 2]
+        if len(br):
+            br = br.sort_values(["score", "doc_id"],
+                                ascending=[False, True]).iloc[0]
+            best_rel[qi] = (int(br["score"]), int(br["doc_id"]))
+        summary.append([n_rel, rel_at_k])
+
+    rank_counts = {qi: 0 for qi in best_rel}
+    if best_rel:
+        br_ref = ray.put(best_rel)
+
+        def ahead(batch: pa.Table) -> pd.DataFrame:
+            br = ray.get(br_ref)
+            ids, tf, dl = _tf_dl(batch)
+            rows = []
+            for qi, (s_star, id_star) in br.items():
+                a, b = queries[qi]
+                score = _contrib(a, tf[a], dl) + _contrib(b, tf[b], dl)
+                cnt = int(((score > s_star)
+                           | ((score == s_star) & (ids < id_star))).sum())
+                rows.append((qi, cnt))
+            return pd.DataFrame(rows, columns=["qi", "cnt"]).astype(np.int64)
+
+        ac = _read_docs(sf_dir).map_batches(
+            ahead, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+        rank_counts = ac.groupby("qi")["cnt"].sum().to_dict()
+
+    rows = []
+    for qi, (a, b) in enumerate(queries):
+        n_rel, rel_at_k = summary[qi]
+        first = int(rank_counts[qi]) + 1 if qi in best_rel else 0
+        rr_e9 = 1_000_000_000 // first if first else 0
+        recall_bp = -1 if n_rel == 0 else rel_at_k * 10000 // n_rel
+        rows.append((qi, a, b, n_rel, first, rr_e9, rel_at_k, recall_bp))
+    out = pd.DataFrame(rows, columns=["query_id", "qa", "qb", "n_rel",
+                                      "first_rel_rank", "rr_e9", "rel_at_k",
+                                      "recall_bp"])
+    for c in out.columns:
+        if c not in ("qa", "qb"):
+            out[c] = out[c].astype(np.int64)
+    return out
+
+
+def retrieval_eval_sql(queries: tuple = _REVAL_QUERIES,
+                       k: int = _REVAL_K) -> str:
+    terms = sorted({t for q in queries for t in q})
+    tf_cols = ",\n    ".join(
+        rf"CAST(len(regexp_extract_all(lt, '\b{t}\b')) AS BIGINT) AS tf_{t}"
+        for t in terms)
+    df_cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (tf_{t} > 0) AS BIGINT) AS df_{t}"
+        for t in terms)
+
+    def contrib(t: str) -> str:
+        return (f"(((g.n - df.df_{t} + 1) * {_BM25_IDF_SCALE}"
+                f" // (df.df_{t} + 1)) * 44 * tf_{t} * g.t)"
+                f" // (20 * tf_{t} * g.t + 6 * g.t + 18 * dl * g.n)")
+
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT {qi} AS query_id, '{a}' AS qa, '{b}' AS qb, doc_id,\n"
+        f"    CAST({contrib(a)} + {contrib(b)} AS BIGINT) AS score,\n"
+        f"    CAST(CASE WHEN tf_{a} > 0 AND tf_{b} > 0 THEN 1 ELSE 0 END"
+        f" AS BIGINT) AS rel\n"
+        f"  FROM tf, g, df"
+        for qi, (a, b) in enumerate(queries))
+    return f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt,
+         CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+           AS dl
+  FROM documents),
+tf AS (
+  SELECT doc_id, dl,
+    {tf_cols}
+  FROM d),
+g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS t
+      FROM d),
+df AS (SELECT {df_cols} FROM tf),
+u AS (
+{arms}),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rnk
+      FROM u WHERE score > 0),
+nr AS (SELECT query_id, qa, qb, CAST(SUM(rel) AS BIGINT) AS n_rel
+       FROM u GROUP BY 1, 2, 3),
+m AS (SELECT query_id,
+        MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+        CAST(SUM(CASE WHEN rel = 1 AND rnk <= {k} THEN 1 ELSE 0 END)
+          AS BIGINT) AS rel_at_k
+      FROM r GROUP BY 1)
+SELECT nr.query_id, nr.qa, nr.qb, nr.n_rel,
+  CAST(COALESCE(m.first_rel, 0) AS BIGINT) AS first_rel_rank,
+  CAST(CASE WHEN COALESCE(m.first_rel, 0) > 0
+            THEN 1000000000 // m.first_rel ELSE 0 END AS BIGINT) AS rr_e9,
+  CAST(COALESCE(m.rel_at_k, 0) AS BIGINT) AS rel_at_k,
+  CAST(CASE WHEN nr.n_rel = 0 THEN -1
+            ELSE COALESCE(m.rel_at_k, 0) * 10000 // nr.n_rel
+       END AS BIGINT) AS recall_bp
+FROM nr LEFT JOIN m USING (query_id)
+ORDER BY query_id
+"""
+
+
+RETRIEVAL_EVAL_SQL = retrieval_eval_sql()
+
+
 _RELATED_K = 5
 
 

@@ -956,6 +956,8 @@ QUERIES: dict = {
     "rag_top_doc": (kgflat.rag_top_doc, None),
     # text analysis
     "text_stats": (textops.text_stats, TEXT_STATS_SQL),
+    # per-source tokenizer-fertility audit (tokens per 1000 chars)
+    "token_fertility": (textops.token_fertility, textops.TOKEN_FERTILITY_SQL),
     "text_quality": (textops.text_quality, TEXT_QUALITY_SQL),
     # learned-quality-gate shape: linear classifier over doc features with
     # fixed integer weights (fasttext/CCNet filter stand-in, exact SQL)
@@ -1377,6 +1379,9 @@ QUERIES.update(
         # BM25 ranked retrieval, exact integer surrogate (idf and the
         # k1/b/avgdl denominator cleared to integers by multiplying by 20T)
         "bm25_search": (kgflat.bm25_search, kgflat.bm25_search_sql()),
+        # retrieval-quality eval of the BM25 ranker vs deterministic
+        # conjunctive relevance labels: MRR / rel@k / recall@k, all-integer
+        "retrieval_eval": (kgflat.retrieval_eval, kgflat.RETRIEVAL_EVAL_SQL),
         # forward as-of join (time-to-conversion lookahead) — same exchange
         # as the backward variant, merge_asof direction flipped
         "events_next_purchase": (windows.events_next_purchase,
@@ -1572,6 +1577,9 @@ QUERIES.update(
         # pass, 4-cell confusion partials, Python-int exact kappa
         "classifier_kappa": (evalops.classifier_kappa,
                              evalops.CLASSIFIER_KAPPA_SQL),
+        # Fleiss' kappa over the THREE gates as raters (multi-rater
+        # agreement) — same fused pass, 4-cell vote partials, exact ints
+        "fleiss_kappa": (evalops.fleiss_kappa, evalops.FLEISS_KAPPA_SQL),
         # reliability diagram: logit bins vs Gopher agreement rate —
         # bin-domain-bounded driver fold
         "calibration_bins": (evalops.calibration_bins,

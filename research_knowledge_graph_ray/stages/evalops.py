@@ -226,6 +226,65 @@ FROM k
 """
 
 
+def fleiss_kappa(sf_dir: str) -> pd.DataFrame:
+    """(n, c0, c1, c2, c3, kappa_bp) — Fleiss' kappa for the THREE
+    deterministic quality gates (stopword-band, linear classifier, Gopher
+    rules) as raters over binary keep/drop: the multi-rater generalization
+    of :func:`classifier_kappa` — the agreement statistic to quote when an
+    ensemble of ≥3 filters votes (quality_ensemble's histogram, reduced to
+    one chance-corrected scalar).
+
+    With r=3 raters and 2 categories the per-doc vote count v ∈ {0..3} is a
+    sufficient statistic: P̄ = Σ_v c_v·w_v / (6N) with w = (6,2,2,6)
+    (pairwise-agreement weights v(v−1)+(3−v)(2−v)), and
+    P̄_e = (V² + (3N−V)²)/(9N²) with V = Σ v·c_v. kappa =
+    (3NS − 2E)/(18N² − 2E), E = V² + (3N−V)² — every fold an unbounded
+    Python int (E is O(N²), past int64 at ~1e9 docs → HUGEINT oracle).
+    Degenerate chance agreement (V=0 or V=3N) emits the 10000 sentinel,
+    stated identically in SQL; truncating division matches DuckDB ``//``.
+
+    Dataflow: ONE fused pass (all three gates share _doc_features), 4-cell
+    bincount partials, cell-domain-bounded driver fold."""
+
+    def votes(batch: pa.Table) -> pd.DataFrame:
+        f = _doc_features(batch)
+        stop_bp = f["n_stop"] * 10000 // np.maximum(f["n_tokens"], 1)
+        v1 = ((stop_bp >= _ENS_STOP_LO)
+              & (stop_bp <= _ENS_STOP_HI)).astype(np.int64)
+        v2 = (_logreg_logit(f) >= 0).astype(np.int64)
+        v3 = _gopher_keep(f)
+        cnt = np.bincount(v1 + v2 + v3, minlength=4).astype(np.int64)
+        return pd.DataFrame({"c0": [cnt[0]], "c1": [cnt[1]],
+                             "c2": [cnt[2]], "c3": [cnt[3]]})
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    parts = ds.map_batches(votes, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    c = [int(parts[f"c{v}"].sum()) for v in range(4)]
+    n = sum(c)
+    if n == 0:
+        raise ValueError("fleiss_kappa: empty documents table")
+    s = 6 * c[0] + 2 * c[1] + 2 * c[2] + 6 * c[3]
+    vv = c[1] + 2 * c[2] + 3 * c[3]
+    ee = vv * vv + (3 * n - vv) ** 2
+    den = 18 * n * n - 2 * ee
+    if den == 0:
+        kappa_bp = 10000
+    else:
+        # DuckDB // truncates toward zero; Python floors — kappa can be
+        # negative, so truncate explicitly (the classifier_kappa recipe)
+        num = 10000 * (3 * n * s - 2 * ee)
+        kappa_bp = abs(num) // den * (1 if num >= 0 else -1)
+    return pd.DataFrame(
+        [[n, *c, kappa_bp]],
+        columns=["n", "c0", "c1", "c2", "c3", "kappa_bp"]).astype(np.int64)
+
+
+# _ENS_STOP_LO/_ENS_STOP_HI are defined below with quality_ensemble; the SQL
+# is assembled after them (module bottom ordering keeps one source of truth).
+
+
 # Calibration binning: logit bins of width 500, shifted by a fixed lower
 # bound so floor division is sign-safe identically in numpy and SQL. The
 # logit is bounded below by BIAS + W_DIGIT*10000 = -67500 > _CAL_LB
@@ -343,6 +402,39 @@ v AS (
 SELECT source, CAST(votes AS BIGINT) AS votes,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM v GROUP BY 1, 2
+"""
+
+
+FLEISS_KAPPA_SQL = f"""
+WITH f AS ({_FEAT_SQL}),
+v AS (
+  SELECT
+    (CASE WHEN n_stop * 10000 // GREATEST(n_tokens, 1)
+               BETWEEN {_ENS_STOP_LO} AND {_ENS_STOP_HI}
+          THEN 1 ELSE 0 END)
+    + (CASE WHEN ({_LOGIT_SQL}) >= 0 THEN 1 ELSE 0 END)
+    + ({_GKEEP_SQL}) AS votes
+  FROM f),
+c AS (
+  SELECT
+    CAST(SUM(CASE WHEN votes = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS c0,
+    CAST(SUM(CASE WHEN votes = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS c1,
+    CAST(SUM(CASE WHEN votes = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS c2,
+    CAST(SUM(CASE WHEN votes = 3 THEN 1 ELSE 0 END) AS HUGEINT) AS c3
+  FROM v),
+k AS (
+  SELECT c0 + c1 + c2 + c3 AS n, c0, c1, c2, c3,
+         6*c0 + 2*c1 + 2*c2 + 6*c3 AS s,
+         c1 + 2*c2 + 3*c3 AS vv
+  FROM c),
+e AS (SELECT *, vv*vv + (3*n - vv)*(3*n - vv) AS ee FROM k)
+SELECT CAST(n AS BIGINT) AS n, CAST(c0 AS BIGINT) AS c0,
+       CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+       CAST(c3 AS BIGINT) AS c3,
+       CAST(CASE WHEN 18*n*n - 2*ee = 0 THEN 10000
+                 ELSE 10000 * (3*n*s - 2*ee) // (18*n*n - 2*ee)
+            END AS BIGINT) AS kappa_bp
+FROM e
 """
 
 

@@ -44,6 +44,59 @@ def text_stats(sf_dir: str) -> "ray.data.Dataset":
     return _read_docs(sf_dir).map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def token_fertility(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, n_tokens, n_chars, tokens_per_kchar) — per-source
+    tokenizer-fertility audit: tokens produced per 1000 characters
+    (text_stats' whitespace token semantic), the efficiency number a
+    tokenizer/corpus pairing is judged by before training-cost estimates —
+    a source whose fertility is far off the corpus norm is either
+    non-linguistic (code, tables) or will dominate the token budget.
+
+    Per-block (source, n_docs, n_tokens, n_chars) partials pre-combine
+    inside the scan; the driver fold is |sources|·blocks-bounded; the ratio
+    is one exact floor division per source."""
+
+    def part(batch: pa.Table) -> pd.DataFrame:
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(
+            batch["text"], pattern=" ", replacement="")).cast(pa.int64())
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "n_tokens": pc.add(pc.subtract(n_chars, no_space), 1)
+            .to_numpy(zero_copy_only=False),
+            "n_chars": n_chars.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), n_tokens=("n_tokens", "sum"),
+            n_chars=("n_chars", "sum"))
+        return g
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"])
+    parts = ds.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    g = parts.groupby("source", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"),
+        n_chars=("n_chars", "sum"))
+    g["tokens_per_kchar"] = (g["n_tokens"].astype(np.int64) * 1000
+                             // np.maximum(g["n_chars"].astype(np.int64), 1))
+    for c in ("n_docs", "n_tokens", "n_chars", "tokens_per_kchar"):
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values("source").reset_index(drop=True)
+
+
+TOKEN_FERTILITY_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1)
+         AS BIGINT) AS n_tokens,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       CAST(SUM(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) * 1000
+            // GREATEST(SUM(LENGTH(text)), 1) AS BIGINT) AS tokens_per_kchar
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 def text_quality(sf_dir: str) -> "ray.data.Dataset":
     """(doc_id, n_tokens, n_stopwords, stop_ratio_bp) — stopword-ratio quality
     score in basis points (integer math → exact oracle comparison)."""
