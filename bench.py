@@ -214,6 +214,7 @@ SUITE: list[tuple[str, str]] = [
     ("token_snippets", "textops.token_snippets"),
     ("theil_terms", "stats.theil_terms"),
     ("retrieval_eval", "kgflat.retrieval_eval"),
+    ("graph_modularity", "graphalgs.graph_modularity"),
     ("fleiss_kappa", "evalops.fleiss_kappa"),
     ("token_fertility", "textops.token_fertility"),
     ("rfm_segments", "stats.rfm_segments"),

@@ -1075,6 +1075,10 @@ QUERIES: dict = {
     "graph_hits": (graphalgs.hits, graphalgs.hits_sql()),
     "graph_label_prop": (graphalgs.label_propagation,
                          graphalgs.label_propagation_sql()),
+    # Newman modularity terms of the label-prop partition (per-community
+    # identical-double terms over exact counts — the theil_terms doctrine)
+    "graph_modularity": (graphalgs.graph_modularity,
+                         graphalgs.GRAPH_MODULARITY_SQL),
     # k-truss: bounded-round edge peeling by triangle support over the
     # co-occurrence graph (the community backbone one step above k-core)
     "graph_ktruss": (graphalgs.ktruss,

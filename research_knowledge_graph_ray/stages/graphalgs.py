@@ -1494,8 +1494,10 @@ def label_propagation(sf_dir: str, iters: int = _LP_ITERS,
     return ray.data.from_arrow_refs([out.remote(r) for r in L])
 
 
-def label_propagation_sql(iters: int = _LP_ITERS) -> str:
-    """Exact chained-CTE restatement of :func:`label_propagation`."""
+def _label_prop_ctes(iters: int) -> list[str]:
+    """Shared CTE chain (edge set + ``iters`` synchronous rounds) — final
+    labels land in ``l{iters}``; used by the label_propagation AND
+    graph_modularity oracles so both replay the identical propagation."""
     ctes = [
         f"de AS (SELECT DISTINCT l_suppkey AS src, "
         f"l_partkey + {_PART_OFFSET} AS dst FROM lineitem)",
@@ -1510,8 +1512,168 @@ def label_propagation_sql(iters: int = _LP_ITERS) -> str:
     FROM e JOIN l{k - 1} l ON l.node = e.src GROUP BY 1, 2)
   QUALIFY ROW_NUMBER() OVER (
     PARTITION BY node ORDER BY c DESC, label ASC) = 1)""")
-    return ("WITH " + ",\n".join(ctes)
+    return ctes
+
+
+def label_propagation_sql(iters: int = _LP_ITERS) -> str:
+    """Exact chained-CTE restatement of :func:`label_propagation`."""
+    return ("WITH " + ",\n".join(_label_prop_ctes(iters))
             + f"\nSELECT node, label AS community FROM l{iters} ORDER BY node")
+
+
+def graph_modularity(sf_dir: str, iters: int = _LP_ITERS,
+                     n_buckets: int = 8) -> pd.DataFrame:
+    """(community, n_nodes, intra2, d_sum, term_e9) — Newman modularity
+    terms of the label-propagation partition: per community c,
+    ``term = intra2_c/M2 − (d_c/M2)²`` over the symmetrized (directed-pair)
+    edge set, where intra2_c counts directed intra-community edges, d_c sums
+    member degrees, and M2 is the total directed edge count; Σ terms is the
+    modularity Q of the partition (Newman & Girvan 2004). The term is
+    deliberately emitted PER COMMUNITY, not summed — each is one
+    identical-double from exact integers (the theil_terms doctrine), while a
+    cross-row float sum would be engine-order-dependent.
+
+    Dataflow: the communities come from the oracle-gated
+    :func:`label_propagation` Pregel; TWO tagged-union hash exchanges attach
+    the src then dst community to each edge (labels are node-bound state,
+    the same class the propagation itself shuffles), with per-bucket
+    (community, n_nodes/d_sum/intra2) partials; one community-keyed
+    grouped_aggregate combines them, M2 folds to one scalar, and a final
+    zero-shuffle pass computes the term with unbounded-int numerators
+    (intra2·M2 and d² pass int64 at ~3e9 directed edges → object dtype here,
+    HUGEINT in the oracle)."""
+    from .shuffle import bucketed_group_apply, grouped_aggregate
+    from .stats import _round_e9_vec
+
+    lab = label_propagation(sf_dir, iters=iters, n_buckets=n_buckets)
+    edges = _symmetrized_edges(_supplier_part_edges(sf_dir))
+
+    # unified tagged schema (kind, node, c, v): kind 0 = edge row (node=key,
+    # c carries the other endpoint or the src community), 1 = d_sum partial,
+    # 2 = n_nodes partial, 3 = label row, 4 = intra2 partial
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "kind": np.zeros(len(df), dtype=np.int64),
+            "node": df["src"].to_numpy(np.int64),
+            "c": df["dst"].to_numpy(np.int64),
+            "v": np.ones(len(df), dtype=np.int64)})
+
+    def tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "kind": np.full(len(df), 3, dtype=np.int64),
+            "node": df["node"].to_numpy(np.int64),
+            "c": df["community"].to_numpy(np.int64),
+            "v": np.ones(len(df), dtype=np.int64)})
+
+    tagged_labels = lab.map_batches(tag_labels, batch_format="pandas")
+
+    def attach_src(df: pd.DataFrame) -> pd.DataFrame:
+        labs = df[df["kind"] == 3]
+        cmap = dict(zip(labs["node"].to_numpy(np.int64),
+                        labs["c"].to_numpy(np.int64)))
+        ed = df[df["kind"] == 0]
+        c_src = ed["node"].map(cmap).to_numpy(np.int64)
+        out = [pd.DataFrame({"kind": np.zeros(len(ed), dtype=np.int64),
+                             "node": ed["c"].to_numpy(np.int64),  # the dst
+                             "c": c_src,
+                             "v": np.ones(len(ed), dtype=np.int64)})]
+        d_part = pd.Series(c_src).value_counts()
+        out.append(pd.DataFrame({"kind": 1, "node": -1,
+                                 "c": d_part.index.to_numpy(np.int64),
+                                 "v": d_part.to_numpy(np.int64)}))
+        n_part = labs["c"].value_counts()
+        out.append(pd.DataFrame({"kind": 2, "node": -1,
+                                 "c": n_part.index.to_numpy(np.int64),
+                                 "v": n_part.to_numpy(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    pass_a = bucketed_group_apply(
+        edges.map_batches(tag_edges, batch_format="pandas")
+        .union(tagged_labels),
+        ["node"], lambda d: d, attach_src, n_buckets=n_buckets)
+
+    def attach_dst(df: pd.DataFrame) -> pd.DataFrame:
+        labs = df[df["kind"] == 3]
+        cmap = dict(zip(labs["node"].to_numpy(np.int64),
+                        labs["c"].to_numpy(np.int64)))
+        ed = df[df["kind"] == 0]
+        c_dst = ed["node"].map(cmap).to_numpy(np.int64)
+        intra = pd.Series(ed["c"].to_numpy(np.int64)[
+            ed["c"].to_numpy(np.int64) == c_dst]).value_counts()
+        out = [df[df["kind"].isin([1, 2])],
+               pd.DataFrame({"kind": 4, "node": -1,
+                             "c": intra.index.to_numpy(np.int64),
+                             "v": intra.to_numpy(np.int64)})]
+        return pd.concat(out, ignore_index=True)
+
+    pass_b = bucketed_group_apply(
+        pass_a.union(tagged_labels), ["node"], lambda d: d, attach_dst,
+        n_buckets=n_buckets)
+
+    def comb(df: pd.DataFrame) -> pd.DataFrame:
+        if "kind" in df.columns:  # first (partial) call: raw tagged rows
+            df = pd.DataFrame({
+                "c": df["c"].to_numpy(np.int64),
+                "n_nodes": np.where(df["kind"] == 2, df["v"], 0),
+                "d_sum": np.where(df["kind"] == 1, df["v"], 0),
+                "intra2": np.where(df["kind"] == 4, df["v"], 0)})
+        return df.groupby("c", as_index=False).agg(
+            n_nodes=("n_nodes", "sum"), d_sum=("d_sum", "sum"),
+            intra2=("intra2", "sum"))
+
+    per_c = grouped_aggregate(pass_b, ["c"], comb,
+                              n_buckets=n_buckets).materialize()
+    m2 = int(per_c.sum("d_sum"))
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        intra2 = df["intra2"].to_numpy(np.int64)
+        d = df["d_sum"].to_numpy(np.int64)
+        # exact big-int numerator (object dtype), then ONE double division —
+        # the same CAST(num AS DOUBLE)/CAST(m2*m2 AS DOUBLE) the SQL states
+        num = intra2.astype(object) * m2 - d.astype(object) * d.astype(object)
+        v = np.array([float(x) for x in num], dtype=np.float64) \
+            / float(m2 * m2)
+        return pd.DataFrame({
+            "community": df["c"].to_numpy(np.int64),
+            "n_nodes": df["n_nodes"].to_numpy(np.int64),
+            "intra2": intra2, "d_sum": d,
+            "term_e9": _round_e9_vec(v)})
+
+    return (per_c.map_batches(term, batch_format="pandas").to_pandas()
+            .sort_values("community")
+            .reset_index(drop=True))  # community-bound output table
+
+
+def graph_modularity_sql(iters: int = _LP_ITERS) -> str:
+    ctes = _label_prop_ctes(iters) + [
+        "mm AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM e)",
+        "deg AS (SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS d "
+        "FROM e GROUP BY 1)",
+        f"lab AS (SELECT node, label FROM l{iters})",
+        "cstats AS (SELECT l.label AS community,"
+        " CAST(COUNT(*) AS HUGEINT) AS n_nodes,"
+        " CAST(SUM(deg.d) AS HUGEINT) AS d_sum"
+        " FROM lab l JOIN deg ON deg.node = l.node GROUP BY 1)",
+        "intra AS (SELECT ls.label AS community,"
+        " CAST(COUNT(*) AS HUGEINT) AS intra2"
+        " FROM e JOIN lab ls ON e.src = ls.node"
+        " JOIN lab ld ON e.dst = ld.node"
+        " WHERE ls.label = ld.label GROUP BY 1)",
+    ]
+    return ("WITH " + ",\n".join(ctes) + f"""
+SELECT cstats.community,
+       CAST(cstats.n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(intra.intra2, 0) AS BIGINT) AS intra2,
+       CAST(cstats.d_sum AS BIGINT) AS d_sum,
+       CAST(ROUND(CAST(COALESCE(intra.intra2, 0) * mm.m2
+                       - cstats.d_sum * cstats.d_sum AS DOUBLE)
+                  / CAST(mm.m2 * mm.m2 AS DOUBLE) * 1000000000)
+         AS BIGINT) AS term_e9
+FROM cstats LEFT JOIN intra USING (community), mm
+ORDER BY community""")
+
+
+GRAPH_MODULARITY_SQL = graph_modularity_sql()
 
 
 # ---------------------------------------------------------------------------
