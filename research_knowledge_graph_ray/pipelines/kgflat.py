@@ -860,6 +860,53 @@ _BM25_K = 10
 _BM25_IDF_SCALE = 1_000_000
 
 
+def _bm25_corpus_stats(sf_dir: str, terms: tuple):
+    """Pass 1 of the BM25 family, shared by :func:`bm25_search` and
+    :func:`retrieval_eval` so the scoring identity has ONE source of truth:
+    per-block (N, T, max_dl, per-term df) partials fold to |terms|-bounded
+    driver scalars; returns ``(n, t_total, idf)`` with the integer idf
+    surrogate ``(N − df + 1)·SCALE // (df + 1)``.
+
+    Includes the loud int64 range guard (mirrors DuckDB, whose BIGINT
+    multiply RAISES on overflow instead of wrapping): the largest per-term
+    numerator is idf·44·max_tf·T with max_tf ≤ max dl. At the scale where
+    this binds, drop _BM25_IDF_SCALE a decade or two — the RANKING is
+    scale-invariant, only the gate constant changes. An empty corpus raises
+    (the classifier_kappa convention; the SQL oracles return 0 rows)."""
+
+    def stats(batch: pa.Table) -> pd.DataFrame:
+        low = pc.utf8_lower(batch["text"])
+        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
+        no_space = pc.utf8_length(pc.replace_substring(
+            batch["text"], pattern=" ", replacement="")).cast(pa.int64())
+        dl = pc.add(pc.subtract(n_chars, no_space), 1)
+        row = {"n": [len(batch)], "t": [int(pc.sum(dl).as_py() or 0)],
+               "max_dl": [int(pc.max(dl).as_py() or 0)]}
+        for term in terms:
+            c = pc.count_substring_regex(low, rf"\b{re.escape(term)}\b")
+            row[f"df_{term}"] = [int(pc.sum(
+                pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0)]
+        return pd.DataFrame(row)
+
+    parts = _read_docs(sf_dir).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    if n == 0:
+        raise ValueError("bm25 corpus stats: empty documents table")
+    t_total = int(parts["t"].sum())
+    idf = {
+        term: ((n - int(parts[f"df_{term}"].sum()) + 1) * _BM25_IDF_SCALE)
+        // (int(parts[f"df_{term}"].sum()) + 1)
+        for term in terms
+    }
+    max_dl = int(parts["max_dl"].max())
+    if max(idf.values()) * 44 * max_dl * t_total >= 2 ** 63:
+        raise ValueError(
+            "bm25 integer range exceeded (idf·44·tf·T ≥ 2^63); reduce "
+            "_BM25_IDF_SCALE — DuckDB would raise on the same overflow")
+    return n, t_total, idf
+
+
 def bm25_search(sf_dir: str, terms: tuple = _BM25_TERMS,
                 k: int = _BM25_K) -> pd.DataFrame:
     """(doc_id, score) — BM25-ranked disjunctive retrieval (Robertson &
@@ -882,42 +929,7 @@ def bm25_search(sf_dir: str, terms: tuple = _BM25_TERMS,
 
     Reference parity note: no counterpart in the reference — brief-mandated
     retrieval family (the standard lexical ranker)."""
-
-    def stats(batch: pa.Table) -> pd.DataFrame:
-        low = pc.utf8_lower(batch["text"])
-        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
-        no_space = pc.utf8_length(pc.replace_substring(
-            batch["text"], pattern=" ", replacement="")).cast(pa.int64())
-        dl = pc.add(pc.subtract(n_chars, no_space), 1)
-        row = {"n": [len(batch)],
-               "t": [int(pc.sum(dl).as_py() or 0)]}
-        for term in terms:
-            c = pc.count_substring_regex(low, rf"\b{re.escape(term)}\b")
-            row[f"df_{term}"] = [int(pc.sum(
-                pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0)]
-        return pd.DataFrame(row)
-
-    parts = _read_docs(sf_dir).map_batches(
-        stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    n = int(parts["n"].sum())
-    t_total = int(parts["t"].sum())
-    idf = {
-        term: ((n - int(parts[f"df_{term}"].sum()) + 1) * _BM25_IDF_SCALE)
-        // (int(parts[f"df_{term}"].sum()) + 1)
-        for term in terms
-    }
-
-    # int64 range guard (mirrors DuckDB, whose BIGINT multiply RAISES on
-    # overflow instead of wrapping): the largest per-term numerator is
-    # idf·44·max_tf·T with max_tf ≤ max dl. Loud failure, never silent wrap;
-    # at the scale where this binds, drop _BM25_IDF_SCALE a decade or two —
-    # the RANKING is scale-invariant, only the gate constant changes.
-    max_dl = int(parts["t"].max())  # ≥ any single doc length
-    max_idf = max(idf.values())
-    if max_idf * 44 * max_dl * t_total >= 2 ** 63:
-        raise ValueError(
-            "bm25 integer range exceeded (idf·44·tf·T ≥ 2^63); reduce "
-            "_BM25_IDF_SCALE — DuckDB would raise on the same overflow")
+    n, t_total, idf = _bm25_corpus_stats(sf_dir, terms)
 
     def score(batch: pa.Table) -> pd.DataFrame:
         low = pc.utf8_lower(batch["text"])
@@ -1007,38 +1019,10 @@ def retrieval_eval(sf_dir: str, queries: tuple = _REVAL_QUERIES,
     Reference parity note: no counterpart in the reference — brief-mandated
     curation-evaluation family (retrieval metrics)."""
     terms = sorted({t for q in queries for t in q})
-
-    def stats(batch: pa.Table) -> pd.DataFrame:
-        low = pc.utf8_lower(batch["text"])
-        n_chars = pc.utf8_length(batch["text"]).cast(pa.int64())
-        no_space = pc.utf8_length(pc.replace_substring(
-            batch["text"], pattern=" ", replacement="")).cast(pa.int64())
-        dl = pc.add(pc.subtract(n_chars, no_space), 1)
-        row = {"n": [len(batch)], "t": [int(pc.sum(dl).as_py() or 0)],
-               "max_dl": [int(pc.max(dl).as_py() or 0)]}
-        for term in terms:
-            c = pc.count_substring_regex(low, rf"\b{re.escape(term)}\b")
-            row[f"df_{term}"] = [int(pc.sum(
-                pc.cast(pc.greater(c, 0), pa.int64())).as_py() or 0)]
-        return pd.DataFrame(row)
-
-    parts = _read_docs(sf_dir).map_batches(
-        stats, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    n = int(parts["n"].sum())
-    t_total = int(parts["t"].sum())
-    idf = {
-        term: ((n - int(parts[f"df_{term}"].sum()) + 1) * _BM25_IDF_SCALE)
-        // (int(parts[f"df_{term}"].sum()) + 1)
-        for term in terms
-    }
-    # same loud int64 range guard as bm25_search (DuckDB raises on the same
-    # overflow); the ranking is scale-invariant in _BM25_IDF_SCALE
-    max_dl = int(parts["max_dl"].max())
-    if max(idf.values()) * 44 * max_dl * t_total >= 2 ** 63:
-        raise ValueError(
-            "retrieval_eval integer range exceeded (idf·44·tf·T ≥ 2^63); "
-            "reduce _BM25_IDF_SCALE — DuckDB would raise on the same "
-            "overflow")
+    # shared pass 1 (ONE source of truth for the scoring identity); raises
+    # loudly on an empty corpus, where the SQL's u CTE would return 0 rows
+    # while the per-query summary below would still emit Q rows
+    n, t_total, idf = _bm25_corpus_stats(sf_dir, terms)
 
     def _tf_dl(batch: pa.Table):
         low = pc.utf8_lower(batch["text"])

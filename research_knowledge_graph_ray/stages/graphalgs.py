@@ -1433,7 +1433,9 @@ def _lp_apply(*pieces):
 
 
 def label_propagation(sf_dir: str, iters: int = _LP_ITERS,
-                      n_buckets: int = 8) -> "ray.data.Dataset":
+                      n_buckets: int = 8,
+                      edges: "ray.data.Dataset | None" = None
+                      ) -> "ray.data.Dataset":
     """(node, community) — `iters` synchronous label-propagation rounds over
     the symmetrized supplier↔part graph; init label(v) = v, update label(v) =
     most frequent neighbor label with smallest-label tie-break (Raghavan et
@@ -1454,7 +1456,8 @@ def label_propagation(sf_dir: str, iters: int = _LP_ITERS,
     traversals only); completes the graph-analytics family (PageRank / PPR /
     HITS / k-core / SSSP / CC / triangles) with its standard community op.
     """
-    edges = _symmetrized_edges(_supplier_part_edges(sf_dir))
+    if edges is None:  # caller may pass the materialized edge set to share
+        edges = _symmetrized_edges(_supplier_part_edges(sf_dir))
     ident = lambda t: t  # noqa: E731
     e_bucketed = hash_exchange_apply(edges, ["src"], ident, ident,
                                      n_buckets=n_buckets)
@@ -1545,8 +1548,11 @@ def graph_modularity(sf_dir: str, iters: int = _LP_ITERS,
     from .shuffle import bucketed_group_apply, grouped_aggregate
     from .stats import _round_e9_vec
 
-    lab = label_propagation(sf_dir, iters=iters, n_buckets=n_buckets)
+    # ONE edge build shared with the propagation (already materialized by
+    # _symmetrized_edges) — no second lineitem scan / distinct exchange
     edges = _symmetrized_edges(_supplier_part_edges(sf_dir))
+    lab = label_propagation(sf_dir, iters=iters, n_buckets=n_buckets,
+                            edges=edges)
 
     # unified tagged schema (kind, node, c, v): kind 0 = edge row (node=key,
     # c carries the other endpoint or the src community), 1 = d_sum partial,
@@ -1623,7 +1629,12 @@ def graph_modularity(sf_dir: str, iters: int = _LP_ITERS,
 
     per_c = grouped_aggregate(pass_b, ["c"], comb,
                               n_buckets=n_buckets).materialize()
-    m2 = int(per_c.sum("d_sum"))
+    m2_raw = per_c.sum("d_sum")  # None on an all-empty Dataset
+    if not m2_raw:
+        # empty edge set: the SQL oracle returns 0 rows; raise loudly
+        # instead of dividing by zero (the classifier_kappa convention)
+        raise ValueError("graph_modularity: empty edge set")
+    m2 = int(m2_raw)
 
     def term(df: pd.DataFrame) -> pd.DataFrame:
         intra2 = df["intra2"].to_numpy(np.int64)

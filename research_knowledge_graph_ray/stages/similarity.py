@@ -1750,9 +1750,12 @@ def knn_shapley(sf_dir: str, k: int = _SHAP_K,
         nq[nq == 0] = 1.0
         # dot/(|a|·|b|) — list_cosine_similarity's association, not
         # (q/|q|)·(t/|t|): one division per pair instead of two per-vector
-        # scalings, so the float rounding path matches the oracle's
-        sims = np.round(q @ t_mat.T / (nq[:, None] * t_norms[None, :])
-                        * 1e6).astype(np.int64)
+        # scalings, so the float rounding path matches the oracle's; the e6
+        # rounding itself must be half-AWAY-from-zero (DuckDB ROUND), not
+        # np.round's half-to-even
+        from .stats import _round_e6_vec
+
+        sims = _round_e6_vec(q @ t_mat.T / (nq[:, None] * t_norms[None, :]))
         nt = len(t_ids)
         ntr = len(ids_b)
         return pd.DataFrame({

@@ -1546,6 +1546,74 @@ FROM c
 """
 
 
+def _exact_medians_multi(ds: "ray.data.Dataset", cols: tuple,
+                         n_hist: int = 2048) -> list[int]:
+    """Exact percentile_disc(0.5) of several int64 columns in THREE streamed
+    passes total (one fused Min/Max aggregate, one fused histogram pass, one
+    fused candidate pass) — the multi-column fusion of
+    :func:`exact_group_quantiles`'s rank-refinement recipe, used where
+    calling it per column would re-scan the input 3× per column. Each column
+    gets its OWN histogram range (a shared range would collapse
+    differently-scaled metrics into one bucket and blow the candidate cap);
+    the bucket math mirrors exact_group_quantiles exactly."""
+    aggs = []
+    for c in cols:
+        aggs += [Min(c), Max(c)]
+    a = ds.aggregate(*aggs)
+    lo = {c: float(a[f"min({c})"]) for c in cols}
+    scale = {c: n_hist / ((float(a[f"max({c})"]) - lo[c]) or 1.0)
+             for c in cols}
+
+    def bucket_of(c: str, v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo[c]) * scale[c]).astype(np.int64),
+                       0, n_hist - 1)
+
+    def hist(t: pa.Table) -> pd.DataFrame:
+        out = []
+        for c in cols:
+            b = bucket_of(c, t[c].to_numpy(zero_copy_only=False)
+                          .astype(np.float64))
+            cnt = np.bincount(b, minlength=n_hist)
+            nz = np.nonzero(cnt)[0]
+            out.append(pd.DataFrame({"col": c, "b": nz,
+                                     "cnt": cnt[nz].astype(np.int64)}))
+        return pd.concat(out, ignore_index=True)
+
+    folded = (ds.map_batches(hist, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .to_pandas()  # ≤ |cols|·n_hist rows per block — bounded
+              .groupby(["col", "b"], as_index=False).agg(cnt=("cnt", "sum")))
+
+    need: dict[str, tuple[int, int]] = {}  # col -> (median bucket, k within)
+    for c in cols:
+        gh = folded[folded["col"] == c].sort_values("b")
+        counts = gh["cnt"].to_numpy(np.int64)
+        buckets = gh["b"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(counts)])
+        rank = max(1, math.ceil(0.5 * int(cum[-1])))  # percentile_disc rank
+        i = max(0, min(int(np.searchsorted(cum, rank, side="left")) - 1,
+                       len(buckets) - 1))
+        need[c] = (int(buckets[i]), rank - int(cum[i]))
+    need_ref = ray.put({c: b for c, (b, _k) in need.items()})
+
+    def cand(t: pa.Table) -> pd.DataFrame:
+        wanted = ray.get(need_ref)
+        out = []
+        for c in cols:
+            v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            keep = bucket_of(c, v) == wanted[c]
+            out.append(pd.DataFrame({"col": c, "v": v[keep]}))
+        return pd.concat(out, ignore_index=True)
+
+    cands = ds.map_batches(cand, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    meds = []
+    for c in cols:
+        vals = np.sort(cands[cands["col"] == c]["v"].to_numpy())
+        meds.append(int(vals[need[c][1] - 1]))
+    return meds
+
+
 def rfm_segments(sf_dir: str) -> pd.DataFrame:
     """(segment, n_customers) — classic RFM segmentation: each customer's
     recency (last order date), frequency (order count) and monetary (total
@@ -1558,10 +1626,12 @@ def rfm_segments(sf_dir: str) -> pd.DataFrame:
     blocks pre-combine before the ONE custkey exchange; the per-customer
     Dataset stays in the object store (never pulled to the driver — it is
     customer-bound, i.e. grows with the corpus). The three medians come from
-    :func:`exact_group_quantiles` (histogram rank-refinement, driver folds
-    bounded by n_hist) and mirror DuckDB percentile_disc exactly (sorted
-    index ceil(n/2)-1); the segmentation itself is a broadcast-threshold
-    map_batches whose partials are 8-row bincounts. Output is ≤8 rows."""
+    :func:`_exact_medians_multi` (the exact_group_quantiles histogram
+    rank-refinement fused across all three metrics: 3 streamed passes total,
+    driver folds bounded by 3·n_hist) and mirror DuckDB percentile_disc
+    exactly (sorted index ceil(n/2)-1); the segmentation itself is a
+    broadcast-threshold map_batches whose partials are 8-row bincounts.
+    Output is ≤8 rows."""
     from .shuffle import grouped_aggregate
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
@@ -1590,12 +1660,9 @@ def rfm_segments(sf_dir: str) -> pd.DataFrame:
             f"{sf_dir}/orders.parquet",
             columns=["o_custkey", "o_orderdate", "o_totalprice"]),
         ["o_custkey"], part, n_buckets=16,
-    ).materialize()  # distributed — reused by 3 quantile passes + the seg pass
+    ).materialize()  # distributed — reused by the median + seg passes
 
-    rd, fd, md = (
-        int(exact_group_quantiles(per_cust, col, None, [0.5])["p50"].iloc[0])
-        for col in ("last_d", "f", "m")
-    )
+    rd, fd, md = _exact_medians_multi(per_cust, ("last_d", "f", "m"))
 
     def seg_partial(t: pa.Table) -> pa.Table:
         seg = (
