@@ -177,6 +177,7 @@ SUITE: list[tuple[str, str]] = [
     ("ngram_diversity", "evalops.ngram_diversity"),
     ("padding_waste", "evalops.padding_waste"),
     ("ks_drift", "evalops.ks_drift"),
+    ("emd_drift", "evalops.emd_drift"),
     ("itemsets3", "graphalgs.itemsets3"),
     ("knn_density", "similarity.knn_density"),
     ("novelty_curve", "textops.novelty_curve"),

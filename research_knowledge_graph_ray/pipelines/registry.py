@@ -1588,6 +1588,9 @@ QUERIES.update(
         # bin-domain-bounded driver fold
         "calibration_bins": (evalops.calibration_bins,
                              evalops.CALIBRATION_BINS_SQL),
+        # exact 1-D Wasserstein-1 length drift (mass-distance complement of
+        # ks_drift's sup statistic; shared value-domain-bounded pass 1)
+        "emd_drift": (evalops.emd_drift, evalops.EMD_DRIFT_SQL),
         # per-source 3-gate vote histogram, one fused pass
         "quality_ensemble": (evalops.quality_ensemble,
                              evalops.QUALITY_ENSEMBLE_SQL),

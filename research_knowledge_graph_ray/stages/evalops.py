@@ -585,22 +585,13 @@ _KS_SRC_A = "src0"
 _KS_SRC_B = "src1"
 
 
-def ks_drift(sf_dir: str, src_a: str = _KS_SRC_A,
-             src_b: str = _KS_SRC_B) -> pd.DataFrame:
-    """(n_a, n_b, at_value, ks_bp) — exact two-sample Kolmogorov-Smirnov
-    statistic between two sources' document-length (n_chars) distributions:
-    the distribution-free drift gate that complements psi_drift (binned) and
-    source_js (token-level) — ships with no binning choice at all.
-
-    Plan: per-block (value, side) count partials — the only thing that
-    moves; the driver folds a table bounded by the drift column's VALUE
-    DOMAIN (document character lengths, thousands of distinct values at
-    most — for unbounded-domain columns use psi_drift's fixed binning
-    instead; stated bound, loudly checked). The sup statistic is computed
-    in unbounded Python ints (cum_a*n_b - cum_b*n_a is O(N^2) and would
-    wrap int64 past ~3e9 docs — HUGEINT in the oracle); ties broken to the
-    smallest value attaining the sup so the report row is deterministic.
-    """
+def _value_side_counts(sf_dir: str, src_a: str, src_b: str):
+    """Shared pass-1 of the distribution-free drift family (ks_drift /
+    emd_drift): per-block (n_chars value, side) count partials — the only
+    thing that moves — folded into the sorted support with per-side count
+    vectors. The driver fold is bounded by the drift column's VALUE DOMAIN
+    (document character lengths; for unbounded-domain columns use
+    psi_drift's fixed binning instead — stated bound, loudly checked)."""
     _DOMAIN_CAP = 1_000_000
 
     def per_value(df: pd.DataFrame) -> pd.DataFrame:
@@ -620,9 +611,33 @@ def ks_drift(sf_dir: str, src_a: str = _KS_SRC_A,
                          "bound; use the binned psi_drift recipe")
     piv = g.pivot_table(index="v", columns="side", values="cnt",
                         fill_value=0, aggfunc="sum").sort_index()
-    ca = piv.get(0, pd.Series(dtype=np.int64)).to_numpy(np.int64)
-    cb = piv.get(1, pd.Series(dtype=np.int64)).to_numpy(np.int64)
-    vals = piv.index.to_numpy(np.int64)
+    # a side absent from the data must yield a ZERO vector aligned with the
+    # support, not an empty one (one-sided input hits the sentinel paths)
+    zeros = pd.Series(0, index=piv.index, dtype=np.int64)
+    ca = piv[0].to_numpy(np.int64) if 0 in piv.columns \
+        else zeros.to_numpy(np.int64)
+    cb = piv[1].to_numpy(np.int64) if 1 in piv.columns \
+        else zeros.to_numpy(np.int64)
+    return piv.index.to_numpy(np.int64), ca, cb
+
+
+def ks_drift(sf_dir: str, src_a: str = _KS_SRC_A,
+             src_b: str = _KS_SRC_B) -> pd.DataFrame:
+    """(n_a, n_b, at_value, ks_bp) — exact two-sample Kolmogorov-Smirnov
+    statistic between two sources' document-length (n_chars) distributions:
+    the distribution-free drift gate that complements psi_drift (binned) and
+    source_js (token-level) — ships with no binning choice at all.
+
+    Plan: per-block (value, side) count partials — the only thing that
+    moves; the driver folds a table bounded by the drift column's VALUE
+    DOMAIN (document character lengths, thousands of distinct values at
+    most — for unbounded-domain columns use psi_drift's fixed binning
+    instead; stated bound, loudly checked). The sup statistic is computed
+    in unbounded Python ints (cum_a*n_b - cum_b*n_a is O(N^2) and would
+    wrap int64 past ~3e9 docs — HUGEINT in the oracle); ties broken to the
+    smallest value attaining the sup so the report row is deterministic.
+    """
+    vals, ca, cb = _value_side_counts(sf_dir, src_a, src_b)
     n_a, n_b = int(ca.sum()), int(cb.sum())
     cum_a, cum_b = np.cumsum(ca), np.cumsum(cb)
     best_num, best_v = -1, -1
@@ -658,6 +673,71 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(v AS BIGINT) AS at_value,
        CAST(10000 * dnum // (n_a * n_b) AS BIGINT) AS ks_bp
 FROM k ORDER BY dnum DESC, v ASC LIMIT 1
+"""
+
+
+def emd_drift(sf_dir: str, src_a: str = _KS_SRC_A,
+              src_b: str = _KS_SRC_B) -> pd.DataFrame:
+    """(n_a, n_b, n_support, emd_e6) — exact 1-D Wasserstein-1 (earth
+    mover's) distance between two sources' document-length distributions:
+    W₁ = Σᵢ |F_a(xᵢ) − F_b(xᵢ)| · (xᵢ₊₁ − xᵢ) over the sorted union
+    support — the drift number that, unlike KS (sup only) and PSI (binned),
+    weights HOW FAR the mass moved in character units. Completes the
+    drift-gate family (psi_drift / ks_drift / source_js / chi²).
+
+    Same pass-1 as ks_drift (per-(value, side) count partials, value-domain-
+    bounded driver fold); the sum runs in unbounded Python ints
+    (cum·n·gap is O(N²·range), far past int64 — HUGEINT in the oracle) and
+    the single division is one identical-double ROUND at e6. An empty side
+    emits the sentinel emd_e6 = −1 (the embedding_mean_drift convention),
+    stated identically in SQL."""
+    vals, ca, cb = _value_side_counts(sf_dir, src_a, src_b)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    cum_a, cum_b = np.cumsum(ca), np.cumsum(cb)
+    num = 0
+    for i in range(len(vals) - 1):
+        num += (abs(int(cum_a[i]) * n_b - int(cum_b[i]) * n_a)
+                * int(vals[i + 1] - vals[i]))
+    if n_a == 0 or n_b == 0:
+        emd_e6 = -1
+    else:
+        from .stats import _round_e6_vec
+
+        emd_e6 = int(_round_e6_vec(
+            np.array([float(num) / float(n_a * n_b)]))[0])
+    return pd.DataFrame(
+        [[n_a, n_b, len(vals), emd_e6]],
+        columns=["n_a", "n_b", "n_support", "emd_e6"]).astype(np.int64)
+
+
+EMD_DRIFT_SQL = f"""
+WITH d AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+         CASE WHEN source = '{_KS_SRC_B}' THEN 1 ELSE 0 END AS side
+  FROM documents WHERE source IN ('{_KS_SRC_A}', '{_KS_SRC_B}')),
+g AS (
+  SELECT v,
+         CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS ca,
+         CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS cb
+  FROM d GROUP BY 1),
+c AS (
+  SELECT v, SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b,
+         LEAD(v) OVER (ORDER BY v) AS nxt
+  FROM g),
+n AS (SELECT COALESCE(SUM(ca), 0) AS n_a, COALESCE(SUM(cb), 0) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_support
+      FROM g),
+s AS (SELECT COALESCE(SUM(ABS(c.cum_a * n.n_b - c.cum_b * n.n_a)
+                          * (c.nxt - c.v)), 0) AS num
+      FROM c, n WHERE c.nxt IS NOT NULL)
+SELECT CAST(n.n_a AS BIGINT) AS n_a, CAST(n.n_b AS BIGINT) AS n_b,
+       n.n_support,
+       CAST(CASE WHEN n.n_a = 0 OR n.n_b = 0 THEN -1
+                 ELSE ROUND(CAST(s.num AS DOUBLE)
+                            / CAST(n.n_a * n.n_b AS DOUBLE) * 1000000)
+            END AS BIGINT) AS emd_e6
+FROM n, s
 """
 
 

@@ -180,3 +180,39 @@ def test_graph_modularity_vs_sequential_replay(sf_dir):
     # Q = sum of terms is a valid modularity: bounded by (-0.5, 1)
     q = got["term_e9"].sum() / 1e9
     assert -0.5 <= q <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# emd_drift
+# ---------------------------------------------------------------------------
+
+
+def test_emd_drift_planted_shift(tmp_path):
+    """Two point masses distance d apart have W1 exactly d; a half-shifted
+    distribution has W1 = d/2."""
+    from research_knowledge_graph_ray.stages.evalops import emd_drift
+
+    def write(rows):
+        pq.write_table(pa.table({
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "source": pa.array([s for s, _ in rows], pa.string()),
+            "text": pa.array(["x" * n for _, n in rows], pa.string()),
+            "n_chars": pa.array([n for _, n in rows], pa.int64()),
+        }), tmp_path / "documents.parquet")
+
+    write([("src0", 100)] * 4 + [("src1", 140)] * 4)
+    r = emd_drift(str(tmp_path)).iloc[0]
+    assert int(r["emd_e6"]) == 40 * 1_000_000
+    assert int(r["n_support"]) == 2
+
+    write([("src0", 100)] * 4 + [("src1", 100)] * 2 + [("src1", 140)] * 2)
+    r = emd_drift(str(tmp_path)).iloc[0]
+    assert int(r["emd_e6"]) == 20 * 1_000_000
+
+
+def test_emd_drift_missing_side_sentinel(sf_dir):
+    from research_knowledge_graph_ray.stages.evalops import emd_drift
+
+    r = emd_drift(sf_dir, src_b="no_such_source").iloc[0]
+    assert int(r["n_b"]) == 0
+    assert int(r["emd_e6"]) == -1
