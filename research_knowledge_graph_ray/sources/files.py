@@ -61,6 +61,67 @@ def read_json_corpus(path: str, chunk_size: int = 2000, overlap: int = 200) -> "
     return ds.map_batches(to_spans, batch_format="pyarrow")
 
 
+def read_jsonl_corpus(path: str, chunk_size: int = 2000,
+                      overlap: int = 200) -> "ray.data.Dataset":
+    """Dolma/LLM-corpus-style JSONL (one object per line, optionally
+    .gz-compressed) → span documents. The de-facto interchange format for
+    web-scale training corpora: each record carries ``text`` plus an ``id``
+    (fallback: ``doc_id``, then the row index) and optional ``source`` /
+    ``metadata`` fields, which are ignored here — only identity and text
+    enter the span stream. ray.data.read_json handles line-delimited JSON
+    and transparent gzip by extension; blocks stream straight into the
+    chunker (same 2000/200 sentence-snap semantics as every other loader)."""
+    import hashlib
+
+    ds = ray.data.read_json(path)
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        doc_ids, span_lists = [], []
+        for row in rows:
+            text = row.get("text") or ""
+            # id fallback is CONTENT-derived, not positional: a batch-local
+            # row index would collide across blocks and depend on block
+            # boundaries (non-deterministic under repartitioning)
+            doc_id = str(row.get("id") or row.get("doc_id")
+                         or "jsonl-"
+                         + hashlib.md5(text.encode()).hexdigest()[:16])
+            doc_ids.append(doc_id)
+            span_lists.append(
+                spans_from_text(doc_id, text, chunk_size, overlap))
+        return _docs_table(doc_ids, span_lists)
+
+    return ds.map_batches(to_spans, batch_format="pyarrow")
+
+
+def read_csv_corpus(path: str, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_size: int = 2000,
+                    overlap: int = 200) -> "ray.data.Dataset":
+    """CSV corpus → span documents: ``text_col`` holds the document text,
+    ``id_col`` the identity (fallback: the row index). Completes the loader
+    family (json / jsonl / text / pdf-gated / parquet / lance-gated) with
+    the remaining ubiquitous tabular interchange format."""
+    import hashlib
+
+    ds = ray.data.read_csv(path)
+
+    def to_spans(batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        doc_ids, span_lists = [], []
+        for row in rows:
+            text = str(row.get(text_col) or "")
+            doc_id = str(row.get(id_col)
+                         if row.get(id_col) is not None
+                         else "csv-"
+                         + hashlib.md5(text.encode()).hexdigest()[:16])
+            doc_ids.append(doc_id)
+            span_lists.append(
+                spans_from_text(doc_id, text, chunk_size, overlap))
+        return _docs_table(doc_ids, span_lists)
+
+    return ds.map_batches(to_spans, batch_format="pyarrow")
+
+
 def read_text_corpus(paths, chunk_size: int = 2000, overlap: int = 200) -> "ray.data.Dataset":
     """Plain-text files → span documents (doc_id = file path)."""
     ds = ray.data.read_binary_files(paths, include_paths=True)

@@ -216,3 +216,61 @@ def test_emd_drift_missing_side_sentinel(sf_dir):
     r = emd_drift(sf_dir, src_b="no_such_source").iloc[0]
     assert int(r["n_b"]) == 0
     assert int(r["emd_e6"]) == -1
+
+
+# ---------------------------------------------------------------------------
+# jsonl / csv corpus loaders
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_corpus_loader(tmp_path):
+    import gzip
+    import json
+
+    from research_knowledge_graph_ray.sources.files import read_jsonl_corpus
+
+    recs = [
+        {"id": "dolma-0", "text": "NeRF is evaluated on DTU.",
+         "source": "cc", "metadata": {"lang": "en"}},
+        {"doc_id": "fallback-1", "text": "Plenoxels uses DTU."},
+        {"text": "no id at all"},
+    ]
+    jp = tmp_path / "corpus.jsonl"
+    jp.write_text("\n".join(json.dumps(r) for r in recs))
+    rows = read_jsonl_corpus(str(jp)).to_pandas().sort_values("doc_id")
+    assert len(rows) == 3
+    assert {"dolma-0", "fallback-1"} < set(rows["doc_id"])
+    assert rows["doc_id"].str.startswith(("dolma", "fallback", "jsonl-")).all()
+    assert rows.set_index("doc_id").loc["dolma-0", "spans"][0]["text"] \
+        .startswith("NeRF")
+
+    # gz transparency (the on-disk format of every public LLM corpus)
+    gz = tmp_path / "corpus2.jsonl.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("\n".join(json.dumps(r) for r in recs))
+    assert read_jsonl_corpus(str(gz)).count() == 3
+
+
+def test_csv_corpus_loader(tmp_path):
+    from research_knowledge_graph_ray.sources.files import read_csv_corpus
+
+    cp = tmp_path / "corpus.csv"
+    cp.write_text("doc_id,text\nd1,Scaffold GS improves on NeRF.\n"
+                  "d2,Zip NeRF is fast.\n")
+    rows = read_csv_corpus(str(cp)).to_pandas().sort_values("doc_id")
+    assert list(rows["doc_id"]) == ["d1", "d2"]
+    assert rows.iloc[0]["spans"][0]["text"].startswith("Scaffold GS")
+
+
+def test_jsonl_corpus_feeds_build_graph(tmp_path):
+    import json
+
+    from research_knowledge_graph_ray.pipelines.construct import build_graph
+    from research_knowledge_graph_ray.sources.files import read_jsonl_corpus
+
+    recs = [{"id": f"d{i}", "text": "NeRF is evaluated on DTU. "
+             "Gaussian Splatting improves on NeRF."} for i in range(4)]
+    jp = tmp_path / "c.jsonl"
+    jp.write_text("\n".join(json.dumps(r) for r in recs))
+    res = build_graph(read_jsonl_corpus(str(jp)))
+    assert res.edges.count() > 0
