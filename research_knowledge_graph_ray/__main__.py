@@ -49,7 +49,12 @@ def cmd_ingest(args) -> int:
     from .pipelines.construct import build_graph
     from .sources.adapter import read_flat_documents_as_spans
     from .sources.corpus import generate_documents
-    from .sources.files import read_json_corpus, read_text_corpus
+    from .sources.files import (
+        read_csv_corpus,
+        read_json_corpus,
+        read_jsonl_corpus,
+        read_text_corpus,
+    )
 
     if getattr(args, "remove", ""):
         docs = None  # removal re-finishes from the checkpoint, no input read
@@ -58,6 +63,11 @@ def cmd_ingest(args) -> int:
             args.synthetic, seed=42, start=getattr(args, "synthetic_start", 0)))
     elif args.json:
         docs = read_json_corpus(args.input)
+    elif getattr(args, "jsonl", False) or args.input.endswith(
+            (".jsonl", ".jsonl.gz")):
+        docs = read_jsonl_corpus(args.input)
+    elif getattr(args, "csv", False) or args.input.endswith(".csv"):
+        docs = read_csv_corpus(args.input)
     elif args.text:
         docs = read_text_corpus([args.input])
     elif os.path.isdir(args.input) or args.input.endswith(".parquet"):
@@ -78,6 +88,11 @@ def cmd_ingest(args) -> int:
     fingerprint = ""
     if args.checkpoint:
         mode = ("synthetic" if args.synthetic else "json" if args.json
+                else "jsonl" if (getattr(args, "jsonl", False)
+                                 or args.input.endswith((".jsonl",
+                                                         ".jsonl.gz")))
+                else "csv" if (getattr(args, "csv", False)
+                               or args.input.endswith(".csv"))
                 else "text" if args.text else "parquet")
         ident = str(args.synthetic) if args.synthetic else args.input
         stat = ""
@@ -343,6 +358,12 @@ def main(argv=None) -> int:
     pi.add_argument("--embed", action="store_true")
     pi.add_argument("--checkpoint", default=None)
     pi.add_argument("--json", action="store_true", help="input is JSON paper dicts")
+    pi.add_argument("--jsonl", action="store_true",
+                    help="input is Dolma-style line-delimited JSON "
+                    "(auto-detected for .jsonl/.jsonl.gz)")
+    pi.add_argument("--csv", action="store_true",
+                    help="input is a CSV with doc_id,text columns "
+                    "(auto-detected for .csv)")
     pi.add_argument("--text", action="store_true", help="input is a text file")
     pi.add_argument("--synthetic", type=int, default=0, help="generate N synthetic docs")
     pi.add_argument("--remove", default="",
