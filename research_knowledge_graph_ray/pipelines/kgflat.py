@@ -735,6 +735,11 @@ def term_search(sf_dir: str, terms: tuple = _SEARCH_TERMS,
     hits = _read_docs(sf_dir).map_batches(
         local, batch_format="pyarrow", zero_copy_batch=True
     ).to_pandas()
+    if "score" not in hits.columns:  # zero matches anywhere: all-empty
+        # blocks lose schema in Ray — return the typed empty frame the
+        # SQL's zero-row result compares equal to
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.int64)})
     hits = hits.sort_values(["score", "doc_id"],
                             ascending=[False, True]).head(k)
     return hits.reset_index(drop=True)

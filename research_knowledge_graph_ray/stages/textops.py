@@ -985,6 +985,14 @@ def _doc_ngrams(batch: pa.Table, n: int):
     flat = toks.values
     parts = [flat.take(pa.array(starts + k)) for k in range(n)]
     grams = pc.binary_join_element_wise(*parts, " ")
+    if n == 1:
+        # an ALL-non-alphanumeric doc normalizes to "" and split yields one
+        # EMPTY token — drop it to match the SQL's list_filter(t <> '')
+        # (n ≥ 2 is unaffected: a 1-token doc emits no grams at all)
+        keep = pc.not_equal(grams, "")
+        if pc.any(pc.invert(keep)).as_py():
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            return doc_idx[keep_np], grams.filter(keep)
     return doc_idx, grams
 
 
