@@ -395,7 +395,7 @@ def order_price_histogram(sf_dir: str, width: float = 25_000.0) -> "ray.data.Dat
     return bucketed_group_apply(ds, ["bucket"], part, fin, n_buckets=4)
 
 
-def value_outliers(sf_dir: str, z: float = 3.0) -> "ray.data.Dataset":
+def value_outliers(sf_dir: str, z: float = 3.0) -> pd.DataFrame:
     """(event_id, cents) — events whose value sits more than ``z`` population
     standard deviations from the mean (events.value is heavy-tailed).
 
@@ -425,9 +425,13 @@ def value_outliers(sf_dir: str, z: float = 3.0) -> "ray.data.Dataset":
             }
         )
 
-    return ray.data.read_parquet(path, columns=["event_id", "value"]).map_batches(
+    out = ray.data.read_parquet(path, columns=["event_id", "value"]).map_batches(
         pick, batch_format="pandas"
-    )
+    ).to_pandas()  # z-tail-bound by construction (≤ n/z² via Chebyshev)
+    if "event_id" not in out.columns:  # all-empty blocks lose schema in Ray
+        out = pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                            "cents": pd.Series(dtype=np.int64)})
+    return out
 
 
 def table_profile(sf_dir: str, table: str = "orders") -> pd.DataFrame:
@@ -803,7 +807,7 @@ def price_quantiles_cont(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def value_outliers_mad(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
+def value_outliers_mad(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """(event_id, cents, dev) — robust (median/MAD) outlier filter: events
     whose |value − median| exceeds ``k`` × MAD (median absolute deviation).
 
@@ -845,9 +849,14 @@ def value_outliers_mad(sf_dir: str, k: int = 5) -> "ray.data.Dataset":
             }
         )
 
-    return ray.data.read_parquet(path, columns=["event_id", "value"]).map_batches(
+    out = ray.data.read_parquet(path, columns=["event_id", "value"]).map_batches(
         pick, batch_format="pandas"
-    )
+    ).to_pandas()  # k·MAD-tail-bound by construction
+    if "event_id" not in out.columns:  # all-empty blocks lose schema in Ray
+        out = pd.DataFrame({"event_id": pd.Series(dtype=np.int64),
+                            "cents": pd.Series(dtype=np.int64),
+                            "dev": pd.Series(dtype=np.int64)})
+    return out
 
 
 def event_type_drift(sf_dir: str) -> pd.DataFrame:

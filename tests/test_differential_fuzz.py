@@ -92,3 +92,67 @@ def test_documents_ops_match_oracle_on_random_corpus(seed, tmp_path):
         assert len(got) == len(want), (name, seed, len(got), len(want))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# events-table operators (windowing / sessionization / attribution family)
+# ---------------------------------------------------------------------------
+
+EVENT_FUZZ_QUERIES = [
+    "hourly_anomalies", "events_sessions", "events_by_type", "events_hourly",
+    "events_daily_pivot", "value_outliers", "user_top_event", "props_k_stats",
+    "event_type_drift", "value_outliers_mad", "latest_event_per_user",
+    "events_hourly_dense", "events_sliding", "purchase_attribution",
+    "user_retention", "signup_purchase_funnel", "rolling_active_users",
+    "event_transitions", "events_debounced", "linear_attribution",
+    "user_activity_segments", "daily_type_corr", "late_events",
+    "events_hopping", "events_next_purchase", "user_journeys",
+    "events_unpivot", "watermark_drops", "event_type_islands",
+    "events_seasonality", "events_dup_audit",
+]
+
+_EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _random_events(seed: int) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 300))
+    # timestamps: bursty, duplicated, and OUT OF ORDER in the file — a few
+    # days span so daily/hourly/session windows all have multiple buckets
+    base = np.int64(1_704_067_200_000_000)  # 2024-01-01 in epoch micros
+    ts = base + rng.integers(0, 4 * 86_400_000_000, n)
+    dup = rng.integers(0, n, max(1, n // 10))
+    ts[dup] = ts[(dup + 1) % n]  # planted exact-duplicate timestamps
+    return pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, max(2, n // 8), n)),
+        "event_type": pa.array([str(rng.choice(_EVENT_TYPES))
+                                for _ in range(n)], pa.string()),
+        "value": pa.array(np.round(rng.uniform(0, 500, n), 2)),
+        "props": pa.array([f'{{"k": {int(rng.integers(0, 100))}}}'
+                           for _ in range(n)], pa.string()),
+    })
+
+
+@pytest.mark.parametrize("seed", [5, 19])
+def test_events_ops_match_oracle_on_random_events(seed, tmp_path):
+    import ray.data
+
+    pq.write_table(_random_events(seed), tmp_path / "events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')")
+
+    for name in EVENT_FUZZ_QUERIES:
+        fn, sql = QUERIES[name]
+        got = fn(str(tmp_path))
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        got = _canon(got)
+        want = _canon(con.execute(sql).fetchdf())
+        assert list(got.columns) == list(want.columns), (name, seed)
+        assert len(got) == len(want), (name, seed, len(got), len(want))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)

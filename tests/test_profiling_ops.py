@@ -65,7 +65,7 @@ def test_value_outliers_matches_bruteforce():
     cents = np.rint(t["value"].to_numpy() * 100).astype(np.int64)
     mean, std = cents.mean(), cents.std()
     expect = set(np.asarray(t["event_id"])[np.abs(cents - mean) > 3 * std].tolist())
-    got = set(stats.value_outliers(SF).to_pandas()["event_id"].tolist())
+    got = set(stats.value_outliers(SF)["event_id"].tolist())
     assert got == expect and len(got) > 0
 
 

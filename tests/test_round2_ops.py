@@ -129,7 +129,7 @@ def test_value_outliers_mad_vs_brute_force():
     dev = np.abs(cents - med)
     mad = int(np.sort(dev)[int(np.ceil(0.5 * len(dev))) - 1])
     want = set(t["event_id"].to_numpy()[dev > 5 * mad])
-    got = stats.value_outliers_mad(SF).to_pandas()
+    got = stats.value_outliers_mad(SF)
     assert set(got["event_id"]) == want
     assert (got["dev"] > 5 * mad).all()
 
