@@ -673,6 +673,11 @@ def kcore(sf_dir: str, k: int = 3, max_rounds: int = 8) -> pd.DataFrame:
             return df.groupby("u", as_index=False).agg(d=("d", "sum"))
 
         deg = bucketed_group_apply(sym, ["u"], deg_part, deg_fin).to_pandas()
+        if "d" not in deg.columns:  # every block filtered to empty (sparse
+            # graph peeled bare, or an empty sparsified edge set) — the
+            # schema-less all-empty gotcha; the core is empty
+            return pd.DataFrame({"node": pd.Series(dtype=np.int64),
+                                 "deg": pd.Series(dtype=np.int64)})
         new_alive = set(deg[deg["d"] >= k]["u"].astype(np.int64))
         if alive is not None and new_alive == alive:
             out = deg[deg["u"].isin(alive)].rename(columns={"u": "node", "d": "deg"})

@@ -1125,7 +1125,12 @@ def customer_balance_zscore(sf_dir: str) -> "ray.data.Dataset":
     nation (group-domain-bounded, folded with Python ints on the driver),
     then a broadcast vectorized map. Raises loudly if a group's n·10⁶·|n·x−S|
     could exceed int64 (≈8M rows/group at cent scale) — the documented swap
-    is object-int partials as in linear_sufficient_stats."""
+    is object-int partials as in linear_sufficient_stats.
+
+    Degenerate groups (single customer, or all balances equal → σ = 0) emit
+    z_e6 = 0 for every member: the numerator n·x − S is identically zero
+    there, so the convention is the 0/0 limit, implemented as a denominator
+    clamp to 1 and stated identically in the oracle."""
     import math as _math
 
     path = f"{sf_dir}/customer.parquet"
@@ -1146,13 +1151,15 @@ def customer_balance_zscore(sf_dir: str) -> "ray.data.Dataset":
         n = int(g["n"].sum()); s = int(g["s"].sum()); q = int(g["q"].sum())
         lo, hi = int(g["lo"].min()), int(g["hi"].max())
         big = n * q - s * s
-        if big <= 0:
-            raise ValueError(f"degenerate variance for group {nat}")
+        if big < 0:  # impossible by Cauchy-Schwarz — only int64 overflow
+            raise OverflowError(f"variance partials wrapped for group {nat}")
         worst = max(abs(n * lo - s), abs(n * hi - s)) * 10**6
         if worst >= 1 << 62:
             raise OverflowError(
                 "group too large for int64 z-score path; use object-int partials")
-        stats[int(nat)] = (n, s, _math.isqrt(big))
+        # big == 0 → degenerate group: clamp the denominator so every
+        # member's 0-numerator lands on z = 0 (docstring convention)
+        stats[int(nat)] = (n, s, max(_math.isqrt(big), 1))
 
     n_map = {k: v[0] for k, v in stats.items()}
     s_map = {k: v[1] for k, v in stats.items()}
@@ -1184,9 +1191,11 @@ g2 AS (SELECT nat, n, s, n * q - s * s AS big FROM g),
 g3 AS (SELECT nat, n, s, big,
               CAST(FLOOR(SQRT(CAST(big AS DOUBLE))) AS BIGINT) AS d0 FROM g2),
 g4 AS (SELECT nat, n, s,
-              CASE WHEN (d0 + 1) * (d0 + 1) <= big THEN d0 + 1
-                   WHEN d0 * d0 > big THEN d0 - 1
-                   ELSE d0 END AS d FROM g3)
+              -- GREATEST(..., 1): degenerate (zero-variance) groups clamp
+              -- the denominator so the all-zero numerators land on z = 0
+              GREATEST(CASE WHEN (d0 + 1) * (d0 + 1) <= big THEN d0 + 1
+                            WHEN d0 * d0 > big THEN d0 - 1
+                            ELSE d0 END, 1) AS d FROM g3)
 SELECT c.c_custkey, c.nat AS c_nationkey,
        CAST(((g4.n * c.x - g4.s) * 1000000) // g4.d AS BIGINT) AS z_e6
 FROM c JOIN g4 USING (nat)
