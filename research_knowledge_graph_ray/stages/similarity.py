@@ -648,7 +648,12 @@ def cluster_silhouette(sf_dir: str, k: int = 8,
         d2[rows, assign] = np.iinfo(np.int64).max
         d_next = d2.min(axis=1)
         denom = np.maximum(np.maximum(d_own, d_next), 1)
-        sil = (d_next - d_own) * 1_000_000 // denom
+        # (d_next − d_own)·1e6 exceeds int64 once squared distances pass
+        # ~9e12 (unnormalized embeddings) — exact Python-int products
+        # through an object-dtype C loop (HUGEINT in the oracle); the
+        # quotient is ≤ 1e6 so the result always fits int64
+        sil = ((d_next - d_own).astype(object) * 1_000_000
+               // denom.astype(object)).astype(np.int64)
         return pd.DataFrame({
             "vec_id": ids, "cluster": assign.astype(np.int64),
             "d_own": d_own, "d_next": d_next, "sil_e6": sil})

@@ -280,3 +280,72 @@ def test_relational_ops_match_oracle_on_random_db(seed, tmp_path):
         assert len(got) == len(want), (name, seed, len(got), len(want))
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# embeddings-table operators (ANN / clustering / valuation family)
+# ---------------------------------------------------------------------------
+
+EMB_FUZZ_QUERIES = [
+    "dedup_embedding_exact", "dedup_embedding_clusters", "knn_topk",
+    "knn_topk_ivf", "embedding_kmeans", "dedup_embedding_pairs", "semdedup",
+    "mmr_rerank", "embedding_quantize", "pq_codes", "pq_search",
+    "random_projection", "knn_classify", "cluster_silhouette",
+    "cluster_prototypes", "hard_negatives", "reciprocal_nn",
+    "embedding_moments", "knn_join", "knn_join_ivf", "knn_join_auto",
+    "kcenter_select", "label_balance", "embedding_standardize",
+    "semantic_decontaminate", "knn_density", "knn_shapley",
+    "embedding_mean_drift",
+]
+
+
+def random_embeddings(seed: int, with_zero: bool = False) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(30, 150))
+    dim = 64
+    m = rng.standard_normal((n, dim)).astype(np.float32)
+    # planted exact duplicates (dedup paths) and near-duplicates
+    for _ in range(max(1, n // 12)):
+        i, j = rng.integers(0, n, 2)
+        m[j] = m[i]
+    for _ in range(max(1, n // 15)):
+        i, j = rng.integers(0, n, 2)
+        m[j] = m[i] + rng.standard_normal(dim).astype(np.float32) * 1e-4
+    if with_zero:
+        m[int(rng.integers(0, n))] = 0.0
+    return pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([row for row in m.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array(rng.integers(0, 10, n).astype("int32"), pa.int32()),
+    })
+
+
+@pytest.mark.parametrize("seed", [42, 99])
+def test_embedding_ops_match_oracle_on_random_vectors(seed, tmp_path):
+    """28 embedding operators on seeded random UNNORMALIZED vectors with
+    planted exact- and near-duplicates. Found on first contact:
+    cluster_silhouette's (d_next − d_own)·1e6 wrapped int64 on unnormalized
+    magnitudes (now exact object-int, HUGEINT-oracle parity).
+
+    Zero-norm vectors stay OUT of the generator by input contract:
+    trained/hashed embeddings are never all-zero; the engine degrades to
+    sim = 0 where DuckDB's list_cosine_similarity NaN-poisons — a
+    documented, deliberate divergence outside the contract."""
+    pq.write_table(random_embeddings(seed), tmp_path / "embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')")
+
+    for name in EMB_FUZZ_QUERIES:
+        fn, sql = QUERIES[name]
+        got = fn(str(tmp_path))
+        if not isinstance(got, pd.DataFrame):
+            got = got.to_pandas()
+        got = _canon(got)
+        want = _canon(con.execute(sql).fetchdf())
+        assert list(got.columns) == list(want.columns), (name, seed)
+        assert len(got) == len(want), (name, seed, len(got), len(want))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
