@@ -168,8 +168,11 @@ SELECT * FROM (
               AS BIGINT)
   FROM l
   UNION ALL
+  -- COALESCE: when every doc was dropped upstream, e is empty and SUM
+  -- returns NULL where the engine's integer fold says 0
   SELECT 3, 'exact', CAST(COUNT(*) AS BIGINT),
-         CAST(SUM(CASE WHEN doc_id > m THEN 1 ELSE 0 END) AS BIGINT)
+         CAST(COALESCE(SUM(CASE WHEN doc_id > m THEN 1 ELSE 0 END), 0)
+              AS BIGINT)
   FROM e
 ) ORDER BY stage_id
 """

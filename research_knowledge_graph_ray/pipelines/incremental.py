@@ -288,10 +288,11 @@ def update_graph(
 
     cross = old_cross_edges
     if link:
-        new_ids = set(
-            new_docs.select_columns(["doc_id"]).to_pandas()["doc_id"]
-            .astype(str).tolist()
-        )
+        new_doc_df = new_docs.select_columns(["doc_id"]).to_pandas()
+        # an EMPTY increment loses its schema in to_pandas (the all-empty
+        # block gotcha) — there is nothing to link either way
+        new_ids = (set(new_doc_df["doc_id"].astype(str).tolist())
+                   if "doc_id" in new_doc_df.columns else set())
         new_cross = judge_pairs(candidate_pairs(incremental_pair_rows(
             mention_index(base, nodes), new_ids, max_docs_per_entity)))
         cross = (old_cross_edges.union(new_cross)

@@ -598,7 +598,10 @@ def edge_growth(sf_dir: str) -> pd.DataFrame:
 EDGE_GROWTH_SQL_TEMPLATE = """
 WITH dt AS (SELECT DISTINCT doc_id, term FROM ({unnest})),
 yr AS (SELECT doc_id, 1990 + length(text) % 30 AS year FROM documents),
-per AS (SELECT year, COUNT(*) AS n_new FROM dt JOIN yr USING (doc_id)
+-- LEFT JOIN + COUNT(term): a year whose docs contribute zero mention
+-- edges still appears with n_new_edges = 0 (the dashboard emits a row for
+-- every year that has documents, matching the engine's per-doc partials)
+per AS (SELECT year, COUNT(term) AS n_new FROM yr LEFT JOIN dt USING (doc_id)
         GROUP BY year)
 SELECT CAST(year AS BIGINT) AS year, CAST(n_new AS BIGINT) AS n_new_edges,
        CAST(SUM(n_new) OVER (ORDER BY year) AS BIGINT) AS n_cum_edges

@@ -221,8 +221,12 @@ GROUP BY term
 
 KG_GRAPH_NODES_SQL = f"""
 WITH dt AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS vdoc, term FROM ({_UNNEST}))
-SELECT 'paper' AS node_type, vdoc AS label, CAST(1 AS BIGINT) AS n_docs
-FROM (SELECT DISTINCT vdoc FROM dt)
+-- paper nodes come from DOCUMENTS, not dt: the pipeline (like the
+-- reference's ingestion service) creates a paper node for every ingested
+-- doc, including docs with zero entity mentions
+SELECT 'paper' AS node_type, CAST(doc_id AS VARCHAR) AS label,
+       CAST(1 AS BIGINT) AS n_docs
+FROM documents
 UNION ALL
 SELECT 'concept', concat(upper(substr(term, 1, 1)), substr(term, 2)),
        CAST(COUNT(*) AS BIGINT)
@@ -253,9 +257,12 @@ FROM pairs WHERE n >= 2
 
 KG_NODE_PROPERTIES_SQL = f"""
 WITH dt AS (SELECT DISTINCT CAST(doc_id AS VARCHAR) AS vdoc, term FROM ({_UNNEST}))
-SELECT 'paper' AS node_type, vdoc AS label, '' AS description,
+-- paper nodes from DOCUMENTS (every ingested doc, even zero-mention ones —
+-- the KG_GRAPH_NODES_SQL convention)
+SELECT 'paper' AS node_type, CAST(doc_id AS VARCHAR) AS label,
+       '' AS description,
        '{{"title": "", "abstract": "", "year": null, "venue": "", "authors": []}}' AS properties
-FROM (SELECT DISTINCT vdoc FROM dt)
+FROM documents
 UNION ALL
 SELECT 'concept', concat(upper(substr(term, 1, 1)), substr(term, 2)),
        concat('concept mentioned as ''', term, ''''),

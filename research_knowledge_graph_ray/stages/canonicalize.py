@@ -262,6 +262,9 @@ def driver_component_summary(pairs, a_col: str = "a",
     twin)."""
     from collections import Counter
 
+    if a_col not in pairs.columns:  # schema-less all-empty pair frame
+        return 0, 0, -1
+
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

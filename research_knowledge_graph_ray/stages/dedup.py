@@ -1661,7 +1661,7 @@ FROM documents LEFT JOIN k USING (doc_id)
 
 
 def top_similar_pairs(sf_dir: str, topk: int = 20,
-                      max_doc_id: int = 100) -> "ray.data.Dataset":
+                      max_doc_id: int = 100) -> pd.DataFrame:
     """(doc_a, doc_b, jac_bp) — the ``topk`` most similar document pairs
     corpus-wide by EXACT 3-word-shingle Jaccard (similarity-join top-k, the
     'show me the worst near-duplicates' audit view). Rides the
@@ -1675,8 +1675,13 @@ def top_similar_pairs(sf_dir: str, topk: int = 20,
     pairs = ngram_jaccard_pairs(sf_dir, threshold_bp=1,
                                 max_doc_id=max_doc_id,
                                 max_docs_per_shingle=max(512, max_doc_id))
-    return pairs.sort(["jac_bp", "doc_a", "doc_b"],
-                      descending=[True, False, False]).limit(topk)
+    out = pairs.sort(["jac_bp", "doc_a", "doc_b"],
+                     descending=[True, False, False]).limit(topk).to_pandas()
+    if "jac_bp" not in out.columns:  # zero co-shingled pairs anywhere:
+        # sort+limit on an all-empty Dataset loses schema — typed empty
+        out = pd.DataFrame({c: pd.Series(dtype=np.int64)
+                            for c in ("doc_a", "doc_b", "jac_bp")})
+    return out  # topk-bounded by construction
 
 
 TOP_SIMILAR_PAIRS_SQL = r"""
@@ -1935,10 +1940,16 @@ def minhash_confusion(sf_dir: str, tau_bp: int = _CONF_TAU_BP,
                              & (df["doc_b"] < max_doc_id)],
                batch_format="pandas")
            .to_pandas())
-    cand = set(zip(lsh["doc_a"].astype(int), lsh["doc_b"].astype(int)))
+    # zero-candidate / zero-true corpora lose schema in to_pandas (the
+    # all-empty block gotcha) — empty sets are the correct audit inputs
+    cand = (set(zip(lsh["doc_a"].astype(int), lsh["doc_b"].astype(int)))
+            if "doc_a" in lsh.columns else set())
     true = ngram_jaccard_pairs(sf_dir, max_doc_id=max_doc_id).to_pandas()
-    true = true[true["jac_bp"] >= tau_bp]
-    pos = set(zip(true["doc_a"].astype(int), true["doc_b"].astype(int)))
+    if "jac_bp" in true.columns:
+        true = true[true["jac_bp"] >= tau_bp]
+        pos = set(zip(true["doc_a"].astype(int), true["doc_b"].astype(int)))
+    else:
+        pos = set()
     counts = {
         "tp": len(cand & pos),
         "fp": len(cand - pos),

@@ -59,6 +59,24 @@ def _random_corpus(seed: int) -> pa.Table:
     })
 
 
+
+def _to_df(res) -> pd.DataFrame:
+    """Schema-aware Dataset→DataFrame: Ray's to_pandas() drops the columns
+    of an ALL-empty Dataset even when ds.schema() is correct (the documented
+    empty-block gotcha) — rebuild the typed empty frame from the schema, per
+    the repo convention 'compare empty results at the Arrow/schema level'."""
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        df = res.to_pandas()
+        if df.shape[1] == 0:
+            schema = res.schema()
+            df = pa.table({n: pa.array([], type=t) for n, t in
+                           zip(schema.names, schema.types)}).to_pandas()
+        return df
+    return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -81,12 +99,7 @@ def test_documents_ops_match_oracle_on_random_corpus(seed, tmp_path):
     for name in FUZZ_QUERIES:
         fn, sql = QUERIES[name]
         assert sql is not None, name
-        got = fn(str(tmp_path))
-        if isinstance(got, ray.data.Dataset):
-            got = got.to_pandas()
-        elif not isinstance(got, pd.DataFrame):
-            got = got.to_pandas()
-        got = _canon(got)
+        got = _canon(_to_df(fn(str(tmp_path))))
         want = _canon(con.execute(sql).fetchdf())
         assert list(got.columns) == list(want.columns), (name, seed)
         assert len(got) == len(want), (name, seed, len(got), len(want))
@@ -147,10 +160,7 @@ def test_events_ops_match_oracle_on_random_events(seed, tmp_path):
 
     for name in EVENT_FUZZ_QUERIES:
         fn, sql = QUERIES[name]
-        got = fn(str(tmp_path))
-        if not isinstance(got, pd.DataFrame):
-            got = got.to_pandas()
-        got = _canon(got)
+        got = _canon(_to_df(fn(str(tmp_path))))
         want = _canon(con.execute(sql).fetchdf())
         assert list(got.columns) == list(want.columns), (name, seed)
         assert len(got) == len(want), (name, seed, len(got), len(want))
@@ -271,10 +281,7 @@ def test_relational_ops_match_oracle_on_random_db(seed, tmp_path):
 
     for name in REL_FUZZ_QUERIES:
         fn, sql = QUERIES[name]
-        got = fn(str(tmp_path))
-        if not isinstance(got, pd.DataFrame):
-            got = got.to_pandas()
-        got = _canon(got)
+        got = _canon(_to_df(fn(str(tmp_path))))
         want = _canon(con.execute(sql).fetchdf())
         assert list(got.columns) == list(want.columns), (name, seed)
         assert len(got) == len(want), (name, seed, len(got), len(want))
@@ -340,10 +347,50 @@ def test_embedding_ops_match_oracle_on_random_vectors(seed, tmp_path):
 
     for name in EMB_FUZZ_QUERIES:
         fn, sql = QUERIES[name]
-        got = fn(str(tmp_path))
-        if not isinstance(got, pd.DataFrame):
-            got = got.to_pandas()
-        got = _canon(got)
+        got = _canon(_to_df(fn(str(tmp_path))))
+        want = _canon(con.execute(sql).fetchdf())
+        assert list(got.columns) == list(want.columns), (name, seed)
+        assert len(got) == len(want), (name, seed, len(got), len(want))
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      check_exact=True)
+
+
+# ---------------------------------------------------------------------------
+# everything else: KG pipeline, dedup variants, sampling, cross-table ops —
+# one combined random database (documents + events + embeddings + relational)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [42, 77])
+def test_remaining_registry_ops_match_oracle_on_random_db(seed, tmp_path):
+    """Replays every oracle-gated registry query NOT covered by the four
+    family-specific fuzz tests above (KG construction included) on a
+    combined random database. Found on first contact: the paper-node
+    under-model in the kg_graph_nodes / kg_node_properties oracles
+    (zero-mention docs), kg_edge_growth's missing zero-edge years,
+    curation_funnel's NULL-vs-0 empty-stage SUM, schema-less empty frames
+    in the incremental-update / minhash-confusion / ensemble union-find
+    paths, and top_similar_pairs' schema-less sort-of-empty."""
+    from research_knowledge_graph_ray.pipelines.registry import QUERIES as Q
+
+    covered = (set(FUZZ_QUERIES) | set(EVENT_FUZZ_QUERIES)
+               | set(REL_FUZZ_QUERIES) | set(EMB_FUZZ_QUERIES))
+    rest = [n for n, (f, s) in Q.items() if s is not None and n not in covered]
+
+    pq.write_table(_random_corpus(seed), tmp_path / "documents.parquet")
+    pq.write_table(_random_events(seed), tmp_path / "events.parquet")
+    pq.write_table(random_embeddings(seed), tmp_path / "embeddings.parquet")
+    for t, tb in random_relational(seed).items():
+        pq.write_table(tb, tmp_path / f"{t}.parquet")
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+
+    for name in rest:
+        fn, sql = Q[name]
+        got = _canon(_to_df(fn(str(tmp_path))))
         want = _canon(con.execute(sql).fetchdf())
         assert list(got.columns) == list(want.columns), (name, seed)
         assert len(got) == len(want), (name, seed, len(got), len(want))
