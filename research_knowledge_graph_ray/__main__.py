@@ -56,19 +56,39 @@ def cmd_ingest(args) -> int:
         read_text_corpus,
     )
 
+    # resolve the input mode ONCE (explicit format flags always win;
+    # extension auto-detection applies only when no flag was given) — the
+    # same string keys the checkpoint fingerprint below, so the dispatch
+    # and the invalidation can never drift apart
+    if args.synthetic:
+        in_mode = "synthetic"
+    elif args.json:
+        in_mode = "json"
+    elif getattr(args, "jsonl", False):
+        in_mode = "jsonl"
+    elif getattr(args, "csv", False):
+        in_mode = "csv"
+    elif args.text:
+        in_mode = "text"
+    elif args.input.endswith((".jsonl", ".jsonl.gz")):
+        in_mode = "jsonl"
+    elif args.input.endswith(".csv"):
+        in_mode = "csv"
+    else:
+        in_mode = "parquet"
+
     if getattr(args, "remove", ""):
         docs = None  # removal re-finishes from the checkpoint, no input read
-    elif args.synthetic:
+    elif in_mode == "synthetic":
         docs = ray.data.from_arrow(generate_documents(
             args.synthetic, seed=42, start=getattr(args, "synthetic_start", 0)))
-    elif args.json:
+    elif in_mode == "json":
         docs = read_json_corpus(args.input)
-    elif getattr(args, "jsonl", False) or args.input.endswith(
-            (".jsonl", ".jsonl.gz")):
+    elif in_mode == "jsonl":
         docs = read_jsonl_corpus(args.input)
-    elif getattr(args, "csv", False) or args.input.endswith(".csv"):
+    elif in_mode == "csv":
         docs = read_csv_corpus(args.input)
-    elif args.text:
+    elif in_mode == "text":
         docs = read_text_corpus([args.input])
     elif os.path.isdir(args.input) or args.input.endswith(".parquet"):
         # parquet span table, or a flat documents table lifted via the adapter
@@ -87,13 +107,8 @@ def cmd_ingest(args) -> int:
     # extra pass over the corpus just to count it.
     fingerprint = ""
     if args.checkpoint:
-        mode = ("synthetic" if args.synthetic else "json" if args.json
-                else "jsonl" if (getattr(args, "jsonl", False)
-                                 or args.input.endswith((".jsonl",
-                                                         ".jsonl.gz")))
-                else "csv" if (getattr(args, "csv", False)
-                               or args.input.endswith(".csv"))
-                else "text" if args.text else "parquet")
+        mode = in_mode  # the single resolved mode — dispatch and
+        # invalidation key can never disagree
         ident = str(args.synthetic) if args.synthetic else args.input
         stat = ""
         if args.input and os.path.exists(args.input):

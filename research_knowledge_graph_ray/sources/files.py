@@ -66,11 +66,16 @@ def read_jsonl_corpus(path: str, chunk_size: int = 2000,
     """Dolma/LLM-corpus-style JSONL (one object per line, optionally
     .gz-compressed) → span documents. The de-facto interchange format for
     web-scale training corpora: each record carries ``text`` plus an ``id``
-    (fallback: ``doc_id``, then the row index) and optional ``source`` /
-    ``metadata`` fields, which are ignored here — only identity and text
-    enter the span stream. ray.data.read_json handles line-delimited JSON
-    and transparent gzip by extension; blocks stream straight into the
-    chunker (same 2000/200 sentence-snap semantics as every other loader)."""
+    (fallback: ``doc_id``; both honored even when falsy, e.g. integer id 0)
+    and optional ``source`` / ``metadata`` fields, which are ignored here —
+    only identity and text enter the span stream. Records with NO id field
+    are identified by their CONTENT (md5 of the text): deterministic and
+    block-boundary-independent, with the stated consequence that id-less
+    records with byte-identical text share a doc_id (content-addressed
+    semantics — the dedup family treats them as the duplicates they are).
+    ray.data.read_json handles line-delimited JSON and transparent gzip by
+    extension; blocks stream straight into the chunker (same 2000/200
+    sentence-snap semantics as every other loader)."""
     import hashlib
 
     ds = ray.data.read_json(path)
@@ -80,12 +85,12 @@ def read_jsonl_corpus(path: str, chunk_size: int = 2000,
         doc_ids, span_lists = [], []
         for row in rows:
             text = row.get("text") or ""
-            # id fallback is CONTENT-derived, not positional: a batch-local
-            # row index would collide across blocks and depend on block
-            # boundaries (non-deterministic under repartitioning)
-            doc_id = str(row.get("id") or row.get("doc_id")
-                         or "jsonl-"
-                         + hashlib.md5(text.encode()).hexdigest()[:16])
+            rid = row.get("id")
+            if rid is None:
+                rid = row.get("doc_id")
+            doc_id = (str(rid) if rid is not None
+                      else "jsonl-"
+                      + hashlib.md5(text.encode()).hexdigest()[:16])
             doc_ids.append(doc_id)
             span_lists.append(
                 spans_from_text(doc_id, text, chunk_size, overlap))
@@ -98,9 +103,11 @@ def read_csv_corpus(path: str, text_col: str = "text",
                     id_col: str = "doc_id", chunk_size: int = 2000,
                     overlap: int = 200) -> "ray.data.Dataset":
     """CSV corpus → span documents: ``text_col`` holds the document text,
-    ``id_col`` the identity (fallback: the row index). Completes the loader
-    family (json / jsonl / text / pdf-gated / parquet / lance-gated) with
-    the remaining ubiquitous tabular interchange format."""
+    ``id_col`` the identity (rows without one are content-addressed — md5
+    of the text, the read_jsonl_corpus convention incl. its identical-text
+    consequence). Completes the loader family (json / jsonl / text /
+    pdf-gated / parquet / lance-gated) with the remaining ubiquitous
+    tabular interchange format."""
     import hashlib
 
     ds = ray.data.read_csv(path)

@@ -605,6 +605,10 @@ def _value_side_counts(sf_dir: str, src_a: str, src_b: str):
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["source", "n_chars"])
     parts = ds.map_batches(per_value, batch_format="pandas").to_pandas()
+    if "v" not in parts.columns:  # NEITHER source present: every block is
+        # empty and to_pandas loses the schema — empty support, both sides 0
+        z = np.array([], dtype=np.int64)
+        return z, z, z
     g = parts.groupby(["v", "side"], as_index=False)["cnt"].sum()
     if g["v"].nunique() > _DOMAIN_CAP:
         raise ValueError("drift column value domain exceeds the driver-fold "
@@ -636,8 +640,15 @@ def ks_drift(sf_dir: str, src_a: str = _KS_SRC_A,
     in unbounded Python ints (cum_a*n_b - cum_b*n_a is O(N^2) and would
     wrap int64 past ~3e9 docs — HUGEINT in the oracle); ties broken to the
     smallest value attaining the sup so the report row is deterministic.
-    """
+
+    One-sided input (a source with zero docs) emits the sentinel
+    ks_bp = −1 with at_value = the smallest support value, stated
+    identically in the oracle; an empty support (neither source present)
+    returns the typed empty frame, matching the oracle's zero rows."""
     vals, ca, cb = _value_side_counts(sf_dir, src_a, src_b)
+    if len(vals) == 0:
+        return pd.DataFrame({c: pd.Series(dtype=np.int64)
+                             for c in ("n_a", "n_b", "at_value", "ks_bp")})
     n_a, n_b = int(ca.sum()), int(cb.sum())
     cum_a, cum_b = np.cumsum(ca), np.cumsum(cb)
     best_num, best_v = -1, -1
@@ -645,7 +656,8 @@ def ks_drift(sf_dir: str, src_a: str = _KS_SRC_A,
         num = abs(int(a) * n_b - int(b) * n_a)
         if num > best_num:
             best_num, best_v = num, int(v)
-    ks_bp = 10000 * best_num // (n_a * n_b)
+    ks_bp = (-1 if n_a == 0 or n_b == 0
+             else 10000 * best_num // (n_a * n_b))
     return pd.DataFrame(
         [[n_a, n_b, best_v, ks_bp]],
         columns=["n_a", "n_b", "at_value", "ks_bp"]).astype(np.int64)
@@ -671,7 +683,8 @@ k AS (
   FROM c, n)
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        CAST(v AS BIGINT) AS at_value,
-       CAST(10000 * dnum // (n_a * n_b) AS BIGINT) AS ks_bp
+       CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN -1
+                 ELSE 10000 * dnum // (n_a * n_b) END AS BIGINT) AS ks_bp
 FROM k ORDER BY dnum DESC, v ASC LIMIT 1
 """
 

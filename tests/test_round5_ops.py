@@ -274,3 +274,20 @@ def test_jsonl_corpus_feeds_build_graph(tmp_path):
     jp.write_text("\n".join(json.dumps(r) for r in recs))
     res = build_graph(read_jsonl_corpus(str(jp)))
     assert res.edges.count() > 0
+
+
+def test_ks_drift_one_sided_and_empty_sentinels(tmp_path):
+    from research_knowledge_graph_ray.stages.evalops import ks_drift
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "source": pa.array(["src0", "src0"], pa.string()),
+        "text": pa.array(["aa", "bbbb"], pa.string()),
+        "n_chars": pa.array([2, 4], pa.int64()),
+    }), tmp_path / "documents.parquet")
+    r = ks_drift(str(tmp_path)).iloc[0]  # src1 absent → one-sided
+    assert int(r["n_b"]) == 0 and int(r["ks_bp"]) == -1
+    assert int(r["at_value"]) == 2  # smallest support value (SQL tie order)
+
+    r2 = ks_drift(str(tmp_path), src_a="no_a", src_b="no_b")
+    assert len(r2) == 0  # empty support → typed empty frame (oracle: 0 rows)
